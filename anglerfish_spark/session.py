@@ -1,0 +1,58 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The engine targets large clusters (the design point is ~100 TB inputs on
+1000 executors); locally we run ``local[N]``.  The defaults below are the
+ones that matter at both scales:
+
+* AQE on — runtime coalescing of shuffle partitions and skew-join splitting.
+* ``spark.sql.session.timeZone=UTC`` — deterministic timestamp semantics
+  (parquet test data carries naive timestamps; UTC makes Spark read them
+  with the same wall clock DuckDB sees).
+* Arrow enabled — Pandas UDF / ``mapInPandas`` paths use Arrow batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply engine defaults to a builder (idempotent, driver-friendly)."""
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    )
+
+
+def get_spark(app_name: str = "anglerfish_spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when not attached to a
+    cluster; on a real cluster leave it unset and submit normally.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    if master:
+        builder = builder.master(master)
+    return configure(builder).getOrCreate()
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Set the runtime-settable engine confs on an externally-created session.
+
+    The driver harness owns its own SparkSession; queries call this to pin
+    the semantics that must match the DuckDB oracle (UTC session timezone)
+    and the adaptive-execution knobs that are runtime-settable.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed (collected to a count via a no-op sink
+``df.write.format("noop")``) so the measured time includes the whole plan,
+not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: one per operator family — aggregation, multi-join, window,
+#: top-k, dedup, similarity, text, streaming-window analogue, codec.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q_join_inner",
+    "q_join_left",
+    "q_window_running",
+    "q_topk_per_group",
+    "q_agg_distinct",
+]
+
+
+def main() -> None:
+    from anglerfish_spark.registry import all_queries
+    from anglerfish_spark.session import get_spark
+
+    spark = get_spark("anglerfish-bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    # fall back to everything registered if a headline entry is missing
+    names = names or sorted(qs)
+
+    # warm the JVM + parquet footer caches once so per-query numbers measure
+    # execution, not first-touch JIT
+    qs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
