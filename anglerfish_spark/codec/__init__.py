@@ -1,1 +1,4 @@
-"""Placeholder — populated in a later milestone."""
+from .decoder import decode_json, wire_struct_type
+from .pydecode import decode_datum
+
+__all__ = ["decode_json", "decode_datum", "wire_struct_type"]

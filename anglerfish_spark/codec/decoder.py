@@ -1,0 +1,519 @@
+"""Expression-based strict JSON decoder (the JVM fast path).
+
+Decodes a JSON-text column against a parsed Avro schema with the
+reference's strict semantics (D1-D9, SURVEY.md §2.1), entirely with
+built-in Catalyst expressions — ``from_json`` does the typed parse and a
+composed validation layer supplies the strictness ``FAILFAST`` alone cannot
+express:
+
+* extra/missing record fields via ``json_object_keys`` on the raw text
+  (reference D6: extra JSON fields are an error, :684,688);
+* enum domain membership (D4), fixed base64 length (D4), union single-key
+  tagged objects with branch-name resolution (D5/S3);
+* D3 numeric rules: int32 range, int64 representability (checked against
+  the raw digits, so overflow is caught even where the wire parse nulls),
+  float32 exactness.
+
+Everything stays inside whole-stage codegen — no Python UDF on this path.
+The *wire schema* (what ``from_json`` parses) differs from the *target
+schema* (what the engine returns): bytes/fixed/enum travel as strings,
+unions as structs keyed by Avro branch names; the decoder then transforms
+wire → target columns.
+
+Scope note (documented divergence): raw-path strictness checks apply at
+fixed JSON paths — i.e. outside arrays/maps.  Inside collections the
+decoder still enforces enum/fixed/numeric domain checks element-wise, but
+extra-field detection for records nested in arrays needs per-element raw
+JSON, which Catalyst cannot address; use ``mode="python"`` (Pandas-UDF
+running ``pydecode``) for full fidelity on such schemas.
+
+Error channel: ``mode="strict"`` raises on first violation (FAILFAST
+analogue); ``mode="permissive"`` adds an ``_errors array<string>`` column
+of ``Code@path`` entries (E1 taxonomy) and never raises.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import InvalidParserStateError
+from ..schema.model import (
+    AvroArray,
+    AvroEnum,
+    AvroField,
+    AvroFixed,
+    AvroMap,
+    AvroPrimitive,
+    AvroRecord,
+    AvroRecursionRef,
+    AvroType,
+    AvroUnion,
+    Primitive,
+    type_name,
+)
+from ..schema.parser import ParsedSchema, parse_schema
+from ..schema.spark_convert import to_struct_type, union_branch_name
+from .pydecode import Decoder as _PyDecoder
+
+INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
+_B64_RE = r"^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
+
+def _empty_errs() -> Column:
+    return F.array().cast("array<string>")
+
+
+# ---------------------------------------------------------------------------
+# wire schema: what from_json parses
+# ---------------------------------------------------------------------------
+
+
+def wire_struct_type(t: AvroType, env: dict[str, AvroType], max_depth: int = 10) -> T.DataType:
+    """The from_json parse schema for an Avro type (strings for
+    bytes/fixed/enum, widest numerics, branch-keyed structs for unions)."""
+    return _Wire(env, max_depth).convert(t)
+
+
+class _Wire:
+    def __init__(self, env: dict[str, AvroType], max_depth: int):
+        self.env = env
+        self.max_depth = max_depth
+        self.depth: dict[str, int] = {}
+
+    def convert(self, t: AvroType) -> T.DataType:
+        if isinstance(t, AvroPrimitive):
+            return {
+                Primitive.NULL: T.StringType(),  # checked via raw path / never non-null
+                Primitive.BOOLEAN: T.BooleanType(),
+                Primitive.INT: T.LongType(),
+                Primitive.LONG: T.LongType(),
+                Primitive.FLOAT: T.DoubleType(),
+                Primitive.DOUBLE: T.DoubleType(),
+                Primitive.BYTES: T.StringType(),
+                Primitive.STRING: T.StringType(),
+            }[t.kind]
+        if isinstance(t, (AvroEnum, AvroFixed)):
+            return T.StringType()
+        if isinstance(t, AvroArray):
+            return T.ArrayType(self.convert(t.items), containsNull=True)
+        if isinstance(t, AvroMap):
+            return T.MapType(T.StringType(), self.convert(t.values), valueContainsNull=True)
+        if isinstance(t, AvroUnion):
+            # Avro-JSON encodes every non-null union datum as a tagged
+            # single-key object — even for ["null", T] (reference D5,
+            # :657-667) — so the wire is always a branch-keyed struct
+            non_null = t.non_null_members
+            if len(non_null) == 0:
+                return T.StringType()
+            return T.StructType(
+                [T.StructField(type_name(m), self.convert(m), True) for m in non_null]
+            )
+        if isinstance(t, AvroRecord):
+            n = self.depth.get(t.fqn, 0)
+            self.depth[t.fqn] = n + 1
+            try:
+                return T.StructType(
+                    [T.StructField(f.name, self.convert(f.type), True) for f in t.fields]
+                )
+            finally:
+                self.depth[t.fqn] = n
+        if isinstance(t, AvroRecursionRef):
+            if self.depth.get(t.fqn, 0) >= self.max_depth:
+                return T.StringType()  # truncated branch; never decoded
+            target = self.env.get(t.fqn)
+            if target is None:
+                raise InvalidParserStateError(f"dangling recursion ref {t.fqn!r}")
+            return self.convert(target)
+        raise InvalidParserStateError(f"unexpected type {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# target-typed literals (for field defaults)
+# ---------------------------------------------------------------------------
+
+
+def _lit_value(value, dtype: T.DataType) -> Column:
+    if value is None:
+        return F.lit(None).cast(dtype)
+    if isinstance(dtype, T.ArrayType):
+        if not value:
+            return F.array().cast(dtype)
+        return F.array(*[_lit_value(v, dtype.elementType) for v in value]).cast(dtype)
+    if isinstance(dtype, T.MapType):
+        if not value:
+            return F.map_from_arrays(F.array(), F.array()).cast(dtype)
+        pairs = [x for k, v in value.items() for x in (F.lit(k), _lit_value(v, dtype.valueType))]
+        return F.create_map(*pairs).cast(dtype)
+    if isinstance(dtype, T.StructType):
+        return F.struct(
+            *[_lit_value(value.get(f.name), f.dataType).alias(f.name) for f in dtype.fields]
+        )
+    if isinstance(dtype, T.BinaryType):
+        return F.lit(bytes(value))
+    return F.lit(value).cast(dtype)
+
+
+# ---------------------------------------------------------------------------
+# wire → target transformation + validation expressions
+# ---------------------------------------------------------------------------
+
+
+class _ExprBuilder:
+    """Builds (value, errors) column pairs per schema node.
+
+    ``path`` is a JSON path into the raw text, or None when the node sits
+    inside a collection (no fixed path); ``errors`` columns are always
+    ``array<string>``.
+    """
+
+    def __init__(self, env: dict[str, AvroType], max_depth: int, raw: Optional[Column]):
+        self.env = env
+        self.max_depth = max_depth
+        self.raw = raw
+        self.depth: dict[str, int] = {}
+
+    # helpers ---------------------------------------------------------------
+
+    @staticmethod
+    def _err(cond: Column, code: str, path: str | None) -> Column:
+        tag = f"{code}@{path or '?'}"
+        return F.array_compact(F.array(F.when(cond, F.lit(tag))))
+
+    @staticmethod
+    def _cat(*errs: Column) -> Column:
+        errs = [e for e in errs if e is not None]
+        if not errs:
+            return _empty_errs()
+        out = errs[0]
+        for e in errs[1:]:
+            out = F.concat(out, e)
+        return out
+
+    def _raw_at(self, path: str | None) -> Optional[Column]:
+        if self.raw is None or path is None:
+            return None
+        return F.get_json_object(self.raw, path)
+
+    # node dispatch ----------------------------------------------------------
+
+    def build(self, t: AvroType, wire: Column, path: str | None) -> tuple[Column, Column]:
+        if isinstance(t, AvroRecursionRef):
+            if self.depth.get(t.fqn, 0) >= self.max_depth:
+                # truncated: decodes to null; data beyond the bound is an error
+                deep = self._raw_at(path)
+                err = (
+                    self._err(deep.isNotNull(), "UnrepresentableError", path)
+                    if deep is not None
+                    else _empty_errs()
+                )
+                return F.lit(None), err
+            target = self.env.get(t.fqn)
+            if target is None:
+                raise InvalidParserStateError(f"dangling recursion ref {t.fqn!r}")
+            return self.build(target, wire, path)
+        if isinstance(t, AvroPrimitive):
+            return self._prim(t.kind, wire, path)
+        if isinstance(t, AvroEnum):
+            ok_null = wire.isNull()
+            err = self._err(~ok_null & ~wire.isin(*t.symbols), "EnumError", path)
+            return wire, err
+        if isinstance(t, AvroFixed):
+            value = F.unbase64(wire)
+            bad_b64 = wire.isNotNull() & ~wire.rlike(_B64_RE)
+            bad_len = wire.isNotNull() & (F.length(value) != F.lit(t.length))
+            return value, self._cat(
+                self._err(bad_b64, "UnexpectedTypeError", path),
+                self._err(~bad_b64 & bad_len, "FixedError", path),
+            )
+        if isinstance(t, AvroArray):
+            return self._array(t, wire, path)
+        if isinstance(t, AvroMap):
+            return self._map(t, wire)
+        if isinstance(t, AvroUnion):
+            return self._union(t, wire, path)
+        if isinstance(t, AvroRecord):
+            return self._record(t, wire, path)
+        raise InvalidParserStateError(f"unexpected type {t!r}")
+
+    def _prim(self, kind: Primitive, wire: Column, path: str | None) -> tuple[Column, Column]:
+        raw = self._raw_at(path)
+        # wrong JSON type nulls the wire parse silently (from_json PERMISSIVE);
+        # at a fixed path the raw text reveals it (value present, not null,
+        # yet the typed parse produced null)
+        mismatch = (
+            self._err(
+                raw.isNotNull() & (raw != F.lit("null")) & wire.isNull(),
+                "UnexpectedTypeError",
+                path,
+            )
+            if raw is not None and kind not in (Primitive.NULL, Primitive.STRING, Primitive.BYTES)
+            else None
+        )
+        if kind is Primitive.NULL:
+            err = (
+                self._err(raw.isNotNull() & (raw != F.lit("null")), "UnexpectedTypeError", path)
+                if raw is not None
+                else _empty_errs()
+            )
+            return F.lit(None), err
+        if kind is Primitive.INT:
+            too_big = wire.isNotNull() & ((wire < INT32_MIN) | (wire > INT32_MAX))
+            return wire.cast("int"), self._cat(
+                self._err(too_big, "UnexpectedTypeError", path), mismatch
+            )
+        if kind is Primitive.LONG:
+            if raw is not None:
+                # int64 overflow also nulls the wire; the raw digits reveal it
+                overflow = (
+                    raw.rlike(r"^-?[0-9]+$")
+                    & (
+                        (raw.cast("decimal(38,0)") > F.lit(2**63 - 1).cast("decimal(38,0)"))
+                        | (raw.cast("decimal(38,0)") < F.lit(-(2**63)).cast("decimal(38,0)"))
+                    )
+                )
+                not_overflow_mismatch = self._err(
+                    raw.isNotNull()
+                    & (raw != F.lit("null"))
+                    & wire.isNull()
+                    & ~raw.rlike(r"^-?[0-9]+$"),
+                    "UnexpectedTypeError",
+                    path,
+                )
+                return wire, self._cat(
+                    self._err(overflow, "UnrepresentableError", path), not_overflow_mismatch
+                )
+            return wire, _empty_errs()
+        if kind in (Primitive.FLOAT, Primitive.DOUBLE):
+            # strict D3: JSON integer literals are not acceptable for
+            # float/double (reference matches only JSON doubles, :624-633)
+            int_literal = (
+                self._err(
+                    raw.isNotNull() & raw.rlike(r"^-?[0-9]+$"), "UnexpectedTypeError", path
+                )
+                if raw is not None
+                else None
+            )
+            if kind is Primitive.FLOAT:
+                inexact = wire.isNotNull() & (wire.cast("float").cast("double") != wire)
+                return wire.cast("float"), self._cat(
+                    self._err(inexact, "UnrepresentableError", path), int_literal, mismatch
+                )
+            return wire, self._cat(int_literal, mismatch)
+        if kind is Primitive.BYTES:
+            bad = wire.isNotNull() & ~wire.rlike(_B64_RE)
+            return F.unbase64(wire), self._err(bad, "UnexpectedTypeError", path)
+        # boolean / string: wire type is already the target type
+        return wire, (self._cat(mismatch) if mismatch is not None else _empty_errs())
+
+    def _array(self, t: AvroArray, wire: Column, path: str | None) -> tuple[Column, Column]:
+        def elem(e: Column) -> Column:
+            return self.build(t.items, e, None)[0]
+
+        def elem_errs(e: Column) -> Column:
+            return self.build(t.items, e, None)[1]
+
+        value = F.transform(wire, elem)
+        errs = F.when(wire.isNull(), _empty_errs()).otherwise(
+            F.flatten(F.transform(wire, elem_errs))
+        )
+        return value, errs
+
+    def _map(self, t: AvroMap, wire: Column) -> tuple[Column, Column]:
+        def val(v: Column) -> Column:
+            return self.build(t.values, v, None)[0]
+
+        def val_errs(v: Column) -> Column:
+            return self.build(t.values, v, None)[1]
+
+        value = F.map_from_arrays(F.map_keys(wire), F.transform(F.map_values(wire), val))
+        errs = F.when(wire.isNull(), _empty_errs()).otherwise(
+            F.flatten(F.transform(F.map_values(wire), val_errs))
+        )
+        return value, errs
+
+    def _union(self, t: AvroUnion, wire: Column, path: str | None) -> tuple[Column, Column]:
+        non_null = t.non_null_members
+        if len(non_null) == 0:
+            raw = self._raw_at(path)
+            err = (
+                self._err(raw.isNotNull(), "UnionError", path)
+                if raw is not None
+                else _empty_errs()
+            )
+            return F.lit(None), err
+        branch_keys = [type_name(m) for m in non_null]
+        members = []
+        member_errs: list[Column] = []
+        for m, key in zip(non_null, branch_keys):
+            sub_path = f"{path}.{key}" if (path is not None and "." not in key) else None
+            v, e = self.build(m, wire.getField(key), sub_path)
+            members.append(v.alias(union_branch_name(m)))
+            member_errs.append(e)
+        raw = self._raw_at(path)
+        checks: list[Column] = []
+        if raw is not None:
+            keys = F.json_object_keys(raw)
+            is_obj = keys.isNotNull()
+            checks.append(
+                self._err(raw.isNotNull() & ~is_obj, "UnionError", path)
+            )
+            checks.append(self._err(is_obj & (F.size(keys) != 1), "UnionError", path))
+            known = F.array(*[F.lit(k) for k in branch_keys])
+            checks.append(
+                self._err(
+                    is_obj
+                    & (F.size(keys) == 1)
+                    & (F.size(F.array_except(keys, known)) > 0),
+                    "UnionResolutionError",
+                    path,
+                )
+            )
+            if not t.is_nullable:
+                checks.append(self._err(raw.isNull() & wire.isNull(), "UnionError", path))
+        if len(non_null) == 1:
+            # target is the bare nullable value, not a member_* struct
+            value = members[0]
+        else:
+            value = F.when(wire.isNull(), F.lit(None)).otherwise(F.struct(*members))
+        return value, self._cat(
+            F.when(wire.isNull(), _empty_errs()).otherwise(self._cat(*member_errs)),
+            *checks,
+        )
+
+    def _record(self, t: AvroRecord, wire: Column, path: str | None) -> tuple[Column, Column]:
+        n = self.depth.get(t.fqn, 0)
+        self.depth[t.fqn] = n + 1
+        try:
+            raw = self._raw_at(path)
+            keys = F.json_object_keys(raw) if raw is not None else None
+            shape_err = None
+            if raw is not None:
+                # JSON present but not an object (scalar/array) at a record
+                # position; JSON null is the parent's (union) concern
+                shape_err = self._err(
+                    raw.isNotNull() & (raw != F.lit("null")) & keys.isNull(),
+                    "UnexpectedTypeError",
+                    path,
+                )
+            target = to_struct_type(t, self.env, self.max_depth)  # for default literals
+
+            fields: list[Column] = []
+            errs: list[Column] = []
+            for f in t.fields:
+                fpath = f"{path}.{f.name}" if path is not None else None
+                fwire = wire.getField(f.name)
+                v, e = self.build(f.type, fwire, fpath)
+                if keys is not None:
+                    present = F.array_contains(keys, f.name)
+                    if f.has_default:
+                        default_lit = self._default_lit(f, target[f.name].dataType)
+                        v = F.when(present, v).otherwise(default_lit)
+                        e = F.when(present, e).otherwise(_empty_errs())
+                    else:
+                        errs.append(
+                            self._err(keys.isNotNull() & ~present, "RecordError", fpath)
+                        )
+                else:
+                    # no raw path (inside a collection): proxy — required
+                    # non-nullable field that parsed to null is an error;
+                    # null with a default takes the default
+                    if f.has_default:
+                        default_lit = self._default_lit(f, target[f.name].dataType)
+                        v = F.coalesce(v, default_lit) if not _is_null_default(f) else v
+                    elif not _field_nullable(f):
+                        errs.append(self._err(wire.isNotNull() & fwire.isNull(), "RecordError", fpath))
+                fields.append(v.alias(f.name))
+                errs.append(e)
+
+            if keys is not None:
+                known = F.array(*[F.lit(f.name) for f in t.fields])
+                errs.append(
+                    self._err(
+                        keys.isNotNull() & (F.size(F.array_except(keys, known)) > 0),
+                        "RecordError",
+                        path,
+                    )
+                )
+            value = F.when(wire.isNull(), F.lit(None)).otherwise(F.struct(*fields))
+            guarded = [
+                F.when(wire.isNull(), _empty_errs()).otherwise(e) if keys is None else e
+                for e in errs
+            ]
+            if shape_err is not None:
+                guarded.append(shape_err)
+            return value, self._cat(*guarded)
+        finally:
+            self.depth[t.fqn] = n
+
+    def _default_lit(self, f: AvroField, dtype: T.DataType) -> Column:
+        decoded = _PyDecoder(self.env, self.max_depth).decode(f.type, f.default, f"default({f.name})")
+        return _lit_value(decoded, dtype)
+
+
+def _field_nullable(f: AvroField) -> bool:
+    t = f.type
+    if isinstance(t, AvroPrimitive) and t.kind is Primitive.NULL:
+        return True
+    return isinstance(t, AvroUnion) and t.is_nullable
+
+
+def _is_null_default(f: AvroField) -> bool:
+    return f.has_default and f.default is None
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def decode_json(
+    df: DataFrame,
+    col: str | Column,
+    schema: ParsedSchema | AvroType | str,
+    mode: str = "strict",
+    max_depth: int = 10,
+    output_col: str = "decoded",
+    errors_col: str = "_errors",
+) -> DataFrame:
+    """Decode a JSON-text column against an Avro schema, strictly.
+
+    Engine analogue of reference ``parseDatum`` (AvroJsonFAlgebras.scala:715-723)
+    lifted to a whole column.  ``mode``:
+
+    * ``"strict"``   — any violation raises (executor-side, via assert_true);
+    * ``"permissive"`` — adds ``errors_col: array<string>`` of ``Code@path``.
+    """
+    if isinstance(schema, str):
+        schema = parse_schema(schema)
+    if isinstance(schema, ParsedSchema):
+        root, env = schema.root, schema.env
+    else:
+        root, env = schema, {}
+    raw = F.col(col) if isinstance(col, str) else col
+
+    wire_t = wire_struct_type(root, env, max_depth)
+    parsed = F.from_json(raw, wire_t) if isinstance(wire_t, (T.StructType, T.ArrayType, T.MapType)) else None
+    if parsed is None:
+        raise InvalidParserStateError("root schema must be a record, array, map, or multi-union")
+
+    builder = _ExprBuilder(env, max_depth, raw)
+    value, errs = builder.build(root, parsed, "$")
+    # malformed JSON text: get_json_object('$') is null only when the text
+    # does not parse at all (from_json PERMISSIVE yields an all-null struct,
+    # so the parsed column cannot be used to detect this)
+    malformed = raw.isNotNull() & F.get_json_object(raw, "$").isNull()
+    errs = F.when(malformed, F.array(F.lit("UnexpectedJsonTypeError@$"))).otherwise(errs)
+
+    if mode == "permissive":
+        return df.withColumn(output_col, value).withColumn(errors_col, errs)
+    if mode == "strict":
+        failed = F.size(errs) > 0
+        boom = F.raise_error(
+            F.concat(F.lit("anglerfish strict decode failed: "), F.concat_ws("; ", errs))
+        )
+        return df.withColumn(output_col, F.when(failed, boom).otherwise(value))
+    raise ValueError(f"unknown mode {mode!r} (strict|permissive)")

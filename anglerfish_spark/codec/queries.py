@@ -1,1 +1,322 @@
-"""Placeholder — populated in a later milestone."""
+"""Codec-layer queries — the reference's raison d'être exercised as
+driver-checkable queries (SURVEY.md §2.2 'Schema/codec' group).
+
+Each query decodes JSON with the engine's strict schema-directed decoder
+(or exercises the schema front-end) and has an exact DuckDB oracle; the
+inline-literal queries (union encoding, narrowing ladder, error taxonomy,
+round-trips) use ``VALUES``-based oracles so the expected behavior is
+pinned row by row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..schema import from_struct_type, parse_schema, to_avsc, to_json
+from ..session import prepare
+from ..sources.registry import load_table
+from .decoder import decode_json
+
+# ---------------------------------------------------------------------------
+# decode over the events table (real data path)
+# ---------------------------------------------------------------------------
+
+_EVENTS_SCHEMA = '{"type":"record","name":"props","fields":[{"name":"k","type":"long"}]}'
+
+_EVENTS_DEFAULTS_SCHEMA = """
+{"type":"record","name":"props","fields":[
+  {"name":"k","type":"long"},
+  {"name":"tag","type":"string","default":"none"}
+]}
+"""
+
+
+@query(
+    "json_decode_strict",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events ORDER BY event_id
+""",
+    group="codec",
+)
+def json_decode_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict typed decode of events.props (reference D1/D2 lifted to a
+    column; all checks JVM-side, no Python in the row path)."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        decode_json(ev, "props", _EVENTS_SCHEMA, mode="strict")
+        .select("event_id", F.col("decoded.k").alias("k"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "json_decode_defaults",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       COALESCE(json_extract_string(props, '$.tag'), 'none') AS tag
+FROM events ORDER BY event_id
+""",
+    group="codec",
+)
+def json_decode_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-default substitution on absent keys (reference D6/D8)."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        decode_json(ev, "props", _EVENTS_DEFAULTS_SCHEMA, mode="strict")
+        .select("event_id", F.col("decoded.k").alias("k"), F.col("decoded.tag").alias("tag"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# union decode (Avro-JSON tagged encoding, inline corpus)
+# ---------------------------------------------------------------------------
+
+_UNION_SCHEMA = """
+{"type":"record","name":"u","fields":[
+  {"name":"v","type":["null","long","string"]}
+]}
+"""
+
+_UNION_ROWS = [
+    (1, '{"v": {"long": 42}}'),
+    (2, '{"v": {"string": "hello"}}'),
+    (3, '{"v": null}'),
+    (4, '{"v": {"long": -7}}'),
+]
+
+
+@query(
+    "json_decode_union",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(42 AS BIGINT), CAST(NULL AS VARCHAR), FALSE),
+  (2, NULL, 'hello', FALSE),
+  (3, NULL, NULL, TRUE),
+  (4, -7, NULL, FALSE)
+) AS t(id, member_long, member_string, is_null)
+ORDER BY id
+""",
+    group="codec",
+)
+def json_decode_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union decode with the reference's tagged single-key-object encoding
+    and branch-name resolution (D5 + S3)."""
+    prepare(spark)
+    df = spark.createDataFrame(_UNION_ROWS, ["id", "j"])
+    out = decode_json(df, "j", _UNION_SCHEMA, mode="strict")
+    return out.select(
+        "id",
+        F.col("decoded.v.member_long").alias("member_long"),
+        F.col("decoded.v.member_string").alias("member_string"),
+        F.col("decoded.v").isNull().alias("is_null"),
+    ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# numeric narrowing ladder (reference JsonF smallest-fitting-type, F5)
+# ---------------------------------------------------------------------------
+
+_NARROW_ROWS = [
+    (1, "1"),
+    (2, "-128"),
+    (3, "300"),
+    (4, "70000"),
+    (5, "3000000000"),
+    (6, "99999999999999999999"),
+    (7, "1.5"),
+    (8, "-0.25"),
+]
+
+_NARROW_VALUES_SQL = ", ".join(f"({i}, '{s}')" for i, s in _NARROW_ROWS)
+
+
+@query(
+    "json_infer_narrow",
+    oracle=f"""
+WITH vals(id, s) AS (VALUES {_NARROW_VALUES_SQL})
+SELECT id, s,
+  CASE
+    WHEN regexp_matches(s, '^-?[0-9]+$') THEN
+      CASE
+        WHEN TRY_CAST(s AS DECIMAL(38,0)) IS NULL THEN 'bigint'
+        WHEN TRY_CAST(s AS DECIMAL(38,0)) BETWEEN -128 AND 127 THEN 'byte'
+        WHEN TRY_CAST(s AS DECIMAL(38,0)) BETWEEN -32768 AND 32767 THEN 'short'
+        WHEN TRY_CAST(s AS DECIMAL(38,0)) BETWEEN -2147483648 AND 2147483647 THEN 'int'
+        WHEN TRY_CAST(s AS DECIMAL(38,0)) BETWEEN -9223372036854775808 AND 9223372036854775807 THEN 'long'
+        ELSE 'bigint'
+      END
+    ELSE 'double'
+  END AS narrowed
+FROM vals ORDER BY id
+""",
+    group="codec",
+)
+def json_infer_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smallest-fitting-type classification of JSON numerics (reference
+    numeric narrowing, JsonFAlgebras.scala:25-49 / JsonData.scala:13-19)."""
+    prepare(spark)
+    df = spark.createDataFrame(_NARROW_ROWS, ["id", "s"])
+    s = F.col("s")
+    d = s.try_cast("decimal(38,0)")
+    integral = s.rlike(r"^-?[0-9]+$")
+    narrowed = F.when(
+        integral,
+        F.when(d.isNull(), "bigint")
+        .when((d >= -128) & (d <= 127), "byte")
+        .when((d >= -32768) & (d <= 32767), "short")
+        .when((d >= -2147483648) & (d <= 2147483647), "int")
+        .when(
+            (d >= F.lit(-9223372036854775808).cast("decimal(38,0)"))
+            & (d <= F.lit(9223372036854775807).cast("decimal(38,0)")),
+            "long",
+        )
+        .otherwise("bigint"),
+    ).otherwise("double")
+    return df.select("id", "s", narrowed.alias("narrowed")).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# E1 error taxonomy in PERMISSIVE mode (inline corpus of bad datums)
+# ---------------------------------------------------------------------------
+
+_ERR_SCHEMA = """
+{"type":"record","name":"rec","fields":[
+  {"name":"k","type":"long"},
+  {"name":"color","type":{"type":"enum","name":"C","symbols":["RED","GREEN"]},
+   "default":"RED"},
+  {"name":"digest","type":["null",{"type":"fixed","name":"D4","size":4}],
+   "default":null}
+]}
+"""
+
+_ERR_ROWS = [
+    (1, '{"k": 1}'),
+    (2, '{"k": 1, "oops": true}'),
+    (3, '{"color": "RED"}'),
+    (4, '{"k": 1, "color": "BLUE"}'),
+    (5, '{"k": 99999999999999999999}'),
+    (6, '{"k": 1, "digest": {"D4": "AQID"}}'),
+    (7, "not json at all"),
+]
+
+
+@query(
+    "json_errors_permissive",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), CAST(NULL AS VARCHAR), CAST(0 AS INT)),
+  (2, 'RecordError@$', 1),
+  (3, 'RecordError@$.k', 1),
+  (4, 'EnumError@$.color', 1),
+  (5, 'UnrepresentableError@$.k', 1),
+  (6, 'FixedError@$.digest.D4', 1),
+  (7, 'UnexpectedJsonTypeError@$', 1)
+) AS t(id, first_error, n_errors)
+ORDER BY id
+""",
+    group="codec",
+)
+def json_errors_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE decode surfacing the E1 error taxonomy as data
+    (reference error classes AvroJsonFAlgebras.scala:32-52)."""
+    prepare(spark)
+    df = spark.createDataFrame(_ERR_ROWS, ["id", "j"])
+    out = decode_json(df, "j", _ERR_SCHEMA, mode="permissive")
+    return out.select(
+        "id",
+        F.try_element_at("_errors", F.lit(1)).alias("first_error"),
+        F.size("_errors").cast("int").alias("n_errors"),
+    ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# schema round-trips (S1/S2/I2/I3 congruence)
+# ---------------------------------------------------------------------------
+
+_F3 = """
+{"name": "sink", "namespace": "ch.test", "type": "record", "doc": "kitchen sink",
+ "aliases": ["old_sink"], "fields": [
+  {"name": "color",  "type": {"type": "enum", "name": "Color",
+                              "symbols": ["RED", "GREEN", "BLUE"]}},
+  {"name": "digest", "type": {"type": "fixed", "name": "MD5", "size": 16}},
+  {"name": "tags",   "type": {"type": "array", "items": "string"}, "default": []},
+  {"name": "props",  "type": {"type": "map", "values": "long"}},
+  {"name": "choice", "type": ["null", "int", "string", "Color"], "default": null},
+  {"name": "renamed","type": "int", "aliases": ["old_name"], "order": "descending"}
+]}
+"""
+
+
+@query(
+    "schema_parse_roundtrip",
+    oracle="""
+SELECT * FROM (VALUES
+  ('ch.test.Color', 'enum',   'RED,GREEN,BLUE', TRUE),
+  ('ch.test.MD5',   'fixed',  '16',             TRUE),
+  ('ch.test.sink',  'record', 'color,digest,tags,props,choice,renamed', TRUE)
+) AS t(fqn, kind, detail, roundtrip_identical)
+ORDER BY fqn
+""",
+    group="codec",
+)
+def schema_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avsc → type tree → avsc → type tree; asserts the round-trip is the
+    identity (the reference's intended-but-disabled congruence property,
+    TestJavaImplementationCongruence.scala:16-25) and reports the named
+    types discovered."""
+    prepare(spark)
+    ps1 = parse_schema(_F3)
+    ps2 = parse_schema(to_avsc(ps1.root))
+    identical = ps1.root == ps2.root
+
+    def detail(t):
+        kind = type(t).__name__.removeprefix("Avro").lower()
+        if kind == "enum":
+            return kind, ",".join(t.symbols)
+        if kind == "fixed":
+            return kind, str(t.length)
+        return kind, ",".join(f.name for f in t.fields)
+
+    rows = [
+        (fqn, *detail(t), identical)
+        for fqn, t in sorted(ps2.env.items())
+    ]
+    return spark.createDataFrame(
+        rows, ["fqn", "kind", "detail", "roundtrip_identical"]
+    ).orderBy("fqn")
+
+
+@query(
+    "schema_export_spark",
+    oracle="""
+SELECT * FROM (VALUES
+  ('l_orderkey', 'long'), ('l_partkey', 'long'), ('l_suppkey', 'long'),
+  ('l_linenumber', 'int'), ('l_quantity', 'double'), ('l_extendedprice', 'double'),
+  ('l_discount', 'double'), ('l_tax', 'double'), ('l_returnflag', 'string'),
+  ('l_linestatus', 'string'), ('l_shipdate', 'long')
+) AS t(field, avro_type)
+ORDER BY field
+""",
+    group="codec",
+)
+def schema_export_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export a Spark table schema as Avro (I2-analogue): every parquet
+    column becomes a nullable union whose non-null member is reported
+    (timestamps carry as long — the reference has no logical types,
+    AvroData.scala:17)."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    rec = from_struct_type(li.schema, "lineitem")
+    rows = []
+    for f in rec.fields:
+        j = to_json(f.type)
+        non_null = j[1] if isinstance(j, list) else j
+        rows.append((f.name, non_null if isinstance(non_null, str) else str(non_null)))
+    return spark.createDataFrame(rows, ["field", "avro_type"]).orderBy("field")

@@ -1,0 +1,205 @@
+"""Strict-decode semantics: pure-Python decoder vs FIXTURES.md cases, and
+differential tests of the expression decoder against the Python one."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from anglerfish_spark import errors as E
+from anglerfish_spark.codec.decoder import decode_json
+from anglerfish_spark.codec.pydecode import decode_datum
+from anglerfish_spark.schema import parse_schema
+
+from .test_schema import F1_LINKED_LIST, F3_KITCHEN_SINK
+
+F2_PRIMS = """
+{"name": "prims", "type": "record", "fields": [
+  {"name": "f_null",    "type": "null"},
+  {"name": "f_bool",    "type": "boolean"},
+  {"name": "f_int",     "type": "int"},
+  {"name": "f_long",    "type": "long"},
+  {"name": "f_float",   "type": "float"},
+  {"name": "f_double",  "type": "double"},
+  {"name": "f_bytes",   "type": "bytes"},
+  {"name": "f_string",  "type": "string"}
+]}
+"""
+
+F2_OK = {
+    "f_null": None, "f_bool": True, "f_int": 42, "f_long": 42,
+    "f_float": 1.5, "f_double": 1.1, "f_bytes": "AQID", "f_string": "hi",
+}
+
+
+class TestPyDecodePrimitives:
+    def setup_method(self):
+        ps = parse_schema(F2_PRIMS)
+        self.t, self.env = ps.root, ps.env
+
+    def dec(self, datum):
+        return decode_datum(self.t, datum, self.env)
+
+    def test_ok(self):
+        out = self.dec(F2_OK)
+        assert out["f_bytes"] == b"\x01\x02\x03"
+        assert out["f_float"] == 1.5
+        assert list(out) == list(F2_OK)  # field order preserved
+
+    @pytest.mark.parametrize(
+        "field,value,exc",
+        [
+            ("f_int", 2**31, E.UnexpectedTypeError),      # int32 overflow
+            ("f_int", 2**63, E.UnrepresentableError),     # beyond int64
+            ("f_long", 10**25, E.UnrepresentableError),
+            ("f_float", 1.1, E.UnrepresentableError),     # inexact in float32
+            ("f_double", 1, E.UnexpectedTypeError),       # int where double expected
+            ("f_bool", "true", E.UnexpectedTypeError),
+            ("f_null", 0, E.UnexpectedTypeError),
+            ("f_bytes", "!!", E.UnexpectedTypeError),
+            ("f_string", 3, E.UnexpectedTypeError),
+        ],
+    )
+    def test_d3_d4_errors(self, field, value, exc):
+        datum = dict(F2_OK, **{field: value})
+        with pytest.raises(exc):
+            self.dec(datum)
+
+    def test_int_accepted_for_long(self):
+        assert self.dec(dict(F2_OK, f_long=2**40))["f_long"] == 2**40
+
+    def test_record_strictness(self):
+        with pytest.raises(E.RecordError):  # extra field (D6)
+            self.dec(dict(F2_OK, surprise=1))
+        with pytest.raises(E.RecordError):  # missing required
+            self.dec({k: v for k, v in F2_OK.items() if k != "f_int"})
+
+
+class TestPyDecodeComplex:
+    def test_f1_recursive_with_default(self):
+        ps = parse_schema(F1_LINKED_LIST)
+        datum = {"value": 1, "tail": {"foo": {"value": 2, "tail": {"foo": {"value": 3}}}}}
+        out = decode_datum(ps.root, datum, ps.env)
+        assert out["value"] == 1
+        assert out["tail"]["value"] == 2
+        assert out["tail"]["tail"]["value"] == 3
+        assert out["tail"]["tail"]["tail"] is None  # default applied
+        with pytest.raises(E.UnexpectedTypeError):
+            decode_datum(ps.root, {"value": 1, "tail": {"foo": 1}}, ps.env)
+        with pytest.raises(E.UnionResolutionError):
+            decode_datum(ps.root, {"value": 1, "tail": {"bar": {"value": 2}}}, ps.env)
+        with pytest.raises(E.UnrepresentableError):  # deeper than the bound
+            deep = {"value": 0}
+            for i in range(12):
+                deep = {"value": i, "tail": {"foo": deep}}
+            decode_datum(ps.root, deep, ps.env, max_depth=10)
+
+    def test_f3_kitchen_sink(self):
+        ps = parse_schema(F3_KITCHEN_SINK)
+        datum = {
+            "color": "RED",
+            "digest": "AAECAwQFBgcICQoLDA0ODw==",  # 16 bytes
+            "tags": ["a", "b"],
+            "props": {"x": 1, "y": 2},
+            "choice": {"int": 3},
+            "renamed": 7,
+        }
+        out = decode_datum(ps.root, datum, ps.env)
+        assert out["color"] == "RED"
+        assert len(out["digest"]) == 16
+        assert out["choice"] == {"member_int": 3, "member_string": None, "member_Color": None}
+
+        base = dict(datum)
+        with pytest.raises(E.EnumError):
+            decode_datum(ps.root, dict(base, color="PURPLE"), ps.env)
+        with pytest.raises(E.FixedError):
+            decode_datum(ps.root, dict(base, digest="AQID"), ps.env)
+        with pytest.raises(E.UnionError):  # two keys
+            decode_datum(ps.root, dict(base, choice={"int": 1, "string": "x"}), ps.env)
+        # named branch by FQN (S3 rule)
+        out2 = decode_datum(ps.root, dict(base, choice={"ch.test.Color": "RED"}), ps.env)
+        assert out2["choice"]["member_Color"] == "RED"
+        # defaults: absent tags → [] ; absent choice → null
+        slim = {k: v for k, v in base.items() if k not in ("tags", "choice")}
+        out3 = decode_datum(ps.root, slim, ps.env)
+        assert out3["tags"] == [] and out3["choice"] is None
+
+
+SIMPLE = """
+{"name": "ev", "type": "record", "fields": [
+  {"name": "k", "type": "long"},
+  {"name": "tag", "type": "string", "default": "none"},
+  {"name": "color", "type": {"type": "enum", "name": "C", "symbols": ["RED","GREEN"]},
+   "default": "RED"}
+]}
+"""
+
+
+class TestExprDecoder:
+    def test_strict_ok_and_defaults(self, spark):
+        ps = parse_schema(SIMPLE)
+        df = spark.createDataFrame(
+            [('{"k": 1, "tag": "a", "color": "GREEN"}',), ('{"k": 2}',)], ["j"]
+        )
+        out = decode_json(df, "j", ps, mode="strict").select("decoded.*").collect()
+        assert [tuple(r) for r in sorted(out)] == [(1, "a", "GREEN"), (2, "none", "RED")]
+
+    def test_permissive_error_codes(self, spark):
+        ps = parse_schema(SIMPLE)
+        rows = [
+            ('{"k": 1}', []),                              # ok
+            ('{"k": 1, "extra": 2}', ["RecordError@$"]),   # extra field
+            ('{"tag": "x"}', ["RecordError@$.k"]),         # missing required
+            ('{"k": 1, "color": "BLUE"}', ["EnumError@$.color"]),
+            ('{"k": 99999999999999999999}', ["UnrepresentableError@$.k"]),
+            ("not json", ["UnexpectedJsonTypeError@$"]),
+        ]
+        df = spark.createDataFrame([(j,) for j, _ in rows], ["j"])
+        got = decode_json(df, "j", ps, mode="permissive").select("j", "_errors").collect()
+        by_j = {r["j"]: list(r["_errors"]) for r in got}
+        for j, want in rows:
+            assert by_j[j] == want, f"{j}: {by_j[j]} != {want}"
+
+    def test_strict_raises(self, spark):
+        ps = parse_schema(SIMPLE)
+        df = spark.createDataFrame([('{"k": 1, "color": "BLUE"}',)], ["j"])
+        with pytest.raises(Exception, match="strict decode|EnumError|ASSERT"):
+            decode_json(df, "j", ps, mode="strict").collect()
+
+    def test_differential_vs_python(self, spark):
+        """Expression decoder agrees with the Python reference decoder."""
+        ps = parse_schema(F3_KITCHEN_SINK)
+        datums = [
+            {
+                "color": "RED",
+                "digest": "AAECAwQFBgcICQoLDA0ODw==",
+                "tags": ["a"],
+                "props": {"x": 1},
+                "choice": {"string": "s"},
+                "renamed": 1,
+            },
+            {
+                "color": "BLUE",
+                "digest": "AAECAwQFBgcICQoLDA0ODw==",
+                "props": {},
+                "choice": None,
+                "renamed": 2,
+            },
+        ]
+        df = spark.createDataFrame([(json.dumps(d),) for d in datums], ["j"])
+        out = decode_json(df, "j", ps, mode="permissive").select("decoded", "_errors").collect()
+        for d, row in zip(datums, out):
+            py = None
+            try:
+                py = decode_datum(ps.root, d, ps.env)
+            except E.DatumError:
+                assert len(row["_errors"]) > 0, f"python errored, exprs did not: {d}"
+            if py is not None:
+                assert len(row["_errors"]) == 0, f"exprs errored, python did not: {row['_errors']}"
+                got = row["decoded"].asDict(recursive=True)
+                # bytes fields come back as bytearray
+                assert bytes(got["digest"]) == py["digest"]
+                assert got["color"] == py["color"]
+                assert (got["choice"] is None) == (py["choice"] is None)
+                assert got["tags"] == py["tags"]
