@@ -1,1 +1,290 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators: exact, MinHash+LSH banding, SimHash, and
+blocked n-gram Jaccard.
+
+Design for 100 TB:
+
+* **Exact** — hash-groupBy on an md5 fingerprint: one shuffle keyed by the
+  hash, perfectly combinable, no skew beyond true duplicate groups.
+* **MinHash+LSH** — per-doc signatures are a map-side explode+groupBy
+  (shuffle keyed by doc); candidate pairs come from a *bucket join* on
+  (band, band-key), never an all-pairs product: cost scales with bucket
+  occupancy, the classic LSH trade-off.  Hash family is md5 with salt
+  ``i|shingle`` — no RNG, reproducible across engines and runs.
+* **SimHash** — pure map + per-doc integer sums (order-free, exact);
+  grouping identical signatures is one combinable shuffle.
+* **n-gram Jaccard** — all-pairs *within blocking keys* (lang, source)
+  only; blocks bound the quadratic term, the standard blocked-dedup shape.
+
+Everything is built-in expressions; md5/array ops are whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import prepare
+from ..sources.registry import load_table
+from .text import TOKENS_SQL, tokens
+
+N_MINHASH = 8  # 8 hashes → 4 bands of 2 rows (b=4, r=2)
+N_BANDS = 4
+
+
+def shingles(tok: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), empty when the doc is too short."""
+    return F.when(
+        F.size(tok) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", F.slice(tok, i, n)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = f"""
+list_distinct([
+  array_to_string(list_slice({TOKENS_SQL}, i, i + 2), ' ')
+  for i in generate_series(1, len({TOKENS_SQL}) - 2)
+])
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({TOKENS_SQL})), ' ')) AS fp
+      FROM documents)
+GROUP BY fp
+HAVING COUNT(*) > 1
+ORDER BY fp
+""",
+    group="llm-dedup",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by canonicalized content hash (sorted distinct
+    token bag — catches reorder/repeat-only edits); keep the smallest
+    doc_id.  One combinable shuffle keyed by the hash."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens()))).cast("binary")
+    ).alias("fp")
+    return (
+        d.select("doc_id", fp)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """Per-doc MinHash signature columns h0..h{n-1}.
+
+    h_i(doc) = min over shingles of md5("{i}|" + shingle) — the md5 family
+    keeps it deterministic across engines; min over hex strings is a
+    total order both engines share (ASCII).
+    """
+    sh = docs.select("doc_id", F.explode(shingles(tokens())).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary"))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(md5('{i}|' || s)) AS h{i}" for i in range(N_MINHASH))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, h{2*b} || h{2*b+1} AS band_key FROM sig"
+    for b in range(N_BANDS)
+  )}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, COUNT(DISTINCT band_id) AS n_shared_bands
+FROM pairs GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+""",
+    group="llm-dedup",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash signatures + LSH banding
+    (b=4 bands of r=2): docs sharing any band bucket become candidates —
+    a bucket join, not an all-pairs product."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.band_id").alias("band_id"),
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band_id").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS t FROM documents
+),
+bits AS (
+  SELECT doc_id,
+         {", ".join(
+            f"SUM(CASE WHEN substring(md5(t), {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b{j}"
+            for j in range(SIMHASH_BITS)
+         )}
+  FROM tok GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id,
+         {" || ".join(f"CASE WHEN b{j} >= 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS))}
+         AS simhash
+  FROM bits
+)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM sigs GROUP BY simhash
+ORDER BY simhash
+""",
+    group="llm-dedup",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc (md5-derived bit votes, integer sums — exact
+    and order-free); identical signatures group as near-dup clusters."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens()).alias("t"))
+    h = F.md5(F.col("t").cast("binary"))
+    bit_sums = [
+        F.sum(
+            F.when(F.substring(h, j + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = tok.groupBy("doc_id").agg(*bit_sums)
+    sig = F.concat(
+        *[F.when(F.col(f"b{j}") >= 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
+    ).alias("simhash")
+    return (
+        bits.select("doc_id", sig)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .orderBy("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# blocked n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, source, list_distinct({TOKENS_SQL}) AS tok
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS inter,
+         len(a.tok) + len(b.tok)
+           - len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS uni
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+ORDER BY doc_a, doc_b
+""",
+    group="llm-dedup",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard over pairs blocked by (lang, source) — the
+    blocking keys bound the quadratic pair count; pairs ≥ 0.5 reported."""
+    prepare(spark)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source", F.array_distinct(tokens()).alias("tok"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    uni = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter
+    jac = inter.cast("double") / uni
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )

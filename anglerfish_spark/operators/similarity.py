@@ -1,1 +1,204 @@
-"""Placeholder — populated in a later milestone."""
+"""Embedding similarity search: brute-force cosine top-k (exact baseline)
+and random-hyperplane LSH bucketing (the ANN scale path).
+
+Scale design:
+
+* **Brute force** is the correctness baseline: |Q| query vectors broadcast
+  against the corpus → per-partition partial top-k via window row_number.
+  Fine for small |Q|; at 100 TB corpus × many queries you need ANN.
+* **LSH** assigns every vector an ``n_bits``-bit signature from fixed
+  pseudo-random hyperplanes (derived from md5 in the *driver*, embedded as
+  literals — deterministic across engines, no RNG at runtime).  Search cost
+  drops to bucket occupancy (~corpus/2^bits per probe); buckets are a plain
+  equi-join key, so the whole pipeline is one bucket join + windowed top-k,
+  shuffled by signature — the IVF-style coarse quantization trade-off.
+
+Float determinism: dot products fold element-wise left-to-right in double
+precision (``F.aggregate`` in Spark, an ordered list comprehension +
+``list_sum`` in DuckDB) — identical order, identical doubles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..registry import query
+from ..session import prepare
+from ..sources.registry import load_table
+
+DIM = 64
+N_QUERIES = 5  # vec_id < 5 serve as query vectors
+TOP_K = 5
+N_BITS = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic double dot product: elementwise multiply then ordered
+    left-to-right fold."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_DOT_SQL = (
+    "list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+    "for i in generate_series(1, {n})])"
+)
+
+
+def dot_sql(a: str, b: str, n: int = DIM) -> str:
+    return _DOT_SQL.format(a=a, b=b, n=n)
+
+
+def cosine_sql(a: str, b: str, n: int = DIM) -> str:
+    return f"{dot_sql(a, b, n)} / (sqrt({dot_sql(a, a, n)}) * sqrt({dot_sql(b, b, n)}))"
+
+
+# ---------------------------------------------------------------------------
+# brute-force exact top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_similarity_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         {cosine_sql('q.qe', 'e.embedding')} AS score
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, label, score, rn
+FROM ranked WHERE rn <= {TOP_K}
+ORDER BY query_id, rn
+""",
+    group="llm-similarity",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus, rank
+    per query with a deterministic tiebreak."""
+    prepare(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            cosine(F.col("qe"), F.col("embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .orderBy("query_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(n_bits: int = N_BITS, dim: int = DIM) -> list[list[int]]:
+    """Fixed ±1 hyperplanes derived from md5 (reproducible everywhere):
+    w[b][i] = +1 iff the first hex digit of md5(f"{b}_{i}") >= '8'."""
+    return [
+        [1 if hashlib.md5(f"{b}_{i}".encode()).hexdigest()[0] >= "8" else -1 for i in range(dim)]
+        for b in range(n_bits)
+    ]
+
+
+_PLANES = _hyperplanes()
+
+
+def lsh_signature(vec: Column) -> Column:
+    """n_bits-character '0'/'1' signature by hyperplane sign."""
+    bits = []
+    for plane in _PLANES:
+        w = F.array(*[F.lit(float(x)) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def _sig_sql(col: str) -> str:
+    parts = []
+    for plane in _PLANES:
+        lits = "[" + ", ".join(str(float(x)) for x in plane) + "]"
+        proj = (
+            f"list_sum([CAST({col}[i] AS DOUBLE) * ({lits})[i] "
+            f"for i in generate_series(1, {DIM})])"
+        )
+        parts.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(parts)
+
+
+@query(
+    "q_similarity_ann_lsh",
+    oracle=f"""
+WITH sigs AS (
+  SELECT vec_id, label, embedding, {_sig_sql('embedding')} AS sig FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, sig AS qsig FROM sigs WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.query_id, s.vec_id, s.label,
+         {cosine_sql('q.qe', 's.embedding')} AS score
+  FROM q JOIN sigs s ON s.sig = q.qsig AND s.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rn
+  FROM cand
+)
+SELECT query_id, vec_id, label, score, rn
+FROM ranked WHERE rn <= {TOP_K}
+ORDER BY query_id, rn
+""",
+    group="llm-similarity",
+)
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (signature equi-join), then exact cosine within the bucket."""
+    prepare(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select("vec_id", "label", "embedding", lsh_signature(F.col("embedding")).alias("sig"))
+    q = sigs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("sig").alias("qsig"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(sigs, (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id", "vec_id", "label", cosine(F.col("qe"), F.col("embedding")).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .orderBy("query_id", "rn")
+    )

@@ -1,1 +1,213 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators for training-data pipelines: token statistics,
+language-ID heuristic, quality scoring, document fingerprinting.
+
+All pure built-in expressions (split/filter/regexp/md5) — JVM-side,
+whole-stage-codegen'd, no Python in the row path; at 100 TB these are
+embarrassingly parallel map stages followed by small aggregations.
+
+Determinism notes: tokenization is single-space split with empty-token
+filtering (identical in DuckDB via ``string_split`` + ``list_filter``);
+ratios are double divisions with identical expression trees; fingerprints
+are md5 hex (identical in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import prepare
+from ..sources.registry import load_table
+from .common import dsum, dsum_sql
+
+#: engine-wide tokenizer: split on spaces, drop empties
+TOKENS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def tokens(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+#: tiny stopword inventories for the language-ID heuristic
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "und", "die", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+
+def _marker_hits(tok: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+
+def _marker_hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({TOKENS_SQL}, t -> t IN ({inlist})))"
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CAST(len({TOKENS_SQL}) AS BIGINT)) AS total_tokens,
+       {dsum_sql('n_chars')} / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    group="llm-text",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, token totals, size."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", "source", "n_chars", F.size(tokens()).cast("long").alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (dsum(F.col("n_chars").cast("double")) / F.count(F.lit(1))).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT)      AS n_words,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT)         AS n_nums,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT)  AS n_punct,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens
+FROM documents
+ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    inventory (letter runs / digit runs / punctuation)."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[A-Za-z]+")).cast("int").alias("n_words"),
+        F.regexp_count("text", F.lit(r"[0-9]+")).cast("int").alias("n_nums"),
+        F.regexp_count("text", F.lit(r"[^A-Za-z0-9 ]")).cast("int").alias("n_punct"),
+        F.size(tokens()).cast("int").alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+_LANG_CASE_SQL = " ".join(
+    f"WHEN {_marker_hits_sql(words)} >= GREATEST("
+    + ", ".join(_marker_hits_sql(w2) for l2, w2 in _LANG_MARKERS.items())
+    + f") THEN '{lang}'"
+    for lang, words in _LANG_MARKERS.items()
+)
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+SELECT lang AS actual_lang,
+       CASE {_LANG_CASE_SQL} ELSE 'unknown' END AS guessed_lang,
+       COUNT(*) AS cnt
+FROM documents
+GROUP BY 1, 2
+ORDER BY actual_lang, guessed_lang
+""",
+    group="llm-text",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language-ID heuristic → confusion counts against the
+    labeled ``lang`` column (first language reaching the max score wins)."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens()
+    hits = {lang: _marker_hits(tok, words) for lang, words in _LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    guess = F.lit("unknown")
+    # build the CASE in reverse so earlier languages win ties (same order
+    # as the SQL CASE above)
+    for lang in reversed(list(_LANG_MARKERS)):
+        guess = F.when(hits[lang] >= best, lang).otherwise(guess)
+    return (
+        d.select(F.col("lang").alias("actual_lang"), guess.alias("guessed_lang"))
+        .groupBy("actual_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("actual_lang", "guessed_lang")
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS INT) AS n_chars_raw,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+         / LENGTH(text) AS punct_ratio,
+       CAST({_marker_hits_sql(('the', 'and', 'of', 'to', 'a', 'in'))} AS DOUBLE)
+         / len({TOKENS_SQL}) AS stopword_ratio,
+       CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+         / len({TOKENS_SQL}) AS mean_word_len,
+       CASE WHEN LENGTH(text) BETWEEN 100 AND 400
+             AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                 / LENGTH(text) < 0.1
+            THEN 'good' ELSE 'suspect' END AS quality_bucket
+FROM documents
+ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length, punctuation density, stopword
+    ratio, mean word length, bucketed verdict."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens()
+    n_len = F.length("text")
+    punct_ratio = F.regexp_count("text", F.lit(r"[^A-Za-z0-9 ]")).cast("double") / n_len
+    stop_ratio = (
+        _marker_hits(tok, ("the", "and", "of", "to", "a", "in")).cast("double") / F.size(tok)
+    )
+    mean_wl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / F.size(tok)
+    bucket = F.when((n_len.between(100, 400)) & (punct_ratio < 0.1), "good").otherwise("suspect")
+    return d.select(
+        "doc_id",
+        n_len.cast("int").alias("n_chars_raw"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_wl.alias("mean_word_len"),
+        bucket.alias("quality_bucket"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS fp_exact,
+       md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fp_normalized
+FROM documents
+ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + whitespace/case-normalized md5 fingerprints per document."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r" +", " ")))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_exact"),
+        F.md5(norm.cast("binary")).alias("fp_normalized"),
+    ).orderBy("doc_id")
