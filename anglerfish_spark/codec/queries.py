@@ -320,3 +320,51 @@ def schema_export_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         non_null = j[1] if isinstance(j, list) else j
         rows.append((f.name, non_null if isinstance(non_null, str) else str(non_null)))
     return spark.createDataFrame(rows, ["field", "avro_type"]).orderBy("field")
+
+
+# ---------------------------------------------------------------------------
+# Avro binary round-trip (I4/I5 analogue over the wire format)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "avro_binary_roundtrip",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(CASE
+         WHEN (CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+                    THEN 2 * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    ELSE -2 * CAST(json_extract_string(props, '$.k') AS BIGINT) - 1 END) < 128 THEN 1
+         WHEN (CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+                    THEN 2 * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    ELSE -2 * CAST(json_extract_string(props, '$.k') AS BIGINT) - 1 END) < 16384 THEN 2
+         WHEN (CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+                    THEN 2 * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    ELSE -2 * CAST(json_extract_string(props, '$.k') AS BIGINT) - 1 END) < 2097152 THEN 3
+         ELSE 4 END AS INT) AS n_bytes,
+       TRUE AS roundtrip_ok
+FROM events ORDER BY event_id
+""",
+    group="codec",
+)
+def avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props → strict decode → Avro *binary* (spec wire format:
+    zigzag varints) → decode → compare: the I4/I5 value-interop analogue.
+    The oracle independently predicts the varint byte length of each
+    payload, so the binary encoding itself is checked, not just the
+    round-trip identity."""
+    from ..functions.avro_binary import avro_decode, avro_encode
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    enc = ev.withColumn("bin", avro_encode("props", _EVENTS_SCHEMA))
+    dec = enc.withColumn("back", avro_decode("bin", _EVENTS_SCHEMA))
+    return dec.select(
+        "event_id",
+        F.get_json_object("back", "$.k").cast("bigint").alias("k"),
+        F.octet_length("bin").cast("int").alias("n_bytes"),
+        (
+            F.get_json_object("back", "$.k") == F.get_json_object("props", "$.k")
+        ).alias("roundtrip_ok"),
+    ).orderBy("event_id")

@@ -1,0 +1,305 @@
+"""Pure-Python Avro *binary* codec over the engine's schema tree, exposed
+as Arrow-batched pandas UDFs.
+
+Engine analogue of the reference's value-interop folds I4/I5
+(avroGenericReprToInternal / avroValueToGenericRepr,
+/root/reference/src/main/scala/ch/grafblutwurst/anglerfish/data/avro/
+AvroGenericInteropFAlgebras.scala:157-289,383-411): where the reference
+converts between its value tree and ``org.apache.avro`` runtime objects,
+the engine converts between decoded values and the Avro 1.x *binary wire
+format* (spec: zigzag-varint ints/longs, little-endian IEEE floats,
+length-prefixed bytes/strings, block-encoded arrays/maps, branch-index
+prefixed unions) — implemented from the public Avro specification.
+
+The spark-avro connector is not on this classpath (pip pyspark ships
+avro-core only), so the UDF route is the supported path; on a cluster with
+spark-avro, ``sources.registry.avro_available`` gates the native
+``from_avro``/``to_avro`` instead.  The UDFs are Series→Series pandas UDFs
+(Arrow batches, not row-at-a-time Python).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct as _struct
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import DatumError, UnionResolutionError
+from ..schema.model import (
+    AvroArray,
+    AvroEnum,
+    AvroField,
+    AvroFixed,
+    AvroMap,
+    AvroPrimitive,
+    AvroRecord,
+    AvroRecursionRef,
+    AvroType,
+    AvroUnion,
+    Primitive,
+)
+from ..schema.parser import ParsedSchema, parse_schema
+from ..schema.spark_convert import union_branch_name
+
+# ---------------------------------------------------------------------------
+# primitive wire encoding (Avro spec §binary encoding)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(out: io.BytesIO, n: int) -> None:
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc), pos
+        shift += 7
+
+
+# ---------------------------------------------------------------------------
+# schema-directed encode/decode of the engine's decoded representation
+# ---------------------------------------------------------------------------
+
+
+class BinaryCodec:
+    """Encode/decode decoded-representation values (dicts/lists/scalars as
+    produced by ``codec.pydecode``) to/from Avro binary."""
+
+    def __init__(self, schema: ParsedSchema | AvroType | str):
+        if isinstance(schema, str):
+            schema = parse_schema(schema)
+        if isinstance(schema, ParsedSchema):
+            self.root, self.env = schema.root, schema.env
+        else:
+            self.root, self.env = schema, {}
+
+    # -- encode --------------------------------------------------------------
+
+    def encode(self, value: Any) -> bytes:
+        out = io.BytesIO()
+        self._enc(self.root, value, out)
+        return out.getvalue()
+
+    def _enc(self, t: AvroType, v: Any, out: io.BytesIO) -> None:
+        if isinstance(t, AvroRecursionRef):
+            self._enc(self.env[t.fqn], v, out)
+        elif isinstance(t, AvroPrimitive):
+            k = t.kind
+            if k is Primitive.NULL:
+                pass
+            elif k is Primitive.BOOLEAN:
+                out.write(b"\x01" if v else b"\x00")
+            elif k in (Primitive.INT, Primitive.LONG):
+                write_long(out, int(v))
+            elif k is Primitive.FLOAT:
+                out.write(_struct.pack("<f", float(v)))
+            elif k is Primitive.DOUBLE:
+                out.write(_struct.pack("<d", float(v)))
+            elif k in (Primitive.BYTES,):
+                write_long(out, len(v))
+                out.write(bytes(v))
+            elif k is Primitive.STRING:
+                raw = v.encode("utf-8")
+                write_long(out, len(raw))
+                out.write(raw)
+        elif isinstance(t, AvroEnum):
+            write_long(out, t.symbols.index(v))
+        elif isinstance(t, AvroFixed):
+            out.write(bytes(v))
+        elif isinstance(t, AvroArray):
+            if v:
+                write_long(out, len(v))
+                for item in v:
+                    self._enc(t.items, item, out)
+            write_long(out, 0)
+        elif isinstance(t, AvroMap):
+            if v:
+                write_long(out, len(v))
+                for mk, mv in v.items():
+                    raw = mk.encode("utf-8")
+                    write_long(out, len(raw))
+                    out.write(raw)
+                    self._enc(t.values, mv, out)
+            write_long(out, 0)
+        elif isinstance(t, AvroUnion):
+            idx, member, inner = self._pick_branch(t, v)
+            write_long(out, idx)
+            if member is not None:
+                self._enc(member, inner, out)
+        elif isinstance(t, AvroRecord):
+            for f in t.fields:
+                self._enc(f.type, v[f.name], out)
+        else:
+            raise DatumError(f"cannot encode against {t!r}")
+
+    def _pick_branch(self, t: AvroUnion, v: Any):
+        """Map the decoded union representation back to a branch index."""
+        members = list(t.members)
+        if v is None:
+            for i, m in enumerate(members):
+                if isinstance(m, AvroPrimitive) and m.kind is Primitive.NULL:
+                    return i, None, None
+            raise UnionResolutionError("null value but union has no null member")
+        non_null = t.non_null_members
+        if len(non_null) == 1:
+            m = non_null[0]
+            return members.index(m), m, v
+        if not isinstance(v, dict):
+            raise UnionResolutionError(f"multi-union value must be a member dict, got {v!r}")
+        for m in non_null:
+            name = union_branch_name(m)
+            if v.get(name) is not None:
+                return members.index(m), m, v[name]
+        raise UnionResolutionError(f"no non-null member in {sorted(v)}")
+
+    # -- decode --------------------------------------------------------------
+
+    def decode(self, data: bytes) -> Any:
+        v, pos = self._dec(self.root, data, 0)
+        if pos != len(data):
+            raise DatumError(f"trailing bytes after decode: {len(data) - pos}")
+        return v
+
+    def _dec(self, t: AvroType, buf: bytes, pos: int) -> tuple[Any, int]:
+        if isinstance(t, AvroRecursionRef):
+            return self._dec(self.env[t.fqn], buf, pos)
+        if isinstance(t, AvroPrimitive):
+            k = t.kind
+            if k is Primitive.NULL:
+                return None, pos
+            if k is Primitive.BOOLEAN:
+                return buf[pos] == 1, pos + 1
+            if k in (Primitive.INT, Primitive.LONG):
+                return read_long(buf, pos)
+            if k is Primitive.FLOAT:
+                return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+            if k is Primitive.DOUBLE:
+                return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+            if k is Primitive.BYTES:
+                n, pos = read_long(buf, pos)
+                return buf[pos : pos + n], pos + n
+            if k is Primitive.STRING:
+                n, pos = read_long(buf, pos)
+                return buf[pos : pos + n].decode("utf-8"), pos + n
+        if isinstance(t, AvroEnum):
+            i, pos = read_long(buf, pos)
+            return t.symbols[i], pos
+        if isinstance(t, AvroFixed):
+            return buf[pos : pos + t.length], pos + t.length
+        if isinstance(t, AvroArray):
+            out = []
+            while True:
+                n, pos = read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:  # block with byte-size prefix
+                    _, pos = read_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    v, pos = self._dec(t.items, buf, pos)
+                    out.append(v)
+        if isinstance(t, AvroMap):
+            out = {}
+            while True:
+                n, pos = read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = read_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    klen, pos = read_long(buf, pos)
+                    key = buf[pos : pos + klen].decode("utf-8")
+                    pos += klen
+                    out[key], pos = self._dec(t.values, buf, pos)
+        if isinstance(t, AvroUnion):
+            idx, pos = read_long(buf, pos)
+            member = t.members[idx]
+            if isinstance(member, AvroPrimitive) and member.kind is Primitive.NULL:
+                return None, pos
+            v, pos = self._dec(member, buf, pos)
+            if len(t.non_null_members) == 1:
+                return v, pos
+            out = {union_branch_name(m): None for m in t.non_null_members}
+            out[union_branch_name(member)] = v
+            return out, pos
+        if isinstance(t, AvroRecord):
+            rec = {}
+            for f in t.fields:
+                rec[f.name], pos = self._dec(f.type, buf, pos)
+            return rec, pos
+        raise DatumError(f"cannot decode against {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# pandas UDFs: Avro-JSON text ⇄ Avro binary
+# ---------------------------------------------------------------------------
+
+
+def avro_encode_udf(schema_json: str):
+    """Series→Series pandas UDF: strict-decode Avro-JSON text and emit Avro
+    binary.  Schema is closed over (parsed once per executor)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def _encode(s: pd.Series) -> pd.Series:
+        from ..codec.pydecode import decode_datum
+
+        ps = parse_schema(schema_json)
+        codec = BinaryCodec(ps)
+        return s.map(
+            lambda txt: codec.encode(decode_datum(ps.root, json.loads(txt), ps.env))
+        )
+
+    return _encode
+
+
+def avro_decode_udf(schema_json: str):
+    """Series→Series pandas UDF: Avro binary → canonical JSON text of the
+    decoded representation."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _decode(s: pd.Series) -> pd.Series:
+        codec = BinaryCodec(parse_schema(schema_json))
+        return s.map(lambda b: json.dumps(codec.decode(bytes(b)), sort_keys=False))
+
+    return _decode
+
+
+def avro_encode(col: Column | str, schema_json: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return avro_encode_udf(schema_json)(c)
+
+
+def avro_decode(col: Column | str, schema_json: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return avro_decode_udf(schema_json)(c)
