@@ -64,7 +64,13 @@ INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
 _B64_RE = r"^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
 
 def _empty_errs() -> Column:
-    return F.array().cast("array<string>")
+    """No-error sentinel: the error channel is a nullable STRING of
+    ';'-joined Code@path tags (null = clean).  Strings keep every
+    combinator (when/concat_ws/nullif) inside whole-stage codegen —
+    an array channel forces higher-order functions (array_compact →
+    filter), which fall back to interpreted evaluation and cost ~10× on
+    the hot path."""
+    return F.lit(None).cast("string")
 
 
 # ---------------------------------------------------------------------------
@@ -175,28 +181,33 @@ class _ExprBuilder:
         self.max_depth = max_depth
         self.raw = raw
         self.depth: dict[str, int] = {}
+        self._raw_cache: dict[str, Column] = {}
 
     # helpers ---------------------------------------------------------------
 
     @staticmethod
     def _err(cond: Column, code: str, path: str | None) -> Column:
         tag = f"{code}@{path or '?'}"
-        return F.array_compact(F.array(F.when(cond, F.lit(tag))))
+        return F.when(cond, F.lit(tag))
 
     @staticmethod
     def _cat(*errs: Column) -> Column:
         errs = [e for e in errs if e is not None]
         if not errs:
             return _empty_errs()
-        out = errs[0]
-        for e in errs[1:]:
-            out = F.concat(out, e)
-        return out
+        if len(errs) == 1:
+            return errs[0]
+        # concat_ws skips nulls; collapse the all-null case back to null
+        return F.nullif(F.concat_ws(";", *errs), F.lit(""))
 
     def _raw_at(self, path: str | None) -> Optional[Column]:
         if self.raw is None or path is None:
             return None
-        return F.get_json_object(self.raw, path)
+        if path == "$":
+            return self.raw  # the root document is the raw column itself
+        if path not in self._raw_cache:
+            self._raw_cache[path] = F.get_json_object(self.raw, path)
+        return self._raw_cache[path]
 
     # node dispatch ----------------------------------------------------------
 
@@ -317,8 +328,10 @@ class _ExprBuilder:
             return self.build(t.items, e, None)[1]
 
         value = F.transform(wire, elem)
-        errs = F.when(wire.isNull(), _empty_errs()).otherwise(
-            F.flatten(F.transform(wire, elem_errs))
+        # array_join drops null elements → one ';'-joined string per array
+        errs = F.when(
+            wire.isNotNull(),
+            F.nullif(F.array_join(F.transform(wire, elem_errs), ";"), F.lit("")),
         )
         return value, errs
 
@@ -330,8 +343,9 @@ class _ExprBuilder:
             return self.build(t.values, v, None)[1]
 
         value = F.map_from_arrays(F.map_keys(wire), F.transform(F.map_values(wire), val))
-        errs = F.when(wire.isNull(), _empty_errs()).otherwise(
-            F.flatten(F.transform(F.map_values(wire), val_errs))
+        errs = F.when(
+            wire.isNotNull(),
+            F.nullif(F.array_join(F.transform(F.map_values(wire), val_errs), ";"), F.lit("")),
         )
         return value, errs
 
@@ -380,7 +394,7 @@ class _ExprBuilder:
         else:
             value = F.when(wire.isNull(), F.lit(None)).otherwise(F.struct(*members))
         return value, self._cat(
-            F.when(wire.isNull(), _empty_errs()).otherwise(self._cat(*member_errs)),
+            F.when(wire.isNotNull(), self._cat(*member_errs)),
             *checks,
         )
 
@@ -412,7 +426,7 @@ class _ExprBuilder:
                     if f.has_default:
                         default_lit = self._default_lit(f, target[f.name].dataType)
                         v = F.when(present, v).otherwise(default_lit)
-                        e = F.when(present, e).otherwise(_empty_errs())
+                        e = F.when(present, e)
                     else:
                         errs.append(
                             self._err(keys.isNotNull() & ~present, "RecordError", fpath)
@@ -440,7 +454,7 @@ class _ExprBuilder:
                 )
             value = F.when(wire.isNull(), F.lit(None)).otherwise(F.struct(*fields))
             guarded = [
-                F.when(wire.isNull(), _empty_errs()).otherwise(e) if keys is None else e
+                F.when(wire.isNotNull(), e) if keys is None else e
                 for e in errs
             ]
             if shape_err is not None:
@@ -496,24 +510,39 @@ def decode_json(
     raw = F.col(col) if isinstance(col, str) else col
 
     wire_t = wire_struct_type(root, env, max_depth)
-    parsed = F.from_json(raw, wire_t) if isinstance(wire_t, (T.StructType, T.ArrayType, T.MapType)) else None
-    if parsed is None:
+    if not isinstance(wire_t, (T.StructType, T.ArrayType, T.MapType)):
         raise InvalidParserStateError("root schema must be a record, array, map, or multi-union")
 
+    # staged projections: the wire parse and the error string are each
+    # materialized as intermediate columns so they are evaluated exactly
+    # once (Catalyst does not CSE across CASE-WHEN branch boundaries, and
+    # the strict guard would otherwise re-evaluate the whole check tree);
+    # the projections still fuse into one whole-stage-codegen pipeline.
+    wire_col = "_anglerfish_wire"
+    err_col = "_anglerfish_errs"
+    staged = df.withColumn(wire_col, F.from_json(raw, wire_t))
+
     builder = _ExprBuilder(env, max_depth, raw)
-    value, errs = builder.build(root, parsed, "$")
+    value, errs = builder.build(root, F.col(wire_col), "$")
     # malformed JSON text: get_json_object('$') is null only when the text
     # does not parse at all (from_json PERMISSIVE yields an all-null struct,
     # so the parsed column cannot be used to detect this)
     malformed = raw.isNotNull() & F.get_json_object(raw, "$").isNull()
-    errs = F.when(malformed, F.array(F.lit("UnexpectedJsonTypeError@$"))).otherwise(errs)
+    errs = F.when(malformed, F.lit("UnexpectedJsonTypeError@$")).otherwise(errs)
+    staged = staged.withColumn(err_col, errs)
+    e = F.col(err_col)
 
     if mode == "permissive":
-        return df.withColumn(output_col, value).withColumn(errors_col, errs)
-    if mode == "strict":
-        failed = F.size(errs) > 0
-        boom = F.raise_error(
-            F.concat(F.lit("anglerfish strict decode failed: "), F.concat_ws("; ", errs))
+        err_arr = F.when(e.isNull(), F.array().cast("array<string>")).otherwise(F.split(e, ";"))
+        return (
+            staged.withColumn(output_col, value)
+            .withColumn(errors_col, err_arr)
+            .drop(wire_col, err_col)
         )
-        return df.withColumn(output_col, F.when(failed, boom).otherwise(value))
+    if mode == "strict":
+        boom = F.raise_error(F.concat(F.lit("anglerfish strict decode failed: "), e))
+        return (
+            staged.withColumn(output_col, F.when(e.isNotNull(), boom).otherwise(value))
+            .drop(wire_col, err_col)
+        )
     raise ValueError(f"unknown mode {mode!r} (strict|permissive)")

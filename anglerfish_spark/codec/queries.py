@@ -49,7 +49,6 @@ def json_decode_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_json(ev, "props", _EVENTS_SCHEMA, mode="strict")
         .select("event_id", F.col("decoded.k").alias("k"))
-        .orderBy("event_id")
     )
 
 
@@ -70,7 +69,6 @@ def json_decode_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_json(ev, "props", _EVENTS_DEFAULTS_SCHEMA, mode="strict")
         .select("event_id", F.col("decoded.k").alias("k"), F.col("decoded.tag").alias("tag"))
-        .orderBy("event_id")
     )
 
 
@@ -367,4 +365,37 @@ def avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.get_json_object("back", "$.k") == F.get_json_object("props", "$.k")
         ).alias("roundtrip_ok"),
-    ).orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink round-trip (sources surface: write → read back → verify)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sink_roundtrip",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS cnt
+FROM lineitem WHERE l_quantity > 25
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    group="sources",
+)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer/reader round-trip: filter lineitem → parquet sink (temp dir,
+    partitioned by returnflag) → re-read → aggregate.  Exercises the
+    write path incl. hive-style partitioning; the oracle aggregates the
+    original table, so any loss/duplication in the sink shows up."""
+    import tempfile
+
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 25)
+    out_dir = tempfile.mkdtemp(prefix="anglerfish_sink_")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("l_returnflag")
+    )

@@ -91,4 +91,4 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return extract_features(payloads).orderBy("doc_id")
+    return extract_features(payloads)

@@ -24,6 +24,7 @@ Scale notes per operator group:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -534,7 +535,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -736,3 +737,88 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).alias("first_val"),
         F.element_at("embedding", -1).alias("last_val"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS + UNION ALL (completing the set-op / multi-group surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag, l_linestatus
+""",
+    group="relational",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (the engine registers the
+    catalog as temp views and lets Spark SQL plan it)."""
+    c = _cat(spark, sf_dir)
+    c.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "q_union_all",
+    oracle="""
+SELECT nationkey, COUNT(*) AS cnt FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey FROM supplier
+) GROUP BY nationkey ORDER BY nationkey
+""",
+    group="relational",
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics union (duplicates preserved), then counted."""
+    c = _cat(spark, sf_dir)
+    u = c.customer.select(F.col("c_nationkey").alias("nationkey")).unionAll(
+        c.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return u.groupBy("nationkey").agg(F.count(F.lit(1)).alias("cnt")).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (SURVEY §2.2 'udf_decode_hook'): vectorized pandas UDF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS total_pandas
+FROM lineitem
+WHERE l_linenumber = 1
+""",
+    group="relational",
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF on the hot path (the engine's UDF
+    extension point): per-row arithmetic done in pandas, bit-identical to
+    the SQL expression because both are IEEE doubles with the same
+    operation order."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def total(ep: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return ep * (1.0 - disc) * (1.0 + tax)
+
+    c = _cat(spark, sf_dir)
+    return c.lineitem.where(F.col("l_linenumber") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        total("l_extendedprice", "l_discount", "l_tax").alias("total_pandas"),
+    )

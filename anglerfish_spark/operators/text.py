@@ -103,7 +103,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(r"[0-9]+")).cast("int").alias("n_nums"),
         F.regexp_count("text", F.lit(r"[^A-Za-z0-9 ]")).cast("int").alias("n_punct"),
         F.size(tokens()).cast("int").alias("n_ws_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 _LANG_CASE_SQL = " ".join(
@@ -187,7 +187,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         mean_wl.alias("mean_word_len"),
         bucket.alias("quality_bucket"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -210,4 +210,4 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fp_exact"),
         F.md5(norm.cast("binary")).alias("fp_normalized"),
-    ).orderBy("doc_id")
+    )

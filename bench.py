@@ -29,6 +29,13 @@ HEADLINE = [
     "q_window_running",
     "q_topk_per_group",
     "q_agg_distinct",
+    "q_tumble",
+    "q_session",
+    "json_decode_strict",
+    "q_text_stats",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_similarity_topk",
 ]
 
 
