@@ -399,3 +399,35 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "avro_ocf_roundtrip",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) AS n_distinct_k
+FROM events
+""",
+    group="sources",
+)
+def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File round-trip: events.props → OCF files (one
+    per partition, executor-side) → distributed binaryFile read → typed
+    decode → aggregate.  The reference's unimplemented 'Avro file
+    read/write' roadmap item (README.md:23-27), Spark-native."""
+    import tempfile
+
+    from ..sources.avro_ocf import read_avro_ocf, write_avro_ocf
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="anglerfish_ocf_")
+    write_avro_ocf(ev, "props", _EVENTS_SCHEMA, out_dir)
+    back = read_avro_ocf(spark, out_dir)
+    typed = decode_json(back, "value", _EVENTS_SCHEMA, mode="strict")
+    return typed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("decoded.k")).alias("sum_k"),
+        F.countDistinct("decoded.k").alias("n_distinct_k"),
+    )

@@ -1,0 +1,302 @@
+"""Extended relational surface: pivot, explode/unnest, array aggregation,
+distribution windows, string/math function inventory, scalar subqueries,
+limit/offset, map-typed decode access.
+
+Same design rules as ``relational.py``: built-ins only, deterministic
+cross-engine semantics (no transcendentals whose libm results could differ;
+no locale-dependent string ops), aggregates via the decimal contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import prepare
+from ..sources.registry import Catalog, load_table
+from .common import dsum, dsum_sql
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+
+
+def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
+    prepare(spark)
+    return Catalog(spark, sf_dir)
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+SELECT o_orderstatus,
+       {", ".join(
+         f"SUM(CASE WHEN o_orderpriority = '{v}' THEN 1 ELSE 0 END) AS {a}"
+         for v, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+       )}
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    group="relational",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (priority values → columns).  Values are listed explicitly —
+    at scale an unlisted pivot needs a distinct-value collect first, which
+    is a full extra job; never do that implicitly."""
+    c = _cat(spark, sf_dir)
+    piv = (
+        c.orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a)
+            for v, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+        ],
+    )
+    return renamed.orderBy("o_orderstatus")
+
+
+@query(
+    "q_explode",
+    oracle="""
+SELECT t AS token, COUNT(*) AS cnt
+FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents)
+GROUP BY t
+ORDER BY cnt DESC, token
+LIMIT 20
+""",
+    group="relational",
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/unnest (lateral flatten) + top-20 token frequencies."""
+    from .text import tokens
+
+    c = _cat(spark, sf_dir)
+    return (
+        c.documents.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q_collect",
+    oracle="""
+SELECT lang,
+       list_sort(list(DISTINCT source)) AS sources,
+       CAST(len(list(DISTINCT source)) AS INT) AS n_sources
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    group="relational",
+)
+def q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_set sorted for a deterministic result
+    (an unsorted collect is nondeterministic under parallelism — never
+    emit one)."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.documents.groupBy("lang")
+        .agg(
+            F.array_sort(F.collect_set("source")).alias("sources"),
+            F.size(F.collect_set("source")).alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       NTILE(4)        OVER w AS quartile,
+       CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+       CUME_DIST()     OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+    group="relational",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist) —
+    deterministic because the window order has a unique tiebreaker."""
+    c = _cat(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return c.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "q_string_funcs2",
+    oracle="""
+SELECT p_partkey,
+       lpad(p_brand, 12, '*')                   AS brand_pad,
+       translate(p_type, 'aeiou', 'AEIOU')      AS type_tr,
+       CAST(instr(p_name, 'a') AS INT)          AS first_a,
+       left(p_name, 4)                          AS name_l4,
+       right(p_name, 3)                         AS name_r3,
+       reverse(p_brand)                         AS brand_rev,
+       repeat('-', p_size % 5)                  AS dashes,
+       split_part(p_type, ' ', 1)               AS type_head
+FROM part
+ORDER BY p_partkey
+""",
+    group="relational",
+)
+def q_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function inventory: pad/translate/instr/left/right/
+    reverse/repeat/split_part (locale-independent ops only)."""
+    c = _cat(spark, sf_dir)
+    return c.part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_tr"),
+        F.instr("p_name", "a").cast("int").alias("first_a"),
+        F.left(F.col("p_name"), F.lit(4)).alias("name_l4"),
+        F.right(F.col("p_name"), F.lit(3)).alias("name_r3"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("-"), (F.col("p_size") % 5).cast("int")).alias("dashes"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       sqrt(l_quantity)                          AS qty_sqrt,
+       CAST(sign(l_discount - 0.05) AS DOUBLE)   AS disc_sign,
+       greatest(l_tax, l_discount)               AS max_rate,
+       least(l_tax, l_discount)                  AS min_rate,
+       CAST(ceil(l_extendedprice) AS BIGINT)     AS price_ceil,
+       CAST(floor(l_extendedprice) AS BIGINT)    AS price_floor,
+       l_quantity - 7 * CAST(floor(l_quantity / 7) AS DOUBLE) AS qty_mod7
+FROM lineitem
+WHERE l_orderkey < 1000
+ORDER BY l_orderkey, l_linenumber
+""",
+    group="relational",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math inventory limited to IEEE-exact ops (sqrt is correctly rounded;
+    transcendentals are deliberately excluded — libm results differ across
+    engines and would poison the value hash)."""
+    c = _cat(spark, sf_dir)
+    li = c.lineitem.where(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        (F.col("l_quantity") - 7 * F.floor(F.col("l_quantity") / 7).cast("double")).alias("qty_mod7"),
+    )
+
+
+@query(
+    "q_scalar_subquery",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS cnt
+FROM orders
+WHERE o_totalprice > (SELECT {dsum_sql('o_totalprice')} / COUNT(*) FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    group="relational",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: global mean computed once, broadcast
+    back as a 1-row join (no driver-side scalar fetch)."""
+    c = _cat(spark, sf_dir)
+    avg = c.orders.agg(
+        (dsum(F.col("o_totalprice")) / F.count(F.lit(1))).alias("_avg")
+    )
+    return (
+        c.orders.join(F.broadcast(avg))
+        .where(F.col("o_totalprice") > F.col("_avg"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_limit_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 100 OFFSET 50
+""",
+    group="relational",
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination (unique sort key; offset+limit)."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.orders.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(50)
+        .limit(100)
+    )
+
+
+@query(
+    "q_distinct_rows",
+    oracle="""
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+""",
+    group="relational",
+)
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _cat(spark, sf_dir)
+    return (
+        c.lineitem.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "json_decode_map",
+    oracle="""
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       CAST(props->>'$.k' AS BIGINT) AS k
+FROM events
+ORDER BY event_id
+""",
+    group="codec",
+)
+def json_decode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Root-level *map* decode (Avro map type: string keys, typed values) —
+    the schema-directed alternative to a record when keys are open-ended."""
+    from ..codec.decoder import decode_json
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    out = decode_json(ev, "props", '{"type": "map", "values": "long"}', mode="strict")
+    return out.select(
+        "event_id",
+        F.size(F.map_keys("decoded")).alias("n_keys"),
+        F.element_at("decoded", "k").alias("k"),
+    )

@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QueryDef]:
     from .operators import dedup as _dedup  # noqa: F401
     from .operators import multimodal as _multimodal  # noqa: F401
     from .operators import relational as _relational  # noqa: F401
+    from .operators import relational_ext as _relational_ext  # noqa: F401
     from .operators import similarity as _similarity  # noqa: F401
     from .operators import text as _text  # noqa: F401
     from .streaming import windows as _windows  # noqa: F401
