@@ -273,17 +273,23 @@ class _ExprBuilder:
             return F.lit(None), err
         if kind is Primitive.INT:
             too_big = wire.isNotNull() & ((wire < INT32_MIN) | (wire > INT32_MAX))
-            return wire.cast("int"), self._cat(
+            # try_cast: under ANSI a plain cast would THROW on overflow even
+            # in permissive mode; the range check above carries the error
+            return wire.try_cast("int"), self._cat(
                 self._err(too_big, "UnexpectedTypeError", path), mismatch
             )
         if kind is Primitive.LONG:
             if raw is not None:
                 # int64 overflow also nulls the wire; the raw digits reveal it
+                # try_cast: ANSI casts throw; >38-digit literals must
+                # flow to the error channel, not crash permissive mode
+                rawd = raw.try_cast("decimal(38,0)")
                 overflow = (
                     raw.rlike(r"^-?[0-9]+$")
                     & (
-                        (raw.cast("decimal(38,0)") > F.lit(2**63 - 1).cast("decimal(38,0)"))
-                        | (raw.cast("decimal(38,0)") < F.lit(-(2**63)).cast("decimal(38,0)"))
+                        rawd.isNull()  # beyond decimal(38) ⇒ certainly beyond int64
+                        | (rawd > F.lit(2**63 - 1).cast("decimal(38,0)"))
+                        | (rawd < F.lit(-(2**63)).cast("decimal(38,0)"))
                     )
                 )
                 not_overflow_mismatch = self._err(

@@ -300,3 +300,41 @@ def json_decode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys("decoded")).alias("n_keys"),
         F.element_at("decoded", "k").alias("k"),
     )
+
+
+@query(
+    "q_skew_salted_agg",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS cnt, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    group="relational",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation: a low-cardinality/skewed group
+    key (5 event types over all rows) is salted with a deterministic
+    16-way hash so the first shuffle spreads each hot key over 16
+    partitions; the second, tiny aggregation merges the partials.  The
+    decimal accumulation keeps the two-phase result bit-identical to the
+    single-phase oracle."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    salt = (F.col("event_id") % 16).alias("_salt")
+    partial = (
+        ev.select("event_type", "value", salt)
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum(F.col("value").cast("decimal(38,10)")).alias("_sum"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("_cnt").alias("cnt"),
+            F.sum("_sum").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
