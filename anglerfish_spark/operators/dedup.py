@@ -99,16 +99,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     """Per-doc MinHash signature columns h0..h{n-1}.
 
-    h_i(doc) = min over shingles of md5("{i}|" + shingle) — the md5 family
-    keeps it deterministic across engines; min over hex strings is a
-    total order both engines share (ASCII).
+    Hash family: md5 split into 8-hex-char lanes — two salted md5s per
+    shingle yield 8 independent 32-bit hashes at 1/4 the hashing cost of
+    one md5 per hash (measured hot spot).  min over hex strings is a
+    total order both engines share (ASCII), applied per lane.
     """
+    assert n_hashes <= 8, "lane scheme provides up to 8 hashes (2 md5s x 4 lanes)"
     sh = docs.select("doc_id", F.explode(shingles(tokens())).alias("sh"))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary"))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    salted = sh.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("a|"), F.col("sh")).cast("binary")).alias("_ma"),
+        F.md5(F.concat(F.lit("b|"), F.col("sh")).cast("binary")).alias("_mb"),
+    )
+    aggs = []
+    for i in range(n_hashes):
+        src = "_ma" if i < 4 else "_mb"
+        start = (i % 4) * 8 + 1
+        aggs.append(F.min(F.substring(src, start, 8)).alias(f"h{i}"))
+    return salted.groupBy("doc_id").agg(*aggs)
 
 
 @query(
@@ -119,7 +127,10 @@ WITH sh AS (
 ),
 sig AS (
   SELECT doc_id,
-         {", ".join(f"MIN(md5('{i}|' || s)) AS h{i}" for i in range(N_MINHASH))}
+         {", ".join(
+           f"MIN(substring(md5('{'a' if i < 4 else 'b'}|' || s), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+           for i in range(N_MINHASH)
+         )}
   FROM sh GROUP BY doc_id
 ),
 bands AS (
@@ -287,4 +298,131 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+_PAIRS_CTE = f"""
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(
+           f"MIN(substring(md5('{'a' if i < 4 else 'b'}|' || s), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+           for i in range(N_MINHASH)
+         )}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, h{2*b} || h{2*b+1} AS band_key FROM sig"
+    for b in range(N_BANDS)
+  )}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+
+def connected_components(pairs: DataFrame, src: str, dst: str, max_iter: int = 15) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    A genuinely iterative distributed algorithm (not SQL-expressible in one
+    query): each round joins labels across edges and keeps the minimum;
+    convergence in O(diameter) rounds.  The driver only coordinates rounds
+    (a count per iteration); labels and edges stay distributed.  At 100 TB
+    you would add large-star/small-star contraction to cut rounds; the
+    join-per-round shape is the same.
+    """
+    edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t")).union(
+        pairs.select(F.col(dst).alias("s"), F.col(src).alias("t"))
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.s == labels.node)
+            .select(F.col("t").alias("node"), F.col("label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select("node", F.least(F.col("label"), F.col("nbr_min")).alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query(
+    "q_dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT s AS doc_id, LEAST(s, MIN(t)) AS component
+FROM reach GROUP BY s
+ORDER BY doc_id
+""",
+    group="llm-dedup",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate *clusters*: LSH candidate pairs → connected
+    components (iterative min-label propagation); each doc maps to its
+    cluster representative (minimum doc_id).  The DuckDB oracle computes
+    the same components via a recursive transitive closure."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(F.col("node").alias("doc_id"), F.col("label").alias("component")).orderBy(
+        "doc_id"
     )

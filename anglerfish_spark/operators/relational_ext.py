@@ -338,3 +338,22 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("q_approx_distinct", oracle=None, group="relational")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counting (HyperLogLog++): the cardinality
+    sketch path for 100 TB (mergeable, fixed memory).  No SQL oracle —
+    sketch estimates are implementation-specific; the test suite bounds
+    the relative error against the exact count instead (driver records a
+    rows-only check)."""
+    prepare(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -47,3 +47,11 @@ def test_streaming_tumble_matches_batch(spark, sf_dir):
         assert len(got) > 0
         for r in got:
             assert batch_map[(r["window_start"], r["event_type"])] == r["cnt"]
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from anglerfish_spark.operators.relational_ext import q_approx_distinct
+
+    for r in q_approx_distinct(spark, sf_dir).collect():
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
+        assert rel_err < 0.05, (r, rel_err)
