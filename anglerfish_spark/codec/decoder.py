@@ -171,24 +171,32 @@ def _lit_value(value, dtype: T.DataType) -> Column:
 class _ExprBuilder:
     """Builds (value, errors) column pairs per schema node.
 
-    ``path`` is a JSON path into the raw text, or None when the node sits
-    inside a collection (no fixed path); ``errors`` columns are always
-    ``array<string>``.
+    ``raw`` is the raw JSON *text* of the node (None inside collections,
+    where per-element text is unaddressable); ``path`` is used only for
+    error labels.  At record/union nodes the raw text is parsed ONCE into
+    a ``map<string,string>`` (keys + per-field raw text + nested JSON text
+    in a single pass) — the earlier per-check ``get_json_object`` calls
+    re-parsed the document for every validation and dominated the decode
+    cost.  The error channel is a nullable ';'-joined string (see
+    ``_empty_errs``).
     """
 
-    def __init__(self, env: dict[str, AvroType], max_depth: int, raw: Optional[Column]):
+    def __init__(
+        self,
+        env: dict[str, AvroType],
+        max_depth: int,
+        root_map: Optional[Column] = None,
+    ):
         self.env = env
         self.max_depth = max_depth
-        self.raw = raw
+        self.root_map = root_map  # staged map<string,string> of the root text
         self.depth: dict[str, int] = {}
-        self._raw_cache: dict[str, Column] = {}
 
     # helpers ---------------------------------------------------------------
 
     @staticmethod
-    def _err(cond: Column, code: str, path: str | None) -> Column:
-        tag = f"{code}@{path or '?'}"
-        return F.when(cond, F.lit(tag))
+    def _err(cond: Column, code: str, path: str) -> Column:
+        return F.when(cond, F.lit(f"{code}@{path}"))
 
     @staticmethod
     def _cat(*errs: Column) -> Column:
@@ -200,34 +208,34 @@ class _ExprBuilder:
         # concat_ws skips nulls; collapse the all-null case back to null
         return F.nullif(F.concat_ws(";", *errs), F.lit(""))
 
-    def _raw_at(self, path: str | None) -> Optional[Column]:
-        if self.raw is None or path is None:
+    def _obj_map(self, raw: Optional[Column], path: str) -> Optional[Column]:
+        """One-parse object view: keys + raw value text per key."""
+        if raw is None:
             return None
-        if path == "$":
-            return self.raw  # the root document is the raw column itself
-        if path not in self._raw_cache:
-            self._raw_cache[path] = F.get_json_object(self.raw, path)
-        return self._raw_cache[path]
+        if path == "$" and self.root_map is not None:
+            return self.root_map
+        return F.from_json(raw, T.MapType(T.StringType(), T.StringType()))
 
     # node dispatch ----------------------------------------------------------
 
-    def build(self, t: AvroType, wire: Column, path: str | None) -> tuple[Column, Column]:
+    def build(
+        self, t: AvroType, wire: Column, raw: Optional[Column], path: str
+    ) -> tuple[Column, Column]:
         if isinstance(t, AvroRecursionRef):
             if self.depth.get(t.fqn, 0) >= self.max_depth:
                 # truncated: decodes to null; data beyond the bound is an error
-                deep = self._raw_at(path)
                 err = (
-                    self._err(deep.isNotNull(), "UnrepresentableError", path)
-                    if deep is not None
+                    self._err(raw.isNotNull() & (raw != F.lit("null")), "UnrepresentableError", path)
+                    if raw is not None
                     else _empty_errs()
                 )
                 return F.lit(None), err
             target = self.env.get(t.fqn)
             if target is None:
                 raise InvalidParserStateError(f"dangling recursion ref {t.fqn!r}")
-            return self.build(target, wire, path)
+            return self.build(target, wire, raw, path)
         if isinstance(t, AvroPrimitive):
-            return self._prim(t.kind, wire, path)
+            return self._prim(t.kind, wire, raw, path)
         if isinstance(t, AvroEnum):
             ok_null = wire.isNull()
             err = self._err(~ok_null & ~wire.isin(*t.symbols), "EnumError", path)
@@ -245,28 +253,28 @@ class _ExprBuilder:
         if isinstance(t, AvroMap):
             return self._map(t, wire)
         if isinstance(t, AvroUnion):
-            return self._union(t, wire, path)
+            return self._union(t, wire, raw, path)
         if isinstance(t, AvroRecord):
-            return self._record(t, wire, path)
+            return self._record(t, wire, raw, path)
         raise InvalidParserStateError(f"unexpected type {t!r}")
 
-    def _prim(self, kind: Primitive, wire: Column, path: str | None) -> tuple[Column, Column]:
-        raw = self._raw_at(path)
-        # wrong JSON type nulls the wire parse silently (from_json PERMISSIVE);
-        # at a fixed path the raw text reveals it (value present, not null,
-        # yet the typed parse produced null)
+    def _prim(
+        self, kind: Primitive, wire: Column, raw: Optional[Column], path: str
+    ) -> tuple[Column, Column]:
+        # wrong JSON type nulls the wire parse silently (from_json
+        # PERMISSIVE); where raw text is addressable, a present-but-unparsed
+        # value reveals the mismatch.  (Note: nested raw text for an
+        # explicit JSON null is NULL; at the root it is the text 'null' —
+        # both excluded here, null-ness belongs to union/record logic.)
+        present_text = None if raw is None else (raw.isNotNull() & (raw != F.lit("null")))
         mismatch = (
-            self._err(
-                raw.isNotNull() & (raw != F.lit("null")) & wire.isNull(),
-                "UnexpectedTypeError",
-                path,
-            )
+            self._err(present_text & wire.isNull(), "UnexpectedTypeError", path)
             if raw is not None and kind not in (Primitive.NULL, Primitive.STRING, Primitive.BYTES)
             else None
         )
         if kind is Primitive.NULL:
             err = (
-                self._err(raw.isNotNull() & (raw != F.lit("null")), "UnexpectedTypeError", path)
+                self._err(present_text, "UnexpectedTypeError", path)
                 if raw is not None
                 else _empty_errs()
             )
@@ -280,25 +288,18 @@ class _ExprBuilder:
             )
         if kind is Primitive.LONG:
             if raw is not None:
-                # int64 overflow also nulls the wire; the raw digits reveal it
-                # try_cast: ANSI casts throw; >38-digit literals must
+                # int64 overflow also nulls the wire; the raw digits reveal
+                # it.  try_cast: ANSI casts throw; >38-digit literals must
                 # flow to the error channel, not crash permissive mode
                 rawd = raw.try_cast("decimal(38,0)")
-                overflow = (
-                    raw.rlike(r"^-?[0-9]+$")
-                    & (
-                        rawd.isNull()  # beyond decimal(38) ⇒ certainly beyond int64
-                        | (rawd > F.lit(2**63 - 1).cast("decimal(38,0)"))
-                        | (rawd < F.lit(-(2**63)).cast("decimal(38,0)"))
-                    )
+                integral = raw.rlike(r"^-?[0-9]+$")
+                overflow = integral & (
+                    rawd.isNull()  # beyond decimal(38) => certainly beyond int64
+                    | (rawd > F.lit(2**63 - 1).cast("decimal(38,0)"))
+                    | (rawd < F.lit(-(2**63)).cast("decimal(38,0)"))
                 )
                 not_overflow_mismatch = self._err(
-                    raw.isNotNull()
-                    & (raw != F.lit("null"))
-                    & wire.isNull()
-                    & ~raw.rlike(r"^-?[0-9]+$"),
-                    "UnexpectedTypeError",
-                    path,
+                    present_text & wire.isNull() & ~integral, "UnexpectedTypeError", path
                 )
                 return wire, self._cat(
                     self._err(overflow, "UnrepresentableError", path), not_overflow_mismatch
@@ -326,12 +327,14 @@ class _ExprBuilder:
         # boolean / string: wire type is already the target type
         return wire, (self._cat(mismatch) if mismatch is not None else _empty_errs())
 
-    def _array(self, t: AvroArray, wire: Column, path: str | None) -> tuple[Column, Column]:
+    def _array(self, t: AvroArray, wire: Column, path: str) -> tuple[Column, Column]:
+        elem_path = f"{path}[]"
+
         def elem(e: Column) -> Column:
-            return self.build(t.items, e, None)[0]
+            return self.build(t.items, e, None, elem_path)[0]
 
         def elem_errs(e: Column) -> Column:
-            return self.build(t.items, e, None)[1]
+            return self.build(t.items, e, None, elem_path)[1]
 
         value = F.transform(wire, elem)
         # array_join drops null elements → one ';'-joined string per array
@@ -343,10 +346,10 @@ class _ExprBuilder:
 
     def _map(self, t: AvroMap, wire: Column) -> tuple[Column, Column]:
         def val(v: Column) -> Column:
-            return self.build(t.values, v, None)[0]
+            return self.build(t.values, v, None, "{}")[0]
 
         def val_errs(v: Column) -> Column:
-            return self.build(t.values, v, None)[1]
+            return self.build(t.values, v, None, "{}")[1]
 
         value = F.map_from_arrays(F.map_keys(wire), F.transform(F.map_values(wire), val))
         errs = F.when(
@@ -355,39 +358,38 @@ class _ExprBuilder:
         )
         return value, errs
 
-    def _union(self, t: AvroUnion, wire: Column, path: str | None) -> tuple[Column, Column]:
+    def _union(
+        self, t: AvroUnion, wire: Column, raw: Optional[Column], path: str
+    ) -> tuple[Column, Column]:
         non_null = t.non_null_members
         if len(non_null) == 0:
-            raw = self._raw_at(path)
             err = (
-                self._err(raw.isNotNull(), "UnionError", path)
+                self._err(raw.isNotNull() & (raw != F.lit("null")), "UnionError", path)
                 if raw is not None
                 else _empty_errs()
             )
             return F.lit(None), err
         branch_keys = [type_name(m) for m in non_null]
+        umap = self._obj_map(raw, path)
         members = []
         member_errs: list[Column] = []
         for m, key in zip(non_null, branch_keys):
-            sub_path = f"{path}.{key}" if (path is not None and "." not in key) else None
-            v, e = self.build(m, wire.getField(key), sub_path)
+            sub_raw = umap.getItem(key) if umap is not None else None
+            v, e = self.build(m, wire.getField(key), sub_raw, f"{path}.{key}")
             members.append(v.alias(union_branch_name(m)))
             member_errs.append(e)
-        raw = self._raw_at(path)
         checks: list[Column] = []
-        if raw is not None:
-            keys = F.json_object_keys(raw)
+        if umap is not None:
+            keys = F.map_keys(umap)
             is_obj = keys.isNotNull()
             checks.append(
-                self._err(raw.isNotNull() & ~is_obj, "UnionError", path)
+                self._err(raw.isNotNull() & (raw != F.lit("null")) & ~is_obj, "UnionError", path)
             )
             checks.append(self._err(is_obj & (F.size(keys) != 1), "UnionError", path))
             known = F.array(*[F.lit(k) for k in branch_keys])
             checks.append(
                 self._err(
-                    is_obj
-                    & (F.size(keys) == 1)
-                    & (F.size(F.array_except(keys, known)) > 0),
+                    is_obj & (F.size(keys) == 1) & (F.size(F.array_except(keys, known)) > 0),
                     "UnionResolutionError",
                     path,
                 )
@@ -404,18 +406,20 @@ class _ExprBuilder:
             *checks,
         )
 
-    def _record(self, t: AvroRecord, wire: Column, path: str | None) -> tuple[Column, Column]:
+    def _record(
+        self, t: AvroRecord, wire: Column, raw: Optional[Column], path: str
+    ) -> tuple[Column, Column]:
         n = self.depth.get(t.fqn, 0)
         self.depth[t.fqn] = n + 1
         try:
-            raw = self._raw_at(path)
-            keys = F.json_object_keys(raw) if raw is not None else None
+            rmap = self._obj_map(raw, path)
+            keys = F.map_keys(rmap) if rmap is not None else None
             shape_err = None
-            if raw is not None:
+            if rmap is not None:
                 # JSON present but not an object (scalar/array) at a record
                 # position; JSON null is the parent's (union) concern
                 shape_err = self._err(
-                    raw.isNotNull() & (raw != F.lit("null")) & keys.isNull(),
+                    raw.isNotNull() & (raw != F.lit("null")) & rmap.isNull(),
                     "UnexpectedTypeError",
                     path,
                 )
@@ -424,9 +428,10 @@ class _ExprBuilder:
             fields: list[Column] = []
             errs: list[Column] = []
             for f in t.fields:
-                fpath = f"{path}.{f.name}" if path is not None else None
+                fpath = f"{path}.{f.name}"
                 fwire = wire.getField(f.name)
-                v, e = self.build(f.type, fwire, fpath)
+                fraw = rmap.getItem(f.name) if rmap is not None else None
+                v, e = self.build(f.type, fwire, fraw, fpath)
                 if keys is not None:
                     present = F.array_contains(keys, f.name)
                     if f.has_default:
@@ -438,9 +443,9 @@ class _ExprBuilder:
                             self._err(keys.isNotNull() & ~present, "RecordError", fpath)
                         )
                 else:
-                    # no raw path (inside a collection): proxy — required
-                    # non-nullable field that parsed to null is an error;
-                    # null with a default takes the default
+                    # raw text unaddressable (inside a collection): proxy —
+                    # required non-nullable field that parsed to null is an
+                    # error; null with a default takes the default
                     if f.has_default:
                         default_lit = self._default_lit(f, target[f.name].dataType)
                         v = F.coalesce(v, default_lit) if not _is_null_default(f) else v
@@ -525,11 +530,14 @@ def decode_json(
     # the strict guard would otherwise re-evaluate the whole check tree);
     # the projections still fuse into one whole-stage-codegen pipeline.
     wire_col = "_anglerfish_wire"
+    rmap_col = "_anglerfish_rmap"
     err_col = "_anglerfish_errs"
-    staged = df.withColumn(wire_col, F.from_json(raw, wire_t))
+    staged = df.withColumn(wire_col, F.from_json(raw, wire_t)).withColumn(
+        rmap_col, F.from_json(raw, T.MapType(T.StringType(), T.StringType()))
+    )
 
-    builder = _ExprBuilder(env, max_depth, raw)
-    value, errs = builder.build(root, F.col(wire_col), "$")
+    builder = _ExprBuilder(env, max_depth, root_map=F.col(rmap_col))
+    value, errs = builder.build(root, F.col(wire_col), raw, "$")
     # malformed JSON text: get_json_object('$') is null only when the text
     # does not parse at all (from_json PERMISSIVE yields an all-null struct,
     # so the parsed column cannot be used to detect this)
@@ -543,12 +551,12 @@ def decode_json(
         return (
             staged.withColumn(output_col, value)
             .withColumn(errors_col, err_arr)
-            .drop(wire_col, err_col)
+            .drop(wire_col, rmap_col, err_col)
         )
     if mode == "strict":
         boom = F.raise_error(F.concat(F.lit("anglerfish strict decode failed: "), e))
         return (
             staged.withColumn(output_col, F.when(e.isNotNull(), boom).otherwise(value))
-            .drop(wire_col, err_col)
+            .drop(wire_col, rmap_col, err_col)
         )
     raise ValueError(f"unknown mode {mode!r} (strict|permissive)")
