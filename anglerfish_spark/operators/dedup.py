@@ -434,3 +434,119 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), F.col("label").alias("component")).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate detection
+# ---------------------------------------------------------------------------
+
+from .similarity import DIM, _hyperplanes, _sig_sql, cosine, cosine_sql, lsh_signature
+
+EMB_PLANES = _hyperplanes(16)  # 16 hyperplanes → 4 bands of 4 bits
+EMB_BANDS = 4
+EMB_BAND_BITS = 4
+N_PERTURB = 25  # vec_id < 25 get a perturbed near-copy (vec_id + 10000)
+EMB_THRESHOLD = 0.99
+
+_AUG_EMB_SQL = (
+    "[CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.05 "
+    "ELSE CAST(embedding[i] AS DOUBLE) END "
+    f"for i in generate_series(1, {DIM})]"
+)
+_DBL_EMB_SQL = f"[CAST(embedding[i] AS DOUBLE) for i in generate_series(1, {DIM})]"
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+WITH aug AS (
+  SELECT vec_id + 10000 AS vec_id, {_AUG_EMB_SQL} AS emb
+  FROM embeddings WHERE vec_id < {N_PERTURB}
+),
+corpus AS (
+  SELECT vec_id, {_DBL_EMB_SQL} AS emb FROM embeddings
+  UNION ALL SELECT vec_id, emb FROM aug
+),
+sigs AS (SELECT vec_id, {{sig}} AS sig FROM corpus),
+bands AS (
+  SELECT vec_id, b AS band_id, substring(sig, {EMB_BAND_BITS} * b + 1, {EMB_BAND_BITS}) AS band_key
+  FROM sigs, generate_series(0, {EMB_BANDS - 1}) t(b)
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT p.vec_a, p.vec_b, {cosine_sql('x.emb', 'y.emb')} AS score
+  FROM pairs p
+  JOIN corpus x ON x.vec_id = p.vec_a
+  JOIN corpus y ON y.vec_id = p.vec_b
+)
+SELECT vec_a, vec_b, score FROM scored
+WHERE score >= {EMB_THRESHOLD}
+ORDER BY vec_a, vec_b
+""".format(sig=_sig_sql("emb", EMB_PLANES)),
+    group="llm-dedup",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    The synthetic corpus has no true near-dups (max pairwise cosine ~0.51),
+    so the query plants them: vectors with vec_id < N_PERTURB get a
+    deterministically perturbed copy (first coordinate +0.05, id +10000) —
+    cosine(original, copy) ≈ 0.9999 — and the detector must find exactly
+    those pairs.
+
+    Scale shape: banded random-hyperplane LSH (4 bands x 4 bits here; at
+    production scale raise bits/band to push the random-collision rate
+    down the S-curve) generates candidates from band-key equi-joins — cost
+    is sum of bucket^2, never corpus^2.  Candidate pairs are de-duplicated
+    BEFORE the embedding join-back, so the wide vectors are shuffled once
+    for scoring, not once per band.
+    """
+    prepare(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == 0, x.cast("double") + F.lit(0.05)).otherwise(x.cast("double")),
+    )
+    base = e.select("vec_id", as_double.alias("emb"))
+    aug = e.where(F.col("vec_id") < N_PERTURB).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), perturbed.alias("emb")
+    )
+    corpus = base.unionByName(aug)
+    sigs = corpus.select("vec_id", lsh_signature(F.col("emb"), EMB_PLANES).alias("sig"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.substring("sig", EMB_BAND_BITS * b + 1, EMB_BAND_BITS).alias("band_key"),
+            )
+            for b in range(EMB_BANDS)
+        ]
+    )
+    bands = sigs.select("vec_id", F.explode(band_structs).alias("b")).select(
+        "vec_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x = corpus.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    y = corpus.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        pairs.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("score"))
+        .where(F.col("score") >= EMB_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -822,3 +822,77 @@ def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         total("l_extendedprice", "l_discount", "l_tax").alias("total_pandas"),
     )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.event_id AS click_id, c.user_id,
+         epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts_us,
+         p.event_id AS purchase_id, p.value AS purchase_value,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts
+)
+SELECT click_id, user_id, click_ts_us, purchase_id, purchase_value
+FROM j WHERE rn = 1
+ORDER BY click_id
+""",
+    group="relational",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the trades/quotes shape Spark lacks natively): for each
+    click, the latest purchase by the same user at or before the click.
+
+    Implemented as a union-merge, not a range join: stack both sides
+    tagged, sort within each user partition by (ts, side, event_id) —
+    purchases before clicks at equal ts, so `<=` semantics with a
+    deterministic max-event_id tiebreak — and carry the last purchase
+    forward with an unbounded-preceding `last(ignorenulls)` window.  ONE
+    shuffle + sort on user_id, O(1) state per row, no candidate-pair
+    explosion — the plan a range join would not give you.  At 100 TB you
+    would additionally bucket time into coarse ranges inside the sort key's
+    partition to bound executor sort spill; the operator shape is the same.
+    """
+    c = _cat(spark, sf_dir)
+    ev = c.events
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("eid"),
+        F.lit(None).cast("double").alias("pval"),
+        F.lit(1).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("pval"),
+        F.lit(0).alias("side"),
+    )
+    stacked = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_p = F.col("side") == 0
+    carried = stacked.withColumn(
+        "purchase_id", F.last(F.when(is_p, F.col("eid")), ignorenulls=True).over(w)
+    ).withColumn(
+        "purchase_value", F.last(F.when(is_p, F.col("pval")), ignorenulls=True).over(w)
+    )
+    return (
+        carried.where(F.col("side") == 1)
+        .select(
+            F.col("eid").alias("click_id"),
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("click_ts_us"),
+            "purchase_id",
+            "purchase_value",
+        )
+        .orderBy("click_id")
+    )

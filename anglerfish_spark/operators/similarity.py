@@ -129,10 +129,10 @@ def _hyperplanes(n_bits: int = N_BITS, dim: int = DIM) -> list[list[int]]:
 _PLANES = _hyperplanes()
 
 
-def lsh_signature(vec: Column) -> Column:
-    """n_bits-character '0'/'1' signature by hyperplane sign."""
+def lsh_signature(vec: Column, planes: list[list[int]] | None = None) -> Column:
+    """len(planes)-character '0'/'1' signature by hyperplane sign."""
     bits = []
-    for plane in _PLANES:
+    for plane in planes if planes is not None else _PLANES:
         w = F.array(*[F.lit(float(x)) for x in plane])
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
@@ -143,9 +143,9 @@ def lsh_signature(vec: Column) -> Column:
     return F.concat(*bits)
 
 
-def _sig_sql(col: str) -> str:
+def _sig_sql(col: str, planes: list[list[int]] | None = None) -> str:
     parts = []
-    for plane in _PLANES:
+    for plane in planes if planes is not None else _PLANES:
         lits = "[" + ", ".join(str(float(x)) for x in plane) + "]"
         proj = (
             f"list_sum([CAST({col}[i] AS DOUBLE) * ({lits})[i] "
@@ -195,6 +195,123 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "vec_id", "label", cosine(F.col("qe"), F.col("embedding")).alias("score")
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .orderBy("query_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (coarse quantization by centroid cells)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer centroids: the vectors with vec_id < N_CENTROIDS.
+
+    Collected to the driver at plan-build time — centroids are
+    metadata-scale (k rows, like an MLlib KMeans model), which is what lets
+    cell assignment compile to a pure map over the corpus instead of a
+    join+shuffle.  (A trained k-means would be collected the same way.)
+    """
+    rows = (
+        e.where(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect()
+    )
+    return sorted((r.vec_id, [float(x) for x in r.embedding]) for r in rows)
+
+
+def _cell_ranking(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Ascending array<struct<s,nc>> of (cosine-to-centroid, -centroid_id):
+    the best cell is the last element; ties break to the smallest id
+    (max of -id).  Pure expression — whole-stage codegen, no shuffle."""
+    items = []
+    for cid, c in cents:
+        lit = F.array(*[F.lit(x) for x in c])
+        items.append(F.struct(cosine(vec, lit).alias("s"), F.lit(-cid).alias("nc")))
+    return F.array_sort(F.array(*items))
+
+
+@query(
+    "q_similarity_ann_ivf",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+sc AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         {cosine_sql('e.embedding', 'c.ce')} AS cscore
+  FROM embeddings e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cscore DESC, cid) AS crn
+  FROM sc
+),
+assigned AS (SELECT vec_id, label, embedding, cid AS cell FROM ranked WHERE crn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, cid AS cell
+  FROM ranked WHERE vec_id < {N_QUERIES} AND crn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.label,
+         {cosine_sql('p.qe', 'a.embedding')} AS score
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+rankedq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rn
+  FROM cand
+)
+SELECT query_id, vec_id, label, score, rn
+FROM rankedq WHERE rn <= {TOP_K}
+ORDER BY query_id, rn
+""",
+    group="llm-similarity",
+)
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: every vector maps to its nearest-centroid cell; each
+    query probes its N_PROBE nearest cells and ranks exact cosine within
+    them.
+
+    Scale shape (the contrast to the LSH variant): the corpus is NEVER
+    fully shuffled.  Cell assignment is a literal-centroid expression
+    (map-only, codegen); candidates come from a broadcast join of the tiny
+    probe set against assigned rows; only bucket-sized candidate sets reach
+    the top-k window shuffle.  At 100 TB you would persist `assigned`
+    partitioned by cell so probes prune partitions at scan time.
+    """
+    prepare(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(e)
+    ranking = _cell_ranking(F.col("embedding"), cents)
+
+    best = F.element_at(ranking, -1)
+    assigned = e.select(
+        "vec_id", "label", "embedding", (best["nc"] * -1).alias("cell")
+    )
+
+    probe_cells = F.array(
+        *[(F.element_at(ranking, -1 - i)["nc"] * -1) for i in range(N_PROBE)]
+    )
+    probes = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(probe_cells).alias("probe_cell"),
+        )
+    )
+    cand = F.broadcast(probes).join(
+        assigned,
+        (F.col("probe_cell") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id", "vec_id", "label", cosine(F.col("qe"), F.col("embedding")).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
     return (
