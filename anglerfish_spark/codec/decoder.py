@@ -20,12 +20,15 @@ schema* (what the engine returns): bytes/fixed/enum travel as strings,
 unions as structs keyed by Avro branch names; the decoder then transforms
 wire → target columns.
 
-Scope note (documented divergence): raw-path strictness checks apply at
-fixed JSON paths — i.e. outside arrays/maps.  Inside collections the
-decoder still enforces enum/fixed/numeric domain checks element-wise, but
-extra-field detection for records nested in arrays needs per-element raw
-JSON, which Catalyst cannot address; use ``mode="python"`` (Pandas-UDF
-running ``pydecode``) for full fidelity on such schemas.
+Raw-text strictness applies at full depth: record/union nodes parse their
+raw text once into a ``map<string,string>`` object view, and arrays/maps
+zip the typed parse with an ``array<string>`` / ``map<string,string>``
+parse of the same text, so per-element raw text (and with it extra-field,
+overflow, and wrong-type detection) is available inside collections too.
+Residual divergence from ``pydecode``: JSON *string* raw text arrives
+unquoted from the string-typed parses, so a quoted number at a numeric
+position (``"123"`` for ``long``) is indistinguishable from a bare one at
+nested paths and may be accepted where ``pydecode`` rejects.
 
 Error channel: ``mode="strict"`` raises on first violation (FAILFAST
 analogue); ``mode="permissive"`` adds an ``_errors array<string>`` column
@@ -249,9 +252,9 @@ class _ExprBuilder:
                 self._err(~bad_b64 & bad_len, "FixedError", path),
             )
         if isinstance(t, AvroArray):
-            return self._array(t, wire, path)
+            return self._array(t, wire, raw, path)
         if isinstance(t, AvroMap):
-            return self._map(t, wire)
+            return self._map(t, wire, raw, path)
         if isinstance(t, AvroUnion):
             return self._union(t, wire, raw, path)
         if isinstance(t, AvroRecord):
@@ -327,36 +330,109 @@ class _ExprBuilder:
         # boolean / string: wire type is already the target type
         return wire, (self._cat(mismatch) if mismatch is not None else _empty_errs())
 
-    def _array(self, t: AvroArray, wire: Column, path: str) -> tuple[Column, Column]:
+    def _array(
+        self, t: AvroArray, wire: Column, raw: Optional[Column], path: str
+    ) -> tuple[Column, Column]:
+        """Raw text, when addressable, is parsed once as ``array<string>``
+        (same single-pass trick as records) and zipped element-wise with the
+        typed parse — extra-field / overflow / wrong-type strictness applies
+        at full depth inside arrays.  Both arrays come from the same text,
+        so lengths always agree when both parse."""
         elem_path = f"{path}[]"
 
-        def elem(e: Column) -> Column:
-            return self.build(t.items, e, None, elem_path)[0]
+        if raw is None:
+            value = F.transform(wire, lambda w: self.build(t.items, w, None, elem_path)[0])
+            # array_join drops null elements → one ';'-joined string per array
+            errs = F.when(
+                wire.isNotNull(),
+                F.nullif(
+                    F.array_join(
+                        F.transform(wire, lambda w: self.build(t.items, w, None, elem_path)[1]),
+                        ";",
+                    ),
+                    F.lit(""),
+                ),
+            )
+            return value, errs
 
-        def elem_errs(e: Column) -> Column:
-            return self.build(t.items, e, None, elem_path)[1]
-
-        value = F.transform(wire, elem)
-        # array_join drops null elements → one ';'-joined string per array
+        raw_elems = F.from_json(raw, T.ArrayType(T.StringType()))
+        present = raw.isNotNull() & (raw != F.lit("null"))
+        # scalar/object at an array position → the raw array parse nulls;
+        # an element whose *typed* parse failed nulls the whole wire array
+        # (from_json PERMISSIVE) while the raw parse survives — both error
+        shape = self._err(present & raw_elems.isNull(), "UnexpectedTypeError", path)
+        elem_fail = self._err(
+            raw_elems.isNotNull() & wire.isNull(), "UnexpectedTypeError", elem_path
+        )
+        value = F.zip_with(wire, raw_elems, lambda w, r: self.build(t.items, w, r, elem_path)[0])
         errs = F.when(
             wire.isNotNull(),
-            F.nullif(F.array_join(F.transform(wire, elem_errs), ";"), F.lit("")),
+            F.nullif(
+                F.array_join(
+                    F.zip_with(
+                        wire, raw_elems, lambda w, r: self.build(t.items, w, r, elem_path)[1]
+                    ),
+                    ";",
+                ),
+                F.lit(""),
+            ),
         )
-        return value, errs
+        return value, self._cat(errs, shape, elem_fail)
 
-    def _map(self, t: AvroMap, wire: Column) -> tuple[Column, Column]:
-        def val(v: Column) -> Column:
-            return self.build(t.values, v, None, "{}")[0]
+    def _map(
+        self, t: AvroMap, wire: Column, raw: Optional[Column], path: str
+    ) -> tuple[Column, Column]:
+        """Same raw-threading as ``_array``: the one-pass object view gives
+        per-value raw text; key order is identical between the typed and raw
+        parses because both stream the same document."""
+        val_path = f"{path}.{{}}" if raw is not None else "{}"
 
-        def val_errs(v: Column) -> Column:
-            return self.build(t.values, v, None, "{}")[1]
+        if raw is None:
+            value = F.map_from_arrays(
+                F.map_keys(wire),
+                F.transform(F.map_values(wire), lambda v: self.build(t.values, v, None, val_path)[0]),
+            )
+            errs = F.when(
+                wire.isNotNull(),
+                F.nullif(
+                    F.array_join(
+                        F.transform(
+                            F.map_values(wire), lambda v: self.build(t.values, v, None, val_path)[1]
+                        ),
+                        ";",
+                    ),
+                    F.lit(""),
+                ),
+            )
+            return value, errs
 
-        value = F.map_from_arrays(F.map_keys(wire), F.transform(F.map_values(wire), val))
+        rmap = self._obj_map(raw, path)
+        present = raw.isNotNull() & (raw != F.lit("null"))
+        shape = self._err(present & rmap.isNull(), "UnexpectedTypeError", path)
+        val_fail = self._err(rmap.isNotNull() & wire.isNull(), "UnexpectedTypeError", val_path)
+        value = F.map_from_arrays(
+            F.map_keys(wire),
+            F.zip_with(
+                F.map_values(wire),
+                F.map_values(rmap),
+                lambda v, r: self.build(t.values, v, r, val_path)[0],
+            ),
+        )
         errs = F.when(
             wire.isNotNull(),
-            F.nullif(F.array_join(F.transform(F.map_values(wire), val_errs), ";"), F.lit("")),
+            F.nullif(
+                F.array_join(
+                    F.zip_with(
+                        F.map_values(wire),
+                        F.map_values(rmap),
+                        lambda v, r: self.build(t.values, v, r, val_path)[1],
+                    ),
+                    ";",
+                ),
+                F.lit(""),
+            ),
         )
-        return value, errs
+        return value, self._cat(errs, shape, val_fail)
 
     def _union(
         self, t: AvroUnion, wire: Column, raw: Optional[Column], path: str

@@ -203,3 +203,75 @@ class TestExprDecoder:
                 assert got["color"] == py["color"]
                 assert (got["choice"] is None) == (py["choice"] is None)
                 assert got["tags"] == py["tags"]
+
+
+NESTED_COLLECTIONS = """
+{"name": "nc", "type": "record", "fields": [
+  {"name": "recs", "type": {"type": "array", "items":
+     {"type": "record", "name": "inner", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "c", "type": {"type": "enum", "name": "IC", "symbols": ["X","Y"]},
+         "default": "X"}
+     ]}}},
+  {"name": "m", "type": {"type": "map", "values": "int"}, "default": {}}
+]}
+"""
+
+
+class TestCollectionStrictness:
+    """Raw-text strictness must reach inside arrays and maps (the gap the
+    fixed-JSON-path decoder could not close)."""
+
+    def _errs(self, spark, rows):
+        from anglerfish_spark.codec.decoder import decode_json
+        from anglerfish_spark.schema import parse_schema
+
+        ps = parse_schema(NESTED_COLLECTIONS)
+        df = spark.createDataFrame([(j,) for j in rows], ["j"])
+        got = decode_json(df, "j", ps, mode="permissive").select("j", "_errors").collect()
+        return {r["j"]: list(r["_errors"]) for r in got}
+
+    def test_extra_field_inside_array(self, spark):
+        rows = [
+            '{"recs": [{"a": 1}, {"a": 2, "zzz": 9}]}',
+            '{"recs": [{"a": 1}]}',
+        ]
+        by_j = self._errs(spark, rows)
+        assert by_j[rows[0]] == ["RecordError@$.recs[]"]
+        assert by_j[rows[1]] == []
+
+    def test_missing_required_inside_array(self, spark):
+        by_j = self._errs(spark, ['{"recs": [{"c": "Y"}]}'])
+        assert by_j['{"recs": [{"c": "Y"}]}'] == ["RecordError@$.recs[].a"]
+
+    def test_enum_domain_inside_array(self, spark):
+        by_j = self._errs(spark, ['{"recs": [{"a": 1, "c": "Z"}]}'])
+        assert by_j['{"recs": [{"a": 1, "c": "Z"}]}'] == ["EnumError@$.recs[].c"]
+
+    def test_overflow_inside_array(self, spark):
+        j = '{"recs": [{"a": 99999999999999999999}]}'
+        by_j = self._errs(spark, [j])
+        assert by_j[j] == ["UnrepresentableError@$.recs[].a"]
+
+    def test_default_applies_inside_array(self, spark):
+        from anglerfish_spark.codec.decoder import decode_json
+        from anglerfish_spark.schema import parse_schema
+
+        ps = parse_schema(NESTED_COLLECTIONS)
+        df = spark.createDataFrame([('{"recs": [{"a": 7}]}',)], ["j"])
+        out = decode_json(df, "j", ps, mode="strict").select("decoded.*").collect()[0]
+        assert [tuple(r) for r in out["recs"]] == [(7, "X")]
+
+    def test_scalar_at_array_and_map_positions(self, spark):
+        rows = [
+            '{"recs": 5}',
+            '{"recs": [], "m": "nope"}',
+        ]
+        by_j = self._errs(spark, rows)
+        assert by_j[rows[0]] == ["UnexpectedTypeError@$.recs"]
+        assert by_j[rows[1]] == ["UnexpectedTypeError@$.m"]
+
+    def test_wrong_value_type_inside_map(self, spark):
+        j = '{"recs": [], "m": {"k": "notint"}}'
+        by_j = self._errs(spark, [j])
+        assert by_j[j] == ["UnexpectedTypeError@$.m.{}"]
