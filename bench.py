@@ -36,6 +36,7 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_similarity_topk",
+    "q_join_asof",
 ]
 
 
