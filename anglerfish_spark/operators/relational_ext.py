@@ -357,3 +357,197 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-1 widening: outer/cross joins, percentiles, window frames, listagg
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_full",
+    oracle="""
+WITH l AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0),
+r AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+      WHERE o_totalprice > 250000 GROUP BY o_custkey)
+SELECT COALESCE(l.c_custkey, r.o_custkey) AS custkey, l.c_acctbal, r.n_big
+FROM l FULL JOIN r ON l.c_custkey = r.o_custkey
+ORDER BY custkey
+""",
+    group="relational",
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with genuine non-matches on both sides (negative
+    balances vs big-ticket order counts)."""
+    c = _cat(spark, sf_dir)
+    left = c.customer.where(F.col("c_acctbal") < 0).select("c_custkey", "c_acctbal")
+    right = (
+        c.orders.where(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return (
+        left.join(right, left["c_custkey"] == right["o_custkey"], "full")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"), "c_acctbal", "n_big"
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+SELECT r_name, s.o_orderstatus
+FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+ORDER BY r_name, o_orderstatus
+""",
+    group="relational",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (dimension grid) — both sides tiny; the
+    only place a cross join belongs at scale."""
+    c = _cat(spark, sf_dir)
+    statuses = c.orders.select("o_orderstatus").distinct()
+    return (
+        c.region.select("r_name")
+        .crossJoin(statuses)
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5)  AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       median(l_quantity) AS med
+FROM lineitem GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    group="relational",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (type-7 quantile in both
+    engines).  Deterministic here because l_quantity is integral and the
+    requested fractions are dyadic, so the interpolation arithmetic is
+    exact in doubles.  (At 100 TB you would reach for approx_percentile —
+    exact percentile is a full sort per group; kept exact for the oracle.)"""
+    c = _cat(spark, sf_dir)
+    return (
+        c.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+            F.median("l_quantity").alias("med"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_window_range",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER (
+         PARTITION BY user_id
+         ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       ) AS VARCHAR) AS DOUBLE) AS sum_1h
+FROM events
+ORDER BY event_id
+""",
+    group="relational",
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: per-user trailing-1-hour sum keyed on floor
+    epoch seconds.  Decimal-accumulated (the window sum stays exact and
+    order-insensitive); RANGE peers make the result tie-stable by
+    construction."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast("double").alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_window_first_last",
+    oracle="""
+WITH w AS (
+  SELECT o_orderstatus,
+         FIRST_VALUE(o_orderkey) OVER win AS top_key,
+         LAST_VALUE(o_orderkey)  OVER win AS bottom_key,
+         NTH_VALUE(o_orderkey, 3) OVER win AS third_key,
+         ROW_NUMBER() OVER win AS rn
+  FROM orders
+  WINDOW win AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_orderstatus, top_key, bottom_key, third_key
+FROM w WHERE rn = 1
+ORDER BY o_orderstatus
+""",
+    group="relational",
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over a full-partition frame with a total order
+    (price desc, key) — tie-stable across engines."""
+    c = _cat(spark, sf_dir)
+    full = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        c.orders.select(
+            "o_orderstatus",
+            F.first("o_orderkey").over(full).alias("top_key"),
+            F.last("o_orderkey").over(full).alias("bottom_key"),
+            F.nth_value("o_orderkey", 3).over(full).alias("third_key"),
+            F.row_number().over(seq).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    group="relational",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list is order-nondeterministic
+    under parallelism, so the engine sorts the collected array before
+    joining — deterministic at any partition count."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.nation.join(F.broadcast(c.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("r_name")
+    )
