@@ -92,3 +92,134 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_features(payloads)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample plumbing (decode stubbed, batch shapes real)
+# ---------------------------------------------------------------------------
+
+RESIZE_STRIDE = 4  # stand-in for a resolution downscale factor
+FRAME_BYTES = 32  # stand-in frame size of the fake "video" payload
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def decode_audio(payload: bytes):
+    """Decode an audio payload to samples.  STUB (see :func:`decode_image`);
+    on a real cluster: soundfile/torchaudio inside the mapInPandas loop."""
+    raise NotImplementedError("media decode requires audio libs; see fake_resize")
+
+
+def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for image resize: a stride-k byte subsample
+    (1 row in → 1 row out, payload shrinks ~k×) — the exact batch shape of
+    a real downscale."""
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda b: bytes(b[::RESIZE_STRIDE]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes_out": resized.map(len).astype("int64"),
+                "checksum_out": resized.map(lambda b: sum(b) % 256).astype("int32"),
+            }
+        )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes_out", T.LongType(), False),
+        T.StructField("checksum_out", T.IntegerType(), False),
+    ]
+)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+SELECT doc_id,
+       (LENGTH(text) + {RESIZE_STRIDE - 1}) // {RESIZE_STRIDE} AS n_bytes_out,
+       CAST(list_sum([ascii(substring(text, i, 1))
+                      for i in generate_series(1, LENGTH(text), {RESIZE_STRIDE})]) % 256
+            AS INT) AS checksum_out
+FROM documents
+ORDER BY doc_id
+""",
+    group="llm-multimodal",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-shaped mapInPandas stage (1 row → 1 smaller row): payload
+    subsampled at a fixed stride, features recomputed on the output bytes.
+    The oracle recomputes the same subsample from the ASCII text."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(fake_resize, RESIZE_SCHEMA).orderBy("doc_id")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_len", T.LongType(), False),
+        T.StructField("checksum", T.IntegerType(), False),
+    ]
+)
+
+
+def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for video frame sampling: the payload is read
+    as consecutive FRAME_BYTES-sized frames and every FRAME_STRIDE-th frame
+    is emitted (1 row in → many rows out — the fan-out batch shape of real
+    frame extraction)."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_len": [], "checksum": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            nframes = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+            for fi in range(0, nframes, FRAME_STRIDE):
+                frame = b[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(fi)
+                out["frame_len"].append(len(frame))
+                out["checksum"].append(sum(frame) % 256)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "frame_idx": pd.Series(out["frame_idx"], dtype="int64"),
+                "frame_len": pd.Series(out["frame_len"], dtype="int64"),
+                "checksum": pd.Series(out["checksum"], dtype="int32"),
+            }
+        )
+
+
+@query(
+    "q_multimodal_frames",
+    oracle=f"""
+WITH fr AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(CEIL(LENGTH(text) / {FRAME_BYTES}.0) AS BIGINT))) AS fi
+  FROM documents
+)
+SELECT doc_id, fi AS frame_idx,
+       LEAST({FRAME_BYTES}, LENGTH(text) - fi * {FRAME_BYTES}) AS frame_len,
+       CAST(list_sum([ascii(substring(text, fi * {FRAME_BYTES} + i, 1))
+                      for i in generate_series(1, LEAST({FRAME_BYTES},
+                                                        LENGTH(text) - fi * {FRAME_BYTES}))]) % 256
+            AS INT) AS checksum
+FROM fr
+WHERE fi % {FRAME_STRIDE} = 0
+ORDER BY doc_id, frame_idx
+""",
+    group="llm-multimodal",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling mapInPandas stage (1 row → many rows).  Payload rows
+    are range-partitioned by payload size first: a fan-out stage amplifies
+    input skew (one giant video → one straggler task), so size-balancing
+    BEFORE the explode is the 100 TB-correct shape."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    ).repartitionByRange(F.octet_length("payload"), F.col("doc_id"))
+    return payloads.mapInPandas(fake_frame_sample, FRAME_SCHEMA).orderBy("doc_id", "frame_idx")
