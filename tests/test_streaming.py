@@ -55,3 +55,48 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in q_approx_distinct(spark, sf_dir).collect():
         rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(r["exact_parts"], 1)
         assert rel_err < 0.05, (r, rel_err)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """True stream-stream join: both sides watermarked file streams; the
+    joined row set must equal the batch interval join."""
+    from anglerfish_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        ev.write.json(src)
+        schema = ev.schema
+
+        def side(kind):
+            s = spark.readStream.schema(schema).json(src)
+            return s.where(F.col("event_type") == kind).withWatermark("ts", "2 hours")
+
+        joined = interval_join(side("click"), side("purchase"))
+        q = (
+            joined.select("click_id", "purchase_id")
+            .writeStream.format("memory")
+            .queryName("ssjoin_smoke")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        got = {
+            (r["click_id"], r["purchase_id"])
+            for r in spark.sql("SELECT * FROM ssjoin_smoke").collect()
+        }
+        batch = {
+            (r["click_id"], r["purchase_id"])
+            for r in interval_join(
+                ev.where(F.col("event_type") == "click"),
+                ev.where(F.col("event_type") == "purchase"),
+            )
+            .select("click_id", "purchase_id")
+            .collect()
+        }
+        assert len(batch) > 0
+        assert got == batch
