@@ -211,3 +211,46 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("fp_exact"),
         F.md5(norm.cast("binary")).alias("fp_normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# redaction (PII-masking shape)
+# ---------------------------------------------------------------------------
+
+#: stand-in sensitive vocabulary (the corpus is synthetic word salad; in a
+#: real pipeline these alternations are email/phone/SSN patterns — the
+#: operator shape is identical: word-boundary regex, global replace)
+REDACT_PATTERN = r"\b(customer|supplier|part)\b"
+REDACT_TOKEN = "<PII>"
+
+
+@query(
+    "q_text_redact",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS INT) AS n_redacted,
+       md5(regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g')) AS redacted_hash,
+       LENGTH(regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g')) AS redacted_len
+FROM documents
+ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction over the corpus: global word-boundary replace of the
+    sensitive vocabulary, with a per-doc match count and a hash of the
+    redacted text (so the oracle verifies the full redacted output without
+    shipping it).  Pure map stage — regexp_replace/regexp_count are
+    codegen'd; no shuffle at all before the presentation sort."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(F.col("text"), REDACT_PATTERN, REDACT_TOKEN)
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(REDACT_PATTERN)).alias("n_redacted"),
+            F.md5(redacted.cast("binary")).alias("redacted_hash"),
+            F.length(redacted).alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
