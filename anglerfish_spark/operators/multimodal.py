@@ -153,7 +153,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return payloads.mapInPandas(fake_resize, RESIZE_SCHEMA).orderBy("doc_id")
+    return payloads.mapInPandas(fake_resize, RESIZE_SCHEMA)  # row-level: no trailing sort
 
 
 FRAME_SCHEMA = T.StructType(
@@ -222,4 +222,4 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = d.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     ).repartitionByRange(F.octet_length("payload"), F.col("doc_id"))
-    return payloads.mapInPandas(fake_frame_sample, FRAME_SCHEMA).orderBy("doc_id", "frame_idx")
+    return payloads.mapInPandas(fake_frame_sample, FRAME_SCHEMA)  # row-level: no trailing sort

@@ -894,5 +894,4 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_id",
             "purchase_value",
         )
-        .orderBy("click_id")
-    )
+    )  # no trailing sort: row-level output, harness is order-insensitive

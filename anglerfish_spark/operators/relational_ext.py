@@ -480,8 +480,7 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.sum(F.col("value").cast("decimal(38,10)")).over(w).cast("double").alias("sum_1h"),
         )
-        .orderBy("event_id")
-    )
+    )  # no trailing sort: row-level output
 
 
 @query(

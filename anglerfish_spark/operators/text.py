@@ -252,5 +252,4 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(redacted.cast("binary")).alias("redacted_hash"),
             F.length(redacted).alias("redacted_len"),
         )
-        .orderBy("doc_id")
-    )
+    )  # no trailing sort: row-level output

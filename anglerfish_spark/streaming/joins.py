@@ -82,7 +82,7 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "purchase_value",
         (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))).alias("lag_us"),
-    ).orderBy("click_id", "purchase_id")
+    )  # no trailing sort: row-level output
 
 
 @query(
@@ -128,5 +128,4 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts")).alias("first_ts_us"),
             "n_events",
         )
-        .orderBy("user_id", "event_type")
-    )
+    )  # no trailing sort: row-level output
