@@ -550,3 +550,62 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
         .orderBy("r_name")
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, value
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+           FROM lineitem WHERE l_linenumber = 1)
+  ON l_quantity, l_extendedprice, l_discount
+  INTO NAME metric VALUE value
+)
+""",
+    group="relational",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt): three measure columns become (metric,
+    value) rows — a pure map-side 1→3 expansion, no shuffle."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.lineitem.where(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["l_quantity", "l_extendedprice", "l_discount"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+    )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+WITH a AS (SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS k FROM orders),
+b AS (SELECT DISTINCT NULLIF(o_orderpriority, '1-URGENT') AS k FROM orders)
+SELECT b.k, COUNT(a.o_orderkey) AS n
+FROM b JOIN a ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY b.k
+ORDER BY b.k NULLS FIRST
+""",
+    group="relational",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): NULL keys match each other, unlike plain
+    equality — Spark still plans a hash join because the null-safe operator
+    is an equi-key."""
+    c = _cat(spark, sf_dir)
+    a = c.orders.select(
+        "o_orderkey", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("k")
+    )
+    b = a.select("k").distinct().select(F.col("k").alias("bk"))
+    return (
+        b.join(a, F.col("k").eqNullSafe(F.col("bk")))
+        .groupBy("bk")
+        .agg(F.count("o_orderkey").alias("n"))
+        .select(F.col("bk").alias("k"), "n")
+        .orderBy(F.col("k").asc_nulls_first())
+    )

@@ -131,3 +131,131 @@ def test_differential_verdicts(spark, corpus):
                 assert got["f_double"] == py_val["f_double"], d
             assert got["f_opt"] == py_val["f_opt"], d
     assert not mismatches, f"{len(mismatches)} verdict mismatches; first: {mismatches[:3]}"
+
+
+# ---------------------------------------------------------------------------
+# nested collections: the raw-text threading must agree with pydecode at
+# full depth (extra fields / enum domain / overflow inside arrays + maps)
+# ---------------------------------------------------------------------------
+
+_NESTED_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "outer",
+        "fields": [
+            {
+                "name": "arr",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "inner",
+                        "fields": [
+                            {"name": "a", "type": "long"},
+                            {
+                                "name": "c",
+                                "type": {"type": "enum", "name": "IC", "symbols": ["X", "Y"]},
+                                "default": "X",
+                            },
+                        ],
+                    },
+                },
+            },
+            {"name": "m", "type": {"type": "map", "values": "int"}},
+        ],
+    }
+)
+
+_inner_good = st.fixed_dictionaries(
+    {"a": st.integers(-(2**40), 2**40)},
+    optional={"c": st.sampled_from(["X", "Y"])},
+)
+_nested_good = st.fixed_dictionaries(
+    {
+        "arr": st.lists(_inner_good, max_size=3),
+        "m": st.dictionaries(
+            st.text(alphabet="abcdef", min_size=1, max_size=3),
+            st.integers(-(2**31), 2**31 - 1),
+            max_size=3,
+        ),
+    }
+)
+
+# mutations hitting the in-collection strictness paths; JSON-number-at-
+# string-position is deliberately absent (wire string parses coerce, the
+# documented quoted-number ambiguity)
+_nested_mutations = st.sampled_from(
+    [
+        ("inner_extra", None),       # extra field inside array element
+        ("inner_drop_a", None),      # missing required inside array element
+        ("inner_enum", "Q"),         # enum violation inside array element
+        ("inner_overflow", 10**25),  # int64 overflow inside array element
+        ("map_value_str", "s"),      # wrong value type inside map
+        ("arr_scalar", 5),           # scalar at array position
+        ("map_scalar", [1]),         # array at map position
+    ]
+)
+
+
+def _nested_mutate(d: dict, mutation) -> dict:
+    kind, val = mutation
+    d = {"arr": [dict(x) for x in d["arr"]], "m": dict(d["m"])}
+    if kind.startswith("inner") and not d["arr"]:
+        d["arr"] = [{"a": 1}]
+    if kind == "inner_extra":
+        d["arr"][0]["zzz"] = 1
+    elif kind == "inner_drop_a":
+        d["arr"][0].pop("a")
+    elif kind == "inner_enum":
+        d["arr"][0]["c"] = val
+    elif kind == "inner_overflow":
+        d["arr"][0]["a"] = val
+    elif kind == "map_value_str":
+        d["m"]["k"] = val
+    elif kind == "arr_scalar":
+        d["arr"] = val
+    elif kind == "map_scalar":
+        d["m"] = val
+    return d
+
+
+@pytest.fixture(scope="module")
+def nested_corpus():
+    cases = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(_nested_good, st.one_of(st.none(), _nested_mutations))
+    def collect(datum, mutation):
+        cases.append(datum if mutation is None else _nested_mutate(datum, mutation))
+
+    collect()
+    return cases
+
+
+def test_differential_nested_collections(spark, nested_corpus):
+    ps = parse_schema(_NESTED_SCHEMA)
+    texts = [json.dumps(d) for d in nested_corpus]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "j"])
+    rows = (
+        decode_json(df, "j", ps, mode="permissive")
+        .select("i", "decoded", "_errors")
+        .collect()
+    )
+    by_i = {r["i"]: r for r in rows}
+
+    mismatches = []
+    for i, d in enumerate(nested_corpus):
+        py_ok, py_val = True, None
+        try:
+            py_val = decode_datum(ps.root, d, ps.env)
+        except E.DatumError:
+            py_ok = False
+        expr_ok = len(by_i[i]["_errors"]) == 0
+        if py_ok != expr_ok:
+            mismatches.append((d, list(by_i[i]["_errors"]), py_ok))
+            continue
+        if py_ok:
+            got = by_i[i]["decoded"].asDict(recursive=True)
+            assert got["arr"] == py_val["arr"], d
+            assert got["m"] == py_val["m"], d
+    assert not mismatches, f"{len(mismatches)} verdict mismatches; first: {mismatches[:3]}"
