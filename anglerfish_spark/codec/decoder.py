@@ -554,6 +554,77 @@ class _ExprBuilder:
         decoded = _PyDecoder(self.env, self.max_depth).decode(f.type, f.default, f"default({f.name})")
         return _lit_value(decoded, dtype)
 
+    # flat-record fast path ---------------------------------------------------
+
+    @staticmethod
+    def _synth_wire(t: AvroType, rawf: Column) -> Column:
+        """Typed 'wire' column synthesized from raw field text, with the
+        same acceptance behavior as a from_json parse of the field — what
+        lets a flat record decode with ONE JSON parse instead of two."""
+        if isinstance(t, (AvroEnum, AvroFixed)):
+            return rawf
+        assert isinstance(t, AvroPrimitive)
+        if t.kind is Primitive.BOOLEAN:
+            return F.when(rawf == "true", F.lit(True)).when(rawf == "false", F.lit(False))
+        if t.kind in (Primitive.INT, Primitive.LONG):
+            return rawf.try_cast("long")
+        if t.kind in (Primitive.FLOAT, Primitive.DOUBLE):
+            # try_cast accepts the words NaN/Infinity, which JSON numbers
+            # cannot be — only a (quote-stripped) string could produce them
+            return F.when(
+                ~rawf.isin("NaN", "Infinity", "-Infinity", "+Infinity"),
+                rawf.try_cast("double"),
+            )
+        if t.kind is Primitive.NULL:
+            return F.lit(None).cast("string")
+        return rawf  # STRING / BYTES travel as text
+
+    def build_flat_record(
+        self, t: AvroRecord, rmap: Column, raw: Column, path: str
+    ) -> tuple[Column, Column]:
+        """Decode a record whose fields are all primitive/enum/fixed from
+        the staged ``map<string,string>`` view alone — identical semantics
+        to the general path minus its second (wire-struct) JSON parse."""
+        keys = F.map_keys(rmap)
+        present_text = raw.isNotNull() & (raw != F.lit("null"))
+        shape_err = self._err(present_text & rmap.isNull(), "UnexpectedTypeError", path)
+        target = to_struct_type(t, self.env, self.max_depth)
+
+        fields: list[Column] = []
+        errs: list[Column] = []
+        for f in t.fields:
+            fpath = f"{path}.{f.name}"
+            fraw = rmap.getItem(f.name)
+            v, e = self.build(f.type, self._synth_wire(f.type, fraw), fraw, fpath)
+            present = F.array_contains(keys, f.name)
+            if f.has_default:
+                default_lit = self._default_lit(f, target[f.name].dataType)
+                v = F.when(present, v).otherwise(default_lit)
+                e = F.when(present, e)
+            else:
+                errs.append(self._err(keys.isNotNull() & ~present, "RecordError", fpath))
+            fields.append(v.alias(f.name))
+            errs.append(e)
+
+        known = F.array(*[F.lit(f.name) for f in t.fields])
+        errs.append(
+            self._err(
+                keys.isNotNull() & (F.size(F.array_except(keys, known)) > 0),
+                "RecordError",
+                path,
+            )
+        )
+        value = F.when(rmap.isNull(), F.lit(None)).otherwise(F.struct(*fields))
+        guarded = [F.when(rmap.isNotNull(), e) for e in errs]
+        guarded.append(shape_err)
+        return value, self._cat(*guarded)
+
+
+def _is_flat_record(t: AvroType) -> bool:
+    return isinstance(t, AvroRecord) and all(
+        isinstance(f.type, (AvroPrimitive, AvroEnum, AvroFixed)) for f in t.fields
+    )
+
 
 def _field_nullable(f: AvroField) -> bool:
     t = f.type
@@ -608,31 +679,39 @@ def decode_json(
     wire_col = "_anglerfish_wire"
     rmap_col = "_anglerfish_rmap"
     err_col = "_anglerfish_errs"
-    staged = df.withColumn(wire_col, F.from_json(raw, wire_t)).withColumn(
+    staged = df.withColumn(
         rmap_col, F.from_json(raw, T.MapType(T.StringType(), T.StringType()))
     )
-
     builder = _ExprBuilder(env, max_depth, root_map=F.col(rmap_col))
-    value, errs = builder.build(root, F.col(wire_col), raw, "$")
+    if _is_flat_record(root):
+        # flat records decode from the map view alone: ONE JSON parse/row
+        value, errs = builder.build_flat_record(root, F.col(rmap_col), raw, "$")
+    else:
+        staged = staged.withColumn(wire_col, F.from_json(raw, wire_t))
+        value, errs = builder.build(root, F.col(wire_col), raw, "$")
     # malformed JSON text: get_json_object('$') is null only when the text
     # does not parse at all (from_json PERMISSIVE yields an all-null struct,
-    # so the parsed column cannot be used to detect this)
-    malformed = raw.isNotNull() & F.get_json_object(raw, "$").isNull()
+    # so the parsed column cannot be used to detect this).  The rmap guard
+    # in front short-circuits in codegen (Java &&), so this third parse
+    # only runs for rows whose map parse already failed — rare, unless the
+    # root schema is an array (rmap is then always null).
+    malformed = raw.isNotNull() & F.col(rmap_col).isNull() & F.get_json_object(raw, "$").isNull()
     errs = F.when(malformed, F.lit("UnexpectedJsonTypeError@$")).otherwise(errs)
     staged = staged.withColumn(err_col, errs)
     e = F.col(err_col)
+    stage_cols = [c for c in (wire_col, rmap_col, err_col) if c in staged.columns]
 
     if mode == "permissive":
         err_arr = F.when(e.isNull(), F.array().cast("array<string>")).otherwise(F.split(e, ";"))
         return (
             staged.withColumn(output_col, value)
             .withColumn(errors_col, err_arr)
-            .drop(wire_col, rmap_col, err_col)
+            .drop(*stage_cols)
         )
     if mode == "strict":
         boom = F.raise_error(F.concat(F.lit("anglerfish strict decode failed: "), e))
         return (
             staged.withColumn(output_col, F.when(e.isNotNull(), boom).otherwise(value))
-            .drop(wire_col, rmap_col, err_col)
+            .drop(*stage_cols)
         )
     raise ValueError(f"unknown mode {mode!r} (strict|permissive)")
