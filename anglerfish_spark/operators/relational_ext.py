@@ -609,3 +609,73 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bk").alias("k"), "n")
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join (the shuffle-elimination lever for fact⋈fact)
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+_BUCKET_DIR = None  # lazily-created scratch root for bucketed table data
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders+lineitem bucketed by the join key (once per sf_dir) and
+    return the table names.  Bucketing is a *write-time* contract: both
+    sides hash-partitioned into N_BUCKETS files by key, so the join reads
+    co-located buckets and needs NO exchange — at 100 TB this removes the
+    dominant fact⋈fact shuffle entirely, paid once at ingest."""
+    import os
+    import tempfile
+
+    global _BUCKET_DIR
+    if _BUCKET_DIR is None:
+        _BUCKET_DIR = tempfile.mkdtemp(prefix="anglerfish_buckets_")
+    tag = f"{abs(hash(sf_dir)) % 10**8}"
+    names = (f"ang_orders_b{tag}", f"ang_lineitem_b{tag}")
+    c = Catalog(spark, sf_dir)
+    specs = (
+        (names[0], c.orders, "o_orderkey"),
+        (names[1], c.lineitem, "l_orderkey"),
+    )
+    for name, df, key in specs:
+        if not spark.catalog.tableExists(name):
+            (
+                df.write.mode("overwrite")
+                .option("path", os.path.join(_BUCKET_DIR, name))
+                .bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    return names
+
+
+@query(
+    "q_join_bucketed",
+    oracle=f"""
+SELECT o_orderstatus, COUNT(*) AS n_lines,
+       {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    group="relational",
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over bucketed tables: both sides pre-hashed into
+    co-located buckets on the join key, so the sort-merge join runs with
+    zero exchanges (asserted in tests/test_bucketed.py).  The aggregation
+    after it is the only shuffle in the plan."""
+    prepare(spark)
+    orders_t, lineitem_t = _bucketed_tables(spark, sf_dir)
+    o = spark.table(orders_t)
+    li = spark.table(lineitem_t)
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
