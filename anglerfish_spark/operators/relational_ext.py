@@ -16,6 +16,7 @@ from ..registry import query
 from ..session import prepare
 from ..sources.registry import Catalog, load_table
 from .common import dsum, dsum_sql
+from .text import TOKENS_SQL, tokens
 
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _PRIORITY_ALIASES = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
@@ -678,4 +679,161 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# upsert emulation, deterministic sampling, SQL front door
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_upsert",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_totalprice AS price FROM orders WHERE o_orderkey % 3 <> 0
+),
+upd AS (
+  SELECT o_orderkey AS k, o_totalprice * 1.1 AS price FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT COALESCE(u.k, b.k) AS k,
+       COALESCE(u.price, b.price) AS price,
+       CASE WHEN u.k IS NOT NULL AND b.k IS NOT NULL THEN 'updated'
+            WHEN u.k IS NOT NULL THEN 'inserted' ELSE 'unchanged' END AS action
+FROM base b FULL JOIN upd u ON b.k = u.k
+""",
+    group="relational",
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation on plain parquet (no table format): full
+    outer join on the key, update wins via coalesce, action audit column.
+    One shuffle on the key — the same shape a Delta/Iceberg MERGE lowers
+    to; at 100 TB you bucket both sides on the key first (q_join_bucketed)
+    and the merge becomes exchange-free."""
+    c = _cat(spark, sf_dir)
+    base = c.orders.where(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("bk"), F.col("o_totalprice").alias("bprice")
+    )
+    upd = c.orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("uk"), (F.col("o_totalprice") * 1.1).alias("uprice")
+    )
+    action = (
+        F.when(F.col("uk").isNotNull() & F.col("bk").isNotNull(), "updated")
+        .when(F.col("uk").isNotNull(), "inserted")
+        .otherwise("unchanged")
+    )
+    return base.join(upd, F.col("bk") == F.col("uk"), "full").select(
+        F.coalesce("uk", "bk").alias("k"),
+        F.coalesce("uprice", "bprice").alias("price"),
+        action.alias("action"),
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+""",
+    group="llm-text",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by content-independent key hash
+    (md5 prefix < 0x1a ≈ 26/256).  Unlike TABLESAMPLE this is reproducible
+    across engines, partitionings and reruns — the only kind of sample a
+    training-data pipeline should ship.  Pure map-side filter."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2) < "1a"
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, source, len({TOKENS_SQL}) AS n_tok,
+         md5(array_to_string(list_sort(list_distinct({TOKENS_SQL})), ' ')) AS fp
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE lang = 'en' AND n_tok >= 20
+),
+dedup AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept
+)
+SELECT source, COUNT(*) AS n_docs,
+       {dsum_sql('n_tok')} AS total_tokens
+FROM dedup WHERE rn = 1
+GROUP BY source
+ORDER BY source
+""",
+    group="llm-text",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: language filter → length filter → exact-dedup
+    keeper selection → per-source accounting.  The composed shape of a
+    training-data pipeline: two map-side filters, one combinable shuffle on
+    the fingerprint, one on the final group key."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens()
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tok).alias("n_tok"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tok))).cast("binary")
+        ).alias("fp"),
+    )
+    kept = scored.where((F.col("lang") == "en") & (F.col("n_tok") >= 20))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        dedup.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum(F.col("n_tok").cast("double")).alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_sql_api",
+    oracle=f"""
+SELECT l_orderkey, o_orderdate,
+       {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'O'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    group="relational",
+)
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door (TPC-H-Q3 shape via spark.sql over registered
+    views) — same Catalyst plan as the DataFrame variant; proves the
+    engine's surface is reachable from plain SQL strings too."""
+    c = _cat(spark, sf_dir)
+    c.customer.createOrReplaceTempView("v_customer")
+    c.orders.createOrReplaceTempView("v_orders")
+    c.lineitem.createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, o_orderdate,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+        FROM v_customer JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'O'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
     )
