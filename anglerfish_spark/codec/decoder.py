@@ -715,3 +715,80 @@ def decode_json(
             .drop(*stage_cols)
         )
     raise ValueError(f"unknown mode {mode!r} (strict|permissive)")
+
+
+def decode_json_python(
+    df: DataFrame,
+    col: str,
+    schema: ParsedSchema | AvroType | str,
+    mode: str = "strict",
+    max_depth: int = 10,
+    output_col: str = "decoded",
+    errors_col: str = "_errors",
+) -> DataFrame:
+    """Full-fidelity decode via the pure-Python reference decoder, run as
+    an Arrow-batched ``mapInPandas`` stage (the engine's codec extension
+    point).  Semantics are exactly ``pydecode`` — including the quoted-
+    number distinctions the expression path cannot see — at pandas-UDF
+    cost; use :func:`decode_json` (expressions, whole-stage codegen) on
+    hot paths.
+    """
+    import json as _json
+
+    from ..errors import DatumError
+
+    if isinstance(schema, str):
+        schema = parse_schema(schema)
+    if isinstance(schema, ParsedSchema):
+        root, env = schema.root, schema.env
+    else:
+        root, env = schema, {}
+    if mode not in ("strict", "permissive"):
+        raise ValueError(f"unknown mode {mode!r} (strict|permissive)")
+
+    target = to_struct_type(root, env, max_depth)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(output_col, target, True),
+            T.StructField(errors_col, T.ArrayType(T.StringType()), True),
+        ]
+    )
+    strict = mode == "strict"
+
+    def _bad_const(_):
+        raise ValueError("non-finite JSON number")
+
+    def run(batches):
+        import pandas as pd
+
+        dec = _PyDecoder(env, max_depth)
+        for pdf in batches:
+            decoded, errs = [], []
+            for txt in pdf[col]:
+                if txt is None:
+                    decoded.append(None)
+                    errs.append([])
+                    continue
+                try:
+                    datum = _json.loads(txt, parse_constant=_bad_const)
+                except ValueError:
+                    if strict:
+                        raise
+                    decoded.append(None)
+                    errs.append(["UnexpectedJsonTypeError@$"])
+                    continue
+                try:
+                    decoded.append(dec.decode(root, datum))
+                    errs.append([])
+                except DatumError as ex:
+                    if strict:
+                        raise
+                    decoded.append(None)
+                    errs.append([f"{type(ex).__name__}@{str(ex).split(':')[0]}"])
+            out = pdf.copy()
+            out[output_col] = pd.Series(decoded, index=pdf.index, dtype="object")
+            out[errors_col] = pd.Series(errs, index=pdf.index, dtype="object")
+            yield out
+
+    return df.mapInPandas(run, out_schema)

@@ -469,3 +469,26 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("bigint").alias("sum_chars"),
     ).select("fmt", "n_rows", "sum_chars")
     return agg(back_csv, "csv").unionAll(agg(back_json, "json")).orderBy("fmt")
+
+
+@query(
+    "json_decode_python",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events ORDER BY event_id
+""",
+    group="codec",
+)
+def json_decode_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same decode as json_decode_strict through the Arrow-batched
+    pydecode path (mapInPandas) — the full-fidelity fallback for schemas
+    whose strictness exceeds what expressions can see; must produce
+    identical results to the expression fast path."""
+    from .decoder import decode_json_python
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        decode_json_python(ev, "props", _EVENTS_SCHEMA, mode="strict")
+        .select("event_id", F.col("decoded.k").alias("k"))
+    )

@@ -275,3 +275,45 @@ class TestCollectionStrictness:
         j = '{"recs": [], "m": {"k": "notint"}}'
         by_j = self._errs(spark, [j])
         assert by_j[j] == ["UnexpectedTypeError@$.m.{}"]
+
+
+class TestPythonDecodePath:
+    """decode_json_python (mapInPandas over pydecode) must agree with the
+    expression decoder on values and with pydecode on verdicts."""
+
+    def test_matches_expression_path(self, spark):
+        from anglerfish_spark.codec.decoder import decode_json, decode_json_python
+        from anglerfish_spark.schema import parse_schema
+
+        ps = parse_schema(NESTED_COLLECTIONS)
+        rows = [
+            '{"recs": [{"a": 1}, {"a": 2, "c": "Y"}], "m": {"x": 3}}',
+            '{"recs": []}',
+            '{"recs": [{"a": 1, "zzz": 9}]}',          # extra field in array
+            '{"recs": [{"a": 1, "c": "Z"}]}',          # enum violation
+            '{"recs": 5}',                             # scalar at array position
+            "not json",
+        ]
+        df = spark.createDataFrame([(i, j) for i, j in enumerate(rows)], ["i", "j"])
+        expr = {
+            r["i"]: (r["decoded"], len(r["_errors"]) == 0)
+            for r in decode_json(df, "j", ps, mode="permissive").select("i", "decoded", "_errors").collect()
+        }
+        py = {
+            r["i"]: (r["decoded"], len(r["_errors"]) == 0)
+            for r in decode_json_python(df, "j", ps, mode="permissive").select("i", "decoded", "_errors").collect()
+        }
+        assert set(expr) == set(py)
+        for i in expr:
+            assert expr[i][1] == py[i][1], (i, rows[i], expr[i], py[i])
+            if expr[i][1]:
+                assert expr[i][0] == py[i][0], (i, rows[i])
+
+    def test_strict_raises(self, spark):
+        from anglerfish_spark.codec.decoder import decode_json_python
+        from anglerfish_spark.schema import parse_schema
+
+        ps = parse_schema(NESTED_COLLECTIONS)
+        df = spark.createDataFrame([('{"recs": [{"a": 1, "c": "Z"}]}',)], ["j"])
+        with pytest.raises(Exception, match="EnumError|PythonException|enum"):
+            decode_json_python(df, "j", ps, mode="strict").collect()
