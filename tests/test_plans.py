@@ -1,0 +1,68 @@
+"""Plan-shape regressions: the scale claims in SCALE.md, enforced.
+
+Each assertion pins a physical-plan property that must survive refactors:
+filters reach the parquet scan, projections prune columns, dimension joins
+broadcast, top-k compiles to heap-based operators, and the decode path
+stays Python-free.
+"""
+
+from __future__ import annotations
+
+from anglerfish_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_flagship_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+    # 11-column table, 7-column read: projection reached the scan
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_comment" not in read and "l_orderkey" not in read, read
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q_join_broadcast")
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    assert ops.count("BroadcastHashJoin") == 2, plan
+    # non-broadcast exchanges: one for the aggregation, one for the tiny
+    # presentation sort of the 5-row result — never a join shuffle
+    assert ops.count("Exchange") <= 2, plan
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_topk_per_group")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_decode_path_is_python_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "json_decode_strict")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "codegen id" in plan, plan  # formatted mode's codegen marker
+
+
+def test_asof_join_single_data_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q_join_asof")
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    assert ops.count("Exchange") == 1, plan  # one shuffle on user_id; both windows share it
+
+
+def test_events_scan_is_vectorized(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_tumble")
+    assert "Batched: true" in plan, plan
