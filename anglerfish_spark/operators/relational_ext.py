@@ -837,3 +837,90 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# salted skew join + map function inventory
+# ---------------------------------------------------------------------------
+
+N_SALT = 8
+
+
+@query(
+    "q_skew_salted_join",
+    oracle=f"""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS k,
+         l_extendedprice
+  FROM lineitem
+),
+dim AS (
+  SELECT DISTINCT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS k
+  FROM lineitem
+)
+SELECT f.k, COUNT(*) AS n, {dsum_sql('f.l_extendedprice')} AS total
+FROM fact f JOIN dim d ON f.k = d.k
+GROUP BY f.k
+ORDER BY f.k
+""",
+    group="relational",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed join de-skewed by explicit salting: ~70% of fact rows share
+    key 0, so a plain hash join puts them in ONE task.  The fact side gets
+    a deterministic salt; the dim side is replicated N_SALT times
+    (explode of a literal range — dim rows are cheap, fact rows are not),
+    so the hot key spreads over N_SALT tasks.  The salt never escapes:
+    results are keyed on the real key only.  This is the manual fallback
+    for engines/joins AQE skew-split does not cover (e.g. bucketed SMJ)."""
+    c = _cat(spark, sf_dir)
+    k = F.when(F.col("l_orderkey") % 10 < 7, F.lit(0)).otherwise(
+        F.col("l_orderkey") % 100
+    )
+    fact = c.lineitem.select(
+        k.alias("k"),
+        F.pmod(F.col("l_orderkey") + F.col("l_linenumber"), F.lit(N_SALT)).alias("salt"),
+        "l_extendedprice",
+    )
+    dim = (
+        c.lineitem.select(k.alias("dk"))
+        .distinct()
+        .select("dk", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("dsalt"))
+    )
+    return (
+        fact.join(dim, (F.col("k") == F.col("dk")) & (F.col("salt") == F.col("dsalt")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("l_extendedprice")).alias("total"))
+        .orderBy("k")
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+SELECT o_orderkey,
+       2 + 1 AS n_keys,
+       o_orderstatus AS status,
+       TRUE AS has_prio,
+       o_orderpriority AS prio
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+    group="relational",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function inventory (create_map / map_concat / cardinality /
+    element_at / map_contains_key) with scalar outputs so the oracle is
+    engine-order-independent."""
+    c = _cat(spark, sf_dir)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("key"), F.col("o_orderkey").cast("string")))
+    return c.orders.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.cardinality(m2).alias("n_keys"),
+        F.element_at(m2, "status").alias("status"),
+        F.map_contains_key(m2, "prio").alias("has_prio"),
+        F.element_at(m2, "prio").alias("prio"),
+    )
