@@ -184,6 +184,13 @@ class _ExprBuilder:
     ``_empty_errs``).
     """
 
+    #: raw-text threading stops after this many re-entries of the same
+    #: record (recursion): every level re-references its parent's object
+    #: view several times, so the analysis-time expression tree grows
+    #: ~6^level — beyond the limit validation falls back to wire-proxy
+    #: checks (typed values still decode to the full max_depth unroll)
+    RAW_RECURSION_LIMIT = 3
+
     def __init__(
         self,
         env: dict[str, AvroType],
@@ -487,6 +494,8 @@ class _ExprBuilder:
     ) -> tuple[Column, Column]:
         n = self.depth.get(t.fqn, 0)
         self.depth[t.fqn] = n + 1
+        if n >= self.RAW_RECURSION_LIMIT:
+            raw = None  # keep the expression tree linear in unroll depth
         try:
             rmap = self._obj_map(raw, path)
             keys = F.map_keys(rmap) if rmap is not None else None

@@ -492,3 +492,60 @@ def json_decode_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_json_python(ev, "props", _EVENTS_SCHEMA, mode="strict")
         .select("event_id", F.col("decoded.k").alias("k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# recursive schema decode (reference's flagship e2e test, F1 linked list)
+# ---------------------------------------------------------------------------
+
+_LINKED_LIST_SCHEMA = """
+{"name": "foo", "type": "record", "fields": [
+  {"name": "value", "type": "int"},
+  {"name": "tail", "type": ["null", "foo"], "default": null}
+]}
+"""
+
+_LL_ROWS = [
+    (1, '{"value": 1, "tail": {"foo": {"value": 2, "tail": {"foo": {"value": 3}}}}}'),
+    (2, '{"value": 10}'),
+    (3, '{"value": 7, "tail": null}'),
+]
+
+
+@query(
+    "json_decode_recursive",
+    oracle="""
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 1, 2, 3, 3),
+  (2, 10, NULL, NULL, 1),
+  (3, 7, NULL, NULL, 1)
+) AS t(id, v0, v1, v2, depth)
+ORDER BY id
+""",
+    group="codec",
+)
+def json_decode_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive linked-list decode — the reference's only real e2e test
+    (TestSchemaSanityCheck.scala:21-83: recursive schema, union-branch
+    tagged objects, defaulted tail) as a driver-gated query.  Catalyst has
+    no recursive types, so the schema unrolls to the depth bound; the query
+    surfaces the first three values and the list depth."""
+    prepare(spark)
+    df = spark.createDataFrame(_LL_ROWS, ["id", "j"])
+    # depth-bounded unroll kept small for the expression path: each level
+    # carries its own parse+validation subtree, so a deep unroll is a big
+    # plan (and a big task binary).  Genuinely deep recursion belongs to
+    # decode_json_python (pydecode is O(depth) per row) — the documented
+    # Catalyst trade-off for AvroRecursionType (SURVEY §2.1).
+    out = decode_json(df, "j", _LINKED_LIST_SCHEMA, mode="strict", max_depth=4)
+    v0 = F.col("decoded.value")
+    v1 = F.col("decoded.tail.value")
+    v2 = F.col("decoded.tail.tail.value")
+    depth = (
+        F.lit(1)
+        + F.when(F.col("decoded.tail").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("decoded.tail.tail").isNotNull(), 1).otherwise(0)
+    )
+    return out.select(
+        "id", v0.alias("v0"), v1.alias("v1"), v2.alias("v2"), depth.alias("depth")
+    ).orderBy("id")

@@ -341,20 +341,38 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_distinct", oracle=None, group="relational")
+@query(
+    "q_approx_distinct",
+    oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    group="relational",
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counting (HyperLogLog++): the cardinality
-    sketch path for 100 TB (mergeable, fixed memory).  No SQL oracle —
-    sketch estimates are implementation-specific; the test suite bounds
-    the relative error against the exact count instead (driver records a
-    rows-only check)."""
+    sketch path for 100 TB (mergeable, fixed memory).  Sketch estimates are
+    implementation-specific, so the oracle checks the *contract* instead of
+    the estimate: the HLL++ answer must sit within 3×rsd of the exact
+    count (deterministic — the sketch is a pure function of the data)."""
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
+    rsd = 0.02
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 3 * rsd * F.col("exact_parts")
+            ).alias("approx_ok"),
         )
         .orderBy("l_returnflag")
     )
