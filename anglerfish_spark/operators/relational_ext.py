@@ -942,3 +942,57 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_contains_key(m2, "prio").alias("has_prio"),
         F.element_at(m2, "prio").alias("prio"),
     )
+
+
+@query(
+    "q_gap_fill",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id,
+         (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000) // 3600 * 3600 AS h,
+         value
+  FROM events
+),
+agg AS (
+  SELECT user_id, h, COUNT(*) AS n, {dsum_sql('value')} AS sum_value
+  FROM b GROUP BY user_id, h
+),
+rng AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM agg GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(range(mn, mx + 3600, 3600)) AS h FROM rng
+)
+SELECT g.user_id, g.h,
+       COALESCE(a.n, 0) AS n,
+       COALESCE(a.sum_value, 0.0) AS sum_value
+FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.h = g.h
+""",
+    group="streaming",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill: hourly per-user rollup densified over
+    each user's observed range (missing hours -> zero rows).  The grid is
+    generated per key with sequence+explode — grid size depends on the
+    TIME RANGE, not the data volume, so at 100 TB the dense grid is still
+    keys x hours, and the left join back to the rollup shuffles only
+    aggregated rows."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.expr("CAST(ts AS LONG) DIV 3600 * 3600").alias("h"),
+        "value",
+    )
+    agg = b.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("sum_value")
+    )
+    rng = agg.groupBy("user_id").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = rng.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.lit(3600).cast("long"))).alias("h"),
+    )
+    return grid.join(agg, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
