@@ -996,3 +996,38 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
     )
+
+
+@query(
+    "q_array_hof",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(list_filter({TOKENS_SQL}, x -> len(x) > 4)) AS INT) AS n_long,
+       CAST(list_sum(list_transform({TOKENS_SQL}, x -> len(x))) AS BIGINT) AS total_chars,
+       list_sort(list_distinct(list_transform({TOKENS_SQL}, x -> left(x, 1))))
+         AS initials
+FROM documents
+WHERE doc_id % 50 = 0
+""",
+    group="relational",
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate) as
+    first-class operators: per-doc token-length analytics without any
+    explode — the lambda runs inside the row, so no row-count blowup and
+    no shuffle."""
+    c = _cat(spark, sf_dir)
+    tok = tokens()
+    n_long = F.size(F.filter(tok, lambda x: F.length(x) > 4))
+    total_chars = F.aggregate(
+        F.transform(tok, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    initials = F.array_sort(F.array_distinct(F.transform(tok, lambda x: F.substring(x, 1, 1))))
+    return c.documents.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        n_long.alias("n_long"),
+        total_chars.alias("total_chars"),
+        initials.alias("initials"),
+    )
