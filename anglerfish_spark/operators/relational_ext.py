@@ -1031,3 +1031,69 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_chars.alias("total_chars"),
         initials.alias("initials"),
     )
+
+
+@query(
+    "q_setops_all",
+    oracle="""
+WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT 'except_all' AS op, k, COUNT(*) AS n
+FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
+UNION ALL
+SELECT 'intersect_all', k, COUNT(*)
+FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k
+""",
+    group="relational",
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL) — the
+    multiplicity-preserving counterparts of q_except/q_intersect."""
+    c = _cat(spark, sf_dir)
+    a = c.orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = c.orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("k")
+    )
+    ex = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    it = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    return ex.unionByName(it)
+
+
+@query(
+    "q_cond_agg",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) FILTER (o_totalprice > 200000) AS n_big,
+       bool_and(o_totalprice > 1000)           AS all_over_1k,
+       bool_or(o_orderpriority = '1-URGENT')   AS any_urgent,
+       COUNT(DISTINCT o_orderpriority)         AS n_prios
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    group="relational",
+)
+def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: count_if, every, some — all
+    map-side combinable."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.orders.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.some(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.countDistinct("o_orderpriority").alias("n_prios"),
+        )
+        .orderBy("o_orderstatus")
+    )
