@@ -54,11 +54,16 @@ def main() -> None:
     # execution, not first-touch JIT
     qs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # two passes per query, keep the better: the first execution of each
+    # distinct plan pays one-off JIT/codegen/footer costs that say nothing
+    # about throughput, and ambient machine load adds one-sided noise
     times: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
