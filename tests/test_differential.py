@@ -259,3 +259,90 @@ def test_differential_nested_collections(spark, nested_corpus):
             assert got["arr"] == py_val["arr"], d
             assert got["m"] == py_val["m"], d
     assert not mismatches, f"{len(mismatches)} verdict mismatches; first: {mismatches[:3]}"
+
+
+# ---------------------------------------------------------------------------
+# unions inside collections: tagged single-key objects threaded through the
+# per-element raw text (the deepest decoder path)
+# ---------------------------------------------------------------------------
+
+_UNION_IN_ARRAY_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "outer2",
+        "fields": [
+            {
+                "name": "items",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "cell",
+                        "fields": [
+                            {"name": "v", "type": ["null", "long", "string"], "default": None},
+                        ],
+                    },
+                },
+            }
+        ],
+    }
+)
+
+_cell_good = st.one_of(
+    st.fixed_dictionaries({}),  # absent v -> default null
+    st.fixed_dictionaries({"v": st.none()}),
+    st.fixed_dictionaries({"v": st.fixed_dictionaries({"long": st.integers(-(2**40), 2**40)})}),
+    st.fixed_dictionaries(
+        {"v": st.fixed_dictionaries({"string": st.text(alphabet="abc xyz", max_size=6)})}
+    ),
+)
+
+_union_mutations = st.sampled_from(
+    [
+        {"v": {"long": 1, "string": "x"}},   # two keys
+        {"v": {"float": 1.5}},               # unknown branch
+        {"v": {"long": 10**25}},             # overflow inside branch
+        {"v": 5},                            # untagged scalar
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def union_corpus():
+    cases = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(_cell_good, max_size=3), st.one_of(st.none(), _union_mutations))
+    def collect(cells, bad):
+        cases.append({"items": cells + ([bad] if bad is not None else [])})
+
+    collect()
+    return cases
+
+
+def test_differential_union_in_array(spark, union_corpus):
+    ps = parse_schema(_UNION_IN_ARRAY_SCHEMA)
+    texts = [json.dumps(d) for d in union_corpus]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "j"])
+    rows = (
+        decode_json(df, "j", ps, mode="permissive")
+        .select("i", "decoded", "_errors")
+        .collect()
+    )
+    by_i = {r["i"]: r for r in rows}
+
+    mismatches = []
+    for i, d in enumerate(union_corpus):
+        py_ok, py_val = True, None
+        try:
+            py_val = decode_datum(ps.root, d, ps.env)
+        except E.DatumError:
+            py_ok = False
+        expr_ok = len(by_i[i]["_errors"]) == 0
+        if py_ok != expr_ok:
+            mismatches.append((d, list(by_i[i]["_errors"]), py_ok))
+            continue
+        if py_ok:
+            got = by_i[i]["decoded"].asDict(recursive=True)
+            assert got["items"] == py_val["items"], d
+    assert not mismatches, f"{len(mismatches)} verdict mismatches; first: {mismatches[:3]}"
