@@ -37,3 +37,28 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compacted_write_bounds_file_sizes(spark, sf_dir, tmp_path):
+    """File-size governance at the sink: maxRecordsPerFile caps every
+    output file (the 100 TB small-file/giant-file guard from SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from anglerfish_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "compacted")
+    (
+        d.repartition(2)
+        .write.option("maxRecordsPerFile", 50)
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .count()
+        .collect()
+    )
+    assert per_file and all(r["count"] <= 50 for r in per_file), per_file
+    assert back.count() == d.count()
