@@ -1132,3 +1132,34 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "q_lateral_join",
+    oracle="""
+SELECT r_name, t.n_name
+FROM region, LATERAL (
+  SELECT n_name FROM nation WHERE n_regionkey = r_regionkey
+  ORDER BY n_name LIMIT 2
+) t
+ORDER BY r_name, n_name
+""",
+    group="relational",
+)
+def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-outer-row dependent limit) — Spark
+    decorrelates it into a ranked join, so the per-row subquery never
+    executes per row."""
+    c = _cat(spark, sf_dir)
+    c.region.createOrReplaceTempView("v_region")
+    c.nation.createOrReplaceTempView("v_nation")
+    return spark.sql(
+        """
+        SELECT r_name, t.n_name
+        FROM v_region, LATERAL (
+          SELECT n_name FROM v_nation WHERE n_regionkey = r_regionkey
+          ORDER BY n_name LIMIT 2
+        ) t
+        ORDER BY r_name, n_name
+        """
+    )
