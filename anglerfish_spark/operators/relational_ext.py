@@ -1163,3 +1163,40 @@ def q_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r_name, n_name
         """
     )
+
+
+@query(
+    "q_udtf",
+    oracle="""
+WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tok
+           FROM documents WHERE doc_id % 100 = 0)
+SELECT doc_id,
+       CAST(unnest(range(len(list_slice(tok, 1, 5)))) AS INT) AS pos,
+       unnest(list_slice(tok, 1, 5)) AS tok
+FROM t
+""",
+    group="relational",
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5 UDTF surface): a
+    row-expanding generator invoked through LATERAL — the UDF family's
+    1→N member, complementing scalar pandas UDFs and mapInPandas."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, tok: string")
+    class SplitTokens:
+        def eval(self, text: str, n: int):
+            toks = [t for t in text.split(" ") if t]
+            for i, t in enumerate(toks[:n]):
+                yield i, t
+
+    c = _cat(spark, sf_dir)
+    spark.udtf.register("ang_split_tokens", SplitTokens)
+    c.documents.createOrReplaceTempView("v_documents_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.tok
+        FROM v_documents_udtf, LATERAL ang_split_tokens(text, 5) t
+        WHERE doc_id % 100 = 0
+        """
+    )
