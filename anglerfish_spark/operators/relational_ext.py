@@ -1200,3 +1200,38 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id % 100 = 0
         """
     )
+
+
+@query(
+    "q_approx_quantile",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS exact_p50,
+       TRUE AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    group="relational",
+)
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch — mergeable, bounded
+    memory, the 100 TB path where exact percentile means a full sort per
+    group).  Contract oracle like q_approx_distinct: the sketch's median
+    must land within the accuracy-implied rank error of the exact median
+    (both are integral l_quantity values, so a tolerance of 1.0 covers the
+    1/accuracy rank slack on this distribution)."""
+    c = _cat(spark, sf_dir)
+    return (
+        c.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("exact_p50"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            (F.abs(F.col("approx_p50") - F.col("exact_p50")) <= 1.0).alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
