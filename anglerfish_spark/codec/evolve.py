@@ -1,0 +1,167 @@
+"""Avro schema resolution (reader/writer evolution).
+
+The reference models the ingredients — field aliases in
+``AvroRecordFieldMetaData`` (AvroData.scala:62) and field defaults (D8,
+AvroJsonFAlgebras.scala:501-506) — but never wires the Avro-spec
+resolution rules; its README roadmap points at schema-registry use.  The
+engine completes the path, column-level:
+
+decode with the WRITER schema (one parse), then project into the READER
+shape with pure ``Column`` expressions — no re-parse, no Python:
+
+* fields match by name, else by a reader-field alias naming the writer
+  field;
+* writer-only fields are dropped (projection);
+* reader-only fields take their default — missing default is a
+  resolution-time ``SchemaEvolutionError``, not a runtime surprise;
+* primitive promotions per the spec: int→long/float/double,
+  long→float/double, float→double, string↔bytes (as casts);
+* records resolve recursively; arrays/maps resolve their element/value
+  types; a non-union writer resolves into a nullable reader union of a
+  resolvable member.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import SchemaEvolutionError
+from ..schema.model import (
+    AvroArray,
+    AvroMap,
+    AvroPrimitive,
+    AvroRecord,
+    AvroType,
+    AvroUnion,
+    Primitive,
+)
+from ..schema.parser import ParsedSchema, parse_schema
+from ..schema.spark_convert import to_struct_type
+from .decoder import _lit_value, decode_json
+from .pydecode import Decoder as _PyDecoder
+
+#: spec-permitted primitive promotions (writer kind → reader kind)
+PROMOTIONS: frozenset[tuple[Primitive, Primitive]] = frozenset(
+    {
+        (Primitive.INT, Primitive.LONG),
+        (Primitive.INT, Primitive.FLOAT),
+        (Primitive.INT, Primitive.DOUBLE),
+        (Primitive.LONG, Primitive.FLOAT),
+        (Primitive.LONG, Primitive.DOUBLE),
+        (Primitive.FLOAT, Primitive.DOUBLE),
+        (Primitive.STRING, Primitive.BYTES),
+        (Primitive.BYTES, Primitive.STRING),
+    }
+)
+
+_CAST = {
+    Primitive.LONG: "long",
+    Primitive.FLOAT: "float",
+    Primitive.DOUBLE: "double",
+    Primitive.BYTES: "binary",
+    Primitive.STRING: "string",
+}
+
+
+def _parse(s: ParsedSchema | AvroType | str) -> tuple[AvroType, dict[str, AvroType]]:
+    if isinstance(s, str):
+        s = parse_schema(s)
+    if isinstance(s, ParsedSchema):
+        return s.root, s.env
+    return s, {}
+
+
+def _resolve(col: Column, w: AvroType, r: AvroType, renv, wenv, max_depth: int, path: str) -> Column:
+    if isinstance(w, AvroPrimitive) and isinstance(r, AvroPrimitive):
+        if w.kind is r.kind:
+            return col
+        if (w.kind, r.kind) in PROMOTIONS:
+            return col.cast(_CAST[r.kind])
+        raise SchemaEvolutionError(f"{path}: cannot promote {w.kind.value} to {r.kind.value}")
+    if isinstance(w, AvroRecord) and isinstance(r, AvroRecord):
+        return _resolve_record(col, w, r, renv, wenv, max_depth, path)
+    if isinstance(w, AvroArray) and isinstance(r, AvroArray):
+        return F.transform(col, lambda e: _resolve(e, w.items, r.items, renv, wenv, max_depth, f"{path}[]"))
+    if isinstance(w, AvroMap) and isinstance(r, AvroMap):
+        return F.map_from_arrays(
+            F.map_keys(col),
+            F.transform(
+                F.map_values(col),
+                lambda v: _resolve(v, w.values, r.values, renv, wenv, max_depth, f"{path}.{{}}"),
+            ),
+        )
+    if isinstance(r, AvroUnion) and not isinstance(w, AvroUnion):
+        # writer T into reader ["null", T'] — resolve against the first
+        # resolvable non-null member (spec: first match wins)
+        errs = []
+        for m in r.non_null_members:
+            try:
+                return _resolve(col, w, m, renv, wenv, max_depth, path)
+            except SchemaEvolutionError as ex:
+                errs.append(str(ex))
+        raise SchemaEvolutionError(f"{path}: no reader union branch accepts writer type ({errs})")
+    if isinstance(w, AvroUnion) and isinstance(r, AvroUnion) and w == r:
+        return col
+    if type(w) is type(r) and w == r:
+        return col
+    raise SchemaEvolutionError(f"{path}: cannot resolve {type(w).__name__} against {type(r).__name__}")
+
+
+def _resolve_record(
+    col: Column, w: AvroRecord, r: AvroRecord, renv, wenv, max_depth: int, path: str
+) -> Column:
+    target = to_struct_type(r, renv, max_depth)
+    by_name = {f.name: f for f in w.fields}
+    out = []
+    for rf in r.fields:
+        wf = by_name.get(rf.name)
+        if wf is None:
+            for alias in rf.aliases:
+                if alias in by_name:
+                    wf = by_name[alias]
+                    break
+        fpath = f"{path}.{rf.name}"
+        if wf is not None:
+            out.append(
+                _resolve(col[wf.name], wf.type, rf.type, renv, wenv, max_depth, fpath).alias(rf.name)
+            )
+        elif rf.has_default:
+            decoded = _PyDecoder(renv, max_depth).decode(rf.type, rf.default, f"default({rf.name})")
+            out.append(_lit_value(decoded, target[rf.name].dataType).alias(rf.name))
+        else:
+            raise SchemaEvolutionError(
+                f"{fpath}: reader field missing from writer and has no default"
+            )
+    return F.when(col.isNull(), F.lit(None)).otherwise(F.struct(*out))
+
+
+def evolve_struct(
+    col: Column,
+    writer: ParsedSchema | AvroType | str,
+    reader: ParsedSchema | AvroType | str,
+    max_depth: int = 10,
+) -> Column:
+    """Project a writer-schema struct column into the reader schema."""
+    wroot, wenv = _parse(writer)
+    rroot, renv = _parse(reader)
+    return _resolve(col, wroot, rroot, renv, wenv, max_depth, "$")
+
+
+def decode_json_evolved(
+    df: DataFrame,
+    col: str | Column,
+    writer: ParsedSchema | AvroType | str,
+    reader: ParsedSchema | AvroType | str,
+    mode: str = "strict",
+    max_depth: int = 10,
+    output_col: str = "decoded",
+    errors_col: str = "_errors",
+) -> DataFrame:
+    """Strict decode against the writer schema, evolved into the reader
+    shape — one parse, one projection."""
+    out = decode_json(
+        df, col, writer, mode=mode, max_depth=max_depth,
+        output_col=output_col, errors_col=errors_col,
+    )
+    return out.withColumn(output_col, evolve_struct(F.col(output_col), writer, reader, max_depth))

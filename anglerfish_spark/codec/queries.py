@@ -549,3 +549,35 @@ def json_decode_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", v0.alias("v0"), v1.alias("v1"), v2.alias("v2"), depth.alias("depth")
     ).orderBy("id")
+
+
+_READER_SCHEMA = """
+{"type":"record","name":"props","fields":[
+  {"name":"knum","type":"double","aliases":["k"]},
+  {"name":"tag","type":"string","default":"none"}
+]}
+"""
+
+
+@query(
+    "json_decode_evolved",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS knum,
+       'none' AS tag
+FROM events ORDER BY event_id
+""",
+    group="codec",
+)
+def json_decode_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution end-to-end: decode with the writer schema
+    ({k: long}), resolve into a reader schema that renames via alias
+    (k -> knum), promotes long -> double, and fills a defaulted field —
+    one parse plus a pure column projection (codec/evolve.py)."""
+    from .evolve import decode_json_evolved
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return decode_json_evolved(ev, "props", _EVENTS_SCHEMA, _READER_SCHEMA, mode="strict").select(
+        "event_id", F.col("decoded.knum").alias("knum"), F.col("decoded.tag").alias("tag")
+    )

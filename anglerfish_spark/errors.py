@@ -112,3 +112,7 @@ class UnrepresentableError(DatumError):
     """Numeric value outside the target type's exact range (D3 semantics)."""
 
     code = "UnrepresentableError"
+
+
+class SchemaEvolutionError(SchemaError):
+    """Reader schema cannot be resolved against the writer schema."""

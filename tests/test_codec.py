@@ -317,3 +317,63 @@ class TestPythonDecodePath:
         df = spark.createDataFrame([('{"recs": [{"a": 1, "c": "Z"}]}',)], ["j"])
         with pytest.raises(Exception, match="EnumError|PythonException|enum"):
             decode_json_python(df, "j", ps, mode="strict").collect()
+
+
+class TestSchemaEvolution:
+    WRITER = """
+    {"name": "w", "type": "record", "fields": [
+      {"name": "k", "type": "int"},
+      {"name": "old_name", "type": "string"},
+      {"name": "dropped", "type": "long"},
+      {"name": "nested", "type": {"type": "record", "name": "n", "fields": [
+        {"name": "x", "type": "float"}]}}
+    ]}
+    """
+    READER = """
+    {"name": "w", "type": "record", "fields": [
+      {"name": "k", "type": "double"},
+      {"name": "new_name", "type": "string", "aliases": ["old_name"]},
+      {"name": "added", "type": "string", "default": "dflt"},
+      {"name": "nested", "type": {"type": "record", "name": "n", "fields": [
+        {"name": "x", "type": "double"}]}},
+      {"name": "opt", "type": ["null", "long"], "default": null}
+    ]}
+    """
+
+    def test_evolution_end_to_end(self, spark):
+        from anglerfish_spark.codec.evolve import decode_json_evolved
+
+        df = spark.createDataFrame(
+            [('{"k": 3, "old_name": "a", "dropped": 9, "nested": {"x": 1.5}}',)], ["j"]
+        )
+        row = decode_json_evolved(df, "j", self.WRITER, self.READER).select("decoded.*").collect()[0]
+        assert row["k"] == 3.0 and isinstance(row["k"], float)
+        assert row["new_name"] == "a"
+        assert row["added"] == "dflt"
+        assert row["nested"]["x"] == 1.5
+        assert row["opt"] is None
+        assert "dropped" not in row.asDict()
+
+    def test_unresolvable_raises_at_plan_time(self, spark):
+        import pytest as _pytest
+
+        from anglerfish_spark.codec.evolve import evolve_struct
+        from anglerfish_spark.errors import SchemaEvolutionError
+
+        bad_reader = '{"name":"w","type":"record","fields":[{"name":"nope","type":"long"}]}'
+        writer = '{"name":"w","type":"record","fields":[{"name":"k","type":"int"}]}'
+        from pyspark.sql import functions as F
+        with _pytest.raises(SchemaEvolutionError, match="no default"):
+            evolve_struct(F.col("c"), writer, bad_reader)
+
+    def test_illegal_promotion_raises(self, spark):
+        import pytest as _pytest
+
+        from anglerfish_spark.codec.evolve import evolve_struct
+        from anglerfish_spark.errors import SchemaEvolutionError
+        from pyspark.sql import functions as F
+
+        writer = '{"name":"w","type":"record","fields":[{"name":"k","type":"double"}]}'
+        reader = '{"name":"w","type":"record","fields":[{"name":"k","type":"int"}]}'
+        with _pytest.raises(SchemaEvolutionError, match="promote"):
+            evolve_struct(F.col("c"), writer, reader)
