@@ -253,3 +253,70 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(redacted).alias("redacted_len"),
         )
     )  # no trailing sort: row-level output
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+DECON_N = 4  # real pipelines use 8-13-gram windows; the synthetic vocab is
+#              tiny, so 4-grams give a representative non-empty overlap
+
+
+def ngrams(tok: Column, n: int) -> Column:
+    """Distinct word n-grams via n shifted slices merged with n-1 linear
+    zip_with passes — O(tokens), the generalization of dedup.shingles."""
+    m = F.size(tok) - (n - 1)
+    acc = F.slice(tok, 1, m)
+    for i in range(1, n):
+        acc = F.zip_with(acc, F.slice(tok, i + 1, m), lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(F.size(tok) >= n, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_NGRAMS_SQL = f"""
+list_distinct([
+  array_to_string(list_slice({TOKENS_SQL}, i, i + {DECON_N - 1}), ' ')
+  for i in generate_series(1, len({TOKENS_SQL}) - {DECON_N - 1})
+])
+""".strip()
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+WITH g AS (SELECT doc_id, unnest({_NGRAMS_SQL}) AS gram FROM documents),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_shared
+  FROM g JOIN bench ON g.gram = bench.gram
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_shared FROM hits
+ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing any
+    word n-gram with the held-out set (doc_id % 97 = 0 stands in for the
+    eval benchmark) are flagged with their shared-gram count.
+
+    Scale shape: distinct grams per doc (explode) -> the benchmark gram
+    set is DISTINCT and small relative to the corpus, so the overlap is a
+    broadcast-able equi-join on the gram; at 100 TB you hash the grams
+    (xxhash64) so the join key is 8 bytes, and block by gram-hash range if
+    the benchmark outgrows broadcast."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(ngrams(tokens(), DECON_N)).alias("gram"))
+    bench = g.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    return (
+        g.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    )
