@@ -320,3 +320,45 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_repetition_filter",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents)
+SELECT doc_id,
+       CAST(len(tok) AS INT) AS n_tok,
+       CAST(len(list_distinct(tok)) AS INT) AS n_distinct,
+       CAST(list_max([len(list_filter(tok, x -> x = d)) for d in list_distinct(tok)])
+            AS DOUBLE) / len(tok) AS top_tok_ratio,
+       CAST(list_max([len(list_filter(tok, x -> x = d)) for d in list_distinct(tok)])
+            AS DOUBLE) / len(tok) > 0.2 AS repetitive
+FROM t WHERE len(tok) > 0
+""",
+    group="llm-text",
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher-rule shape): flags docs
+    whose most frequent token dominates.  Token counting happens INSIDE
+    the row with higher-order functions — no explode, no shuffle; the
+    whole filter is a map stage."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens()
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(tok),
+            lambda t: F.size(F.filter(tok, lambda x: x == t)),
+        )
+    )
+    ratio = top.cast("double") / F.size(tok)
+    return (
+        d.select(
+            "doc_id",
+            F.size(tok).alias("n_tok"),
+            F.size(F.array_distinct(tok)).alias("n_distinct"),
+            ratio.alias("top_tok_ratio"),
+            (ratio > 0.2).alias("repetitive"),
+        )
+        .where(F.col("n_tok") > 0)
+    )
