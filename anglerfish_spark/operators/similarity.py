@@ -319,3 +319,53 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOP_K)
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding preprocessing: L2 normalization + int8 quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embedding_normalize",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label,
+         sqrt({dot_sql('embedding', 'embedding')}) AS norm
+  FROM embeddings
+)
+SELECT vec_id, label, norm,
+       CAST(list_sum([
+         CAST(ROUND(GREATEST(-127.0, LEAST(127.0,
+           (CAST(e.embedding[i] AS DOUBLE) / v.norm) * 127.0))) AS BIGINT)
+         * i for i in generate_series(1, {DIM})]) AS BIGINT) AS q8_weighted_sum
+FROM embeddings e JOIN v USING (vec_id, label)
+ORDER BY vec_id
+""",
+    group="llm-similarity",
+)
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preprocessing: L2 norm, unit-normalize, symmetric int8
+    quantization (round(clip(x/||x||*127))) — the storage/ANN-prep stage
+    that cuts vector bytes 4x before indexing.  The oracle verifies the
+    full quantized vector through a position-weighted checksum.  Pure map
+    stage; round/clip arithmetic is identical IEEE in both engines."""
+    prepare(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(
+            F.greatest(F.lit(-127.0), F.least(F.lit(127.0), x.cast("double") / F.col("norm") * 127.0))
+        ).cast("long"),
+    )
+    weighted = F.aggregate(
+        F.zip_with(q8, F.sequence(F.lit(1), F.lit(DIM)), lambda q, i: q * i.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.withColumn("norm", norm)
+        .select("vec_id", "label", "norm", weighted.alias("q8_weighted_sum"))
+        .orderBy("vec_id")
+    )
