@@ -346,3 +346,22 @@ def test_differential_union_in_array(spark, union_corpus):
             got = by_i[i]["decoded"].asDict(recursive=True)
             assert got["items"] == py_val["items"], d
     assert not mismatches, f"{len(mismatches)} verdict mismatches; first: {mismatches[:3]}"
+
+
+def test_python_path_matches_expression_on_union_corpus(spark, union_corpus):
+    """decode_json_python must agree with the expression decoder verdict-
+    for-verdict on the union-in-array corpus."""
+    from anglerfish_spark.codec.decoder import decode_json_python
+
+    ps = parse_schema(_UNION_IN_ARRAY_SCHEMA)
+    texts = [json.dumps(d) for d in union_corpus]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "j"])
+    expr = {
+        r["i"]: len(r["_errors"]) == 0
+        for r in decode_json(df, "j", ps, mode="permissive").select("i", "_errors").collect()
+    }
+    py = {
+        r["i"]: len(r["_errors"]) == 0
+        for r in decode_json_python(df, "j", ps, mode="permissive").select("i", "_errors").collect()
+    }
+    assert expr == py
