@@ -32,7 +32,7 @@ def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
     oracle=f"""
 SELECT o_orderstatus,
        {", ".join(
-         f"SUM(CASE WHEN o_orderpriority = '{v}' THEN 1 ELSE 0 END) AS {a}"
+         f"CAST(SUM(CASE WHEN o_orderpriority = '{v}' THEN 1 ELSE 0 END) AS BIGINT) AS {a}"
          for v, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
        )}
 FROM orders

@@ -53,7 +53,7 @@ def _marker_hits_sql(words: tuple[str, ...]) -> str:
     oracle=f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CAST(len({TOKENS_SQL}) AS BIGINT)) AS total_tokens,
+       CAST(SUM(CAST(len({TOKENS_SQL}) AS BIGINT)) AS BIGINT) AS total_tokens,
        {dsum_sql('n_chars')} / COUNT(*) AS avg_chars,
        COUNT(DISTINCT source) AS n_sources
 FROM documents
