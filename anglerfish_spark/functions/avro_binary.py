@@ -76,12 +76,23 @@ def read_long(buf: bytes, pos: int) -> tuple[int, int]:
     shift = 0
     acc = 0
     while True:
-        b = buf[pos]
+        if shift > 63:  # valid zigzag varints are at most 10 bytes
+            raise DatumError(f"varint longer than 10 bytes at offset {pos}")
+        try:
+            b = buf[pos]
+        except IndexError:
+            raise DatumError(f"truncated varint at offset {pos}") from None
         pos += 1
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             return _unzigzag(acc), pos
         shift += 7
+
+
+def _take(buf: bytes, pos: int, n: int) -> bytes:
+    if n < 0 or pos + n > len(buf):
+        raise DatumError(f"length {n} at offset {pos} overruns buffer of {len(buf)}")
+    return buf[pos : pos + n]
 
 
 # ---------------------------------------------------------------------------
@@ -205,15 +216,17 @@ class BinaryCodec:
                 return _struct.unpack_from("<d", buf, pos)[0], pos + 8
             if k is Primitive.BYTES:
                 n, pos = read_long(buf, pos)
-                return buf[pos : pos + n], pos + n
+                return _take(buf, pos, n), pos + n
             if k is Primitive.STRING:
                 n, pos = read_long(buf, pos)
-                return buf[pos : pos + n].decode("utf-8"), pos + n
+                return _take(buf, pos, n).decode("utf-8"), pos + n
         if isinstance(t, AvroEnum):
             i, pos = read_long(buf, pos)
+            if not 0 <= i < len(t.symbols):
+                raise DatumError(f"enum index {i} out of range for {t.name}")
             return t.symbols[i], pos
         if isinstance(t, AvroFixed):
-            return buf[pos : pos + t.length], pos + t.length
+            return _take(buf, pos, t.length), pos + t.length
         if isinstance(t, AvroArray):
             out = []
             while True:
@@ -237,11 +250,13 @@ class BinaryCodec:
                     n = -n
                 for _ in range(n):
                     klen, pos = read_long(buf, pos)
-                    key = buf[pos : pos + klen].decode("utf-8")
+                    key = _take(buf, pos, klen).decode("utf-8")
                     pos += klen
                     out[key], pos = self._dec(t.values, buf, pos)
         if isinstance(t, AvroUnion):
             idx, pos = read_long(buf, pos)
+            if not 0 <= idx < len(t.members):
+                raise DatumError(f"union branch index {idx} out of range")
             member = t.members[idx]
             if isinstance(member, AvroPrimitive) and member.kind is Primitive.NULL:
                 return None, pos
@@ -257,6 +272,22 @@ class BinaryCodec:
                 rec[f.name], pos = self._dec(f.type, buf, pos)
             return rec, pos
         raise DatumError(f"cannot decode against {t!r}")
+
+
+def dumps_avro_json(v: Any) -> str:
+    """``json.dumps`` of a decoded representation.  bytes/fixed values decode
+    to Python ``bytes``, which json can't serialize — render them as base64
+    text, mirroring pydecode's Avro-JSON input representation (D4,
+    AvroJsonFAlgebras.scala:56) so decode→dumps→encode round-trips."""
+    return json.dumps(v, sort_keys=False, default=_bytes_to_b64)
+
+
+def _bytes_to_b64(o: Any) -> str:
+    if isinstance(o, (bytes, bytearray, memoryview)):
+        import base64
+
+        return base64.b64encode(bytes(o)).decode("ascii")
+    raise TypeError(f"not JSON serializable: {type(o).__name__}")
 
 
 # ---------------------------------------------------------------------------
@@ -290,7 +321,7 @@ def avro_decode_udf(schema_json: str):
     @pandas_udf(T.StringType())
     def _decode(s: pd.Series) -> pd.Series:
         codec = BinaryCodec(parse_schema(schema_json))
-        return s.map(lambda b: json.dumps(codec.decode(bytes(b)), sort_keys=False))
+        return s.map(lambda b: dumps_avro_json(codec.decode(bytes(b))))
 
     return _decode
 

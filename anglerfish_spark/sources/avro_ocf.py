@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..functions.avro_binary import BinaryCodec, read_long, write_long
+from ..functions.avro_binary import BinaryCodec, dumps_avro_json, read_long, write_long
 
 MAGIC = b"Obj\x01"
 SYNC = bytes(range(16))  # fixed marker: deterministic output files
@@ -144,7 +144,7 @@ def read_avro_ocf(spark: SparkSession, path_glob: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
-                rows.extend(json.dumps(v) for v in decode_ocf(bytes(blob)))
+                rows.extend(dumps_avro_json(v) for v in decode_ocf(bytes(blob)))
             yield pd.DataFrame({"value": rows})
 
     files = spark.read.format("binaryFile").load(path_glob)
