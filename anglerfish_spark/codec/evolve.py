@@ -17,8 +17,13 @@ shape with pure ``Column`` expressions — no re-parse, no Python:
 * primitive promotions per the spec: int→long/float/double,
   long→float/double, float→double, string↔bytes (as casts);
 * records resolve recursively; arrays/maps resolve their element/value
-  types; a non-union writer resolves into a nullable reader union of a
-  resolvable member.
+  types;
+* unions resolve shape-aware: a non-union writer lands in the reader
+  union's Spark encoding (bare nullable member, or the ``member_*`` tagged
+  struct with the matched branch populated); a writer union resolves
+  branch-wise into a superset reader union (each branch routed to its
+  first resolvable reader member); an unresolvable branch, or nullability
+  narrowing, is a resolution-time ``SchemaEvolutionError``.
 """
 
 from __future__ import annotations
@@ -37,7 +42,7 @@ from ..schema.model import (
     Primitive,
 )
 from ..schema.parser import ParsedSchema, parse_schema
-from ..schema.spark_convert import to_struct_type
+from ..schema.spark_convert import to_struct_type, union_field_names
 from .decoder import _lit_value, decode_json
 from .pydecode import Decoder as _PyDecoder
 
@@ -92,20 +97,105 @@ def _resolve(col: Column, w: AvroType, r: AvroType, renv, wenv, max_depth: int, 
             ),
         )
     if isinstance(r, AvroUnion) and not isinstance(w, AvroUnion):
-        # writer T into reader ["null", T'] — resolve against the first
-        # resolvable non-null member (spec: first match wins)
-        errs = []
-        for m in r.non_null_members:
+        # writer T into reader union — first resolvable non-null member wins
+        # (spec: "the first schema in the reader's union that matches")
+        return _resolve_into_union(col, w, r, renv, wenv, max_depth, path)
+    if isinstance(w, AvroUnion) and isinstance(r, AvroUnion):
+        if w == r:
+            return col
+        return _resolve_union_union(col, w, r, renv, wenv, max_depth, path)
+    if isinstance(w, AvroUnion) and not isinstance(r, AvroUnion):
+        return _resolve_union_out(col, w, r, renv, wenv, max_depth, path)
+    if type(w) is type(r) and w == r:
+        return col
+    raise SchemaEvolutionError(f"{path}: cannot resolve {type(w).__name__} against {type(r).__name__}")
+
+
+def _resolve_into_union(
+    col: Column, w: AvroType, r: AvroUnion, renv, wenv, max_depth: int, path: str
+) -> Column:
+    """Resolve a non-union writer value into the reader union's Spark shape:
+    the bare nullable member when the union has ≤1 non-null branch, else the
+    ``member_*`` tagged struct with exactly the matched branch populated
+    (previously the bare member column leaked out — ADVICE r1)."""
+    rn = r.non_null_members
+    errs: list[str] = []
+    if len(rn) <= 1:
+        for m in rn:
             try:
                 return _resolve(col, w, m, renv, wenv, max_depth, path)
             except SchemaEvolutionError as ex:
                 errs.append(str(ex))
         raise SchemaEvolutionError(f"{path}: no reader union branch accepts writer type ({errs})")
-    if isinstance(w, AvroUnion) and isinstance(r, AvroUnion) and w == r:
-        return col
-    if type(w) is type(r) and w == r:
-        return col
-    raise SchemaEvolutionError(f"{path}: cannot resolve {type(w).__name__} against {type(r).__name__}")
+    names = union_field_names(r)
+    for name, m in zip(names, rn):
+        try:
+            resolved = _resolve(col, w, m, renv, wenv, max_depth, path)
+        except SchemaEvolutionError as ex:
+            errs.append(str(ex))
+            continue
+        fields = [
+            resolved.alias(nm)
+            if nm == name
+            else F.lit(None).cast(to_struct_type(mm, renv, max_depth)).alias(nm)
+            for nm, mm in zip(names, rn)
+        ]
+        return F.when(col.isNull(), F.lit(None)).otherwise(F.struct(*fields))
+    raise SchemaEvolutionError(f"{path}: no reader union branch accepts writer type ({errs})")
+
+
+def _resolve_union_union(
+    col: Column, w: AvroUnion, r: AvroUnion, renv, wenv, max_depth: int, path: str
+) -> Column:
+    """Writer union into a different reader union (the spec's most common
+    evolution: the reader adds a branch).  Every writer branch must find a
+    home in the reader union — an unresolvable branch is a resolution-time
+    ``SchemaEvolutionError`` (strict: the engine refuses plans that could
+    fail per-datum, rather than failing at runtime)."""
+    if w.is_nullable and not r.is_nullable:
+        raise SchemaEvolutionError(f"{path}: writer union is nullable but reader union is not")
+    wn = w.non_null_members
+    rdt = to_struct_type(r, renv, max_depth)
+    if len(wn) == 0:  # null-only writer union; reader nullability checked above
+        return F.lit(None).cast(rdt)
+    if len(wn) == 1:
+        # writer's Spark shape is the bare nullable member
+        out = _resolve_into_union(col, wn[0], r, renv, wenv, max_depth, path)
+        return F.when(col.isNull(), F.lit(None).cast(rdt)).otherwise(out)
+    # writer's shape is a tagged struct: route each branch, keep the one
+    # that is populated on each row (exactly one, by construction)
+    branches = [
+        (
+            col[wname],
+            _resolve_into_union(col[wname], wm, r, renv, wenv, max_depth, f"{path}<{wname}>"),
+        )
+        for wname, wm in zip(union_field_names(w), wn)
+    ]
+    out = F.lit(None).cast(rdt)
+    for src, resolved in reversed(branches):
+        out = F.when(src.isNotNull(), resolved).otherwise(out)
+    return F.when(col.isNull(), F.lit(None).cast(rdt)).otherwise(out)
+
+
+def _resolve_union_out(
+    col: Column, w: AvroUnion, r: AvroType, renv, wenv, max_depth: int, path: str
+) -> Column:
+    """Writer union into a non-union reader.  Permitted when every writer
+    branch resolves into the reader type and the writer cannot produce
+    nulls (strict resolution-time check, same rationale as above)."""
+    if w.is_nullable:
+        raise SchemaEvolutionError(
+            f"{path}: nullable writer union cannot resolve into non-union reader"
+        )
+    wn = w.non_null_members
+    if len(wn) == 1:
+        return _resolve(col, wn[0], r, renv, wenv, max_depth, path)
+    rdt = to_struct_type(r, renv, max_depth)
+    out = F.lit(None).cast(rdt)
+    for wname, wm in reversed(list(zip(union_field_names(w), wn))):
+        resolved = _resolve(col[wname], wm, r, renv, wenv, max_depth, f"{path}<{wname}>")
+        out = F.when(col[wname].isNotNull(), resolved).otherwise(out)
+    return out
 
 
 def _resolve_record(

@@ -116,3 +116,8 @@ class UnrepresentableError(DatumError):
 
 class SchemaEvolutionError(SchemaError):
     """Reader schema cannot be resolved against the writer schema."""
+
+
+class ConvergenceError(AnglerfishError):
+    """An iterative distributed algorithm exhausted its round budget
+    without reaching a fixed point (results would be silently partial)."""

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..errors import ConvergenceError
 from ..registry import query
 from ..session import prepare
 from ..sources.registry import load_table
@@ -340,14 +341,23 @@ pairs AS (
 
 
 def connected_components(pairs: DataFrame, src: str, dst: str, max_iter: int = 15) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by min-label propagation with pointer jumping.
 
     A genuinely iterative distributed algorithm (not SQL-expressible in one
-    query): each round joins labels across edges and keeps the minimum;
-    convergence in O(diameter) rounds.  The driver only coordinates rounds
-    (a count per iteration); labels and edges stay distributed.  At 100 TB
-    you would add large-star/small-star contraction to cut rounds; the
-    join-per-round shape is the same.
+    query).  Each round does (1) a neighbor-min step — join labels across
+    edges, keep the minimum — and (2) a pointer-jump step — replace each
+    label by *its* label (``label := labels[label]``, valid because a label
+    is always a node id and labels only decrease).  The jump halves the
+    depth of every label chain, so convergence is O(log diameter) rounds
+    rather than O(diameter): a path graph of 30k nodes converges in ~15
+    rounds instead of 30k.  The driver only coordinates rounds (one
+    existence check per iteration); labels and edges stay distributed, and
+    each round's result is localCheckpoint'd to truncate lineage (without
+    it round *i* would recompute rounds 1..i-1).
+
+    Raises :class:`ConvergenceError` if a fixed point is not reached within
+    ``max_iter`` rounds — silently-partial labels would diverge from the
+    transitive-closure oracle (ADVICE r1).
     """
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("t")).union(
         pairs.select(F.col(dst).alias("s"), F.col(src).alias("t"))
@@ -362,9 +372,16 @@ def connected_components(pairs: DataFrame, src: str, dst: str, max_iter: int = 1
             .groupBy("node")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr, "node", "left")
             .select("node", F.least(F.col("label"), F.col("nbr_min")).alias("label"))
+        )
+        # pointer jump: labels[label] ≤ label by the monotone-min invariant
+        jump = stepped.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+        new_labels = (
+            stepped.join(jump, stepped.label == jump.pnode, "left")
+            .select("node", F.coalesce("plabel", "label").alias("label"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -375,8 +392,11 @@ def connected_components(pairs: DataFrame, src: str, dst: str, max_iter: int = 1
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise ConvergenceError(
+        f"connected_components did not converge within {max_iter} rounds "
+        f"(component diameter exceeds 2^{max_iter}); raise max_iter"
+    )
 
 
 @query(

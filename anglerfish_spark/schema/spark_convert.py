@@ -95,6 +95,16 @@ def union_branch_name(member: AvroType) -> str:
     raise InvalidParserStateError(f"unexpected union member {member!r}")
 
 
+def union_field_names(u: AvroUnion) -> list[str]:
+    """Tagged-struct field names for a union's non-null members, including
+    the collision qualification applied by ``to_struct_type`` — the single
+    source of truth for the union encoding's field names."""
+    names = [union_branch_name(m) for m in u.non_null_members]
+    if len(set(names)) != len(names):  # short-name collision → qualify
+        names = [f"member_{i}_{n.removeprefix('member_')}" for i, n in enumerate(names)]
+    return names
+
+
 class _Converter:
     def __init__(self, env: dict[str, AvroType], max_depth: int):
         self.env = env
@@ -140,11 +150,7 @@ class _Converter:
             return T.NullType(), {}
         if len(non_null) == 1:
             return self.convert(non_null[0])
-        names = [union_branch_name(m) for m in non_null]
-        if len(set(names)) != len(names):  # short-name collision → qualify
-            names = [
-                f"member_{i}_{n.removeprefix('member_')}" for i, n in enumerate(names)
-            ]
+        names = union_field_names(u)
         fields = []
         for name, m in zip(names, non_null):
             dt, extra = self.convert(m)

@@ -377,3 +377,73 @@ class TestSchemaEvolution:
         reader = '{"name":"w","type":"record","fields":[{"name":"k","type":"int"}]}'
         with _pytest.raises(SchemaEvolutionError, match="promote"):
             evolve_struct(F.col("c"), writer, reader)
+
+
+class TestUnionEvolution:
+    """ADVICE r1: union resolution must honor the tagged-struct Spark shape
+    and support widening a writer union into a superset reader union."""
+
+    @staticmethod
+    def _rec(field_type: str) -> str:
+        return f'{{"name":"w","type":"record","fields":[{{"name":"u","type":{field_type}}}]}}'
+
+    def _evolved(self, spark, writer, reader, datum_json):
+        from anglerfish_spark.codec.evolve import decode_json_evolved
+
+        df = spark.createDataFrame([(datum_json,)], ["j"])
+        return decode_json_evolved(df, "j", writer, reader).select("decoded.u").collect()[0]["u"]
+
+    def test_nonunion_writer_into_tagged_reader(self, spark):
+        # writer int → reader ["null","int","string"]: the reader shape is a
+        # member_* struct, not a bare int (the r1 defect returned bare int)
+        writer = self._rec('"int"')
+        reader = self._rec('["null", "int", "string"]')
+        u = self._evolved(spark, writer, reader, '{"u": 7}')
+        assert u.asDict() == {"member_int": 7, "member_string": None}
+
+    def test_union_widened_to_superset(self, spark):
+        # writer ["int","string"] → reader ["int","string","boolean"]
+        writer = self._rec('["int", "string"]')
+        reader = self._rec('["int", "string", "boolean"]')
+        u = self._evolved(spark, writer, reader, '{"u": {"string": "hi"}}')
+        assert u.asDict() == {"member_int": None, "member_string": "hi", "member_boolean": None}
+        u2 = self._evolved(spark, writer, reader, '{"u": {"int": 4}}')
+        assert u2.asDict() == {"member_int": 4, "member_string": None, "member_boolean": None}
+
+    def test_nullable_single_into_tagged_nullable(self, spark):
+        # writer ["null","long"] (bare shape) → reader ["null","long","string"]
+        writer = self._rec('["null", "long"]')
+        reader = self._rec('["null", "long", "string"]')
+        u = self._evolved(spark, writer, reader, '{"u": {"long": 11}}')
+        assert u.asDict() == {"member_long": 11, "member_string": None}
+        assert self._evolved(spark, writer, reader, '{"u": null}') is None
+
+    def test_union_with_promotion_into_nonunion(self, spark):
+        # writer ["int","long"] → reader plain "double": both branches promote
+        writer = self._rec('["int", "long"]')
+        reader = self._rec('"double"')
+        assert self._evolved(spark, writer, reader, '{"u": {"int": 3}}') == 3.0
+        assert self._evolved(spark, writer, reader, '{"u": {"long": 9}}') == 9.0
+
+    def test_nullability_narrowing_raises(self, spark):
+        import pytest as _pytest
+
+        from anglerfish_spark.codec.evolve import evolve_struct
+        from anglerfish_spark.errors import SchemaEvolutionError
+        from pyspark.sql import functions as F
+
+        with _pytest.raises(SchemaEvolutionError, match="nullable"):
+            evolve_struct(F.col("c"), self._rec('["null", "int"]'), self._rec('["int", "string"]'))
+        with _pytest.raises(SchemaEvolutionError, match="nullable"):
+            evolve_struct(F.col("c"), self._rec('["null", "int"]'), self._rec('"int"'))
+
+    def test_unresolvable_branch_raises(self, spark):
+        import pytest as _pytest
+
+        from anglerfish_spark.codec.evolve import evolve_struct
+        from anglerfish_spark.errors import SchemaEvolutionError
+        from pyspark.sql import functions as F
+
+        # writer boolean branch has no home in ["int","string"]
+        with _pytest.raises(SchemaEvolutionError, match="no reader union branch"):
+            evolve_struct(F.col("c"), self._rec('["int", "boolean"]'), self._rec('["int", "string"]'))
