@@ -45,7 +45,7 @@ def json_decode_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict typed decode of events.props (reference D1/D2 lifted to a
     column; all checks JVM-side, no Python in the row path)."""
     prepare(spark)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     return (
         decode_json(ev, "props", _EVENTS_SCHEMA, mode="strict")
         .select("event_id", F.col("decoded.k").alias("k"))
@@ -65,7 +65,7 @@ FROM events ORDER BY event_id
 def json_decode_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field-default substitution on absent keys (reference D6/D8)."""
     prepare(spark)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     return (
         decode_json(ev, "props", _EVENTS_DEFAULTS_SCHEMA, mode="strict")
         .select("event_id", F.col("decoded.k").alias("k"), F.col("decoded.tag").alias("tag"))
@@ -355,7 +355,7 @@ def avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.avro_binary import avro_decode, avro_encode
 
     prepare(spark)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     enc = ev.withColumn("bin", avro_encode("props", _EVENTS_SCHEMA))
     dec = enc.withColumn("back", avro_decode("bin", _EVENTS_SCHEMA))
     return dec.select(
@@ -421,7 +421,7 @@ def avro_ocf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.avro_ocf import read_avro_ocf, write_avro_ocf
 
     prepare(spark)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     out_dir = tempfile.mkdtemp(prefix="anglerfish_ocf_")
     write_avro_ocf(ev, "props", _EVENTS_SCHEMA, out_dir)
     back = read_avro_ocf(spark, out_dir)
@@ -487,7 +487,7 @@ def json_decode_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .decoder import decode_json_python
 
     prepare(spark)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     return (
         decode_json_python(ev, "props", _EVENTS_SCHEMA, mode="strict")
         .select("event_id", F.col("decoded.k").alias("k"))
@@ -577,7 +577,7 @@ def json_decode_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .evolve import decode_json_evolved
 
     prepare(spark)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     return decode_json_evolved(ev, "props", _EVENTS_SCHEMA, _READER_SCHEMA, mode="strict").select(
         "event_id", F.col("decoded.knum").alias("knum"), F.col("decoded.tag").alias("tag")
     )

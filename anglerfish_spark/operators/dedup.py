@@ -5,13 +5,15 @@ Design for 100 TB:
 
 * **Exact** — hash-groupBy on an md5 fingerprint: one shuffle keyed by the
   hash, perfectly combinable, no skew beyond true duplicate groups.
-* **MinHash+LSH** — per-doc signatures are a map-side explode+groupBy
-  (shuffle keyed by doc); candidate pairs come from a *bucket join* on
-  (band, band-key), never an all-pairs product: cost scales with bucket
+* **MinHash+LSH** — per-doc signatures are computed entirely map-side
+  (shingle hashes materialize inside the array; each lane is an
+  ``array_min``): the pipeline's first shuffle is the *bucket join* on
+  (band, band-key), never an all-pairs product — cost scales with bucket
   occupancy, the classic LSH trade-off.  Hash family is md5 with salt
   ``i|shingle`` — no RNG, reproducible across engines and runs.
-* **SimHash** — pure map + per-doc integer sums (order-free, exact);
-  grouping identical signatures is one combinable shuffle.
+* **SimHash** — pure map (per-row ``aggregate`` bit votes over in-array
+  token md5s, order-free, exact); grouping identical signatures is one
+  combinable shuffle.
 * **n-gram Jaccard** — all-pairs *within blocking keys* (lang, source)
   only; blocks bound the quadratic term, the standard blocked-dedup shape.
 
@@ -87,7 +89,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     token bag — catches reorder/repeat-only edits); keep the smallest
     doc_id.  One combinable shuffle keyed by the hash."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fanout=True)
     fp = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(tokens()))).cast("binary")
     ).alias("fp")
@@ -112,20 +114,33 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     shingle yield 8 independent 32-bit hashes at 1/4 the hashing cost of
     one md5 per hash (measured hot spot).  min over hex strings is a
     total order both engines share (ASCII), applied per lane.
+
+    Entirely map-side: shingle hashes are computed *inside* the array
+    (one ``transform`` materializes both md5s per shingle), and each lane
+    is an ``array_min`` over a substring view — no explode, no shuffle.
+    The first exchange of the whole LSH pipeline is the band bucket join.
+    Shingle-less docs carry null lanes; null band keys never join, which
+    matches the grouped-explode formulation where such docs vanish.
     """
     assert n_hashes <= 8, "lane scheme provides up to 8 hashes (2 md5s x 4 lanes)"
-    sh = docs.select("doc_id", F.explode(shingles(tokens())).alias("sh"))
-    salted = sh.select(
-        "doc_id",
-        F.md5(F.concat(F.lit("a|"), F.col("sh")).cast("binary")).alias("_ma"),
-        F.md5(F.concat(F.lit("b|"), F.col("sh")).cast("binary")).alias("_mb"),
+    hashed = F.transform(
+        shingles(tokens()),
+        lambda s: F.struct(
+            F.md5(F.concat(F.lit("a|"), s).cast("binary")).alias("ma"),
+            F.md5(F.concat(F.lit("b|"), s).cast("binary")).alias("mb"),
+        ),
     )
-    aggs = []
+    def lane(f: str, p: int):
+        # plain closure: extra defaulted lambda params would be miscounted
+        # as higher-order-function arguments by the lambda binder
+        return lambda x: F.substring(x[f], p, 8)
+
+    lanes = []
     for i in range(n_hashes):
-        src = "_ma" if i < 4 else "_mb"
+        src = "ma" if i < 4 else "mb"
         start = (i % 4) * 8 + 1
-        aggs.append(F.min(F.substring(src, start, 8)).alias(f"h{i}"))
-    return salted.groupBy("doc_id").agg(*aggs)
+        lanes.append(F.array_min(F.transform(F.col("_h"), lane(src, start))).alias(f"h{i}"))
+    return docs.select("doc_id", hashed.alias("_h")).select("doc_id", *lanes)
 
 
 @query(
@@ -164,7 +179,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (b=4 bands of r=2): docs sharing any band bucket become candidates —
     a bucket join, not an all-pairs product."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fanout=True)
     sig = minhash_signatures(d)
     band_structs = F.array(
         *[
@@ -231,18 +246,32 @@ ORDER BY simhash
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per doc (md5-derived bit votes, integer sums — exact
-    and order-free); identical signatures group as near-dup clusters."""
+    and order-free); identical signatures group as near-dup clusters.
+
+    Signatures are computed per row — token md5s materialize once inside
+    the array, each bit is an ``aggregate`` vote over it — so the only
+    shuffle left is the final tiny groupBy(simhash).  (The grouped-explode
+    formulation shuffled one row per *token*, keyed by doc_id.)  Token-less
+    docs are filtered out, matching the unnest formulation where they
+    produce no rows.
+    """
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens()).alias("t"))
-    h = F.md5(F.col("t").cast("binary"))
-    bit_sums = [
-        F.sum(
-            F.when(F.substring(h, j + 1, 1) >= "8", 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    hashed = F.transform(tokens(), lambda t: F.md5(t.cast("binary")))
+
+    def vote(j: int):
+        return lambda acc, x: acc + F.when(F.substring(x, j + 1, 1) >= "8", 1).otherwise(-1)
+
+    bit_cols = [
+        F.aggregate(F.col("_h"), F.lit(0), vote(j)).alias(f"b{j}") for j in range(SIMHASH_BITS)
     ]
-    bits = tok.groupBy("doc_id").agg(*bit_sums)
+    bits = (
+        # filter on the raw token count — a predicate on size(_h) would get
+        # the md5 transform substituted into it by projection collapse
+        d.where(F.size(tokens()) > 0)
+        .select("doc_id", hashed.alias("_h"))
+        .select("doc_id", *bit_cols)
+    )
     sig = F.concat(
         *[F.when(F.col(f"b{j}") >= 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
     ).alias("simhash")
@@ -286,7 +315,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking keys bound the quadratic pair count; pairs ≥ 0.5 reported."""
     prepare(spark)
     d = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", fanout=True)
         .select("doc_id", "lang", "source", F.array_distinct(tokens()).alias("tok"))
     )
     a, b = d.alias("a"), d.alias("b")
@@ -425,7 +454,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster representative (minimum doc_id).  The DuckDB oracle computes
     the same components via a recursive transitive closure."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", fanout=True)
     sig = minhash_signatures(d)
     band_structs = F.array(
         *[
@@ -526,7 +555,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     for scoring, not once per band.
     """
     prepare(spark)
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     perturbed = F.transform(
         F.col("embedding"),

@@ -90,7 +90,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the corpus, rank
     per query with a deterministic tiebreak."""
     prepare(spark)
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -182,7 +182,7 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket
     (signature equi-join), then exact cosine within the bucket."""
     prepare(spark)
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
     sigs = e.select("vec_id", "label", "embedding", lsh_signature(F.col("embedding")).alias("sig"))
     q = sigs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -287,7 +287,7 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by cell so probes prune partitions at scan time.
     """
     prepare(spark)
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
     cents = _centroids(e)
     ranking = _cell_ranking(F.col("embedding"), cents)
 
@@ -351,7 +351,7 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     full quantized vector through a position-weighted checksum.  Pure map
     stage; round/clip arithmetic is identical IEEE in both engines."""
     prepare(spark)
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
     norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
     q8 = F.transform(
         F.col("embedding"),

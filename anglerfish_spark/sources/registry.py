@@ -38,23 +38,62 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: fan-out gate for small single-row-group inputs (see load_table)
+_FANOUT_MIN_BYTES = 256 << 10
+_FANOUT_MAX_BYTES = 256 << 20
+
+
+def _scan_parallelism(path: str) -> int | None:
+    """Number of split points a parquet scan of ``path`` can actually use
+    (row groups are the splitting unit).  None when unknowable cheaply."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).num_row_groups
+    except Exception:
+        return None
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, fanout: bool = False) -> DataFrame:
     """Read one catalog table from a scale-factor directory.
 
     ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark 4 does
     not read natively; we read it as nanos-since-epoch via the legacy conf
     and normalize to a microsecond TimestampType column (truncating, which
     matches DuckDB's ns→µs cast), keeping the raw nanos as ``ts_ns``.
+
+    **Small-input fan-out** (``fanout=True``): a parquet scan parallelizes
+    at row-group granularity, so a table stored as one (or few) row groups
+    runs every downstream map stage on as many cores — one — no matter the
+    cluster.  Operators whose map stage is CPU-dense (codec decode, shingle
+    hashing, embedding math) request a one-time round-robin ``repartition``
+    to the session's default parallelism.  Gated by size (big enough to
+    matter, small enough that the shuffle is free) and by actual row-group
+    deficit; shuffle-first operators must NOT request it — their own first
+    exchange already redistributes, and the extra one is pure cost.  At the
+    100 TB design point real tables blow past the 256 MB gate (and carry
+    many row groups), so this never fires there.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
+    if fanout and name not in BROADCAST_TABLES:
+        try:
+            nbytes = os.path.getsize(path)
+        except OSError:
+            nbytes = 0
+        if _FANOUT_MIN_BYTES <= nbytes <= _FANOUT_MAX_BYTES:
+            target = spark.sparkContext.defaultParallelism
+            splits = _scan_parallelism(path)
+            if splits is not None and splits < target:
+                df = df.repartition(target)
     return df
 
 

@@ -54,11 +54,11 @@ def main() -> None:
     # execution, not first-touch JIT
     qs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    # two passes per query, keep the better: the first execution of each
+    # three passes per query, keep the best: the first execution of each
     # distinct plan pays one-off JIT/codegen/footer costs that say nothing
     # about throughput, and ambient machine load adds one-sided noise
     times: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             t0 = time.perf_counter()
             qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
