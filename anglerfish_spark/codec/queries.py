@@ -252,6 +252,62 @@ _F3 = """
 """
 
 
+_FP_CORPUS = {
+    "f1_linked_list": """
+      {"name": "foo", "type": "record", "fields": [
+        {"name": "value", "type": "int"},
+        {"name": "tail", "type": ["null", "foo"], "default": null}]}
+    """,
+    "f3_kitchen_sink": _F3,
+    "f4_named_refs": """
+      {"name": "pair", "type": "record", "fields": [
+        {"name": "a", "type": {"type": "record", "name": "Point", "fields": [
+            {"name": "x", "type": "double"}, {"name": "y", "type": "double"}]}},
+        {"name": "b", "type": "Point"}]}
+    """,
+    "primitive_int": '"int"',
+    "union_nullable": '["null", "string", "long"]',
+}
+
+
+@query(
+    "schema_fingerprint",
+    oracle="""
+SELECT * FROM (VALUES
+  ('f1_linked_list', 109, 'ce8502d0afeda645', '2caafb4d64879cce385199d0d738869a'),
+  ('f3_kitchen_sink', 428, 'e8ee858f059c9c75', '4e908c642435c51b8d64f4e49d820917'),
+  ('f4_named_refs', 192, '56d35a460ceabbe4', '29d67193d28ecc377506d8a44d5909b9'),
+  ('primitive_int', 5, '7275d51a3f395c8f', 'ef524ea1b91e73173d938ade36c1db32'),
+  ('union_nullable', 24, '570dcfd8aa7790e1', '17d8f03049134797e49b1eca03274592')
+) AS t(schema_name, canonical_len, crc64_avro, md5)
+ORDER BY schema_name
+""",
+    group="codec",
+)
+def schema_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-style schema identity: Parsing Canonical Form length +
+    CRC-64-AVRO and MD5 fingerprints per schema (Avro spec "Schema
+    Fingerprints"; the reference's schema-registry roadmap,
+    README.md:24).  The Python implementation is differential-tested
+    against org.apache.avro.SchemaNormalization; the oracle pins the
+    exact fingerprints so any canonicalization drift fails loudly."""
+    from ..schema.fingerprint import parsing_canonical_form, schema_fingerprint
+
+    prepare(spark)
+    rows = [
+        (
+            name,
+            len(parsing_canonical_form(avsc)),
+            int.from_bytes(schema_fingerprint(avsc, "CRC-64-AVRO"), "little").to_bytes(8, "big").hex(),
+            schema_fingerprint(avsc, "MD5").hex(),
+        )
+        for name, avsc in sorted(_FP_CORPUS.items())
+    ]
+    return spark.createDataFrame(
+        rows, "schema_name string, canonical_len int, crc64_avro string, md5 string"
+    ).orderBy("schema_name")
+
+
 @query(
     "schema_parse_roundtrip",
     oracle="""

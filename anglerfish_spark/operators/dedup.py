@@ -211,6 +211,102 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB CTE chain reproducing the engine's minhash/band/candidate-pair
+#: pipeline (shared by the lsh-verify and connected-components oracles)
+_PAIRS_CTE = f"""
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(
+           f"MIN(substring(md5('{'a' if i < 4 else 'b'}|' || s), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+           for i in range(N_MINHASH)
+         )}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, h{2*b} || h{2*b+1} AS band_key FROM sig"
+    for b in range(N_BANDS)
+  )}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+
+@query(
+    "q_dedup_lsh_verify",
+    oracle=f"""
+WITH {_PAIRS_CTE},
+sh_sets AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         / (len(a.sh) + len(b.sh)
+            - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jaccard
+FROM pairs p
+JOIN sh_sets a ON a.doc_id = p.doc_a
+JOIN sh_sets b ON b.doc_id = p.doc_b
+WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+      / (len(a.sh) + len(b.sh)
+         - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) >= 0.7
+ORDER BY doc_a, doc_b
+""",
+    group="llm-dedup",
+)
+def q_dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup pipeline: LSH band buckets propose
+    candidate pairs (sub-quadratic), then *exact* shingle-set Jaccard
+    verifies each candidate, keeping pairs ≥ 0.7.  Verification cost
+    scales with candidate count, not n² — the shape that survives 100 TB;
+    the shingle sets ride along the two candidate joins instead of a
+    third scan of the corpus."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    sig = minhash_signatures(d)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_sets = d.select("doc_id", shingles(tokens()).alias("sh"))
+    sa, sb = sh_sets.alias("sa"), sh_sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    union = F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.7)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -342,31 +438,6 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # duplicate-cluster resolution: connected components over candidate pairs
 # ---------------------------------------------------------------------------
-
-_PAIRS_CTE = f"""
-sh AS (
-  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
-),
-sig AS (
-  SELECT doc_id,
-         {", ".join(
-           f"MIN(substring(md5('{'a' if i < 4 else 'b'}|' || s), {(i % 4) * 8 + 1}, 8)) AS h{i}"
-           for i in range(N_MINHASH)
-         )}
-  FROM sh GROUP BY doc_id
-),
-bands AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_id, h{2*b} || h{2*b+1} AS band_key FROM sig"
-    for b in range(N_BANDS)
-  )}
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
-"""
 
 
 def connected_components(pairs: DataFrame, src: str, dst: str, max_iter: int = 15) -> DataFrame:
