@@ -424,6 +424,51 @@ def avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "avro_single_object",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CAST(10 + CASE
+         WHEN (CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+                    THEN 2 * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    ELSE -2 * CAST(json_extract_string(props, '$.k') AS BIGINT) - 1 END) < 128 THEN 1
+         WHEN (CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+                    THEN 2 * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    ELSE -2 * CAST(json_extract_string(props, '$.k') AS BIGINT) - 1 END) < 16384 THEN 2
+         WHEN (CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 0
+                    THEN 2 * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    ELSE -2 * CAST(json_extract_string(props, '$.k') AS BIGINT) - 1 END) < 2097152 THEN 3
+         ELSE 4 END AS INT) AS n_bytes,
+       'c301' AS marker,
+       TRUE AS roundtrip_ok
+FROM events ORDER BY event_id
+""",
+    group="codec",
+)
+def avro_single_object(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro single-object encoding (spec: C3 01 marker + CRC-64-AVRO schema
+    fingerprint + binary body) — the registry/message-bus framing the
+    reference's roadmap targets (README.md:24).  The oracle independently
+    predicts total message length (10-byte header + varint body) and the
+    marker bytes; the reader validates the embedded fingerprint."""
+    from ..functions.avro_binary import single_object_decode, single_object_encode
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events", fanout=True)
+    enc = ev.withColumn("msg", single_object_encode("props", _EVENTS_SCHEMA))
+    dec = enc.withColumn("back", single_object_decode("msg", _EVENTS_SCHEMA))
+    return dec.select(
+        "event_id",
+        F.get_json_object("back", "$.k").cast("bigint").alias("k"),
+        F.octet_length("msg").cast("int").alias("n_bytes"),
+        F.lower(F.hex(F.substring("msg", 1, 2))).alias("marker"),
+        (
+            F.get_json_object("back", "$.k") == F.get_json_object("props", "$.k")
+        ).alias("roundtrip_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sink round-trip (sources surface: write → read back → verify)
 # ---------------------------------------------------------------------------

@@ -334,3 +334,78 @@ def avro_encode(col: Column | str, schema_json: str) -> Column:
 def avro_decode(col: Column | str, schema_json: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return avro_decode_udf(schema_json)(c)
+
+
+# ---------------------------------------------------------------------------
+# single-object encoding (Avro spec: 0xC3 0x01 marker + CRC-64-AVRO
+# fingerprint, little-endian + binary body) — the framing schema registries
+# and message buses use to pair a datum with its schema identity
+# ---------------------------------------------------------------------------
+
+SINGLE_OBJECT_MAGIC = b"\xc3\x01"
+
+
+def _single_object_header(schema_json: str) -> bytes:
+    from ..schema.fingerprint import schema_fingerprint
+
+    return SINGLE_OBJECT_MAGIC + schema_fingerprint(schema_json, "CRC-64-AVRO")
+
+
+def single_object_encode_udf(schema_json: str):
+    """Series→Series pandas UDF: Avro-JSON text → single-object-encoded
+    binary (10-byte header + Avro binary body)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def _encode(s: pd.Series) -> pd.Series:
+        from ..codec.pydecode import decode_datum
+
+        ps = parse_schema(schema_json)
+        codec = BinaryCodec(ps)
+        header = _single_object_header(schema_json)
+        return s.map(
+            lambda txt: header + codec.encode(decode_datum(ps.root, json.loads(txt), ps.env))
+        )
+
+    return _encode
+
+
+def single_object_decode_udf(schema_json: str):
+    """Series→Series pandas UDF: single-object binary → canonical JSON text.
+
+    Validates the 2-byte marker and that the embedded fingerprint matches
+    ``schema_json`` (a mismatch means the message was written with a
+    different schema — surfacing it as :class:`DatumError` is the
+    single-schema reader's contract; a registry-backed reader would
+    dispatch on the fingerprint instead)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _decode(s: pd.Series) -> pd.Series:
+        codec = BinaryCodec(parse_schema(schema_json))
+        header = _single_object_header(schema_json)
+
+        def one(b) -> str:
+            buf = bytes(b)
+            if len(buf) < 10 or buf[:2] != SINGLE_OBJECT_MAGIC:
+                raise DatumError("not a single-object-encoded Avro message")
+            if buf[2:10] != header[2:]:
+                raise DatumError(
+                    f"schema fingerprint mismatch: message {buf[2:10].hex()}, "
+                    f"reader {header[2:].hex()}"
+                )
+            return dumps_avro_json(codec.decode(buf[10:]))
+
+        return s.map(one)
+
+    return _decode
+
+
+def single_object_encode(col: Column | str, schema_json: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return single_object_encode_udf(schema_json)(c)
+
+
+def single_object_decode(col: Column | str, schema_json: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return single_object_decode_udf(schema_json)(c)

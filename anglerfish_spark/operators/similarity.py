@@ -369,3 +369,68 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "norm", weighted.alias("q8_weighted_sum"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (spherical) Lloyd step — the distributed iterative-clustering shape
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+
+
+@query(
+    "q_kmeans_step",
+    oracle=f"""
+WITH c AS (SELECT vec_id AS centroid_id, embedding AS ce
+           FROM embeddings WHERE vec_id < {KMEANS_K}),
+scored AS (
+  SELECT e.vec_id, c.centroid_id, {cosine_sql('c.ce', 'e.embedding')} AS score
+  FROM embeddings e CROSS JOIN c
+),
+assigned AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY score DESC, centroid_id) AS rn
+  FROM scored
+)
+SELECT centroid_id,
+       COUNT(*) AS n_assigned,
+       CAST(CAST(SUM(CAST(score AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+         / COUNT(*) AS avg_score
+FROM assigned WHERE rn = 1
+GROUP BY centroid_id
+ORDER BY centroid_id
+""",
+    group="llm-similarity",
+)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd step of spherical k-means: assign every vector to its
+    nearest centroid (max cosine, deterministic tiebreak on centroid id)
+    and report cluster occupancy + mean assignment score.
+
+    The distributed-iterative shape: centroids (K rows) broadcast, the
+    corpus never re-shuffles across iterations — each step is one
+    broadcast join + one combinable aggregation, so a full k-means run is
+    O(iters) map passes at 100 TB, not O(iters) shuffles of the corpus."""
+    prepare(spark)
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
+    c = e.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    scored = F.broadcast(c).crossJoin(e).select(
+        "vec_id",
+        "centroid_id",
+        cosine(F.col("ce"), F.col("embedding")).alias("score"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "centroid_id")
+    from .common import dsum
+
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            (dsum(F.col("score")) / F.count(F.lit(1))).alias("avg_score"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -362,3 +362,124 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_tok") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule battery + deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+#: Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+#: Models", table A1 shape) adapted to the synthetic corpus scale
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_ALPHA_RATIO = 0.80
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+GOPHER_STOPWORDS = ("the", "of", "and", "to", "in", "a", "be", "is")
+GOPHER_MIN_STOP_HITS = 2
+
+
+@query(
+    "q_gopher_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS tok FROM documents)
+SELECT doc_id,
+       CAST(len(tok) AS INT) AS n_words,
+       CAST(len(tok) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS BOOLEAN) AS ok_word_count,
+       CAST(list_sum([len(w) for w in tok]) AS DOUBLE) / len(tok)
+         BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL} AS ok_mean_word_len,
+       CAST(len(list_filter(tok, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+         / len(tok) >= {GOPHER_MIN_ALPHA_RATIO} AS ok_alpha_words,
+       CAST(len(regexp_extract_all(text, '[#\\\\.]{{3,}}|[^A-Za-z0-9 ]')) AS DOUBLE)
+         / len(tok) <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+       len(list_filter(tok, w -> w IN ({", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)})))
+         >= {GOPHER_MIN_STOP_HITS} AS ok_stopwords
+FROM t WHERE len(tok) > 0
+ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule battery per doc: word-count bounds, mean
+    word length, alphabetic-word ratio, symbol-to-word ratio, stopword
+    presence.  All in-row higher-order functions — one map stage, no
+    shuffle; at 100 TB this is the cheap first pass that gates the
+    expensive dedup/decontamination stages behind it."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = tokens()
+    n_words = F.size(tok)
+    mwl = (
+        F.aggregate(tok, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / n_words
+    )
+    alpha_ratio = F.size(F.filter(tok, lambda w: w.rlike("[A-Za-z]"))).cast("double") / n_words
+    symbol_ratio = (
+        F.regexp_count("text", F.lit(r"[#\.]{3,}|[^A-Za-z0-9 ]")).cast("double") / n_words
+    )
+    stop_hits = F.size(F.filter(tok, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    return (
+        d.select(
+            "doc_id",
+            n_words.cast("int").alias("n_words"),
+            n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias("ok_word_count"),
+            mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL).alias("ok_mean_word_len"),
+            (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO).alias("ok_alpha_words"),
+            (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO).alias("ok_symbol_ratio"),
+            (stop_hits >= GOPHER_MIN_STOP_HITS).alias("ok_stopwords"),
+        )
+        .where(F.col("n_words") > 0)
+    )
+
+
+#: per-language sampling rates for the stratified sampler (16-bit hash space)
+STRATA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125}
+_DEFAULT_RATE = 0.0625
+
+
+def _strata_threshold(rate: float) -> int:
+    return int(rate * 0x10000)
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+WITH h AS (
+  SELECT lang,
+         CAST(('0x' || substring(md5('doc|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) AS bucket
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN bucket < CASE lang
+         {" ".join(f"WHEN '{l}' THEN {_strata_threshold(r)}" for l, r in STRATA_RATES.items())}
+         ELSE {_strata_threshold(_DEFAULT_RATE)} END THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM h
+GROUP BY lang
+ORDER BY lang
+""",
+    group="llm-text",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates applied via a
+    16-bit md5 bucket of the doc id — reproducible across engines, runs
+    and partitionings (``df.sampleBy`` is seed+partition dependent, so it
+    can't be oracle-checked and resamples differently on retry; hash
+    gating is the production-stable shape)."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("doc|"), F.col("doc_id").cast("string")).cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("int")
+    thr = F.lit(_strata_threshold(_DEFAULT_RATE))
+    for lang, rate in STRATA_RATES.items():
+        thr = F.when(F.col("lang") == lang, _strata_threshold(rate)).otherwise(thr)
+    return (
+        d.select("lang", (bucket < thr).cast("int").alias("sampled"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("sampled").cast("bigint").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )

@@ -154,3 +154,53 @@ class TestMalformedInput:
         out = io.BytesIO(); write_long(out, 100); out.write(b"abc")
         with pytest.raises(DatumError, match="overruns"):
             codec.decode(out.getvalue())
+
+
+class TestSingleObjectEncoding:
+    """Avro spec single-object framing: C3 01 + CRC-64-AVRO fingerprint."""
+
+    SCHEMA = '{"type":"record","name":"r","fields":[{"name":"k","type":"long"}]}'
+
+    def _codec_and_header(self):
+        from anglerfish_spark.functions.avro_binary import _single_object_header
+
+        ps = parse_schema(self.SCHEMA)
+        return BinaryCodec(ps), ps, _single_object_header(self.SCHEMA)
+
+    def test_header_shape(self):
+        from anglerfish_spark.schema.fingerprint import schema_fingerprint
+
+        _, _, header = self._codec_and_header()
+        assert header[:2] == b"\xc3\x01" and len(header) == 10
+        assert header[2:] == schema_fingerprint(self.SCHEMA, "CRC-64-AVRO")
+
+    def test_spark_roundtrip_and_validation(self, spark):
+        import pytest
+
+        from anglerfish_spark.functions.avro_binary import (
+            single_object_decode,
+            single_object_encode,
+        )
+
+        df = spark.createDataFrame([('{"k": 41}',), ('{"k": -3}',)], ["j"])
+        enc = df.withColumn("msg", single_object_encode("j", self.SCHEMA))
+        back = enc.withColumn("out", single_object_decode("msg", self.SCHEMA))
+        rows = {r["j"]: r for r in back.collect()}
+        assert rows['{"k": 41}']["msg"][:2] == b"\xc3\x01"
+        import json as _json
+
+        assert _json.loads(rows['{"k": -3}']["out"]) == {"k": -3}
+
+        # decoding with a *different* schema must fail on the fingerprint
+        other = '{"type":"record","name":"r","fields":[{"name":"k","type":"int"}]}'
+        with pytest.raises(Exception, match="fingerprint mismatch|PythonException"):
+            enc.withColumn("out", single_object_decode("msg", other)).collect()
+
+    def test_garbage_rejected(self, spark):
+        import pytest
+
+        from anglerfish_spark.functions.avro_binary import single_object_decode
+
+        df = spark.createDataFrame([(b"\x00\x01\x02",)], "msg binary")
+        with pytest.raises(Exception, match="single-object|PythonException"):
+            df.withColumn("out", single_object_decode("msg", self.SCHEMA)).collect()
