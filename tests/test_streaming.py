@@ -99,3 +99,96 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         }
         assert len(batch) > 0
         assert got == batch
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """Session windows behind readStream: every window append-mode emits
+    (closed by the watermark) must match its batch counterpart."""
+    from anglerfish_spark.streaming.windows import session_agg
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        ev.write.json(src)
+        stream = spark.readStream.schema(ev.schema).json(src)
+        agg = session_agg(
+            stream, "ts", "30 minutes", keys=("user_id",),
+            aggs=(F.count(F.lit(1)).alias("cnt"),), watermark="1 hour",
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("session_smoke")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.sql("SELECT * FROM session_smoke").collect()
+        batch = session_agg(
+            ev, "ts", "30 minutes", keys=("user_id",),
+            aggs=(F.count(F.lit(1)).alias("cnt"),),
+        ).collect()
+        batch_map = {(r["session_start"], r["user_id"]): r["cnt"] for r in batch}
+        assert len(got) > 0
+        for r in got:
+            assert batch_map[(r["session_start"], r["user_id"])] == r["cnt"]
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark on a keyed stream: one row per key."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    doubled = ev.unionAll(ev)  # duplicate every event
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        doubled.write.json(src)
+        stream = spark.readStream.schema(ev.schema).json(src)
+        dedup = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName("dedup_smoke")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.sql("SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_smoke").collect()[0]
+        assert got["n"] == got["d"] == ev.count()
+
+
+def test_foreach_batch_upsert_sink(spark, sf_dir):
+    """foreachBatch keyed upsert: streaming per-user aggregates merged
+    into a parquet table equal the batch aggregate at the end."""
+    from anglerfish_spark.streaming.sinks import start_upsert_sink
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        # two files → at least two micro-batches under maxFilesPerTrigger=1
+        ev.where(F.col("user_id") % 2 == 0).write.json(f"{src}/a")
+        ev.where(F.col("user_id") % 2 == 1).write.json(f"{src}/b")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(f"{src}/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        table = f"{d}/table"
+        q = start_upsert_sink(
+            agg.select("user_id", "cnt"),
+            table,
+            ["user_id"],
+            checkpoint=f"{d}/ckpt",
+        )
+        q.awaitTermination(300)
+        final = {r["user_id"]: r["cnt"] for r in spark.read.parquet(table).collect()}
+        batch = {
+            r["user_id"]: r["cnt"]
+            for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        assert final == batch
