@@ -469,6 +469,109 @@ def avro_single_object(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "avro_binary_evolved",
+    oracle="""
+SELECT event_id,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE) AS k,
+       'none' AS tag
+FROM events ORDER BY event_id
+""",
+    group="codec",
+)
+def avro_binary_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema resolution over the *binary* wire path: data written with the
+    writer schema (k: long) is read under an evolved reader (k promoted to
+    double, tag added by default) — binary decode against the writer, then
+    the same column-level evolution projection the JSON path uses (one
+    decode, one projection; resolution is schema-level, format-agnostic —
+    exactly the Avro-spec contract)."""
+    from ..codec.evolve import decode_json_evolved
+    from ..functions.avro_binary import avro_decode, avro_encode
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events", fanout=True)
+    reader = """
+    {"type":"record","name":"props","fields":[
+      {"name":"k","type":"double"},
+      {"name":"tag","type":"string","default":"none"}
+    ]}
+    """
+    binary = ev.withColumn("bin", avro_encode("props", _EVENTS_SCHEMA))
+    as_json = binary.withColumn("avro_json", avro_decode("bin", _EVENTS_SCHEMA))
+    out = decode_json_evolved(as_json, "avro_json", _EVENTS_SCHEMA, reader)
+    return out.select(
+        "event_id",
+        F.col("decoded.k").alias("k"),
+        F.col("decoded.tag").alias("tag"),
+    )
+
+
+@query(
+    "avro_errors_permissive",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k,
+       event_id % 7 = 0 AS has_error
+FROM events ORDER BY event_id
+""",
+    group="codec",
+)
+def avro_errors_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive binary decode: every 7th message is corrupted (final
+    byte truncated — the varint body becomes unterminated or empty), and
+    must land in the per-row error channel as a DatumError, never fail the
+    job.  The binary-path analogue of json_errors_permissive."""
+    from ..functions.avro_binary import avro_decode_permissive, avro_encode
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events", fanout=True)
+    binary = ev.withColumn("bin", avro_encode("props", _EVENTS_SCHEMA))
+    corrupted = binary.withColumn(
+        "bin",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substring(bin, 1, octet_length(bin) - 1)"),
+        ).otherwise(F.col("bin")),
+    )
+    dec = corrupted.withColumn("out", avro_decode_permissive("bin", _EVENTS_SCHEMA))
+    return dec.select(
+        "event_id",
+        F.get_json_object(F.col("out.value"), "$.k").cast("bigint").alias("k"),
+        F.col("out.error").isNotNull().alias("has_error"),
+    )
+
+
+@query(
+    "json_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       'OBJECT<k: BIGINT>' AS vtype,
+       json_extract_string(props, '$.missing') IS NULL AS missing_is_null
+FROM events ORDER BY event_id
+""",
+    group="codec",
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType as the engine's ``JsonF`` analogue (SURVEY
+    §1.1): ``parse_json`` materializes the untyped JSON tree (the
+    reference's ``Fix[JsonF]``), ``variant_get`` is the typed projection
+    at a path, ``schema_of_variant`` reifies the inferred one-layer shape.
+    Variant's binary encoding scans ~8× faster than re-parsing JSON text
+    per access — the right semi-structured storage at 100 TB."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events", fanout=True)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.schema_of_variant(v).alias("vtype"),
+        F.variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sink round-trip (sources surface: write → read back → verify)
 # ---------------------------------------------------------------------------

@@ -401,6 +401,44 @@ def single_object_decode_udf(schema_json: str):
     return _decode
 
 
+def avro_decode_permissive_udf(schema_json: str):
+    """Series→Series pandas UDF: Avro binary → struct(value json, error).
+
+    The binary-path analogue of the JSON decoder's permissive mode: corrupt
+    wire input (truncated varints, overrun slices, bad union/enum indices —
+    all surfaced as :class:`DatumError` by the codec) lands in the error
+    channel instead of failing the job; trailing garbage after a complete
+    datum is likewise an error."""
+    from pyspark.sql.functions import pandas_udf
+
+    out_t = T.StructType(
+        [
+            T.StructField("value", T.StringType(), True),
+            T.StructField("error", T.StringType(), True),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        codec = BinaryCodec(parse_schema(schema_json))
+        values, errors = [], []
+        for b in s:
+            try:
+                values.append(dumps_avro_json(codec.decode(bytes(b))))
+                errors.append(None)
+            except DatumError as ex:
+                values.append(None)
+                errors.append(f"DatumError: {ex}")
+        return pd.DataFrame({"value": values, "error": errors})
+
+    return _decode
+
+
+def avro_decode_permissive(col: Column | str, schema_json: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return avro_decode_permissive_udf(schema_json)(c)
+
+
 def single_object_encode(col: Column | str, schema_json: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return single_object_encode_udf(schema_json)(c)
