@@ -647,14 +647,18 @@ UNION ALL
 SELECT 'json', COUNT(*),
        CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT)
 FROM documents
+UNION ALL
+SELECT 'orc', COUNT(*),
+       CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT)
+FROM documents
 ORDER BY fmt
 """,
     group="sources",
 )
 def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV and JSON datasource round-trips: documents → write csv+json →
-    read back with explicit schemas (inference would be an extra full pass
-    at scale) → identical aggregates per format."""
+    """CSV, JSON and ORC datasource round-trips: documents → write each
+    format → read back with explicit schemas (inference would be an extra
+    full pass at scale) → identical aggregates per format."""
     import tempfile
 
     from ..sources import registry as R
@@ -664,15 +668,22 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="anglerfish_fmt_")
     R.write(d, "csv", f"{base}/csv", mode="overwrite", header="true")
     R.write(d, "json", f"{base}/json", mode="overwrite")
+    R.write(d, "orc", f"{base}/orc", mode="overwrite")
     schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
     back_csv = R.read(spark, "csv", f"{base}/csv", schema=schema, header="true")
     back_json = R.read(spark, "json", f"{base}/json", schema=schema)
+    back_orc = R.read(spark, "orc", f"{base}/orc", schema=schema)
     agg = lambda df, tag: df.agg(  # noqa: E731
         F.lit(tag).alias("fmt"),
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("bigint").alias("sum_chars"),
     ).select("fmt", "n_rows", "sum_chars")
-    return agg(back_csv, "csv").unionAll(agg(back_json, "json")).orderBy("fmt")
+    return (
+        agg(back_csv, "csv")
+        .unionAll(agg(back_json, "json"))
+        .unionAll(agg(back_orc, "orc"))
+        .orderBy("fmt")
+    )
 
 
 @query(

@@ -223,3 +223,78 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     ).repartitionByRange(F.octet_length("payload"), F.col("doc_id"))
     return payloads.mapInPandas(fake_frame_sample, FRAME_SCHEMA)  # row-level: no trailing sort
+
+
+# ---------------------------------------------------------------------------
+# audio-shaped plumbing: windowed sample energy (decode stubbed)
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW = 16  # stand-in window length (samples) for the energy sweep
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_windows", T.LongType(), False),
+        T.StructField("total_energy", T.LongType(), True),
+        T.StructField("peak_window", T.IntegerType(), True),
+    ]
+)
+
+
+def fake_audio_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for audio analysis: payload bytes as unsigned
+    8-bit samples, per-window sum-of-squares energy, peak-window argmax
+    (first window wins ties) — the exact batch shape of a real RMS sweep."""
+    for pdf in batches:
+        rows = {"doc_id": pdf["doc_id"], "n_windows": [], "total_energy": [], "peak_window": []}
+        for b in pdf["payload"]:
+            buf = bytes(b)
+            energies = [
+                sum(x * x for x in buf[i : i + AUDIO_WINDOW])
+                for i in range(0, len(buf), AUDIO_WINDOW)
+            ]
+            rows["n_windows"].append(len(energies))
+            rows["total_energy"].append(sum(energies) if energies else None)
+            rows["peak_window"].append(
+                energies.index(max(energies)) + 1 if energies else None
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": rows["doc_id"],
+                "n_windows": pd.Series(rows["n_windows"], dtype="int64"),
+                "total_energy": pd.Series(rows["total_energy"], dtype="Int64"),
+                "peak_window": pd.Series(rows["peak_window"], dtype="Int32"),
+            }
+        )
+
+
+@query(
+    "q_multimodal_audio",
+    oracle=f"""
+WITH e AS (
+  SELECT doc_id,
+         [list_sum([ascii(substring(text, j, 1)) * ascii(substring(text, j, 1))
+                    for j in generate_series((w - 1) * {AUDIO_WINDOW} + 1,
+                                             LEAST(w * {AUDIO_WINDOW}, LENGTH(text)))])
+          for w in generate_series(1, (LENGTH(text) + {AUDIO_WINDOW - 1}) // {AUDIO_WINDOW})]
+           AS energies
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(energies) AS BIGINT) AS n_windows,
+       CAST(list_sum(energies) AS BIGINT) AS total_energy,
+       CAST(list_position(energies, list_max(energies)) AS INT) AS peak_window
+FROM e ORDER BY doc_id
+""",
+    group="llm-multimodal",
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped mapInPandas stage: payload bytes as 8-bit samples,
+    {AUDIO_WINDOW}-sample windowed energy sweep with a peak-window argmax.
+    Real audio decode (decode_audio) is stubbed; the window/argmax batch
+    shape, Arrow transfer, and nullable outputs for empty payloads are
+    the production plumbing, oracle-checked against the ASCII bytes."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(fake_audio_energy, AUDIO_SCHEMA)  # row-level output
