@@ -1311,3 +1311,94 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def _rcte_sql(revenue_expr: str) -> str:
+    # shared between engines except the decimal→double spelling: Spark's
+    # decimal→double cast is correctly rounded; DuckDB needs the VARCHAR
+    # hop (see operators/common.py)
+    return f"""
+WITH RECURSIVE months(ym) AS (
+  SELECT 199501
+  UNION ALL
+  SELECT CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END
+  FROM months WHERE ym < 200108
+),
+per_month AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) AS ym,
+         COUNT(*) AS n_orders,
+         {revenue_expr} AS revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT m.ym, COALESCE(p.n_orders, 0) AS n_orders,
+       COALESCE(p.revenue, 0.0) AS revenue
+FROM months m LEFT JOIN per_month p ON p.ym = m.ym
+ORDER BY m.ym
+"""
+
+
+@query("q_recursive_cte", oracle=_rcte_sql(dsum_sql("o_totalprice")), group="relational")
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a month calendar generated
+    by pure-integer recursion (no date/timezone semantics in the recursion
+    itself), left-joined to monthly order aggregates — the gap-filled
+    rollup every reporting pipeline needs, with empty months materialized
+    as zero rows.  Identical SQL runs on DuckDB; Spark executes the
+    recursion as iterative UNION ALL steps over a tiny (80-row) relation
+    while the fact-side aggregate stays one combinable shuffle."""
+    c = _cat(spark, sf_dir)
+    c.orders.createOrReplaceTempView("orders")
+    return c.spark.sql(
+        _rcte_sql("CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)")
+    )
+
+
+@query(
+    "q_udaf_pandas",
+    oracle=f"""
+SELECT l_returnflag,
+       {dsum_sql('l_extendedprice * l_quantity')} / {dsum_sql('l_quantity')} AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    group="relational",
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the engine's UDAF extension point):
+    quantity-weighted mean price per return flag.
+
+    The engine's float-determinism contract is applied *inside* the UDF —
+    each addend is quantized to 10 decimal places (the same rounding as
+    SQL ``CAST(x AS DECIMAL(38,10))``) and summed exactly with Decimal
+    arithmetic, so the result is independent of row order and
+    partitioning, bit-for-bit equal to the oracle's decimal-contract SQL.
+    A plain ``series.sum()`` would drift per shuffle — the exact trap the
+    contract exists to prevent."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations` turns the
+    # (Series, Series) -> float hints into strings the UDF type-hint parser
+    # rejects for grouped-agg inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(price, qty):
+        q10 = Decimal("1E-10")
+        num = sum(
+            (Decimal(float(p) * float(v)).quantize(q10, ROUND_HALF_UP)
+             for p, v in zip(price, qty)),
+            Decimal(0),
+        )
+        den = sum(
+            (Decimal(float(v)).quantize(q10, ROUND_HALF_UP) for v in qty), Decimal(0)
+        )
+        return float(num) / float(den)
+
+    c = _cat(spark, sf_dir)
+    return (
+        c.lineitem.groupBy("l_returnflag")
+        .agg(wavg("l_extendedprice", "l_quantity").alias("wavg_price"))
+        .orderBy("l_returnflag")
+    )
