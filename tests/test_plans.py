@@ -66,3 +66,48 @@ def test_asof_join_single_data_shuffle(spark, sf_dir):
 def test_events_scan_is_vectorized(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_tumble")
     assert "Batched: true" in plan, plan
+
+
+def test_shipping_priority_topk_is_heap(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+    # the segment filter reaches the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+
+
+def test_exists_subquery_is_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_exists_subquery")
+    assert "LeftSemi" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_minhash_signatures_have_no_shuffle(spark, sf_dir):
+    """The r2 map-only signature pipeline: no exchange may appear below
+    the band self-join's inputs — signatures are computed in the scan
+    stage (modulo the small-input fan-out repartition)."""
+    import re
+
+    from anglerfish_spark.operators.dedup import minhash_signatures
+    from anglerfish_spark.sources.registry import load_table
+
+    sig = minhash_signatures(load_table(spark, sf_dir, "documents"))
+    plan = sig._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    assert ops.count("Exchange") == 0, plan
+
+
+def test_simhash_is_map_plus_one_agg_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q_dedup_simhash")
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    # one exchange for groupBy(simhash), one for the presentation sort,
+    # plus the opt-in fan-out repartition — never a per-token shuffle
+    assert ops.count("Exchange") <= 3, plan
+
+
+def test_kmeans_step_broadcasts_centroids(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_kmeans_step")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
