@@ -447,3 +447,65 @@ class TestUnionEvolution:
         # writer boolean branch has no home in ["int","string"]
         with _pytest.raises(SchemaEvolutionError, match="no reader union branch"):
             evolve_struct(F.col("c"), self._rec('["int", "boolean"]'), self._rec('["int", "string"]'))
+
+
+class TestEvolutionProperties:
+    """Property-based checks of schema resolution (Hypothesis)."""
+
+    @staticmethod
+    def _record_of(prims):
+        fields = ",".join(
+            f'{{"name":"f{i}","type":"{p}"}}' for i, p in enumerate(prims)
+        )
+        return f'{{"name":"r","type":"record","fields":[{fields}]}}'
+
+    def test_identity_evolution_is_identity(self, spark):
+        """evolve(schema, schema) must be the identity projection for any
+        primitive record."""
+        import json as _json
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from anglerfish_spark.codec.evolve import decode_json_evolved
+
+        prim = st.sampled_from(["int", "long", "float", "double", "string", "boolean"])
+
+        @settings(max_examples=15, deadline=None)
+        @given(st.lists(prim, min_size=1, max_size=4), st.integers(-1000, 1000))
+        def prop(prims, seed):
+            schema = self._record_of(prims)
+            datum = {}
+            for i, p in enumerate(prims):
+                datum[f"f{i}"] = (
+                    bool(seed % 2) if p == "boolean"
+                    else f"s{seed}" if p == "string"
+                    else float(seed) if p in ("float", "double")
+                    else seed
+                )
+            df = spark.createDataFrame([(_json.dumps(datum),)], ["j"])
+            row = (
+                decode_json_evolved(df, "j", schema, schema)
+                .select("decoded.*")
+                .collect()[0]
+            )
+            for i, p in enumerate(prims):
+                assert row[f"f{i}"] == datum[f"f{i}"], (p, datum, row)
+
+        prop()
+
+    def test_promotion_chain_is_transitive(self, spark):
+        """int datum promoted through every spec chain lands as the right
+        reader type and value."""
+        import json as _json
+
+        from anglerfish_spark.codec.evolve import decode_json_evolved
+
+        for reader_t, expect in [("long", 7), ("float", 7.0), ("double", 7.0)]:
+            w = self._record_of(["int"])
+            r = self._record_of([reader_t])
+            df = spark.createDataFrame([('{"f0": 7}',)], ["j"])
+            got = (
+                decode_json_evolved(df, "j", w, r).select("decoded.f0").collect()[0][0]
+            )
+            assert got == expect and type(got) is type(expect), (reader_t, got)
