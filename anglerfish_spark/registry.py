@@ -61,6 +61,7 @@ def all_queries() -> dict[str, QueryDef]:
     from .operators import relational as _relational  # noqa: F401
     from .operators import relational_ext as _relational_ext  # noqa: F401
     from .operators import similarity as _similarity  # noqa: F401
+    from .operators import sketch as _sketch  # noqa: F401
     from .operators import text as _text  # noqa: F401
     from .streaming import joins as _sjoins  # noqa: F401
     from .streaming import stateful as _stateful  # noqa: F401

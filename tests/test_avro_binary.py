@@ -204,3 +204,54 @@ class TestSingleObjectEncoding:
         df = spark.createDataFrame([(b"\x00\x01\x02",)], "msg binary")
         with pytest.raises(Exception, match="single-object|PythonException"):
             df.withColumn("out", single_object_decode("msg", self.SCHEMA)).collect()
+
+
+class TestJavaBinaryDifferential:
+    """Cross-implementation wire-format check: bytes produced by the
+    engine's BinaryCodec are decoded by org.apache.avro (the exact library
+    the reference builds on), re-encoded by Java, and decoded back by the
+    engine — full I4/I5 parity through both implementations."""
+
+    def test_roundtrip_through_java(self, spark):
+        import pytest
+
+        jvm = spark._jvm
+        try:
+            jvm.java.lang.Class.forName("org.apache.avro.io.DecoderFactory")
+        except Exception:
+            pytest.skip("avro-core not on classpath")
+
+        ps = parse_schema(F3_KITCHEN_SINK)
+        codec = BinaryCodec(ps)
+        datum = {
+            "color": "GREEN",
+            "digest": "AAECAwQFBgcICQoLDA0ODw==",
+            "tags": ["x", "y"],
+            "props": {"only": 7},          # single key: canonical map bytes
+            "choice": {"string": "pick"},
+            "renamed": -12,
+        }
+        mine = codec.encode(decode_datum(ps.root, datum, ps.env))
+
+        from anglerfish_spark.schema.printer import to_avsc
+
+        jschema = jvm.org.apache.avro.Schema.Parser().parse(to_avsc(ps.root))
+        jreader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+        jdec = jvm.org.apache.avro.io.DecoderFactory.get().binaryDecoder(
+            bytearray(mine), None
+        )
+        rec = jreader.read(None, jdec)
+        assert str(rec.get("color")) == "GREEN"
+        assert rec.get("renamed") == -12
+        assert str(rec.get("choice")) == "pick"
+        assert rec.get("tags").size() == 2
+
+        # Java re-encode → engine decode must reproduce the same value
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jenc = jvm.org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, None)
+        jwriter = jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+        jwriter.write(rec, jenc)
+        jenc.flush()
+        java_bytes = bytes(baos.toByteArray())
+        assert codec.decode(java_bytes) == codec.decode(mine)
+        assert java_bytes == mine  # canonical encoding, byte-identical

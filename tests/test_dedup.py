@@ -41,3 +41,31 @@ class TestConnectedComponents:
     def test_nonconvergence_raises(self, spark):
         with pytest.raises(ConvergenceError, match="did not converge"):
             connected_components(_path_graph(spark, 64), "a", "b", max_iter=2)
+
+
+class TestHeavyHitters:
+    """Misra-Gries candidates + exact verify: result must be exact under
+    any partitioning (the sketch only bounds the candidate set)."""
+
+    def test_exact_under_adversarial_partitioning(self, spark):
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.operators.sketch import heavy_hitters
+
+        # 'hot' is 2% of tokens but spread thin across 16 partitions, the
+        # worst case for a per-partition sketch; filler is near-uniform
+        rows = []
+        for i in range(4000):
+            toks = [f"w{i % 997}", f"w{(i * 7) % 997}", "hot" if i % 25 == 0 else f"w{(i * 13) % 997}"]
+            rows.append((" ".join(toks),))
+        docs = spark.createDataFrame(rows, ["text"]).repartition(16)
+        got = {r["token"]: r["cnt"] for r in heavy_hitters(docs, theta=0.01).collect()}
+        assert got == {"hot": 160}  # 4000*3 tokens, hot=160 = 1.33% > 1%
+
+    def test_no_false_positives(self, spark):
+        from anglerfish_spark.operators.sketch import heavy_hitters
+
+        docs = spark.createDataFrame(
+            [(f"u{i} u{i+1} u{i+2}",) for i in range(1000)], ["text"]
+        ).repartition(8)
+        assert heavy_hitters(docs, theta=0.01).count() == 0
