@@ -89,7 +89,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     token bag — catches reorder/repeat-only edits); keep the smallest
     doc_id.  One combinable shuffle keyed by the hash."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     fp = F.md5(
         F.concat_ws(" ", F.array_sort(F.array_distinct(tokens()))).cast("binary")
     ).alias("fp")

@@ -95,5 +95,5 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     token groupBy would shuffle the entire corpus; here only candidate
     tokens (≤ k·partitions) shuffle."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     return heavy_hitters(d)

@@ -65,7 +65,7 @@ ORDER BY lang
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per language: doc counts, token totals, size."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     return (
         d.select("lang", "source", "n_chars", F.size(tokens()).cast("long").alias("n_tok"))
         .groupBy("lang")
@@ -96,7 +96,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     inventory (letter runs / digit runs / punctuation)."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.regexp_count("text", F.lit(r"[A-Za-z]+")).cast("int").alias("n_words"),
@@ -130,7 +130,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language-ID heuristic → confusion counts against the
     labeled ``lang`` column (first language reaching the max score wins)."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     tok = tokens()
     hits = {lang: _marker_hits(tok, words) for lang, words in _LANG_MARKERS.items()}
     best = F.greatest(*hits.values())
@@ -171,7 +171,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: length, punctuation density, stopword
     ratio, mean word length, bucketed verdict."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     tok = tokens()
     n_len = F.length("text")
     punct_ratio = F.regexp_count("text", F.lit(r"[^A-Za-z0-9 ]")).cast("double") / n_len
@@ -204,7 +204,7 @@ ORDER BY doc_id
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact + whitespace/case-normalized md5 fingerprints per document."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     norm = F.lower(F.trim(F.regexp_replace("text", r" +", " ")))
     return d.select(
         "doc_id",
@@ -465,7 +465,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't be oracle-checked and resamples differently on retry; hash
     gating is the production-stable shape)."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     bucket = F.conv(
         F.substring(F.md5(F.concat(F.lit("doc|"), F.col("doc_id").cast("string")).cast("binary")), 1, 4),
         16,
