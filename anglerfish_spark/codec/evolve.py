@@ -238,6 +238,127 @@ def evolve_struct(
     return _resolve(col, wroot, rroot, renv, wenv, max_depth, "$")
 
 
+def resolve_datum(
+    value,
+    writer: AvroType,
+    reader: AvroType,
+    renv: dict[str, AvroType] | None = None,
+    wenv: dict[str, AvroType] | None = None,
+    max_depth: int = 10,
+    path: str = "$",
+):
+    """Value-space schema resolution (same rules as :func:`_resolve`, over
+    decoded representations instead of Columns).
+
+    Exists for the one case the column projection cannot serve: a source
+    whose rows were written under *different* writer schemas (e.g. an OCF
+    directory accumulated across schema versions, or a registry-framed
+    message stream) being read under one reader schema — each datum
+    resolves against its own writer before the rows unify."""
+    renv = renv or {}
+    wenv = wenv or {}
+    from ..schema.model import AvroRecursionRef
+
+    if isinstance(writer, AvroRecursionRef):
+        return resolve_datum(value, wenv[writer.fqn], reader, renv, wenv, max_depth, path)
+    if isinstance(reader, AvroRecursionRef):
+        return resolve_datum(value, writer, renv[reader.fqn], renv, wenv, max_depth, path)
+    if isinstance(writer, AvroPrimitive) and isinstance(reader, AvroPrimitive):
+        if writer.kind is reader.kind:
+            return value
+        if (writer.kind, reader.kind) not in PROMOTIONS:
+            raise SchemaEvolutionError(
+                f"{path}: cannot promote {writer.kind.value} to {reader.kind.value}"
+            )
+        if reader.kind in (Primitive.FLOAT, Primitive.DOUBLE):
+            return float(value)
+        if reader.kind is Primitive.BYTES and isinstance(value, str):
+            return value.encode("utf-8")
+        if reader.kind is Primitive.STRING and isinstance(value, (bytes, bytearray)):
+            return bytes(value).decode("utf-8")
+        return value  # int → long
+    if isinstance(writer, AvroRecord) and isinstance(reader, AvroRecord):
+        by_name = {f.name: f for f in writer.fields}
+        out = {}
+        for rf in reader.fields:
+            wf = by_name.get(rf.name)
+            if wf is None:
+                for alias in rf.aliases:
+                    if alias in by_name:
+                        wf = by_name[alias]
+                        break
+            if wf is not None:
+                out[rf.name] = resolve_datum(
+                    value[wf.name], wf.type, rf.type, renv, wenv, max_depth, f"{path}.{rf.name}"
+                )
+            elif rf.has_default:
+                out[rf.name] = _PyDecoder(renv, max_depth).decode(
+                    rf.type, rf.default, f"default({rf.name})"
+                )
+            else:
+                raise SchemaEvolutionError(
+                    f"{path}.{rf.name}: reader field missing from writer and has no default"
+                )
+        return out
+    if isinstance(writer, AvroArray) and isinstance(reader, AvroArray):
+        return [
+            resolve_datum(v, writer.items, reader.items, renv, wenv, max_depth, f"{path}[]")
+            for v in value
+        ]
+    if isinstance(writer, AvroMap) and isinstance(reader, AvroMap):
+        return {
+            k: resolve_datum(v, writer.values, reader.values, renv, wenv, max_depth, f"{path}.{{}}")
+            for k, v in value.items()
+        }
+    if isinstance(writer, AvroUnion):
+        wn = writer.non_null_members
+        if value is None:
+            if isinstance(reader, AvroUnion) and reader.is_nullable:
+                return None
+            raise SchemaEvolutionError(f"{path}: null has no home in non-nullable reader")
+        if len(wn) == 1:
+            branch_t, branch_v = wn[0], value
+        else:
+            # tagged-dict repr: exactly one member_* key non-null
+            from ..schema.spark_convert import union_field_names
+
+            names = union_field_names(writer)
+            key = next(k for k in names if value.get(k) is not None)
+            branch_t, branch_v = wn[names.index(key)], value[key]
+        return _resolve_datum_into(branch_v, branch_t, reader, renv, wenv, max_depth, path)
+    if not isinstance(writer, AvroUnion) and isinstance(reader, AvroUnion):
+        return _resolve_datum_into(value, writer, reader, renv, wenv, max_depth, path)
+    if type(writer) is type(reader) and writer == reader:
+        return value
+    raise SchemaEvolutionError(
+        f"{path}: cannot resolve {type(writer).__name__} against {type(reader).__name__}"
+    )
+
+
+def _resolve_datum_into(value, w: AvroType, r: AvroType, renv, wenv, max_depth, path):
+    """Resolve a non-union writer value into ``r`` (union or not), emitting
+    the reader union's decoded shape (bare value or tagged dict)."""
+    if not isinstance(r, AvroUnion):
+        return resolve_datum(value, w, r, renv, wenv, max_depth, path)
+    rn = r.non_null_members
+    errs = []
+    for i, m in enumerate(rn):
+        try:
+            resolved = resolve_datum(value, w, m, renv, wenv, max_depth, path)
+        except SchemaEvolutionError as ex:
+            errs.append(str(ex))
+            continue
+        if len(rn) <= 1:
+            return resolved
+        from ..schema.spark_convert import union_field_names
+
+        names = union_field_names(r)
+        out = {n: None for n in names}
+        out[names[i]] = resolved
+        return out
+    raise SchemaEvolutionError(f"{path}: no reader union branch accepts writer type ({errs})")
+
+
 def decode_json_evolved(
     df: DataFrame,
     col: str | Column,

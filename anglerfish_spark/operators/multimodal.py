@@ -89,7 +89,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the same features from the text (ASCII corpus, so byte
     values equal character codes)."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_features(payloads)
 
@@ -151,7 +151,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     subsampled at a fixed stride, features recomputed on the output bytes.
     The oracle recomputes the same subsample from the ASCII text."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(fake_resize, RESIZE_SCHEMA)  # row-level: no trailing sort
 
@@ -218,7 +218,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     input skew (one giant video → one straggler task), so size-balancing
     BEFORE the explode is the 100 TB-correct shape."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     payloads = d.select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     ).repartitionByRange(F.octet_length("payload"), F.col("doc_id"))
@@ -295,6 +295,6 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, Arrow transfer, and nullable outputs for empty payloads are
     the production plumbing, oracle-checked against the ASCII bytes."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents", fanout=True)
+    d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(fake_audio_energy, AUDIO_SCHEMA)  # row-level output

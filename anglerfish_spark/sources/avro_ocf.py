@@ -71,6 +71,11 @@ def encode_ocf(values: list, schema_json: str) -> bytes:
 
 def decode_ocf(blob: bytes) -> list:
     """Parse one OCF blob → list of decoded-representation values."""
+    return decode_ocf_with_schema(blob)[0]
+
+
+def decode_ocf_with_schema(blob: bytes) -> tuple[list, str]:
+    """Parse one OCF blob → (values, writer schema JSON from the header)."""
     if blob[:4] != MAGIC:
         raise ValueError("not an Avro object container file")
     pos = 4
@@ -105,7 +110,7 @@ def decode_ocf(blob: bytes) -> list:
         if blob[pos : pos + 16] != sync:
             raise ValueError("sync marker mismatch")
         pos += 16
-    return values
+    return values, meta["avro.schema"].decode()
 
 
 def write_avro_ocf(df_json: DataFrame, json_col: str, schema_json: str, out_dir: str) -> None:
@@ -136,15 +141,43 @@ def write_avro_ocf(df_json: DataFrame, json_col: str, schema_json: str, out_dir:
     stats.collect()  # driver gets (path, count) stats only — never data rows
 
 
-def read_avro_ocf(spark: SparkSession, path_glob: str) -> DataFrame:
+def read_avro_ocf(
+    spark: SparkSession, path_glob: str, reader_schema: str | None = None
+) -> DataFrame:
     """Distributed OCF read → DataFrame with one canonical-JSON ``value``
-    column per record (lift to typed columns with ``codec.decode_json``)."""
+    column per record (lift to typed columns with ``codec.decode_json``).
+
+    With ``reader_schema``, each datum is resolved from its *own file's*
+    writer schema into the reader (Avro-spec resolution: promotions,
+    aliases, defaults, union routing) before emission — a directory
+    accumulated across schema versions reads as one uniform relation, the
+    schema-registry consumption pattern.  Resolution is value-space
+    (codec.evolve.resolve_datum) because rows from different files have
+    different writer shapes; with a single known writer, prefer the
+    column-level ``decode_json_evolved`` projection."""
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..codec.evolve import resolve_datum
+        from ..schema.parser import parse_schema
+
+        rps = parse_schema(reader_schema) if reader_schema else None
+        writer_cache: dict[str, object] = {}
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
-                rows.extend(dumps_avro_json(v) for v in decode_ocf(bytes(blob)))
+                values, wjson = decode_ocf_with_schema(bytes(blob))
+                if rps is None:
+                    rows.extend(dumps_avro_json(v) for v in values)
+                    continue
+                wps = writer_cache.get(wjson)
+                if wps is None:
+                    wps = writer_cache[wjson] = parse_schema(wjson)
+                rows.extend(
+                    dumps_avro_json(
+                        resolve_datum(v, wps.root, rps.root, rps.env, wps.env)
+                    )
+                    for v in values
+                )
             yield pd.DataFrame({"value": rows})
 
     files = spark.read.format("binaryFile").load(path_glob)

@@ -509,3 +509,34 @@ class TestEvolutionProperties:
                 decode_json_evolved(df, "j", w, r).select("decoded.f0").collect()[0][0]
             )
             assert got == expect and type(got) is type(expect), (reader_t, got)
+
+
+class TestResolveDatum:
+    """Value-space resolution (the heterogeneous-writer path)."""
+
+    def test_union_value_routing(self):
+        from anglerfish_spark.codec.evolve import resolve_datum
+        from anglerfish_spark.schema import parse_schema
+
+        w = parse_schema('["int", "string"]')
+        r = parse_schema('["int", "string", "boolean"]')
+        v = {"member_int": 5, "member_string": None}
+        out = resolve_datum(v, w.root, r.root, r.env, w.env)
+        assert out == {"member_int": 5, "member_string": None, "member_boolean": None}
+
+        # bare nullable writer into wider union; null stays null
+        w2 = parse_schema('["null", "long"]')
+        r2 = parse_schema('["null", "long", "string"]')
+        assert resolve_datum(11, w2.root, r2.root, r2.env, w2.env) == {
+            "member_long": 11, "member_string": None,
+        }
+        assert resolve_datum(None, w2.root, r2.root, r2.env, w2.env) is None
+
+    def test_bytes_string_promotions(self):
+        from anglerfish_spark.codec.evolve import resolve_datum
+        from anglerfish_spark.schema import parse_schema
+
+        b = parse_schema('"bytes"').root
+        s = parse_schema('"string"').root
+        assert resolve_datum("hi", s, b) == b"hi"
+        assert resolve_datum(b"hi", b, s) == "hi"
