@@ -447,3 +447,45 @@ def single_object_encode(col: Column | str, schema_json: str) -> Column:
 def single_object_decode(col: Column | str, schema_json: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return single_object_decode_udf(schema_json)(c)
+
+
+def single_object_decode_registry_udf(writer_schemas: list[str], reader_schema: str):
+    """Series→Series pandas UDF: single-object binary → reader-shaped JSON,
+    dispatching each message to its writer schema by the embedded
+    CRC-64-AVRO fingerprint — the full schema-registry consumption path
+    (a stream interleaving messages from several schema versions reads as
+    one uniform relation).  Unknown fingerprints raise DatumError."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _decode(s: pd.Series) -> pd.Series:
+        from ..codec.evolve import resolve_datum
+        from ..schema.fingerprint import schema_fingerprint
+
+        rps = parse_schema(reader_schema)
+        by_fp = {}
+        for wjson in writer_schemas:
+            ps = parse_schema(wjson)
+            by_fp[schema_fingerprint(wjson, "CRC-64-AVRO")] = (ps, BinaryCodec(ps))
+
+        def one(b) -> str:
+            buf = bytes(b)
+            if len(buf) < 10 or buf[:2] != SINGLE_OBJECT_MAGIC:
+                raise DatumError("not a single-object-encoded Avro message")
+            entry = by_fp.get(buf[2:10])
+            if entry is None:
+                raise DatumError(f"unknown schema fingerprint {buf[2:10].hex()}")
+            wps, codec = entry
+            v = codec.decode(buf[10:])
+            return dumps_avro_json(resolve_datum(v, wps.root, rps.root, rps.env, wps.env))
+
+        return s.map(one)
+
+    return _decode
+
+
+def single_object_decode_registry(
+    col: Column | str, writer_schemas: list[str], reader_schema: str
+) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return single_object_decode_registry_udf(writer_schemas, reader_schema)(c)

@@ -255,3 +255,66 @@ class TestJavaBinaryDifferential:
         java_bytes = bytes(baos.toByteArray())
         assert codec.decode(java_bytes) == codec.decode(mine)
         assert java_bytes == mine  # canonical encoding, byte-identical
+
+
+class TestRegistryDispatch:
+    """Fingerprint-dispatched single-object decode: a stream interleaving
+    two writer versions reads uniformly under one reader schema."""
+
+    V1 = '{"type":"record","name":"ev","fields":[{"name":"k","type":"int"}]}'
+    V2 = """
+    {"type":"record","name":"ev","fields":[
+      {"name":"k","type":"long"},
+      {"name":"tag","type":"string","default":"v2"}
+    ]}
+    """
+    READER = """
+    {"type":"record","name":"ev","fields":[
+      {"name":"k","type":"double"},
+      {"name":"tag","type":"string","default":"legacy"}
+    ]}
+    """
+
+    def test_mixed_stream_decodes_to_reader_shape(self, spark):
+        import json as _json
+
+        from anglerfish_spark.functions.avro_binary import (
+            single_object_decode_registry,
+            single_object_encode,
+        )
+
+        df1 = spark.createDataFrame([('{"k": 1}',), ('{"k": 2}',)], ["j"]).withColumn(
+            "msg", single_object_encode("j", self.V1)
+        )
+        df2 = spark.createDataFrame([('{"k": 30, "tag": "new"}',)], ["j"]).withColumn(
+            "msg", single_object_encode("j", self.V2)
+        )
+        mixed = df1.unionByName(df2)
+        out = mixed.withColumn(
+            "val", single_object_decode_registry("msg", [self.V1, self.V2], self.READER)
+        )
+        rows = sorted(
+            (_json.loads(r["val"]) for r in out.collect()), key=lambda v: v["k"]
+        )
+        assert rows == [
+            {"k": 1.0, "tag": "legacy"},
+            {"k": 2.0, "tag": "legacy"},
+            {"k": 30.0, "tag": "new"},
+        ]
+
+    def test_unknown_fingerprint_rejected(self, spark):
+        import pytest
+
+        from anglerfish_spark.functions.avro_binary import (
+            single_object_decode_registry,
+            single_object_encode,
+        )
+
+        other = '{"type":"record","name":"ev","fields":[{"name":"k","type":"string"}]}'
+        df = spark.createDataFrame([('{"k": "x"}',)], ["j"]).withColumn(
+            "msg", single_object_encode("j", other)
+        )
+        with pytest.raises(Exception, match="unknown schema fingerprint|PythonException"):
+            df.withColumn(
+                "val", single_object_decode_registry("msg", [self.V1], self.READER)
+            ).collect()
