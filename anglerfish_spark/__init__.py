@@ -21,4 +21,31 @@ whole-stage codegen apply; Python UDFs are used only where Catalyst cannot
 express the semantics (none on the hot paths).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name: str):
+    """Top-level facade: the API a reference user reaches for first, lazily
+    resolved so schema-only tooling never imports pyspark-dependent
+    modules."""
+    front_end = {
+        "parse_schema": ("anglerfish_spark.schema", "parse_schema"),
+        "to_avsc": ("anglerfish_spark.schema", "to_avsc"),
+        "to_struct_type": ("anglerfish_spark.schema", "to_struct_type"),
+        "from_struct_type": ("anglerfish_spark.schema", "from_struct_type"),
+        "parsing_canonical_form": ("anglerfish_spark.schema.fingerprint", "parsing_canonical_form"),
+        "schema_fingerprint": ("anglerfish_spark.schema.fingerprint", "schema_fingerprint"),
+        "decode_json": ("anglerfish_spark.codec", "decode_json"),
+        "decode_datum": ("anglerfish_spark.codec", "decode_datum"),
+        "decode_json_evolved": ("anglerfish_spark.codec.evolve", "decode_json_evolved"),
+        "evolve_struct": ("anglerfish_spark.codec.evolve", "evolve_struct"),
+        "resolve_datum": ("anglerfish_spark.codec.evolve", "resolve_datum"),
+        "get_spark": ("anglerfish_spark.session", "get_spark"),
+        "all_queries": ("anglerfish_spark.registry", "all_queries"),
+    }
+    if name in front_end:
+        import importlib
+
+        module, attr = front_end[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

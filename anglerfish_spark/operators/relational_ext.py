@@ -1402,3 +1402,61 @@ def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(wavg("l_extendedprice", "l_quantity").alias("wavg_price"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_stats_moments",
+    oracle=f"""
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         {dsum_sql('l_quantity')} AS sx,
+         {dsum_sql('l_quantity * l_quantity')} AS sxx,
+         {dsum_sql('l_extendedprice')} AS sy,
+         {dsum_sql('l_extendedprice * l_extendedprice')} AS syy,
+         {dsum_sql('l_quantity * l_extendedprice')} AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+       (sxy - sx * sy / n)
+         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+FROM m ORDER BY l_returnflag
+""",
+    group="relational",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance / stddev / covariance / Pearson
+    correlation) from decimal-exact moment sums.
+
+    Built-in ``corr``/``var_samp`` accumulate in doubles, so their results
+    depend on partition order — unreproducible across runs and engines.
+    Computing the five moments with the decimal contract and deriving the
+    statistics with identical double expression trees makes them
+    deterministic in both engines, at one decimal add per moment per row
+    (map-side combinable, same scaling as q1)."""
+    c = _cat(spark, sf_dir)
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = c.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(x * x).alias("sxx"),
+        dsum(y).alias("sy"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(k) for k in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
