@@ -143,14 +143,19 @@ ORDER BY revenue DESC, n_name
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (TPC-H-Q5 shape): dims broadcast, facts equi-join.
 
-    At 100 TB: customer⋈orders⋈lineitem are key-partitioned shuffle joins
-    (AQE split on skew); nation/region broadcast — zero shuffle for them,
-    and the region filter prunes before the join.
+    Fact sides carry an explicit ``shuffle_hash`` hint: facts must never
+    broadcast (at 100 TB they can't; locally AQE would broadcast the
+    pruned lineitem projection, and building that 600k-row hashed
+    relation on the driver measured 1.7× slower than the hash join), and
+    hash beats sort-merge here because the join keys feed an aggregation,
+    not a sort.  nation/region broadcast — zero shuffle for them, and the
+    region filter prunes before the join; AQE still splits skewed keys.
     """
     c = _cat(spark, sf_dir)
     return (
-        c.customer.join(c.orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(c.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        c.customer.hint("shuffle_hash")
+        .join(c.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(c.lineitem.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(c.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .where(
