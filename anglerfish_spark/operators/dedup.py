@@ -29,6 +29,7 @@ from ..errors import ConvergenceError
 from ..registry import query
 from ..session import prepare
 from ..sources.registry import load_table
+from .common import dsum, dsum_sql
 from .text import TOKENS_SQL, tokens
 
 N_MINHASH = 8  # 8 hashes → 4 bands of 2 rows (b=4, r=2)
@@ -143,6 +144,45 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
     return docs.select("doc_id", hashed.alias("_h")).select("doc_id", *lanes)
 
 
+def lsh_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) rows: signature lanes paired into
+    N_BANDS band keys — the LSH bucket assignment."""
+    sig = minhash_signatures(docs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band_key"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, with_band: bool = False) -> DataFrame:
+    """Candidate near-dup pairs (doc_a < doc_b) from the band bucket join;
+    with ``with_band`` each row also carries the matching band_id
+    (callers that only need the pair set get it pre-distinct)."""
+    bands = lsh_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.band_id").alias("band_id"),
+    )
+    if with_band:
+        return pairs
+    return pairs.select("doc_a", "doc_b").distinct()
+
+
 @query(
     "q_dedup_minhash_lsh",
     oracle=f"""
@@ -180,32 +220,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bucket join, not an all-pairs product."""
     prepare(spark)
     d = load_table(spark, sf_dir, "documents", fanout=True)
-    sig = minhash_signatures(d)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.band_id") == F.col("b.band_id"))
-        & (F.col("a.band_key") == F.col("b.band_key"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.band_id").alias("band_id"),
-    )
     return (
-        pairs.groupBy("doc_a", "doc_b")
+        lsh_candidate_pairs(d, with_band=True)
+        .groupBy("doc_a", "doc_b")
         .agg(F.countDistinct("band_id").alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
     )
@@ -269,30 +286,7 @@ def q_dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     third scan of the corpus."""
     prepare(spark)
     d = load_table(spark, sf_dir, "documents", fanout=True)
-    sig = minhash_signatures(d)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = lsh_candidate_pairs(d)
     sh_sets = d.select("doc_id", shingles(tokens()).alias("sh"))
     sa, sb = sh_sets.alias("sa"), sh_sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
@@ -526,31 +520,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same components via a recursive transitive closure."""
     prepare(spark)
     d = load_table(spark, sf_dir, "documents", fanout=True)
-    sig = minhash_signatures(d)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("band_key"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = connected_components(lsh_candidate_pairs(d), "doc_a", "doc_b")
     return comp.select(F.col("node").alias("doc_id"), F.col("label").alias("component")).orderBy(
         "doc_id"
     )
@@ -669,4 +639,75 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("score"))
         .where(F.col("score") >= EMB_THRESHOLD)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank power-iteration step over the near-dup graph
+# ---------------------------------------------------------------------------
+
+PR_DAMPING = 0.85
+
+
+@query(
+    "q_dedup_pagerank",
+    oracle=f"""
+WITH {_PAIRS_CTE},
+edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+n AS (SELECT COUNT(DISTINCT s) AS cnt FROM edges),
+deg AS (SELECT s AS node, COUNT(*) AS d FROM edges GROUP BY s),
+contrib AS (
+  SELECT e.t AS node, (1.0 / (SELECT cnt FROM n)) / dg.d AS c
+  FROM edges e JOIN deg dg ON dg.node = e.s
+)
+SELECT node AS doc_id,
+       (1.0 - {PR_DAMPING}) / (SELECT cnt FROM n)
+         + {PR_DAMPING} * {dsum_sql('c')} AS rank
+FROM contrib
+GROUP BY node
+ORDER BY doc_id
+""",
+    group="llm-dedup",
+)
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration step over the near-duplicate graph
+    (uniform initial ranks): rank mass flows along LSH candidate edges —
+    highly-duplicated docs surface as hubs, the centrality signal used to
+    pick cluster representatives.
+
+    The iterative-graph shape at scale: per step one edge⋈degree join and
+    one combinable aggregation keyed by node; ranks never leave the
+    cluster, the driver only coordinates steps.  Contribution sums use the
+    decimal contract so ranks are partition-order independent (float
+    accumulation would drift per shuffle)."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    pairs = lsh_candidate_pairs(d)
+    edges = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t")).unionAll(
+        pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))
+    )
+    n = edges.agg(F.countDistinct("s").alias("cnt"))
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    contrib = (
+        edges.join(deg, "s")
+        .join(F.broadcast(n))
+        .select(F.col("t").alias("node"), ((F.lit(1.0) / F.col("cnt")) / F.col("d")).alias("c"))
+    )
+
+
+    return (
+        contrib.join(F.broadcast(n))
+        .groupBy("node", "cnt")
+        .agg(dsum(F.col("c")).alias("mass"))
+        .select(
+            F.col("node").alias("doc_id"),
+            (
+                (F.lit(1.0) - PR_DAMPING) / F.col("cnt") + F.lit(PR_DAMPING) * F.col("mass")
+            ).alias("rank"),
+        )
+        .orderBy("doc_id")
     )

@@ -1460,3 +1460,49 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  COUNT(*) AS n_users,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage_signup,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+            THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                 AND t_purchase > t_click
+            THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+FROM firsts
+""",
+    group="relational",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (signup → click → purchase, strictly ordered first
+    occurrences): one conditional-MIN aggregation per user then a global
+    rollup — two combinable shuffles total, no joins, no explode.  The
+    standard event-funnel shape at any scale."""
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("int")).cast("bigint").alias("stage_signup"),
+        F.sum(s2.cast("int")).cast("bigint").alias("stage_click"),
+        F.sum(s3.cast("int")).cast("bigint").alias("stage_purchase"),
+    )
