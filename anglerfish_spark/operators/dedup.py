@@ -711,3 +711,80 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+WITH {_PAIRS_CTE},
+newdocs AS (
+  SELECT doc_id, md5(array_to_string(list_sort(list_distinct({TOKENS_SQL})), ' ')) AS fp
+  FROM documents WHERE doc_id % 10 = 0
+),
+idx AS (
+  SELECT md5(array_to_string(list_sort(list_distinct({TOKENS_SQL})), ' ')) AS fp
+  FROM documents WHERE doc_id % 10 <> 0
+),
+exact_hit AS (SELECT DISTINCT n.doc_id FROM newdocs n JOIN idx i USING (fp)),
+near_hit AS (
+  SELECT DISTINCT a.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+)
+SELECT n.doc_id,
+       e.doc_id IS NOT NULL AS exact_dup,
+       h.doc_id IS NOT NULL AS near_dup
+FROM newdocs n
+LEFT JOIN exact_hit e ON e.doc_id = n.doc_id
+LEFT JOIN near_hit h ON h.doc_id = n.doc_id
+ORDER BY n.doc_id
+""",
+    group="llm-dedup",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production steady state: a new batch (here
+    every 10th doc) checked against the already-ingested index without
+    re-deduplicating the index.  Exact check = canonical content hash
+    (q_dedup_exact's fingerprint) semi-matched against the index; near
+    check = the batch's LSH band keys probed against the index's bands.
+
+    The scale shape: the index's fingerprints and band keys are written
+    once at ingest (here recomputed — same per-doc expressions); each new
+    batch only hashes ITS docs and runs two hash joins keyed by
+    fingerprint/band — cost is O(batch + matched buckets), never
+    O(index²).  The batch side is typically small enough to broadcast."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens()))).cast("binary"))
+    fps = d.select("doc_id", fp.alias("fp"))
+    new_fps = fps.where(is_new)
+    idx_fps = fps.where(~is_new).select("fp")
+    exact_hit = new_fps.join(idx_fps, "fp", "left_semi").select("doc_id").distinct()
+
+    bands = lsh_bands(d)
+    band_new = bands.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    band_idx = bands.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0).select("band_id", "band_key")
+    near_hit = (
+        band_new.join(band_idx, ["band_id", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    return (
+        new_fps.select("doc_id")
+        .join(exact_hit.withColumn("_e", F.lit(True)), "doc_id", "left")
+        .join(near_hit.withColumn("_n", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_e"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("_n"), F.lit(False)).alias("near_dup"),
+        )
+        .orderBy("doc_id")
+    )

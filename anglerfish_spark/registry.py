@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QueryDef]:
     from .codec import queries as _codec_queries  # noqa: F401
     from .operators import dedup as _dedup  # noqa: F401
     from .operators import multimodal as _multimodal  # noqa: F401
+    from .operators import packing as _packing  # noqa: F401
     from .operators import relational as _relational  # noqa: F401
     from .operators import relational_ext as _relational_ext  # noqa: F401
     from .operators import similarity as _similarity  # noqa: F401
