@@ -111,3 +111,36 @@ def test_simhash_is_map_plus_one_agg_shuffle(spark, sf_dir):
 def test_kmeans_step_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_kmeans_step")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q7_dims_broadcast_facts_hash(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q_volume_shipping")
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    # supplier + two nation aliases broadcast; orders/customer join the
+    # lineitem side as shuffle-hash (facts must never broadcast at scale)
+    assert ops.count("BroadcastHashJoin") == 3, plan
+    assert ops.count("ShuffledHashJoin") == 2, plan
+    assert "SortMergeJoin" not in ops, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan  # date filter at the scan
+
+
+def test_tpch_q17_join_back_no_extra_exchange(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q_small_qty_revenue")
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    # per-part limits join back to lineitem: the agg shuffle doubles as the
+    # join partitioning, so exchanges stay at 3 (agg, join-back, final agg)
+    assert ops.count("Exchange") <= 3, plan
+    assert "EqualTo(p_brand,Brand#23)" in plan, plan  # brand filter at the part scan
+
+
+def test_tpch_q6_single_stage(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q_forecast_revenue")
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    assert ops.count("Exchange") == 1, plan  # only the 1-row final agg exchange
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
