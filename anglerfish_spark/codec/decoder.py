@@ -245,7 +245,11 @@ class _ExprBuilder:
                 raise InvalidParserStateError(f"dangling recursion ref {t.fqn!r}")
             return self.build(target, wire, raw, path)
         if isinstance(t, AvroPrimitive):
-            return self._prim(t.kind, wire, raw, path)
+            value, err = self._prim(t.kind, wire, raw, path)
+            if t.logical is not None:
+                value, lerr = self._lift_logical(t.logical, value, path)
+                err = self._cat(err, lerr)
+            return value, err
         if isinstance(t, AvroEnum):
             ok_null = wire.isNull()
             err = self._err(~ok_null & ~wire.isin(*t.symbols), "EnumError", path)
@@ -254,10 +258,14 @@ class _ExprBuilder:
             value = F.unbase64(wire)
             bad_b64 = wire.isNotNull() & ~wire.rlike(_B64_RE)
             bad_len = wire.isNotNull() & (F.length(value) != F.lit(t.length))
-            return value, self._cat(
+            err = self._cat(
                 self._err(bad_b64, "UnexpectedTypeError", path),
                 self._err(~bad_b64 & bad_len, "FixedError", path),
             )
+            if t.logical is not None:  # decimal-annotated fixed
+                value, lerr = self._lift_logical(t.logical, value, path)
+                err = self._cat(err, lerr)
+            return value, err
         if isinstance(t, AvroArray):
             return self._array(t, wire, raw, path)
         if isinstance(t, AvroMap):
@@ -267,6 +275,36 @@ class _ExprBuilder:
         if isinstance(t, AvroRecord):
             return self._record(t, wire, raw, path)
         raise InvalidParserStateError(f"unexpected type {t!r}")
+
+    def _lift_logical(self, logical, carrier: Column, path: str) -> tuple[Column, Column]:
+        """Carrier column → native Catalyst value (logical-types surface,
+        beyond reference — AvroData.scala:17 TODO).  Range violations
+        (time-of-day out of a day, decimal beyond the expression fold's
+        15-byte bound or the declared precision) flow to the error channel
+        as ``UnrepresentableError`` — the converted value is NULL there."""
+        from .logical import (
+            carrier_to_value_expr,
+            decimal_overflow_expr,
+            time_range_err_expr,
+        )
+
+        errs: list[Column] = []
+        if logical.name in ("time-millis", "time-micros"):
+            errs.append(self._err(time_range_err_expr(logical, carrier), "UnrepresentableError", path))
+        value = carrier_to_value_expr(logical, carrier)
+        if logical.name == "decimal" and logical.precision <= 38:
+            errs.append(self._err(decimal_overflow_expr(carrier), "UnrepresentableError", path))
+            errs.append(
+                self._err(
+                    carrier.isNotNull()
+                    & (F.length(carrier) > 0)
+                    & ~decimal_overflow_expr(carrier)
+                    & value.isNull(),
+                    "UnrepresentableError",
+                    path,
+                )
+            )
+        return value, self._cat(*errs) if errs else _empty_errs()
 
     def _prim(
         self, kind: Primitive, wire: Column, raw: Optional[Column], path: str

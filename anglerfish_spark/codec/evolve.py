@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..errors import SchemaEvolutionError
 from ..schema.model import (
     AvroArray,
+    AvroFixed,
     AvroMap,
     AvroPrimitive,
     AvroRecord,
@@ -77,11 +78,49 @@ def _parse(s: ParsedSchema | AvroType | str) -> tuple[AvroType, dict[str, AvroTy
     return s, {}
 
 
+def _bridge_logical(col: Column, wl, rl, w_kind: Primitive, path: str) -> Column:
+    """Writer→reader conversion when the carrier kinds match but the logical
+    annotations differ (spec: resolution matches on the underlying type; the
+    reader's logical annotation is then applied).  Identity when the two
+    effective Catalyst types coincide (e.g. timestamp-millis vs -micros both
+    map to TimestampType and the decode already normalized)."""
+    from ..schema.spark_convert import _PRIM_TO_SPARK, _logical_spark_type
+
+    from .logical import binary_to_decimal_expr, carrier_to_value_expr, value_to_carrier_expr
+
+    if wl == rl:
+        return col
+    if wl is not None and rl is not None and wl.name == "decimal" and rl.name == "decimal":
+        if wl.precision > 38 and rl.precision > 38:
+            return col  # both beyond Catalyst: carrier bytes through
+        if wl.precision > 38 or rl.precision > 38:
+            raise SchemaEvolutionError(
+                f"{path}: decimal precision crosses the Catalyst 38 cap "
+                f"({wl.precision} → {rl.precision}); no expression bridge"
+            )
+        return col.cast(f"decimal({rl.precision},{rl.scale})")
+    eff_w = _logical_spark_type(wl)[0] if wl is not None else _PRIM_TO_SPARK[w_kind]
+    eff_r = _logical_spark_type(rl)[0] if rl is not None else _PRIM_TO_SPARK[w_kind]
+    if eff_w == eff_r:
+        return col
+    if wl is not None and wl.name == "decimal":
+        raise SchemaEvolutionError(f"{path}: no expression bridge from decimal to bare bytes")
+    if rl is not None and rl.name == "decimal":
+        return binary_to_decimal_expr(col, rl.precision, rl.scale)
+    carrier = value_to_carrier_expr(wl, col) if wl is not None else col
+    return carrier_to_value_expr(rl, carrier) if rl is not None else carrier
+
+
 def _resolve(col: Column, w: AvroType, r: AvroType, renv, wenv, max_depth: int, path: str) -> Column:
     if isinstance(w, AvroPrimitive) and isinstance(r, AvroPrimitive):
         if w.kind is r.kind:
-            return col
+            return _bridge_logical(col, w.logical, r.logical, w.kind, path)
         if (w.kind, r.kind) in PROMOTIONS:
+            if w.logical is not None or r.logical is not None:
+                raise SchemaEvolutionError(
+                    f"{path}: promotion {w.kind.value}→{r.kind.value} with logical "
+                    "annotations is not supported"
+                )
             return col.cast(_CAST[r.kind])
         raise SchemaEvolutionError(f"{path}: cannot promote {w.kind.value} to {r.kind.value}")
     if isinstance(w, AvroRecord) and isinstance(r, AvroRecord):
@@ -106,6 +145,14 @@ def _resolve(col: Column, w: AvroType, r: AvroType, renv, wenv, max_depth: int, 
         return _resolve_union_union(col, w, r, renv, wenv, max_depth, path)
     if isinstance(w, AvroUnion) and not isinstance(r, AvroUnion):
         return _resolve_union_out(col, w, r, renv, wenv, max_depth, path)
+    if isinstance(w, AvroFixed) and isinstance(r, AvroFixed):
+        # spec: fixed matches on name + size; the reader's (possibly
+        # different) decimal annotation is then applied to the raw bytes
+        if w.name == r.name and w.length == r.length:
+            return _bridge_logical(col, w.logical, r.logical, Primitive.BYTES, path)
+        raise SchemaEvolutionError(
+            f"{path}: fixed mismatch {w.fqn}[{w.length}] vs {r.fqn}[{r.length}]"
+        )
     if type(w) is type(r) and w == r:
         return col
     raise SchemaEvolutionError(f"{path}: cannot resolve {type(w).__name__} against {type(r).__name__}")

@@ -98,7 +98,12 @@ class Decoder:
                 )
             return self.decode(target, value, path)
         if isinstance(t, AvroPrimitive):
-            return self._prim(t.kind, value, path)
+            out = self._prim(t.kind, value, path)
+            if t.logical is not None:
+                from .logical import py_carrier_to_value
+
+                return py_carrier_to_value(t.logical, out, path)
+            return out
         if isinstance(t, AvroEnum):
             if not isinstance(value, str):
                 raise UnexpectedTypeError(f"{path}: enum expects string, got {type(value).__name__}")
@@ -109,6 +114,10 @@ class Decoder:
             raw = _b64(value, path)
             if len(raw) != t.length:
                 raise FixedError(f"{path}: fixed {t.fqn} expects {t.length} bytes, got {len(raw)}")
+            if t.logical is not None:  # decimal-annotated fixed
+                from .logical import py_carrier_to_value
+
+                return py_carrier_to_value(t.logical, raw, path)
             return raw
         if isinstance(t, AvroArray):
             if not isinstance(value, list):

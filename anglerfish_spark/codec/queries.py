@@ -354,7 +354,8 @@ SELECT * FROM (VALUES
   ('l_orderkey', 'long'), ('l_partkey', 'long'), ('l_suppkey', 'long'),
   ('l_linenumber', 'int'), ('l_quantity', 'double'), ('l_extendedprice', 'double'),
   ('l_discount', 'double'), ('l_tax', 'double'), ('l_returnflag', 'string'),
-  ('l_linestatus', 'string'), ('l_shipdate', 'long')
+  ('l_linestatus', 'string'),
+  ('l_shipdate', '{"type": "long", "logicalType": "local-timestamp-micros"}')
 ) AS t(field, avro_type)
 ORDER BY field
 """,
@@ -362,9 +363,12 @@ ORDER BY field
 )
 def schema_export_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Export a Spark table schema as Avro (I2-analogue): every parquet
-    column becomes a nullable union whose non-null member is reported
-    (timestamps carry as long — the reference has no logical types,
-    AvroData.scala:17)."""
+    column becomes a nullable union whose non-null member is reported.
+    Temporal columns export as spec logical types on their carrier —
+    beyond-reference surface (the reference leaves logical types as a
+    TODO, AvroData.scala:17)."""
+    import json as _json
+
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
     rec = from_struct_type(li.schema, "lineitem")
@@ -372,7 +376,9 @@ def schema_export_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in rec.fields:
         j = to_json(f.type)
         non_null = j[1] if isinstance(j, list) else j
-        rows.append((f.name, non_null if isinstance(non_null, str) else str(non_null)))
+        rows.append(
+            (f.name, non_null if isinstance(non_null, str) else _json.dumps(non_null))
+        )
     return spark.createDataFrame(rows, ["field", "avro_type"]).orderBy("field")
 
 
@@ -796,3 +802,76 @@ def json_decode_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_json_evolved(ev, "props", _EVENTS_SCHEMA, _READER_SCHEMA, mode="strict").select(
         "event_id", F.col("decoded.knum").alias("knum"), F.col("decoded.tag").alias("tag")
     )
+
+
+# ---------------------------------------------------------------------------
+# logical types (beyond-reference surface — AvroData.scala:17 TODO)
+# ---------------------------------------------------------------------------
+
+_LOGICAL_SCHEMA = """
+{"type":"record","name":"o","fields":[
+  {"name":"ts","type":{"type":"long","logicalType":"local-timestamp-micros"}},
+  {"name":"d","type":{"type":"int","logicalType":"date"}},
+  {"name":"amt","type":{"type":"bytes","logicalType":"decimal","precision":12,"scale":2}}
+]}
+"""
+
+_AMT_CASES = ["1234.56", "-0.07", "0.00", "-9999999999.99"]
+
+
+def _amt_b64(txt: str) -> str:
+    import base64
+    from decimal import Decimal
+
+    unscaled = int(Decimal(txt).scaleb(2))
+    length = max(1, (unscaled.bit_length() + 8) // 8)
+    return base64.b64encode(unscaled.to_bytes(length, "big", signed=True)).decode()
+
+
+@query(
+    "json_decode_logical",
+    oracle="""
+SELECT o_orderkey,
+       o_orderdate AS ts,
+       CAST(o_orderdate AS DATE) AS d,
+       CASE CAST(o_orderkey % 4 AS INT)
+         WHEN 0 THEN CAST('1234.56' AS DECIMAL(12,2))
+         WHEN 1 THEN CAST('-0.07' AS DECIMAL(12,2))
+         WHEN 2 THEN CAST('0.00' AS DECIMAL(12,2))
+         ELSE CAST('-9999999999.99' AS DECIMAL(12,2)) END AS amt
+FROM orders WHERE o_orderkey % 17 = 0 AND o_orderdate IS NOT NULL
+ORDER BY o_orderkey
+""",
+    group="codec",
+)
+def json_decode_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro logical types decoded to native Catalyst types (beyond-reference
+    surface; the reference leaves logical types as a TODO, AvroData.scala:17).
+
+    Carrier values are emitted as Avro-JSON (micros/days/two's-complement
+    base64 bytes) and strict-decoded against a logical-annotated schema:
+    ``local-timestamp-micros`` → TIMESTAMP_NTZ, ``date`` → DATE,
+    ``decimal(12,2)`` on bytes → DECIMAL(12,2) — all in whole-stage
+    codegen (codec/logical.py), validated against the original columns."""
+    prepare(spark)
+    o = load_table(spark, sf_dir, "orders").where(
+        ((F.col("o_orderkey") % 17) == 0) & F.col("o_orderdate").isNotNull()
+    )
+    amt = F.element_at(
+        F.array(*[F.lit(_amt_b64(t)) for t in _AMT_CASES]),
+        (F.col("o_orderkey") % 4).cast("int") + 1,
+    )
+    txt = F.to_json(
+        F.struct(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("d"),
+            amt.alias("amt"),
+        )
+    )
+    decoded = decode_json(o.select("o_orderkey", txt.alias("txt")), "txt", _LOGICAL_SCHEMA)
+    return decoded.select(
+        "o_orderkey",
+        F.col("decoded.ts").alias("ts"),
+        F.col("decoded.d").alias("d"),
+        F.col("decoded.amt").alias("amt"),
+    ).orderBy("o_orderkey")

@@ -123,6 +123,12 @@ class BinaryCodec:
         if isinstance(t, AvroRecursionRef):
             self._enc(self.env[t.fqn], v, out)
         elif isinstance(t, AvroPrimitive):
+            if t.logical is not None:
+                # semantic values (datetime/date/time/Decimal) down-convert
+                # to the carrier; carrier-typed inputs pass through unchanged
+                from ..codec.logical import py_value_to_carrier
+
+                v = py_value_to_carrier(t.logical, v)
             k = t.kind
             if k is Primitive.NULL:
                 pass
@@ -144,6 +150,10 @@ class BinaryCodec:
         elif isinstance(t, AvroEnum):
             write_long(out, t.symbols.index(v))
         elif isinstance(t, AvroFixed):
+            if t.logical is not None:
+                from ..codec.logical import py_value_to_carrier
+
+                v = py_value_to_carrier(t.logical, v, fixed_length=t.length)
             out.write(bytes(v))
         elif isinstance(t, AvroArray):
             if v:

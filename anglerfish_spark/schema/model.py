@@ -12,8 +12,15 @@ Field order is significant and preserved (the reference keeps fields in a
 ``ListMap``, AvroData.scala:53; enum symbols in a ``ListSet``,
 AvroData.scala:54) — Python lists/tuples keep insertion order naturally.
 
-Out of reference scope and deliberately absent: logical types
-(decimal/timestamp/date — explicit TODO at reference AvroData.scala:17).
+Beyond reference scope (explicit TODO at reference AvroData.scala:17):
+Avro *logical types* are supported per spec — a ``LogicalType`` annotation
+riding on its carrier primitive/fixed.  The spec's fallback rule applies:
+an invalid logicalType/carrier combination is IGNORED at parse time and the
+underlying type used (Avro spec "Logical Types"); validation therefore
+lives in the parser, and a constructed ``LogicalType`` is always valid for
+its carrier.  Parsing Canonical Form strips logical attributes (spec
+[STRIP]), so fingerprints are unaffected — differential-tested against
+org.apache.avro.
 """
 
 from __future__ import annotations
@@ -48,8 +55,37 @@ class SortOrder(str, Enum):
 
 
 @dataclass(frozen=True)
+class LogicalType:
+    """Validated logical-type annotation (Avro spec "Logical Types").
+
+    ``precision``/``scale`` are only meaningful for ``decimal``; the parser
+    guarantees carrier compatibility and decimal bounds before attaching.
+    """
+
+    name: str
+    precision: int | None = None
+    scale: int | None = None
+
+
+#: logical-type name → carrier primitives it may annotate (decimal may also
+#: annotate fixed, handled separately)
+LOGICAL_CARRIERS: dict[str, tuple[Primitive, ...]] = {
+    "date": (Primitive.INT,),
+    "time-millis": (Primitive.INT,),
+    "time-micros": (Primitive.LONG,),
+    "timestamp-millis": (Primitive.LONG,),
+    "timestamp-micros": (Primitive.LONG,),
+    "local-timestamp-millis": (Primitive.LONG,),
+    "local-timestamp-micros": (Primitive.LONG,),
+    "uuid": (Primitive.STRING,),
+    "decimal": (Primitive.BYTES,),
+}
+
+
+@dataclass(frozen=True)
 class AvroPrimitive:
     kind: Primitive
+    logical: LogicalType | None = None
 
     @property
     def type_name(self) -> str:
@@ -164,12 +200,14 @@ class AvroEnum:
 
 @dataclass(frozen=True)
 class AvroFixed:
-    """Fixed-length binary (reference AvroData.scala:58)."""
+    """Fixed-length binary (reference AvroData.scala:58); may carry a
+    ``decimal`` logical annotation (precision bounded by the byte length)."""
 
     name: str
     length: int
     namespace: str | None = None
     aliases: tuple[str, ...] = ()
+    logical: LogicalType | None = None
 
     def __post_init__(self):
         validate_name(self.name)

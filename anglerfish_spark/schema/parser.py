@@ -43,15 +43,53 @@ from .model import (
     AvroField,
     AvroFixed,
     AvroMap,
+    AvroPrimitive,
     AvroRecord,
     AvroRecursionRef,
     AvroType,
     AvroUnion,
+    LOGICAL_CARRIERS,
+    LogicalType,
+    Primitive,
     SortOrder,
 )
 from .names import construct_fqn, split_fqn, validate_name
 
 COMPLEX_KINDS = ("record", "enum", "fixed", "array", "map")
+
+
+def _fixed_capacity(length: int) -> int:
+    """Max decimal precision a fixed of ``length`` bytes can hold (spec:
+    ``floor(log10(2^(8L-1) - 1))`` — every value of that many digits must
+    be representable, so the partial top digit does not count)."""
+    return len(str((1 << (8 * length - 1)) - 1)) - 1 if length > 0 else 0
+
+
+def _validated_decimal(obj: dict, max_precision: int | None) -> LogicalType | None:
+    """Validated decimal annotation, or None if invalid (the spec's
+    fallback: an ill-formed logical type is ignored, the carrier used)."""
+    precision, scale = obj.get("precision"), obj.get("scale", 0)
+    ok = (
+        isinstance(precision, int)
+        and not isinstance(precision, bool)
+        and isinstance(scale, int)
+        and not isinstance(scale, bool)
+        and precision > 0
+        and 0 <= scale <= precision
+        and (max_precision is None or precision <= max_precision)
+    )
+    return LogicalType("decimal", precision=precision, scale=scale) if ok else None
+
+
+def _validated_logical(obj: dict, carrier: Primitive) -> LogicalType | None:
+    """Validated logical annotation for a primitive carrier, or None
+    (unknown names and carrier mismatches are ignored per spec)."""
+    name = obj.get("logicalType")
+    if not isinstance(name, str) or carrier not in LOGICAL_CARRIERS.get(name, ()):
+        return None
+    if name == "decimal":
+        return _validated_decimal(obj, max_precision=None)
+    return LogicalType(name)
 
 
 @dataclass(frozen=True)
@@ -119,8 +157,14 @@ class _Parser:
             return self.parse_fixed(obj, namespace)
         if kind == "record":
             return self.parse_record(obj, namespace)
-        # {"type": <schema>} wrapper (spec-legal), e.g. {"type": "string"}
-        return self.parse_type(kind, namespace)
+        # {"type": <schema>} wrapper (spec-legal), e.g. {"type": "string"});
+        # a primitive wrapper may carry a logicalType annotation
+        t = self.parse_type(kind, namespace)
+        if isinstance(t, AvroPrimitive):
+            logical = _validated_logical(obj, t.kind)
+            if logical is not None:
+                return AvroPrimitive(t.kind, logical=logical)
+        return t
 
     # -- named types ---------------------------------------------------------
 
@@ -167,7 +211,12 @@ class _Parser:
         length = obj.get("size", obj.get("length"))
         if not isinstance(length, int) or isinstance(length, bool):
             raise UnexpectedJsonTypeError(f"fixed 'size' must be an integer: {length!r}")
-        t = AvroFixed(name=name, namespace=ns, length=length, aliases=self._aliases(obj))
+        logical = None
+        if obj.get("logicalType") == "decimal":
+            logical = _validated_decimal(obj, max_precision=_fixed_capacity(length))
+        t = AvroFixed(
+            name=name, namespace=ns, length=length, aliases=self._aliases(obj), logical=logical
+        )
         self.register(t.fqn, t)
         return t
 

@@ -47,8 +47,19 @@ def _field_json(f: AvroField, seen: set[str]) -> dict:
     return out
 
 
+def _logical_attrs(t) -> dict:
+    out: dict[str, Any] = {"logicalType": t.logical.name}
+    if t.logical.name == "decimal":
+        out["precision"] = t.logical.precision
+        if t.logical.scale:
+            out["scale"] = t.logical.scale
+    return out
+
+
 def _type_json(t: AvroType, seen: set[str]) -> Any:
     if isinstance(t, AvroPrimitive):
+        if t.logical is not None:
+            return {"type": t.type_name, **_logical_attrs(t)}
         return t.type_name
     if isinstance(t, AvroRecursionRef):
         return t.fqn
@@ -77,6 +88,8 @@ def _type_json(t: AvroType, seen: set[str]) -> Any:
             out["namespace"] = t.namespace
         if t.aliases:
             out["aliases"] = list(t.aliases)
+        if t.logical is not None:
+            out.update(_logical_attrs(t))
         return out
     if isinstance(t, AvroRecord):
         out = {"type": "record", "name": t.name}

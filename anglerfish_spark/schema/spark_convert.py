@@ -36,6 +36,7 @@ from .model import (
     AvroRecursionRef,
     AvroType,
     AvroUnion,
+    LogicalType,
     NamedType,
     Primitive,
     SortOrder,
@@ -51,6 +52,7 @@ META_ALIASES = "anglerfish.aliases"
 META_ORDER = "anglerfish.order"
 META_DEFAULT = "anglerfish.default.json"
 META_TRUNCATED = "anglerfish.recursion.truncated"
+META_LOGICAL = "anglerfish.logicalType"
 
 _PRIM_TO_SPARK = {
     Primitive.NULL: T.NullType(),
@@ -62,6 +64,35 @@ _PRIM_TO_SPARK = {
     Primitive.BYTES: T.BinaryType(),
     Primitive.STRING: T.StringType(),
 }
+
+
+def _logical_spark_type(logical) -> tuple[T.DataType, dict]:
+    """Catalyst type for a logical annotation on a primitive carrier.
+
+    Beyond-reference surface (AvroData.scala:17 TODO): Spark has native
+    types for all of them — date/timestamp/timestamp_ntz/time/decimal —
+    so the annotation maps to the real type; the original logical name
+    rides in field metadata for lossless export.
+
+    A spec-valid decimal precision beyond Catalyst's cap of 38 has no
+    native representation — the carrier (``bytes``) is used, annotation
+    kept in metadata only."""
+    md = {META_LOGICAL: logical.name}
+    if logical.name == "date":
+        return T.DateType(), md
+    if logical.name in ("timestamp-millis", "timestamp-micros"):
+        return T.TimestampType(), md
+    if logical.name in ("local-timestamp-millis", "local-timestamp-micros"):
+        return T.TimestampNTZType(), md
+    if logical.name in ("time-millis", "time-micros"):
+        return T.TimeType(), md
+    if logical.name == "decimal":
+        if logical.precision > 38:
+            return T.BinaryType(), md
+        return T.DecimalType(logical.precision, logical.scale), md
+    if logical.name == "uuid":
+        return T.StringType(), md
+    raise InvalidParserStateError(f"unexpected logical type {logical!r}")
 
 
 def is_nullable(t: AvroType) -> bool:
@@ -114,11 +145,17 @@ class _Converter:
     def convert(self, t: AvroType) -> tuple[T.DataType, dict]:
         """Returns (spark type, extra metadata for the enclosing field)."""
         if isinstance(t, AvroPrimitive):
+            if t.logical is not None:
+                return _logical_spark_type(t.logical)
             return _PRIM_TO_SPARK[t.kind], {}
         if isinstance(t, AvroEnum):
             return T.StringType(), {META_ENUM_NAME: t.fqn, META_ENUM_SYMBOLS: list(t.symbols)}
         if isinstance(t, AvroFixed):
-            return T.BinaryType(), {META_FIXED_NAME: t.fqn, META_FIXED_LENGTH: t.length}
+            md = {META_FIXED_NAME: t.fqn, META_FIXED_LENGTH: t.length}
+            if t.logical is not None and t.logical.name == "decimal":
+                dt, lmd = _logical_spark_type(t.logical)
+                return dt, {**md, **lmd}
+            return T.BinaryType(), md
         if isinstance(t, AvroArray):
             dt, _ = self.convert(t.items)
             return T.ArrayType(dt, containsNull=is_nullable(t.items)), {}
@@ -206,11 +243,15 @@ _SPARK_TO_PRIM = {
     T.DoubleType: Primitive.DOUBLE,
     T.BinaryType: Primitive.BYTES,
     T.StringType: Primitive.STRING,
-    # out-of-reference-scope Spark types exported as their physical carrier
-    # (the reference has no logical types — AvroData.scala:17 TODO):
-    T.TimestampType: Primitive.LONG,  # epoch micros
-    T.TimestampNTZType: Primitive.LONG,  # epoch micros, no zone
-    T.DateType: Primitive.INT,  # epoch days
+}
+
+#: temporal Spark types export as spec logical types on their carrier
+#: (beyond-reference surface — AvroData.scala:17 TODO)
+_SPARK_TO_LOGICAL = {
+    T.TimestampType: (Primitive.LONG, "timestamp-micros"),
+    T.TimestampNTZType: (Primitive.LONG, "local-timestamp-micros"),
+    T.DateType: (Primitive.INT, "date"),
+    T.TimeType: (Primitive.LONG, "time-micros"),
 }
 
 
@@ -242,7 +283,14 @@ def from_struct_type(
             values = AvroUnion((AvroPrimitive(Primitive.NULL), values))
         return AvroMap(values)
     if isinstance(dt, T.DecimalType):
-        return AvroPrimitive(Primitive.STRING)  # exact textual carrier
+        return AvroPrimitive(
+            Primitive.BYTES,
+            logical=LogicalType("decimal", precision=dt.precision, scale=dt.scale),
+        )
+    logical = _SPARK_TO_LOGICAL.get(type(dt))
+    if logical is not None:
+        carrier, lname = logical
+        return AvroPrimitive(carrier, logical=LogicalType(lname))
     prim = _SPARK_TO_PRIM.get(type(dt))
     if prim is None:
         raise InvalidParserStateError(f"no Avro mapping for Spark type {dt!r}")

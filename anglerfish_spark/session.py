@@ -29,6 +29,9 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        # TIME is feature-flagged in Spark 4.1; the Avro time-millis/micros
+        # logical types map to it (codec/logical.py)
+        .config("spark.sql.timeType.enabled", "true")
     )
 
 
@@ -55,6 +58,10 @@ def prepare(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:  # TIME logical-type support (static-only in some builds → best effort)
+        spark.conf.set("spark.sql.timeType.enabled", "true")
+    except Exception:
+        pass
     # stateful streaming ops don't AQE-coalesce; an externally-created
     # session would otherwise run them with 200 shuffle partitions
     spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
