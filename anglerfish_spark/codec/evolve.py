@@ -339,9 +339,13 @@ def resolve_datum(
                     value[wf.name], wf.type, rf.type, renv, wenv, max_depth, f"{path}.{rf.name}"
                 )
             elif rf.has_default:
-                out[rf.name] = _PyDecoder(renv, max_depth).decode(
+                decoded = _PyDecoder(renv, max_depth).decode(
                     rf.type, rf.default, f"default({rf.name})"
                 )
+                # value-space resolution runs in CARRIER space (inputs come
+                # from BinaryCodec.decode); pydecode lifts logical types to
+                # semantic values, so defaults must convert back down
+                out[rf.name] = _carrierize(rf.type, decoded, renv)
             else:
                 raise SchemaEvolutionError(
                     f"{path}.{rf.name}: reader field missing from writer and has no default"
@@ -375,11 +379,54 @@ def resolve_datum(
         return _resolve_datum_into(branch_v, branch_t, reader, renv, wenv, max_depth, path)
     if not isinstance(writer, AvroUnion) and isinstance(reader, AvroUnion):
         return _resolve_datum_into(value, writer, reader, renv, wenv, max_depth, path)
+    if isinstance(writer, AvroFixed) and isinstance(reader, AvroFixed):
+        # spec: fixed matches on name + size; annotations may differ (value
+        # stays carrier bytes — the reader's annotation applies at decode)
+        if writer.name == reader.name and writer.length == reader.length:
+            return value
+        raise SchemaEvolutionError(
+            f"{path}: fixed mismatch {writer.fqn}[{writer.length}] vs {reader.fqn}[{reader.length}]"
+        )
     if type(writer) is type(reader) and writer == reader:
         return value
     raise SchemaEvolutionError(
         f"{path}: cannot resolve {type(writer).__name__} against {type(reader).__name__}"
     )
+
+
+def _carrierize(t: AvroType, v, env: dict[str, AvroType]):
+    """Semantic Python values → carrier representation (the inverse of
+    pydecode's logical lift) so value-space resolution output stays
+    Avro-JSON-dumpable carrier data throughout."""
+    from ..schema.model import AvroRecursionRef
+    from ..schema.spark_convert import union_field_names
+    from .logical import py_value_to_carrier
+
+    if v is None:
+        return None
+    if isinstance(t, AvroRecursionRef):
+        return _carrierize(env[t.fqn], v, env)
+    if isinstance(t, AvroPrimitive):
+        return py_value_to_carrier(t.logical, v) if t.logical is not None else v
+    if isinstance(t, AvroFixed):
+        return (
+            py_value_to_carrier(t.logical, v, fixed_length=t.length)
+            if t.logical is not None
+            else v
+        )
+    if isinstance(t, AvroArray):
+        return [_carrierize(t.items, x, env) for x in v]
+    if isinstance(t, AvroMap):
+        return {k: _carrierize(t.values, x, env) for k, x in v.items()}
+    if isinstance(t, AvroUnion):
+        nn = t.non_null_members
+        if len(nn) == 1:
+            return _carrierize(nn[0], v, env)
+        names = union_field_names(t)
+        return {n: _carrierize(m, v.get(n), env) for n, m in zip(names, nn)}
+    if isinstance(t, AvroRecord):
+        return {f.name: _carrierize(f.type, v.get(f.name), env) for f in t.fields}
+    return v  # enum symbols, plain primitives
 
 
 def _resolve_datum_into(value, w: AvroType, r: AvroType, renv, wenv, max_depth, path):

@@ -875,3 +875,49 @@ def json_decode_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decoded.d").alias("d"),
         F.col("decoded.amt").alias("amt"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "avro_ocf_typed",
+    oracle="""
+SELECT o_orderkey,
+       o_orderdate AS ts,
+       o_orderstatus AS status,
+       CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS DECIMAL(14,0)) / 100 AS amt
+FROM orders WHERE o_orderkey % 13 = 0
+ORDER BY o_orderkey
+""",
+    group="sources",
+)
+def avro_ocf_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed OCF round-trip with logical types: a typed orders slice
+    (TIMESTAMP_NTZ, DECIMAL) → writer schema derived via ``from_struct_type``
+    (temporal/decimal columns become spec logical types on their carriers)
+    → OCF files encoded straight from Arrow batches → distributed read
+    lifted back to native Catalyst types.  The ``df.write.format("avro")``
+    equivalent without the spark-avro connector, exercising logical types
+    at the file-format level (beyond-reference — AvroData.scala:17 TODO)."""
+    import tempfile
+
+    from ..sources.avro_ocf import read_avro_ocf_typed, write_avro_ocf_typed
+
+    prepare(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") % 13) == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_orderstatus").alias("status"),
+            (
+                F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("decimal(14,0)")
+                / 100
+            )
+            .cast("decimal(14,2)")
+            .alias("amt"),
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="anglerfish_ocf_typed_")
+    schema_json = write_avro_ocf_typed(o, out_dir, name="orders_slice")
+    back = read_avro_ocf_typed(spark, out_dir, schema_json)
+    return back.select("o_orderkey", "ts", "status", "amt").orderBy("o_orderkey")

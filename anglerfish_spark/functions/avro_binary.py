@@ -288,8 +288,80 @@ def dumps_avro_json(v: Any) -> str:
     """``json.dumps`` of a decoded representation.  bytes/fixed values decode
     to Python ``bytes``, which json can't serialize — render them as base64
     text, mirroring pydecode's Avro-JSON input representation (D4,
-    AvroJsonFAlgebras.scala:56) so decode→dumps→encode round-trips."""
+    AvroJsonFAlgebras.scala:56) so decode→dumps→encode round-trips.
+
+    NB this dumps the *decoded representation* (nullable unions bare,
+    multi-unions as ``member_*`` dicts) — NOT spec Avro-JSON.  To produce
+    text the strict JSON decoder accepts (tagged unions), use
+    :func:`as_avro_json` with the schema."""
     return json.dumps(v, sort_keys=False, default=_bytes_to_b64)
+
+
+def as_avro_json(t, v: Any, env: dict | None = None):
+    """Decoded-representation value → JSON-dumpable *Avro-JSON* structure
+    (the strict decoder's input grammar): unions tagged by branch key
+    (primitives by type name, named types by FQN — S3,
+    AvroJsonFAlgebras.scala:536-565), bytes/fixed as base64 text (engine
+    convention, D4), logical-typed semantic values down-converted to their
+    carriers.  The exact inverse of ``pydecode.Decoder.decode``."""
+    import base64 as _b64mod
+
+    from ..codec.logical import py_value_to_carrier
+    from ..schema.model import (
+        AvroArray as _Arr,
+        AvroEnum as _Enum,
+        AvroFixed as _Fixed,
+        AvroMap as _Map,
+        AvroPrimitive as _Prim,
+        AvroRecord as _Rec,
+        AvroRecursionRef as _Ref,
+        AvroUnion as _Union,
+        Primitive as _P,
+    )
+    from ..schema.spark_convert import union_branch_name as _ubn
+
+    env = env or {}
+    if isinstance(t, _Ref):
+        return as_avro_json(env[t.fqn], v, env)
+    if isinstance(t, _Prim):
+        if t.logical is not None:
+            v = py_value_to_carrier(t.logical, v)
+        if t.kind is _P.BYTES and v is not None:
+            return _b64mod.b64encode(bytes(v)).decode("ascii")
+        return v
+    if isinstance(t, _Fixed):
+        if t.logical is not None:
+            v = py_value_to_carrier(t.logical, v, fixed_length=t.length)
+        return None if v is None else _b64mod.b64encode(bytes(v)).decode("ascii")
+    if isinstance(t, _Enum):
+        return v
+    if isinstance(t, _Arr):
+        return [as_avro_json(t.items, x, env) for x in v]
+    if isinstance(t, _Map):
+        return {k: as_avro_json(t.values, x, env) for k, x in v.items()}
+    if isinstance(t, _Union):
+        if v is None:
+            return None
+        nn = t.non_null_members
+        if len(nn) == 1:
+            m = nn[0]
+            return {_branch_json_key(m): as_avro_json(m, v, env)}
+        for m in nn:  # decoded repr: dict keyed by union_branch_name
+            inner = v.get(_ubn(m))
+            if inner is not None:
+                return {_branch_json_key(m): as_avro_json(m, inner, env)}
+        return None
+    if isinstance(t, _Rec):
+        return {f.name: as_avro_json(f.type, v.get(f.name), env) for f in t.fields}
+    raise DatumError(f"cannot serialize against {t!r}")
+
+
+def _branch_json_key(m) -> str:
+    """Avro-JSON union branch key (S3): named types by FQN, array/map by
+    their literal kind, primitives by type name."""
+    from ..schema.model import type_name
+
+    return type_name(m)
 
 
 def _bytes_to_b64(o: Any) -> str:

@@ -158,6 +158,7 @@ def read_avro_ocf(
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codec.evolve import resolve_datum
+        from ..functions.avro_binary import as_avro_json
         from ..schema.parser import parse_schema
 
         rps = parse_schema(reader_schema) if reader_schema else None
@@ -166,15 +167,23 @@ def read_avro_ocf(
             rows = []
             for blob in pdf["content"]:
                 values, wjson = decode_ocf_with_schema(bytes(blob))
-                if rps is None:
-                    rows.extend(dumps_avro_json(v) for v in values)
-                    continue
                 wps = writer_cache.get(wjson)
                 if wps is None:
                     wps = writer_cache[wjson] = parse_schema(wjson)
+                if rps is None:
+                    # faithful Avro-JSON (tagged unions) against the file's
+                    # own writer schema — decode_json-ready text
+                    rows.extend(
+                        json.dumps(as_avro_json(wps.root, v, wps.env)) for v in values
+                    )
+                    continue
                 rows.extend(
-                    dumps_avro_json(
-                        resolve_datum(v, wps.root, rps.root, rps.env, wps.env)
+                    json.dumps(
+                        as_avro_json(
+                            rps.root,
+                            resolve_datum(v, wps.root, rps.root, rps.env, wps.env),
+                            rps.env,
+                        )
                     )
                     for v in values
                 )
@@ -184,3 +193,77 @@ def read_avro_ocf(
     return files.select("content").mapInPandas(
         _read, T.StructType([T.StructField("value", T.StringType())])
     )
+
+
+def _to_datum(v):
+    """Arrow/pandas cell → plain-Python datum value for BinaryCodec
+    (numpy scalars unboxed, arrays → lists, NaT/NaN → None; semantic
+    logical values — Timestamp/date/Decimal — pass through and the codec
+    down-converts them to carriers)."""
+    import numpy as np
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, np.ndarray):
+        return [_to_datum(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_to_datum(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _to_datum(x) for k, x in v.items()}
+    return v
+
+
+def write_avro_ocf_typed(df: DataFrame, out_dir: str, name: str = "record") -> str:
+    """Typed DataFrame → OCF files, one per partition — the engine's
+    ``df.write.format("avro")`` equivalent without the spark-avro connector.
+
+    The writer schema is derived from the DataFrame's StructType via
+    ``from_struct_type`` (every column a nullable union; temporal and
+    decimal columns export as spec logical types on their carriers), and
+    rows encode straight from Arrow batches to the wire — no JSON hop.
+    Returns the writer schema JSON (embed in readers / registries).
+    """
+    from ..schema.printer import to_avsc
+    from ..schema.spark_convert import from_struct_type
+
+    rec = from_struct_type(df.schema, name)
+    schema_json = to_avsc(rec)
+    os.makedirs(out_dir, exist_ok=True)
+    cols = list(df.columns)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = BinaryCodec(schema_json)
+        values = []
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                values.append({c: _to_datum(v) for c, v in zip(cols, row)})
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
+        with open(path, "wb") as f:
+            f.write(encode_ocf(values, schema_json))
+        yield pd.DataFrame({"path": [path], "n_rows": [len(values)]})
+
+    stats = df.mapInPandas(
+        _write,
+        T.StructType(
+            [T.StructField("path", T.StringType()), T.StructField("n_rows", T.LongType())]
+        ),
+    )
+    stats.collect()  # driver gets (path, count) stats only — never data rows
+    return schema_json
+
+
+def read_avro_ocf_typed(
+    spark: SparkSession, path_glob: str, schema_json: str, **decode_kwargs
+) -> DataFrame:
+    """Distributed OCF read lifted to typed columns in one call: binary
+    blocks → carrier Avro-JSON (``read_avro_ocf``) → expression decode
+    against ``schema_json`` (logical types land as native Catalyst
+    DATE/TIMESTAMP/DECIMAL columns) → one column per record field."""
+    from ..codec.decoder import decode_json
+
+    raw = read_avro_ocf(spark, path_glob, reader_schema=schema_json)
+    return decode_json(raw, "value", schema_json).select("decoded.*")

@@ -383,3 +383,59 @@ class TestEvolve:
         data = {"x": b64((123456).to_bytes(3, "big", signed=True))}
         out = self._evolved(spark, dec(10, 2), dec(12, 4), data)
         assert out["x"] == Decimal("1234.5600")
+
+
+class TestOcfTyped:
+    def test_typed_roundtrip_with_nulls(self, spark, tmp_path):
+        rows = [
+            (1, TS, Decimal("10.50"), "a"),
+            (2, None, Decimal("-0.07"), None),
+            (3, TS.replace(year=2020), None, "c"),
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+                T.StructField("amt", T.DecimalType(10, 2)),
+                T.StructField("tag", T.StringType()),
+            ]
+        )
+        from anglerfish_spark.sources.avro_ocf import (
+            read_avro_ocf_typed,
+            write_avro_ocf_typed,
+        )
+
+        df = spark.createDataFrame(rows, schema)
+        out = str(tmp_path / "ocf")
+        avsc = write_avro_ocf_typed(df, out, name="r")
+        back = read_avro_ocf_typed(spark, out, avsc)
+        assert back.schema == schema
+        assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+    def test_reader_schema_adds_logical_default(self, spark, tmp_path):
+        from anglerfish_spark.sources.avro_ocf import (
+            read_avro_ocf_typed,
+            write_avro_ocf_typed,
+        )
+
+        df = spark.createDataFrame([(1,)], T.StructType([T.StructField("id", T.LongType())]))
+        out = str(tmp_path / "ocf2")
+        write_avro_ocf_typed(df, out, name="r")
+        reader = json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [
+                    {"name": "id", "type": ["null", "long"]},
+                    {
+                        "name": "since",
+                        "type": {"type": "int", "logicalType": "date"},
+                        "default": 19783,
+                    },
+                ],
+            }
+        )
+        back = read_avro_ocf_typed(spark, out, reader).collect()
+        assert back == [(1, dt.date(2024, 3, 1))] or [tuple(r) for r in back] == [
+            (1, dt.date(2024, 3, 1))
+        ]
