@@ -60,7 +60,7 @@ from ..schema.model import (
     type_name,
 )
 from ..schema.parser import ParsedSchema, parse_schema
-from ..schema.spark_convert import to_struct_type, union_branch_name
+from ..schema.spark_convert import to_struct_type, union_field_names
 from .pydecode import Decoder as _PyDecoder
 
 INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
@@ -491,13 +491,17 @@ class _ExprBuilder:
             )
             return F.lit(None), err
         branch_keys = [type_name(m) for m in non_null]
+        # struct field names must match to_struct_type's collision-qualified
+        # union_field_names (member_0_X on short-name collisions), not the
+        # bare branch name — bare names would duplicate on collisions
+        field_names = union_field_names(t)
         umap = self._obj_map(raw, path)
         members = []
         member_errs: list[Column] = []
-        for m, key in zip(non_null, branch_keys):
+        for m, key, fname in zip(non_null, branch_keys, field_names):
             sub_raw = umap.getItem(key) if umap is not None else None
             v, e = self.build(m, wire.getField(key), sub_raw, f"{path}.{key}")
-            members.append(v.alias(union_branch_name(m)))
+            members.append(v.alias(fname))
             member_errs.append(e)
         checks: list[Column] = []
         if umap is not None:

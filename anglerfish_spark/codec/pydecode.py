@@ -53,7 +53,7 @@ from ..schema.model import (
     Primitive,
     type_name,
 )
-from ..schema.spark_convert import union_branch_name
+from ..schema.spark_convert import union_field_names
 
 INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
 INT64_MIN, INT64_MAX = -(2**63), 2**63 - 1
@@ -209,8 +209,11 @@ class Decoder:
         decoded = self.decode(member, inner, f"{path}.{key}")
         if not multi:
             return decoded
-        out = {union_branch_name(m): None for m in non_null}
-        out[union_branch_name(member)] = decoded
+        # keys are the collision-qualified union_field_names — the same
+        # names to_struct_type/as_avro_json use (bare names collide)
+        names = union_field_names(u)
+        out = dict.fromkeys(names)
+        out[names[non_null.index(member)]] = decoded
         return out
 
     def _branch_key(self, m: AvroType) -> str:

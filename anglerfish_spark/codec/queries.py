@@ -834,11 +834,11 @@ def _amt_b64(txt: str) -> str:
 SELECT o_orderkey,
        o_orderdate AS ts,
        CAST(o_orderdate AS DATE) AS d,
-       CASE CAST(o_orderkey % 4 AS INT)
+       CAST(CASE CAST(o_orderkey % 4 AS INT)
          WHEN 0 THEN CAST('1234.56' AS DECIMAL(12,2))
          WHEN 1 THEN CAST('-0.07' AS DECIMAL(12,2))
          WHEN 2 THEN CAST('0.00' AS DECIMAL(12,2))
-         ELSE CAST('-9999999999.99' AS DECIMAL(12,2)) END AS amt
+         ELSE CAST('-9999999999.99' AS DECIMAL(12,2)) END AS VARCHAR) AS amt
 FROM orders WHERE o_orderkey % 17 = 0 AND o_orderdate IS NOT NULL
 ORDER BY o_orderkey
 """,
@@ -869,11 +869,15 @@ def json_decode_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     decoded = decode_json(o.select("o_orderkey", txt.alias("txt")), "txt", _LOGICAL_SCHEMA)
+    # amt stays DECIMAL(12,2) through the decode (that's the operator under
+    # test); the projection stringifies it because DECIMAL exports through
+    # DuckDB/Arrow as decimal128, which the driver hashes differently than
+    # Spark's DECIMAL — VARCHAR is exact and hash-stable in both engines.
     return decoded.select(
         "o_orderkey",
         F.col("decoded.ts").alias("ts"),
         F.col("decoded.d").alias("d"),
-        F.col("decoded.amt").alias("amt"),
+        F.col("decoded.amt").cast("string").alias("amt"),
     ).orderBy("o_orderkey")
 
 
@@ -883,7 +887,7 @@ def json_decode_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderkey,
        o_orderdate AS ts,
        o_orderstatus AS status,
-       CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS DECIMAL(14,0)) / 100 AS amt
+       CAST(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 0.01 AS DECIMAL(14,2)) AS VARCHAR) AS amt
 FROM orders WHERE o_orderkey % 13 = 0
 ORDER BY o_orderkey
 """,
@@ -920,4 +924,9 @@ def avro_ocf_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="anglerfish_ocf_typed_")
     schema_json = write_avro_ocf_typed(o, out_dir, name="orders_slice")
     back = read_avro_ocf_typed(spark, out_dir, schema_json)
-    return back.select("o_orderkey", "ts", "status", "amt").orderBy("o_orderkey")
+    # amt round-trips as DECIMAL (the logical type under test); project it
+    # as VARCHAR for the driver hash — decimal128 hashes differently via
+    # DuckDB/Arrow than Spark DECIMAL (see operators/common.py).
+    return back.select(
+        "o_orderkey", "ts", "status", F.col("amt").cast("string").alias("amt")
+    ).orderBy("o_orderkey")

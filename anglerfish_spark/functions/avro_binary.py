@@ -45,7 +45,7 @@ from ..schema.model import (
     Primitive,
 )
 from ..schema.parser import ParsedSchema, parse_schema
-from ..schema.spark_convert import union_branch_name
+from ..schema.spark_convert import union_field_names
 
 # ---------------------------------------------------------------------------
 # primitive wire encoding (Avro spec §binary encoding)
@@ -195,8 +195,7 @@ class BinaryCodec:
             return members.index(m), m, v
         if not isinstance(v, dict):
             raise UnionResolutionError(f"multi-union value must be a member dict, got {v!r}")
-        for m in non_null:
-            name = union_branch_name(m)
+        for name, m in zip(union_field_names(t), non_null):
             if v.get(name) is not None:
                 return members.index(m), m, v[name]
         raise UnionResolutionError(f"no non-null member in {sorted(v)}")
@@ -273,8 +272,10 @@ class BinaryCodec:
             v, pos = self._dec(member, buf, pos)
             if len(t.non_null_members) == 1:
                 return v, pos
-            out = {union_branch_name(m): None for m in t.non_null_members}
-            out[union_branch_name(member)] = v
+            nn = t.non_null_members
+            names = union_field_names(t)
+            out = dict.fromkeys(names)
+            out[names[nn.index(member)]] = v
             return out, pos
         if isinstance(t, AvroRecord):
             rec = {}
@@ -318,7 +319,7 @@ def as_avro_json(t, v: Any, env: dict | None = None):
         AvroUnion as _Union,
         Primitive as _P,
     )
-    from ..schema.spark_convert import union_branch_name as _ubn
+    from ..schema.spark_convert import union_field_names as _ufn
 
     env = env or {}
     if isinstance(t, _Ref):
@@ -346,11 +347,16 @@ def as_avro_json(t, v: Any, env: dict | None = None):
         if len(nn) == 1:
             m = nn[0]
             return {_branch_json_key(m): as_avro_json(m, v, env)}
-        for m in nn:  # decoded repr: dict keyed by union_branch_name
-            inner = v.get(_ubn(m))
+        # decoded repr: dict keyed by union_field_names — the SAME
+        # collision-qualified names _carrierize/to_struct_type emit
+        # (member_0_X when short names collide), not the bare branch name.
+        for key, m in zip(_ufn(t), nn):
+            inner = v.get(key)
             if inner is not None:
                 return {_branch_json_key(m): as_avro_json(m, inner, env)}
-        return None
+        raise DatumError(
+            f"non-null union value {v!r} matches no branch of {[_branch_json_key(m) for m in nn]}"
+        )
     if isinstance(t, _Rec):
         return {f.name: as_avro_json(f.type, v.get(f.name), env) for f in t.fields}
     raise DatumError(f"cannot serialize against {t!r}")

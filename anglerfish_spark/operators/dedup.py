@@ -401,31 +401,52 @@ ORDER BY doc_a, doc_b
     group="llm-dedup",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-set Jaccard over pairs blocked by (lang, source) — the
-    blocking keys bound the quadratic pair count; pairs ≥ 0.5 reported."""
+    """Token-set Jaccard ≥ 0.5 over pairs blocked by (lang, source) —
+    refined with an *exact* length-band key that bounds the quadratic term
+    by design (ADVICE r2).
+
+    Jaccard ≥ t implies min(|A|,|B|)/max(|A|,|B|) ≥ t (since
+    |A∩B| ≤ min and |A∪B| ≥ max), so for t = 0.5 a qualifying pair's
+    ``floor(log2(token_count))`` bands differ by at most 1.  Joining
+    same-band plus adjacent-band therefore loses NOTHING — the output is
+    identical to the naive (lang, source)-block quadratic — while the
+    pair count drops from O(block²) to O(Σ band·(band+next)): at 100 TB a
+    corpus-sized (lang, source) block no longer implies a corpus-sized
+    cross product, because documents only pair within a 2× length range
+    (standard prefix/length filtering from the similarity-join
+    literature).  Both joins are equi-joins (lb in the key → visible in
+    the plan's join keys); the exact Jaccard filter runs per candidate.
+    """
     prepare(spark)
-    d = (
-        load_table(spark, sf_dir, "documents", fanout=True)
-        .select("doc_id", "lang", "source", F.array_distinct(tokens()).alias("tok"))
+    d = load_table(spark, sf_dir, "documents", fanout=True).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(tokens()).alias("tok"),
     )
+    d = d.withColumn("lb", F.floor(F.log2(F.greatest(F.size("tok"), F.lit(1)))))
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
     uni = F.size(F.col("a.tok")) + F.size(F.col("b.tok")) - inter
     jac = inter.cast("double") / uni
+    base = (F.col("a.lang") == F.col("b.lang")) & (F.col("a.source") == F.col("b.source"))
+    # same band: doc_id order dedups the pair; adjacent band: the band
+    # inequality already dedups, least/greatest restores id order
+    same = a.join(
+        b,
+        base & (F.col("a.lb") == F.col("b.lb")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        jac.alias("jaccard"),
+    )
+    adj = a.join(b, base & (F.col("a.lb") + 1 == F.col("b.lb"))).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        jac.alias("jaccard"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
+        same.unionAll(adj).where(F.col("jaccard") >= 0.5).orderBy("doc_a", "doc_b")
     )
 
 

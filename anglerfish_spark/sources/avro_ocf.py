@@ -13,8 +13,9 @@ of ``count, byte-size, payload, sync``; null codec):
   emits canonical JSON rows → the expression decoder lifts them to typed
   columns.  At 100 TB the parallel unit is the file — write many
   right-sized files (128-512 MB), the standard OCF layout.
-* **write**: one OCF file per partition via ``mapInPandas`` (executor-side
-  writes to a shared filesystem path, like every Spark sink).
+* **write**: one OCF file per partition via ``mapInArrow`` (executor-side
+  writes to a shared filesystem path, like every Spark sink; Arrow batches
+  keep null vs double-NaN distinct, which pandas float64 cannot).
 
 This is deliberately *not* a port of the reference's in-memory
 ``GenericData`` interop (I4/I5) — it is the file-level capability the
@@ -195,25 +196,25 @@ def read_avro_ocf(
     )
 
 
-def _to_datum(v):
-    """Arrow/pandas cell → plain-Python datum value for BinaryCodec
-    (numpy scalars unboxed, arrays → lists, NaT/NaN → None; semantic
-    logical values — Timestamp/date/Decimal — pass through and the codec
-    down-converts them to carriers)."""
-    import numpy as np
+def _from_arrow(dt, v):
+    """pyarrow ``to_pylist()`` cell → plain-Python datum for BinaryCodec.
 
-    if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+    Arrow distinguishes null from NaN at the storage level, so nulls arrive
+    as ``None`` and double NaN arrives as ``float('nan')`` — a legitimate
+    Avro double value that passes through unchanged (the old pandas path
+    conflated the two and silently nulled NaN).  Only structural fixups are
+    needed: Arrow map cells are ``[(k, v), …]`` tuple lists → dict; list
+    and struct cells recurse on their element types."""
+    import pyarrow as pa
+
+    if v is None:
         return None
-    if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime()
-    if isinstance(v, np.generic):
-        return v.item()
-    if isinstance(v, np.ndarray):
-        return [_to_datum(x) for x in v.tolist()]
-    if isinstance(v, (list, tuple)):
-        return [_to_datum(x) for x in v]
-    if isinstance(v, dict):
-        return {k: _to_datum(x) for k, x in v.items()}
+    if pa.types.is_map(dt):
+        return {k: _from_arrow(dt.item_type, x) for k, x in v}
+    if pa.types.is_list(dt) or pa.types.is_large_list(dt):
+        return [_from_arrow(dt.value_type, x) for x in v]
+    if pa.types.is_struct(dt):
+        return {f.name: _from_arrow(f.type, v[f.name]) for f in dt}
     return v
 
 
@@ -235,18 +236,26 @@ def write_avro_ocf_typed(df: DataFrame, out_dir: str, name: str = "record") -> s
     os.makedirs(out_dir, exist_ok=True)
     cols = list(df.columns)
 
-    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        codec = BinaryCodec(schema_json)
+    def _write(batches):
+        # mapInArrow: RecordBatch cells keep null vs NaN distinct (pandas
+        # float64 would conflate them), and to_pylist() yields plain Python
+        # (datetime/date/Decimal/bytes) the codec down-converts to carriers.
+        import pyarrow as pa
+
         values = []
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                values.append({c: _to_datum(v) for c, v in zip(cols, row)})
+        for batch in batches:
+            types = {c: batch.schema.field(c).type for c in cols}
+            for row in batch.to_pylist():
+                values.append({c: _from_arrow(types[c], row[c]) for c in cols})
         path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
         with open(path, "wb") as f:
             f.write(encode_ocf(values, schema_json))
-        yield pd.DataFrame({"path": [path], "n_rows": [len(values)]})
+        yield pa.record_batch(
+            [pa.array([path], pa.string()), pa.array([len(values)], pa.int64())],
+            names=["path", "n_rows"],
+        )
 
-    stats = df.mapInPandas(
+    stats = df.mapInArrow(
         _write,
         T.StructType(
             [T.StructField("path", T.StringType()), T.StructField("n_rows", T.LongType())]

@@ -57,10 +57,18 @@ def _scan_parallelism(path: str) -> int | None:
 def load_table(spark: SparkSession, sf_dir: str, name: str, fanout: bool = False) -> DataFrame:
     """Read one catalog table from a scale-factor directory.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark 4 does
-    not read natively; we read it as nanos-since-epoch via the legacy conf
-    and normalize to a microsecond TimestampType column (truncating, which
-    matches DuckDB's ns→µs cast), keeping the raw nanos as ``ts_ns``.
+    ``events.ts`` is canonicalized to a microsecond ``TimestampType`` (LTZ)
+    column regardless of how the parquet stores it, so every downstream
+    epoch-arithmetic site (``unix_micros``, window-bound casts) sees one
+    type.  Storage forms handled:
+
+    * parquet TIMESTAMP(NANOS) — Spark 4 can't read it natively; the legacy
+      conf reads it as nanos-since-epoch LONG and we truncate to µs
+      (matching DuckDB's ns→µs cast), keeping the raw nanos as ``ts_ns``;
+    * TIMESTAMP(MICROS) isAdjustedToUTC=false → Spark ``TIMESTAMP_NTZ``;
+      the session timezone is pinned to UTC (session.prepare), so the cast
+      to LTZ preserves the wall clock DuckDB's ``epoch()`` sees;
+    * TIMESTAMP(MICROS) isAdjustedToUTC=true → already ``TimestampType``.
 
     **Small-input fan-out** (``fanout=True``): a parquet scan parallelizes
     at row-group granularity, so a table stored as one (or few) row groups
@@ -80,10 +88,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, fanout: bool = False
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # TIMESTAMP(NANOS) via legacy conf
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if fanout and name not in BROADCAST_TABLES:
         try:
             nbytes = os.path.getsize(path)

