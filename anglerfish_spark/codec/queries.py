@@ -930,3 +930,73 @@ def avro_ocf_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "o_orderkey", "ts", "status", F.col("amt").cast("string").alias("amt")
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# in-memory generic-object interop (I4/I5 bridge — codec/interop.py)
+# ---------------------------------------------------------------------------
+
+_INTEROP_SCHEMA = """
+{"type":"record","name":"OrderObj","fields":[
+  {"name":"okey","type":"long"},
+  {"name":"status","type":"string"},
+  {"name":"payload","type":["null","int","string"]},
+  {"name":"price","type":"double"}
+]}
+"""
+
+
+@query(
+    "avro_object_interop",
+    oracle="""
+SELECT o_orderkey AS okey,
+       o_orderstatus AS status,
+       CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey % 1000 AS INT) END AS payload_int,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS payload_str,
+       CAST(o_totalprice AS DOUBLE) AS price
+FROM orders WHERE o_orderkey % 101 = 0
+ORDER BY okey
+""",
+    group="codec",
+)
+def avro_object_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4/I5 bridge: plain in-memory generic objects (runtime-typed union
+    branches) → typed DataFrame → back to objects → DataFrame again.
+
+    The double round-trip asserts the reference's intended congruence
+    property (decode∘encode = id, TestJavaImplementationCongruence.scala:16-25
+    — commented out there, enforced here): union branches are recovered
+    purely from runtime types (int vs str → member_int/member_string,
+    I4 reverse-match, AvroGenericInteropFAlgebras.scala:228-286).  The
+    objects are driver-side by design — this is the reference's in-memory
+    interop surface (metadata-scale); bulk data takes the OCF paths."""
+    from .interop import dataframe_to_objects, objects_to_dataframe
+
+    prepare(spark)
+    slice_rows = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") % 101) == 0)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    objs = [
+        {
+            "okey": r.o_orderkey,
+            "status": r.o_orderstatus,
+            "payload": int(r.o_orderkey % 1000)
+            if r.o_orderkey % 2 == 0
+            else r.o_orderpriority,
+            "price": float(r.o_totalprice),
+        }
+        for r in slice_rows
+    ]
+    df = objects_to_dataframe(spark, objs, _INTEROP_SCHEMA)
+    back = dataframe_to_objects(df, _INTEROP_SCHEMA)  # I5: untagged objects
+    df2 = objects_to_dataframe(spark, back, _INTEROP_SCHEMA)
+    return df2.select(
+        "okey",
+        "status",
+        F.col("payload.member_int").alias("payload_int"),
+        F.col("payload.member_string").alias("payload_str"),
+        "price",
+    ).orderBy("okey")

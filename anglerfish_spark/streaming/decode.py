@@ -1,0 +1,128 @@
+"""Kafka-shaped streaming ingestion: single-object Avro messages → typed
+windowed aggregates.
+
+The reference's roadmap names Kafka + Schema Registry consumption as the
+target I/O surface (/root/reference/README.md:21-27, never implemented).
+The engine's decode API is already message-bus-shaped — spec single-object
+framing (0xC3 0x01 + CRC-64-AVRO fingerprint,
+functions/avro_binary.py:433-489) is exactly what a registry-aware Kafka
+consumer sees per record — so this module closes the loop: a source
+relation in Kafka's wire shape (``value binary, topic, partition,
+offset``) flows through ``single_object_decode`` → the expression decoder
+→ event-time windows, and the SAME pipeline function runs on a batch
+DataFrame (driver-checkable against a SQL oracle) or behind
+``readStream`` (true streaming path, tests/test_streaming.py).
+
+On a real cluster the source line becomes ``spark.readStream
+.format("kafka")...`` — everything downstream of ``value`` is unchanged;
+that swap is the design point.  Scale: the decode is one Arrow-batched
+pandas UDF per message batch (the documented UDF-surface fallback for
+binary Avro — spark-avro's ``from_avro`` replaces it where the connector
+exists), then the windowed agg is a map-side-combinable hash aggregate
+keyed by (window, type); watermarks bound streaming state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codec.decoder import decode_json
+from ..functions.avro_binary import single_object_decode, single_object_encode
+from ..operators.common import dsum, dsum_sql
+from ..registry import query
+from ..session import prepare
+from ..sources.registry import load_table
+from .windows import tumbling_agg
+
+#: message schema — what a producer would register; ts travels as
+#: timestamp-micros on a long carrier (Kafka messages carry their own
+#: event time; the broker timestamp is transport metadata)
+MESSAGE_SCHEMA = """
+{"type":"record","name":"EventMsg","namespace":"stream","fields":[
+  {"name":"event_id","type":"long"},
+  {"name":"event_type","type":"string"},
+  {"name":"value","type":"double"},
+  {"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}}
+]}
+"""
+
+TOPIC = "events.v1"
+
+
+def events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table re-shaped as a Kafka-wire relation: one
+    single-object-encoded Avro message per event plus transport metadata
+    (topic, partition, offset).  Stands in for ``spark.read.format("kafka")``
+    in this connector-less sandbox; producers would emit identical bytes."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.unix_micros(F.col("ts")).alias("ts"),
+        )
+    )
+    return ev.select(
+        single_object_encode(payload, MESSAGE_SCHEMA).alias("value"),
+        F.lit(TOPIC).alias("topic"),
+        F.spark_partition_id().alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+
+
+def decode_messages(messages: DataFrame) -> DataFrame:
+    """Kafka-wire relation → typed event columns.  Works identically on
+    batch and streaming inputs: fingerprint-validated single-object decode,
+    then the strict expression decoder lifts JSON to typed columns (the
+    timestamp-micros logical type lands as TIMESTAMP_NTZ; cast to LTZ under
+    the pinned UTC session for event-time windowing)."""
+    decoded = decode_json(
+        messages.select(single_object_decode("value", MESSAGE_SCHEMA).alias("json")),
+        "json",
+        MESSAGE_SCHEMA,
+    )
+    return decoded.select(
+        F.col("decoded.event_id").alias("event_id"),
+        F.col("decoded.event_type").alias("event_type"),
+        F.col("decoded.value").alias("value"),
+        F.col("decoded.ts").cast("timestamp").alias("ts"),
+    )
+
+
+def windowed_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Hourly tumbling counts/sums per event type over decoded messages."""
+    out = tumbling_agg(
+        events,
+        "ts",
+        "1 hour",
+        keys=("event_type",),
+        aggs=(F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("sum_value")),
+        watermark=watermark,
+    )
+    return out.drop("window_end")
+
+
+@query(
+    "q_stream_decode",
+    oracle=f"""
+SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS cnt, {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    group="streaming",
+)
+def q_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Kafka-shaped consumption pipeline, batch-checkable: events →
+    single-object Avro messages (encode) → fingerprint-validated decode →
+    typed columns → hourly windows.  The encode∘decode round-trip is the
+    identity, so the oracle is plain SQL over events — any framing,
+    fingerprint, codec, or logical-type defect breaks the match.  The same
+    ``decode_messages``/``windowed_counts`` run behind ``readStream`` in
+    tests/test_streaming.py."""
+    prepare(spark)
+    msgs = events_as_messages(spark, sf_dir)
+    return windowed_counts(decode_messages(msgs)).orderBy("window_start", "event_type")

@@ -192,3 +192,42 @@ def test_foreach_batch_upsert_sink(spark, sf_dir):
             for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
         }
         assert final == batch
+
+
+def test_stream_decode_matches_batch(spark, sf_dir):
+    """Kafka-shaped pipeline behind a true readStream: single-object Avro
+    messages from files → fingerprint-validated decode → watermarked
+    hourly windows; every append-mode emit must match the batch run."""
+    from anglerfish_spark.streaming.decode import (
+        decode_messages,
+        events_as_messages,
+        windowed_counts,
+    )
+
+    msgs = events_as_messages(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        msgs.write.parquet(src)
+
+        stream = spark.readStream.schema(msgs.schema).parquet(src)
+        agg = windowed_counts(decode_messages(stream), watermark="1 hour")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("stream_decode_smoke")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        got = spark.sql("SELECT * FROM stream_decode_smoke").collect()
+        batch = windowed_counts(decode_messages(msgs)).collect()
+        batch_map = {
+            (r["window_start"], r["event_type"]): (r["cnt"], r["sum_value"]) for r in batch
+        }
+        assert len(got) > 0
+        for r in got:
+            assert batch_map[(r["window_start"], r["event_type"])] == (
+                r["cnt"],
+                r["sum_value"],
+            )
