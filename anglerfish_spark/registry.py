@@ -57,6 +57,8 @@ def all_queries() -> dict[str, QueryDef]:
     # tools must not require.
     from .codec import queries as _codec_queries  # noqa: F401
     from .operators import dedup as _dedup  # noqa: F401
+    from .operators import history as _history  # noqa: F401
+    from .operators import lm as _lm  # noqa: F401
     from .operators import multimodal as _multimodal  # noqa: F401
     from .operators import packing as _packing  # noqa: F401
     from .operators import relational as _relational  # noqa: F401
