@@ -23,7 +23,14 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
     """Apply engine defaults to a builder (idempotent, driver-friendly)."""
     return (
-        builder.config("spark.sql.adaptive.enabled", "true")
+        # local mode puts driver + all 32 executor threads in ONE JVM whose
+        # default heap is 1g — a 32-task stage over a codegen-heavy plan can
+        # OOM it and take the whole session down.  Only effective before the
+        # JVM starts; a cluster's spark-submit settings win as usual.
+        builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -170,3 +170,53 @@ class TestDataFrameBridge:
         assert [f.name for f in df.schema.fields] == ["id", "payload"]
         back = dataframe_to_objects(df.orderBy("id"), schema)
         assert back == objs
+
+
+# --- property: congruence over generated flat records -----------------------
+
+import json as _json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PROP_SCHEMA = _json.dumps(
+    {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "f_bool", "type": "boolean"},
+            {"name": "f_int", "type": "int"},
+            {"name": "f_long", "type": "long"},
+            {"name": "f_double", "type": "double"},
+            {"name": "f_str", "type": "string"},
+            {"name": "f_opt", "type": ["null", "long"]},
+            {"name": "f_union", "type": ["null", "long", "string", "boolean"]},
+        ],
+    }
+)
+
+_gen_obj = st.fixed_dictionaries(
+    {
+        "f_bool": st.booleans(),
+        "f_int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "f_long": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "f_double": st.floats(allow_nan=False, allow_infinity=False),
+        "f_str": st.text(max_size=8),
+        "f_opt": st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+        # untagged multi-union value: branch must be recovered at runtime
+        "f_union": st.one_of(
+            st.none(),
+            st.integers(-(2**62), 2**62),
+            st.text(max_size=5),
+            st.booleans(),
+        ),
+    }
+)
+
+
+@given(_gen_obj)
+@settings(max_examples=100, deadline=None)
+def test_congruence_property(obj):
+    """tag → strict decode → untag is the identity on valid generic
+    objects, including runtime-matched multi-union branches."""
+    assert _roundtrip(_PROP_SCHEMA, obj) == obj

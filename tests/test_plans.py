@@ -144,3 +144,37 @@ def test_tpch_q6_single_stage(spark, sf_dir):
     ops = re.findall(r"\(\d+\) (\w+)", plan)
     assert ops.count("Exchange") == 1, plan  # only the 1-row final agg exchange
     assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_ngram_jaccard_length_band_in_join_keys(spark, sf_dir):
+    """The r3 length-band refinement must appear as an equi-join key (lb),
+    not a post-join filter — that is what bounds the quadratic term."""
+    plan = _plan(spark, sf_dir, "q_dedup_ngram_jaccard")
+    assert "lb" in plan, plan
+    import re
+
+    joins = [l for l in plan.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert joins, plan  # both same-band and adjacent-band are equi-joins
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_log_compact_uses_rank_limit_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_log_compact")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_scd2_single_window_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q_scd2_history")
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    # one hash exchange for the user_id window + the presentation sort's
+    # range exchange; row_number and lead share a single Window operator
+    assert ops.count("Window") == 1, plan
+    assert ops.count("Exchange") <= 2, plan
+
+
+def test_tfidf_no_cartesian_and_broadcast_count(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_tfidf")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan  # the 1-row n_docs broadcast
