@@ -1,0 +1,100 @@
+"""The avro_ocf Python DataSource (sources/ocf_datasource.py)."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anglerfish_spark.sources.ocf_datasource import FORMAT_NAME, register
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def test_roundtrip_nan_null_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, None), (2, "b", float("nan"), "x"), (3, None, -2.25, "y")],
+        "id bigint, s string, x double, u string",
+    )
+    d = tempfile.mkdtemp(prefix="anglerfish_ds_") + "/t"
+    df.write.format(FORMAT_NAME).mode("overwrite").save(d)
+    rows = spark.read.format(FORMAT_NAME).load(d).orderBy("id").collect()
+    assert rows[0].s == "a" and rows[2].s is None
+    assert math.isnan(rows[1].x) and rows[1].u == "x"
+
+
+def test_schema_inferred_from_header(spark):
+    df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    d = tempfile.mkdtemp(prefix="anglerfish_ds_") + "/t"
+    df.write.format(FORMAT_NAME).mode("append").save(d)
+    back = spark.read.format(FORMAT_NAME).load(d)
+    assert isinstance(back.schema["id"].dataType, T.LongType)
+    assert isinstance(back.schema["s"].dataType, T.StringType)
+
+
+def test_one_partition_one_file_read_parallelism(spark):
+    df = spark.range(100).select(F.col("id")).repartition(4)
+    d = tempfile.mkdtemp(prefix="anglerfish_ds_") + "/t"
+    df.write.format(FORMAT_NAME).mode("append").save(d)
+    files = [f for f in os.listdir(d) if f.endswith(".avro")]
+    assert len(files) == 4  # one OCF file per partition
+    back = spark.read.format(FORMAT_NAME).load(d)
+    assert back.rdd.getNumPartitions() == 4  # one task per file
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+
+
+def test_overwrite_replaces_files(spark):
+    d = tempfile.mkdtemp(prefix="anglerfish_ds_") + "/t"
+    spark.range(10).coalesce(1).write.format(FORMAT_NAME).mode("append").save(d)
+    spark.range(3).coalesce(1).write.format(FORMAT_NAME).mode("overwrite").save(d)
+    assert spark.read.format(FORMAT_NAME).load(d).count() == 3
+
+
+def test_heterogeneous_dir_resolves_to_reader_schema(spark):
+    """Two schema versions in one directory read as one relation under an
+    explicit reader_schema (per-file writer → reader resolution)."""
+    d = tempfile.mkdtemp(prefix="anglerfish_ds_") + "/t"
+    spark.createDataFrame([(1,)], "id bigint").coalesce(1).write.format(
+        FORMAT_NAME
+    ).mode("append").save(d)
+    spark.createDataFrame([(2, "x")], "id bigint, s string").coalesce(1).write.format(
+        FORMAT_NAME
+    ).mode("append").save(d)
+    reader = """
+    {"type":"record","name":"record","fields":[
+      {"name":"id","type":["null","long"]},
+      {"name":"s","type":["null","string"],"default":null}
+    ]}
+    """
+    rows = (
+        spark.read.format(FORMAT_NAME)
+        .option("reader_schema", reader)
+        .load(d)
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r.id, r.s) for r in rows] == [(1, None), (2, "x")]
+
+
+def test_date_and_decimal_logical_roundtrip(spark):
+    import datetime as dt
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 2, 29), Decimal("12.34"))],
+        "id bigint, d date, amt decimal(10,2)",
+    )
+    d = tempfile.mkdtemp(prefix="anglerfish_ds_") + "/t"
+    df.write.format(FORMAT_NAME).mode("append").save(d)
+    back = spark.read.format(FORMAT_NAME).load(d)
+    assert isinstance(back.schema["d"].dataType, T.DateType)
+    assert isinstance(back.schema["amt"].dataType, T.DecimalType)
+    r = back.collect()[0]
+    assert r.d == dt.date(2024, 2, 29) and r.amt == Decimal("12.34")
