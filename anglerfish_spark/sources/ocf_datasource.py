@@ -33,6 +33,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -156,10 +158,91 @@ class _OcfWriter(DataSourceArrowWriter):
                 os.remove(m.path)
 
 
+class _OcfStreamReader(DataSourceStreamReader):
+    """Streaming OCF source: the directory is the topic, each closed file
+    an immutable segment.  The checkpointable offset is the *set of seen
+    file names* (a primitive-typed dict, like Spark's own file-source seen
+    log), so a batch between two offsets is exactly the set difference —
+    deterministic replay regardless of file-name ordering or mtime skew.
+    Planning lists names only; decode runs in executors, one task per new
+    file."""
+
+    def __init__(self, path: str, reader_schema_json: str):
+        self.path = path
+        self.reader_schema_json = reader_schema_json
+
+    def initialOffset(self) -> dict:
+        return {"seen": {}}
+
+    def latestOffset(self) -> dict:
+        return {"seen": {os.path.basename(f): True for f in _files(self.path)}}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end.get("seen", {})) - set(start.get("seen", {})))
+        return [InputPartition(os.path.join(self.path, n)) for n in new]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        return _OcfReader(self.path, self.reader_schema_json).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: files are immutable segments
+
+
+@dataclass
+class _OcfStreamCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class _OcfStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming OCF sink: one OCF file per (micro-batch, partition),
+    named by batch id for idempotent replay — a failed batch's retry
+    aborts (removes) its partial files before rewriting them."""
+
+    def __init__(self, path: str, writer_schema_json: str):
+        self.path = path
+        self.writer_schema_json = writer_schema_json
+
+    def write(self, iterator) -> _OcfStreamCommit:
+        from pyspark import TaskContext
+
+        from .avro_ocf import _from_arrow, encode_ocf
+
+        ctx = TaskContext.get()
+        tag = f"{ctx.partitionId()}-{uuid.uuid4().hex}" if ctx else uuid.uuid4().hex
+        values = []
+        cols = types = None
+        for batch in iterator:
+            if cols is None:
+                cols = batch.schema.names
+                types = {c: batch.schema.field(c).type for c in cols}
+            for row in batch.to_pylist():
+                values.append({c: _from_arrow(types[c], row[c]) for c in cols})
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{tag}.avro")
+        with open(out, "wb") as f:
+            f.write(encode_ocf(values, self.writer_schema_json))
+        return _OcfStreamCommit(out, len(values))
+
+    def commit(self, messages, batchId: int) -> None:
+        return None
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class AvroOcfDataSource(DataSource):
     """Options: ``path`` (dir or glob; ``load(path)`` sets it),
     ``reader_schema`` (avsc JSON; defaults to the first file's writer
-    schema — heterogeneous directories resolve per-file into it)."""
+    schema — heterogeneous directories resolve per-file into it).
+
+    Batch AND streaming on both sides: ``spark.read`` / ``readStream``
+    (directory-as-topic, new files are micro-batches) and ``df.write`` /
+    ``writeStream`` (one OCF segment per micro-batch partition) — the
+    reference's full streaming-I/O roadmap (README.md:23-27) behind one
+    format string."""
 
     @classmethod
     def name(cls) -> str:
@@ -194,6 +277,17 @@ class AvroOcfDataSource(DataSource):
             for f in _files(path):
                 os.remove(f)
         return _OcfWriter(path, to_avsc(from_struct_type(schema, "record")))
+
+    def streamReader(self, schema: StructType) -> _OcfStreamReader:
+        return _OcfStreamReader(self.options["path"], self._reader_schema_json())
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> _OcfStreamWriter:
+        from ..schema.printer import to_avsc
+        from ..schema.spark_convert import from_struct_type
+
+        return _OcfStreamWriter(
+            self.options["path"], to_avsc(from_struct_type(schema, "record"))
+        )
 
 
 def register(spark) -> None:

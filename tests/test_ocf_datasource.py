@@ -98,3 +98,55 @@ def test_date_and_decimal_logical_roundtrip(spark):
     assert isinstance(back.schema["amt"].dataType, T.DecimalType)
     r = back.collect()[0]
     assert r.d == dt.date(2024, 2, 29) and r.amt == Decimal("12.34")
+
+
+def test_stream_write_then_batch_read(spark, sf_dir):
+    """writeStream.format('avro_ocf'): one OCF segment per micro-batch
+    partition; the directory then reads back (batch) to the same rows."""
+    from anglerfish_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    with tempfile.TemporaryDirectory(prefix="anglerfish_dsw_") as d:
+        src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+        ev.write.json(src)
+        stream = spark.readStream.schema(ev.schema).json(src)
+        q = (
+            stream.writeStream.format(FORMAT_NAME)
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        back = spark.read.format(FORMAT_NAME).load(out)
+        assert sorted(r.event_id for r in back.collect()) == sorted(
+            r.event_id for r in ev.collect()
+        )
+
+
+def test_stream_read_picks_up_new_files(spark):
+    """readStream.format('avro_ocf'): the seen-file-set offset makes each
+    new OCF file a micro-batch; two sequential availableNow runs sharing a
+    checkpoint process exactly the new files the second time (OCF source
+    AND sink, checkpoint-recoverable end to end)."""
+    with tempfile.TemporaryDirectory(prefix="anglerfish_dsr_") as d:
+        src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+        spark.range(5).coalesce(1).write.format(FORMAT_NAME).mode("append").save(src)
+
+        def run_once():
+            stream = spark.readStream.format(FORMAT_NAME).load(src)
+            q = (
+                stream.writeStream.format(FORMAT_NAME)
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            return {r.id for r in spark.read.format(FORMAT_NAME).load(out).collect()}
+
+        assert run_once() == set(range(5))
+        spark.range(5, 8).coalesce(1).write.format(FORMAT_NAME).mode("append").save(src)
+        # same checkpoint -> the second run appends ONLY the new files
+        assert run_once() == set(range(8))
