@@ -445,3 +445,55 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA power-iteration step
+# ---------------------------------------------------------------------------
+
+from .common import dsum, dsum_sql  # noqa: E402
+
+
+@query(
+    "q_pca_step",
+    oracle=f"""
+WITH v0 AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.embedding, {dot_sql('e.embedding', 'v')} AS sc
+  FROM embeddings e, v0
+)
+SELECT CAST(i - 1 AS INT) AS dim_idx,
+       {dsum_sql('sc * embedding[i]')} AS comp
+FROM s, generate_series(1, {DIM}) AS g(i)
+GROUP BY i
+ORDER BY dim_idx
+""",
+    group="llm-similarity",
+)
+def q_pca_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    component: ``w = Σ_d (e_d · v) e_d`` (the Gram-matrix product X'Xv
+    computed without materializing X'X), with the starting direction v
+    pinned to the vec_id=0 embedding for cross-engine determinism.
+    Iterating (renormalize, repeat — driver loop like
+    connected_components) converges to the dominant eigenvector; one step
+    is the representative, oracle-checkable unit.
+
+    Scale shape: v is metadata (one vector, embedded as literals — same
+    pattern as the IVF centroids); the per-document projection is a pure
+    map; the per-component rollup posexplodes to (dim, contribution) rows
+    and runs ONE combinable hash agg keyed by the 64 dims, decimal-exact
+    per component — corpus order and partitioning cannot change the
+    result.  The corpus never shuffles; only 64 aggregate rows do.
+    """
+    prepare(spark)
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
+    v0_row = e.where(F.col("vec_id") == 0).select("embedding").first()
+    v0 = F.array(*[F.lit(float(x)) for x in v0_row[0]])
+    scored = e.select(dot(F.col("embedding"), v0).alias("sc"), "embedding")
+    return (
+        scored.select("sc", F.posexplode("embedding").alias("dim_idx", "val"))
+        .groupBy("dim_idx")
+        .agg(dsum(F.col("sc") * F.col("val")).alias("comp"))
+        .orderBy("dim_idx")
+    )
