@@ -752,7 +752,10 @@ def json_decode_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     no recursive types, so the schema unrolls to the depth bound; the query
     surfaces the first three values and the list depth."""
     prepare(spark)
-    df = spark.createDataFrame(_LL_ROWS, ["id", "j"])
+    # coalesce(1): 3 rows over defaultParallelism tasks would compile the
+    # (large, depth-unrolled) generated code once per task — 32 concurrent
+    # copies OOM'd a 1g-heap session; one task is also simply faster here
+    df = spark.createDataFrame(_LL_ROWS, ["id", "j"]).coalesce(1)
     # depth-bounded unroll kept small for the expression path: each level
     # carries its own parse+validation subtree, so a deep unroll is a big
     # plan (and a big task binary).  Genuinely deep recursion belongs to
