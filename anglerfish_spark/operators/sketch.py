@@ -97,3 +97,62 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     d = load_table(spark, sf_dir, "documents")
     return heavy_hitters(d)
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketch rollup (DataSketches)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sketch_rollup",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    group="llm-text",
+)
+def q_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch pre-aggregation — the OLAP-cube pattern at 100 TB:
+    per-(day, type) HLL sketches built in one combinable pass (what you
+    would *materialize* daily), then rolled up across days per type with
+    ``hll_union_agg`` — distinct users per type WITHOUT re-touching the
+    raw events.  The re-aggregation cost is #sketches, not #rows; the
+    oracle checks the sketch contract (estimate within 5% of exact —
+    DataSketches HLL at default lgK=12 has rsd ~1.6%, and the sketch is a
+    pure function of the data, so the flag is deterministic).
+
+    This is the capability approx_count_distinct alone lacks: its
+    estimate cannot be re-aggregated to coarser groupings later, while a
+    stored sketch column can (union is lossless for HLL).
+    """
+    from ..session import prepare
+    from ..sources.registry import load_table
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = per_day.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
+        .orderBy("event_type")
+    )
