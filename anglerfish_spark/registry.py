@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QueryDef]:
     from .operators import lm as _lm  # noqa: F401
     from .operators import multimodal as _multimodal  # noqa: F401
     from .operators import packing as _packing  # noqa: F401
+    from .operators import profile as _profile  # noqa: F401
     from .operators import relational as _relational  # noqa: F401
     from .operators import relational_ext as _relational_ext  # noqa: F401
     from .operators import similarity as _similarity  # noqa: F401

@@ -231,3 +231,47 @@ def test_stream_decode_matches_batch(spark, sf_dir):
                 r["cnt"],
                 r["sum_value"],
             )
+
+
+def test_stateful_count_on_rocksdb_backend(spark, sf_dir):
+    """The production state backend: the same applyInPandasWithState
+    pipeline runs on RocksDBStateStoreProvider (what a real cluster uses
+    for large state) and must produce the exact batch totals."""
+    from anglerfish_spark.streaming.stateful import stateful_user_counts
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+        with tempfile.TemporaryDirectory(prefix="anglerfish_rocks_") as d:
+            src = f"{d}/src"
+            ev.write.json(src)
+            stream = spark.readStream.schema(ev.schema).json(src)
+            q = (
+                stateful_user_counts(stream)
+                .writeStream.format("memory")
+                .queryName("rocks_smoke")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        got = {
+            r.user_id: r.cnt
+            for r in spark.sql(
+                "SELECT user_id, MAX(cnt) AS cnt FROM rocks_smoke GROUP BY user_id"
+            ).collect()
+        }
+        batch = {
+            r.user_id: r.cnt
+            for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        assert got == batch
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
