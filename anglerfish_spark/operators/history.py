@@ -113,3 +113,53 @@ def q_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+WITH firstday AS (
+  SELECT user_id,
+         MIN(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS active_day
+  FROM events
+)
+SELECT f.cohort_day,
+       CAST(a.active_day - f.cohort_day AS BIGINT) AS age_days,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity a JOIN firstday f USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_day, age_days
+""",
+    group="relational",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each subsequent active day as (cohort_day, age_days, active_users)
+    — the standard product-analytics rollup.
+
+    Shuffles: per-user first-day (combinable min), per-(user, day)
+    dedup (combinable), then the user-keyed join and the final rollup.
+    Both aggregates and the join key on user_id, so AQE reuses one
+    partitioning; no window, no global sort.
+    """
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000)).cast("bigint")
+    firstday = ev.select("user_id", day.alias("d")).groupBy("user_id").agg(
+        F.min("d").alias("cohort_day")
+    )
+    activity = ev.select("user_id", day.alias("active_day")).distinct()
+    return (
+        activity.join(firstday, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("active_day") - F.col("cohort_day")).cast("bigint").alias("age_days"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+        .orderBy("cohort_day", "age_days")
+    )
