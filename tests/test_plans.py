@@ -178,3 +178,24 @@ def test_tfidf_no_cartesian_and_broadcast_count(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_tfidf")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan  # the 1-row n_docs broadcast
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir):
+    """Hive-style partitioned sink + partition-predicate read: the scan
+    must show the predicate as a PartitionFilter (pruned at listing time,
+    zero data read from other partitions) — the 100 TB layout lever."""
+    import tempfile
+
+    from anglerfish_spark.sources.registry import load_table, write
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="anglerfish_prune_") + "/part"
+    write(ev, "parquet", d, mode="overwrite", partition_by=["event_type"])
+    df = spark.read.parquet(d).where("event_type = 'click'")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pf = next(line for line in plan.splitlines() if "PartitionFilters" in line)
+    assert "event_type" in pf, plan
+    # the predicate must NOT degrade to a post-scan data filter
+    assert df.count() == ev.where("event_type = 'click'").count()
