@@ -80,3 +80,70 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     li = load_table(spark, sf_dir, "lineitem")
     return profile(li, PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# z-score outlier detection (data-cleaning rule on exact moments)
+# ---------------------------------------------------------------------------
+
+from .common import dsum, dsum_sql  # noqa: E402
+
+Z_CUT = 3.0
+
+
+@query(
+    "q_outlier_zscore",
+    oracle=f"""
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         {dsum_sql('value')} AS sx,
+         {dsum_sql('value * value')} AS sxx
+  FROM events GROUP BY event_type
+),
+s AS (
+  SELECT event_type, n, sx / n AS mu,
+         sqrt((sxx - sx * sx / n) / (n - 1)) AS sigma
+  FROM m
+)
+SELECT e.event_type,
+       CAST(s.n AS BIGINT) AS n_events,
+       CAST(COUNT(CASE WHEN abs((e.value - s.mu) / s.sigma) > {Z_CUT}
+                       THEN 1 END) AS BIGINT) AS n_outliers
+FROM events e JOIN s USING (event_type)
+GROUP BY e.event_type, s.n
+ORDER BY event_type
+""",
+    group="relational",
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier counts — the standard data-cleaning rule
+    (|value − μ| > 3σ within its event type), deterministic because μ/σ
+    derive from decimal-exact moment sums and the per-row z expression is
+    the identical double tree in both engines (the built-in stddev's
+    partition-order dependence would make the >3σ boundary flap).
+
+    Scale shape: one combinable moment pass (group-count rows out), the
+    tiny moment table broadcast back onto the corpus, one combinable
+    count rollup — the corpus shuffles once, same as q1.
+    """
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    stats = m.select(
+        "event_type",
+        n,
+        (sx / n).alias("mu"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("sigma"),
+    )
+    z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", n.cast("bigint").alias("n_events"))
+        .agg(F.count(F.when(z > Z_CUT, 1)).cast("bigint").alias("n_outliers"))
+        .orderBy("event_type")
+    )
