@@ -202,14 +202,21 @@ def tag_generic(t: AvroType, v: Any, env: dict | None = None, path: str = "$") -
     if isinstance(t, AvroRecord):
         if not isinstance(v, dict):
             raise DatumError(f"{path}: expected dict for record {t.fqn}, got {type(v).__name__}")
-        out = {}
-        for f in t.fields:
-            if f.name in v:
-                out[f.name] = tag_generic(f.type, v[f.name], env, f"{path}.{f.name}")
         extra = set(v) - {f.name for f in t.fields}
-        for k in sorted(extra):  # keep extras → decoder raises RecordError (D6)
-            out[k] = v[k]
-        return out
+        if extra:
+            # D6 strictness enforced HERE with the engine's error class:
+            # passing extras through would hit json.dumps with a bare
+            # TypeError for non-JSON values (bytes/datetime/Decimal)
+            from ..errors import RecordError
+
+            raise RecordError(
+                f"{path}: unexpected fields {sorted(extra)} for record {t.fqn}"
+            )
+        return {
+            f.name: tag_generic(f.type, v[f.name], env, f"{path}.{f.name}")
+            for f in t.fields
+            if f.name in v
+        }
     raise DatumError(f"{path}: unexpected schema node {t!r}")
 
 

@@ -445,8 +445,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         jac.alias("jaccard"),
     )
+    # jaccard is NaN for a pair of empty token sets (0/0): Spark's NaN
+    # compares greater than 0.5 while DuckDB's 0/0 yields NULL — require a
+    # non-NaN score explicitly so both engines drop the degenerate pairs
     return (
-        same.unionAll(adj).where(F.col("jaccard") >= 0.5).orderBy("doc_a", "doc_b")
+        same.unionAll(adj)
+        .where(~F.isnan("jaccard") & (F.col("jaccard") >= 0.5))
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -102,12 +102,13 @@ WITH m AS (
 ),
 s AS (
   SELECT event_type, n, sx / n AS mu,
-         sqrt((sxx - sx * sx / n) / (n - 1)) AS sigma
-  FROM m
+         sqrt(GREATEST((sxx - sx * sx / n) / (n - 1), 0)) AS sigma
+  FROM m WHERE n > 1
 )
 SELECT e.event_type,
        CAST(s.n AS BIGINT) AS n_events,
-       CAST(COUNT(CASE WHEN abs((e.value - s.mu) / s.sigma) > {Z_CUT}
+       CAST(COUNT(CASE WHEN s.sigma > 0
+                        AND abs((e.value - s.mu) / s.sigma) > {Z_CUT}
                        THEN 1 END) AS BIGINT) AS n_outliers
 FROM events e JOIN s USING (event_type)
 GROUP BY e.event_type, s.n
@@ -134,16 +135,26 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("value") * F.col("value")).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    stats = m.select(
+    # degenerate-group guards, mirrored in the oracle: n=1 groups have no
+    # sample variance (dropped); a tiny negative rounding residual is
+    # clamped before sqrt (DuckDB's sqrt ERRORS on negatives); sigma=0
+    # (constant column) defines zero outliers — Spark's NaN z would
+    # otherwise count every row (NaN > cut is true) while DuckDB's x/0
+    # NULL counts none
+    stats = m.where(n > 1).select(
         "event_type",
         n,
         (sx / n).alias("mu"),
-        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("sigma"),
+        F.sqrt(F.greatest((sxx - sx * sx / n) / (n - 1), F.lit(0.0))).alias("sigma"),
     )
     z = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type", n.cast("bigint").alias("n_events"))
-        .agg(F.count(F.when(z > Z_CUT, 1)).cast("bigint").alias("n_outliers"))
+        .agg(
+            F.count(F.when((F.col("sigma") > 0) & (z > Z_CUT), 1))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
         .orderBy("event_type")
     )

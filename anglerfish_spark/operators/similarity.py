@@ -21,6 +21,7 @@ precision (``F.aggregate`` in Spark, an ordered list comprehension +
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -299,7 +300,13 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prepare(spark)
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
-    cents = _centroids(e, cache_key=sf_dir)
+    # mtime in the key: a regenerated embeddings file invalidates the
+    # cached centroids instead of silently planning against stale vectors
+    try:
+        mtime = os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet"))
+    except OSError:
+        mtime = 0.0
+    cents = _centroids(e, cache_key=f"{sf_dir}@{mtime}")
     ranking = _cell_ranking(F.col("embedding"), cents)
 
     best = F.element_at(ranking, -1)

@@ -127,29 +127,49 @@ class _OcfCommit(WriterCommitMessage):
     n_rows: int
 
 
+def _stage_partition(path: str, iterator, writer_schema_json: str) -> _OcfCommit:
+    """Write one partition's batches to a ``*.avro.tmp`` staging file.
+
+    Staging + commit-time rename is the two-phase protocol every file
+    sink needs: a task that dies mid-write leaves only a ``.tmp`` the
+    ``*.avro`` glob never lists (no truncated-file reads, no duplicate
+    rows from retried attempts — only the committed attempt is renamed)."""
+    from .avro_ocf import _from_arrow, encode_ocf
+
+    values = []
+    cols = types = None
+    for batch in iterator:
+        if cols is None:
+            cols = batch.schema.names
+            types = {c: batch.schema.field(c).type for c in cols}
+        for row in batch.to_pylist():
+            values.append({c: _from_arrow(types[c], row[c]) for c in cols})
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f"part-{uuid.uuid4().hex}.avro.tmp")
+    with open(tmp, "wb") as f:
+        f.write(encode_ocf(values, writer_schema_json))
+    return _OcfCommit(tmp, len(values))
+
+
 class _OcfWriter(DataSourceArrowWriter):
-    def __init__(self, path: str, writer_schema_json: str):
+    def __init__(self, path: str, writer_schema_json: str, overwrite: bool):
         self.path = path
         self.writer_schema_json = writer_schema_json
+        self.overwrite = overwrite
 
     def write(self, iterator) -> _OcfCommit:
-        from .avro_ocf import _from_arrow, encode_ocf
+        return _stage_partition(self.path, iterator, self.writer_schema_json)
 
-        values = []
-        cols = types = None
-        for batch in iterator:
-            if cols is None:
-                cols = batch.schema.names
-                types = {c: batch.schema.field(c).type for c in cols}
-            for row in batch.to_pylist():
-                values.append({c: _from_arrow(types[c], row[c]) for c in cols})
-        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
-        os.makedirs(self.path, exist_ok=True)
-        with open(out, "wb") as f:
-            f.write(encode_ocf(values, self.writer_schema_json))
-        return _OcfCommit(out, len(values))
-
-    def commit(self, messages):  # files land atomically-enough per part
+    def commit(self, messages):
+        # all tasks succeeded: for overwrite, the old data is replaced
+        # HERE (a failed job leaves it untouched — unlike deleting at
+        # plan time); then each staged file becomes visible atomically
+        if self.overwrite:
+            for f in _files(self.path):
+                os.remove(f)
+        for m in messages:
+            if m is not None:
+                os.replace(m.path, m.path[: -len(".tmp")])
         return None
 
     def abort(self, messages):
@@ -161,11 +181,14 @@ class _OcfWriter(DataSourceArrowWriter):
 class _OcfStreamReader(DataSourceStreamReader):
     """Streaming OCF source: the directory is the topic, each closed file
     an immutable segment.  The checkpointable offset is the *set of seen
-    file names* (a primitive-typed dict, like Spark's own file-source seen
+    file paths* (a primitive-typed dict, like Spark's own file-source seen
     log), so a batch between two offsets is exactly the set difference —
     deterministic replay regardless of file-name ordering or mtime skew.
     Planning lists names only; decode runs in executors, one task per new
-    file."""
+    file.  Producers must publish files ATOMICALLY (stage elsewhere /
+    under a non-``.avro`` suffix, then rename — exactly what this
+    module's own writers do): a file listed mid-write would be read
+    partially and its late bytes skipped forever."""
 
     def __init__(self, path: str, reader_schema_json: str):
         self.path = path
@@ -175,11 +198,13 @@ class _OcfStreamReader(DataSourceStreamReader):
         return {"seen": {}}
 
     def latestOffset(self) -> dict:
-        return {"seen": {os.path.basename(f): True for f in _files(self.path)}}
+        # keys are FULL paths: the path option may be a glob, where
+        # joining basenames back onto it would build nonsense paths
+        return {"seen": {f: True for f in _files(self.path)}}
 
     def partitions(self, start: dict, end: dict):
         new = sorted(set(end.get("seen", {})) - set(start.get("seen", {})))
-        return [InputPartition(os.path.join(self.path, n)) for n in new]
+        return [InputPartition(f) for f in new]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         return _OcfReader(self.path, self.reader_schema_json).read(partition)
@@ -188,43 +213,25 @@ class _OcfStreamReader(DataSourceStreamReader):
         pass  # nothing to clean: files are immutable segments
 
 
-@dataclass
-class _OcfStreamCommit(WriterCommitMessage):
-    path: str
-    n_rows: int
-
-
 class _OcfStreamWriter(DataSourceStreamArrowWriter):
-    """Streaming OCF sink: one OCF file per (micro-batch, partition),
-    named by batch id for idempotent replay — a failed batch's retry
-    aborts (removes) its partial files before rewriting them."""
+    """Streaming OCF sink: partitions stage ``.tmp`` files; commit renames
+    them to ``part-<batchId>-<i>.avro``.  Replaying a micro-batch after a
+    crash re-stages and renames onto the SAME names (``os.replace``
+    overwrites), so the replay is idempotent — no duplicate segments —
+    and uncommitted attempts are never visible to the ``*.avro`` glob."""
 
     def __init__(self, path: str, writer_schema_json: str):
         self.path = path
         self.writer_schema_json = writer_schema_json
 
-    def write(self, iterator) -> _OcfStreamCommit:
-        from pyspark import TaskContext
-
-        from .avro_ocf import _from_arrow, encode_ocf
-
-        ctx = TaskContext.get()
-        tag = f"{ctx.partitionId()}-{uuid.uuid4().hex}" if ctx else uuid.uuid4().hex
-        values = []
-        cols = types = None
-        for batch in iterator:
-            if cols is None:
-                cols = batch.schema.names
-                types = {c: batch.schema.field(c).type for c in cols}
-            for row in batch.to_pylist():
-                values.append({c: _from_arrow(types[c], row[c]) for c in cols})
-        os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{tag}.avro")
-        with open(out, "wb") as f:
-            f.write(encode_ocf(values, self.writer_schema_json))
-        return _OcfStreamCommit(out, len(values))
+    def write(self, iterator) -> _OcfCommit:
+        return _stage_partition(self.path, iterator, self.writer_schema_json)
 
     def commit(self, messages, batchId: int) -> None:
+        for i, m in enumerate(messages):
+            if m is not None:
+                final = os.path.join(self.path, f"part-{batchId:010d}-{i:05d}.avro")
+                os.replace(m.path, final)
         return None
 
     def abort(self, messages, batchId: int) -> None:
@@ -266,17 +273,27 @@ class AvroOcfDataSource(DataSource):
         return to_struct_type(ps.root, ps.env)
 
     def reader(self, schema: StructType) -> _OcfReader:
+        # rows are shaped by the Avro reader schema; a user-supplied
+        # .schema(...) that differs would be silently misaligned — reject
+        # it loudly and point at the option that does support projection
+        inferred = self.schema()
+        if schema != inferred:
+            raise ValueError(
+                "avro_ocf does not accept a user read schema; pass a "
+                "reader_schema option (avsc JSON) instead. "
+                f"user={schema.simpleString()} header={inferred.simpleString()}"
+            )
         return _OcfReader(self.options["path"], self._reader_schema_json())
 
     def writer(self, schema: StructType, overwrite: bool) -> _OcfWriter:
         from ..schema.printer import to_avsc
         from ..schema.spark_convert import from_struct_type
 
-        path = self.options["path"]
-        if overwrite and os.path.isdir(path):
-            for f in _files(path):
-                os.remove(f)
-        return _OcfWriter(path, to_avsc(from_struct_type(schema, "record")))
+        # overwrite deletes the OLD files only at commit time (after every
+        # task staged successfully) — a failed job leaves data untouched
+        return _OcfWriter(
+            self.options["path"], to_avsc(from_struct_type(schema, "record")), overwrite
+        )
 
     def streamReader(self, schema: StructType) -> _OcfStreamReader:
         return _OcfStreamReader(self.options["path"], self._reader_schema_json())

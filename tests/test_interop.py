@@ -147,10 +147,14 @@ class TestCongruence:
         assert _roundtrip(schema, obj) == obj
 
     def test_extra_field_strictness(self):
+        """D6 raised at tag time with the engine error class — passing
+        extras through would hit json.dumps with a bare TypeError for
+        non-JSON-serializable values."""
         ps = parse_schema(UNION_SCHEMA)
-        tagged = tag_generic(ps.root, {"v": 1, "oops": 2}, ps.env)
         with pytest.raises(RecordError):
-            decode_datum(ps.root, tagged, ps.env)
+            tag_generic(ps.root, {"v": 1, "oops": 2}, ps.env)
+        with pytest.raises(RecordError):  # non-JSON extra: same error class
+            tag_generic(ps.root, {"v": 1, "blob": b"\x00"}, ps.env)
 
 
 class TestDataFrameBridge:

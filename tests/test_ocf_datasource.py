@@ -150,3 +150,36 @@ def test_stream_read_picks_up_new_files(spark):
         spark.range(5, 8).coalesce(1).write.format(FORMAT_NAME).mode("append").save(src)
         # same checkpoint -> the second run appends ONLY the new files
         assert run_once() == set(range(8))
+
+
+def test_staged_tmp_files_are_invisible_to_readers(spark):
+    """The two-phase write protocol: a dead task's .avro.tmp staging file
+    must never be listed by batch or streaming reads."""
+    df = spark.createDataFrame([(1,)], "id bigint")
+    d = tempfile.mkdtemp(prefix="anglerfish_ds_") + "/t"
+    df.write.format(FORMAT_NAME).mode("append").save(d)
+    with open(os.path.join(d, "part-deadtask.avro.tmp"), "wb") as f:
+        f.write(b"truncated garbage from a lost executor")
+    assert spark.read.format(FORMAT_NAME).load(d).count() == 1
+
+
+def test_stream_sink_segments_named_by_batch_id(spark):
+    """Committed stream segments carry the batch id (idempotent replay
+    renames onto the same names instead of appending duplicates)."""
+    with tempfile.TemporaryDirectory(prefix="anglerfish_dsb_") as d:
+        src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+        spark.range(4).coalesce(1).write.format(FORMAT_NAME).mode("append").save(src)
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .load(src)
+            .writeStream.format(FORMAT_NAME)
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        names = sorted(os.listdir(out))
+        assert names and all(n.startswith("part-") and n.endswith(".avro") for n in names)
+        assert all(n.split("-")[1].isdigit() for n in names)  # batchId component
+        assert spark.read.format(FORMAT_NAME).load(out).count() == 4
