@@ -657,14 +657,19 @@ UNION ALL
 SELECT 'orc', COUNT(*),
        CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT)
 FROM documents
+UNION ALL
+SELECT 'xml', COUNT(*),
+       CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS BIGINT)
+FROM documents
 ORDER BY fmt
 """,
     group="sources",
 )
 def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSV, JSON and ORC datasource round-trips: documents → write each
-    format → read back with explicit schemas (inference would be an extra
-    full pass at scale) → identical aggregates per format."""
+    """CSV, JSON, ORC and XML (Spark 4 native) datasource round-trips:
+    documents → write each format → read back with explicit schemas
+    (inference would be an extra full pass at scale) → identical
+    aggregates per format."""
     import tempfile
 
     from ..sources import registry as R
@@ -675,10 +680,12 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     R.write(d, "csv", f"{base}/csv", mode="overwrite", header="true")
     R.write(d, "json", f"{base}/json", mode="overwrite")
     R.write(d, "orc", f"{base}/orc", mode="overwrite")
+    R.write(d, "xml", f"{base}/xml", mode="overwrite", rowTag="doc")
     schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
     back_csv = R.read(spark, "csv", f"{base}/csv", schema=schema, header="true")
     back_json = R.read(spark, "json", f"{base}/json", schema=schema)
     back_orc = R.read(spark, "orc", f"{base}/orc", schema=schema)
+    back_xml = R.read(spark, "xml", f"{base}/xml", schema=schema, rowTag="doc")
     agg = lambda df, tag: df.agg(  # noqa: E731
         F.lit(tag).alias("fmt"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -688,6 +695,7 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg(back_csv, "csv")
         .unionAll(agg(back_json, "json"))
         .unionAll(agg(back_orc, "orc"))
+        .unionAll(agg(back_xml, "xml"))
         .orderBy("fmt")
     )
 
