@@ -673,6 +673,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PR_DAMPING = 0.85
+#: 1 - PR_DAMPING as a LITERAL, not computed: DuckDB evaluates
+#: ``1.0 - 0.85`` in exact decimals (0.15 → the double nearest 0.15),
+#: while double arithmetic gives 0.15000000000000002 — a one-ULP rank
+#: divergence that surfaced at sf0.1 (caught by the scale sweep)
+PR_RESIDUAL = 0.15
 
 
 @query(
@@ -691,7 +696,7 @@ contrib AS (
   FROM edges e JOIN deg dg ON dg.node = e.s
 )
 SELECT node AS doc_id,
-       (1.0 - {PR_DAMPING}) / (SELECT cnt FROM n)
+       {PR_RESIDUAL} / (SELECT cnt FROM n)
          + {PR_DAMPING} * {dsum_sql('c')} AS rank
 FROM contrib
 GROUP BY node
@@ -732,7 +737,7 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("node").alias("doc_id"),
             (
-                (F.lit(1.0) - PR_DAMPING) / F.col("cnt") + F.lit(PR_DAMPING) * F.col("mass")
+                F.lit(PR_RESIDUAL) / F.col("cnt") + F.lit(PR_DAMPING) * F.col("mass")
             ).alias("rank"),
         )
         .orderBy("doc_id")
