@@ -819,3 +819,65 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_triangles",
+    oracle=f"""
+WITH {_PAIRS_CTE},
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+pernode AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM pernode GROUP BY doc_id
+ORDER BY doc_id
+""",
+    group="llm-dedup",
+)
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the LSH candidate graph — the local
+    clustering signal that separates tight duplicate cliques (every pair
+    near-identical → keep one representative) from hub-and-spoke false
+    positives (one template shared by many unrelated docs → keep all).
+
+    The distributed-graph shape: edges are stored once with ``a < b``, so
+    each triangle {{a<b<c}} is found exactly once by two equi-joins
+    (wedge a-b, b-c closed by a-c).  At 100 TB the standard refinement is
+    degree ordering (orient edges low→high degree) so every join fans out
+    by the SMALLER endpoint's degree — the shape here is already the
+    oriented join; both joins key on node ids and AQE handles hub skew.
+    """
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    e = lsh_candidate_pairs(d)  # doc_a < doc_b, distinct
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    pernode = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return (
+        pernode.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .orderBy("doc_id")
+    )

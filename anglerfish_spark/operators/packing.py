@@ -215,3 +215,73 @@ def q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# overlapping document chunking (RAG / context-window preprocessing)
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents),
+chunks AS (
+  SELECT doc_id, unnest([
+      {{'chunk_idx': i,
+        'ctok': list_slice(tok, i * {CHUNK_STRIDE} + 1,
+                           i * {CHUNK_STRIDE} + {CHUNK_SIZE})}}
+      for i in generate_series(0,
+        greatest(len(tok) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1, 0) // {CHUNK_STRIDE})
+    ]) AS c
+  FROM t WHERE len(tok) > 0
+)
+SELECT doc_id, CAST(c.chunk_idx AS INT) AS chunk_idx,
+       CAST(len(c.ctok) AS BIGINT) AS n_tok,
+       md5(array_to_string(c.ctok, ' ')) AS chunk_fp
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+    group="llm-text",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunking — the RAG / embedding-pipeline
+    preprocessing step: each document fans out to ⌈(n−overlap)/stride⌉
+    windows of {CHUNK_SIZE} tokens every {CHUNK_STRIDE} (16-token overlap
+    preserves context across boundaries); each chunk carries its md5
+    fingerprint (the key a downstream embedding table / dedup pass joins
+    on).  The final chunk is the short tail; empty docs produce no
+    chunks.
+
+    Scale shape: a pure 1→N map (``transform`` over a chunk-index
+    ``sequence``, then one explode) — no shuffle at all until a consumer
+    aggregates; chunk count scales with corpus tokens / stride.
+    """
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = tokens()
+    n_chunks = F.floor(
+        (F.greatest(F.size(tok) - CHUNK_SIZE + CHUNK_STRIDE - 1, F.lit(0)))
+        / F.lit(CHUNK_STRIDE)
+    ).cast("int")
+    chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.slice(tok, i * CHUNK_STRIDE + 1, CHUNK_SIZE).alias("ctok"),
+        ),
+    )
+    return (
+        d.where(F.size(tok) > 0)
+        .select("doc_id", F.explode(chunk).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.ctok").cast("bigint").alias("n_tok"),
+            F.md5(F.concat_ws(" ", F.col("c.ctok")).cast("binary")).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
