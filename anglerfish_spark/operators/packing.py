@@ -285,3 +285,63 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "q_dedup_chunks",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents),
+chunks AS (
+  SELECT doc_id, unnest([
+      md5(array_to_string(
+        list_slice(tok, i * {CHUNK_STRIDE} + 1,
+                   i * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+      for i in generate_series(0,
+        greatest(len(tok) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1, 0) // {CHUNK_STRIDE})
+    ]) AS chunk_fp
+  FROM t WHERE len(tok) > 0
+),
+per_doc AS (SELECT DISTINCT doc_id, chunk_fp FROM chunks)
+SELECT chunk_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper
+FROM per_doc
+GROUP BY chunk_fp
+HAVING COUNT(*) > 1
+ORDER BY chunk_fp
+""",
+    group="llm-dedup",
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular dedup (C4-style paragraph dedup): the chunking
+    fan-out keyed by chunk fingerprint finds token windows repeated
+    ACROSS documents — boilerplate headers, license blocks, templated
+    paragraphs — that document-level dedup can never see (the documents
+    differ, the paragraphs don't).  Keep the smallest doc_id per repeated
+    chunk; a curation pass would null out the chunk elsewhere.
+
+    Scale shape: the 1→N chunk map (no shuffle) then ONE combinable hash
+    agg keyed by the fingerprint — the same profile as exact dedup, at
+    chunk cardinality (tokens/stride per doc).
+    """
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = tokens()
+    n_chunks = F.floor(
+        (F.greatest(F.size(tok) - CHUNK_SIZE + CHUNK_STRIDE - 1, F.lit(0)))
+        / F.lit(CHUNK_STRIDE)
+    ).cast("int")
+    fps = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(tok, i * CHUNK_STRIDE + 1, CHUNK_SIZE)).cast("binary")
+        ),
+    )
+    return (
+        d.where(F.size(tok) > 0)
+        .select("doc_id", F.explode(F.array_distinct(fps)).alias("chunk_fp"))
+        .groupBy("chunk_fp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("chunk_fp")
+    )
