@@ -199,3 +199,24 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir):
     assert "event_type" in pf, plan
     # the predicate must NOT degrade to a post-scan data filter
     assert df.count() == ev.where("event_type = 'click'").count()
+
+
+def test_chunking_is_map_only_fanout(spark, sf_dir):
+    """Chunking must be a pure 1→N map: no exchange other than the opt-in
+    fan-out repartition and the presentation sort."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_chunk_documents")
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    assert ops.count("Exchange") <= 2, plan
+    assert "Generate" in ops, plan  # the explode fan-out
+
+
+def test_chunk_dedup_single_agg_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "q_dedup_chunks")
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    # fan-out repartition + one hash-agg exchange + presentation sort
+    assert ops.count("Exchange") <= 3, plan
+    assert ops.count("HashAggregate") >= 2, plan  # partial + final (combinable)
