@@ -65,6 +65,10 @@ def prepare(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # ANSI pinned: with ansi=false a decimal-overflow silently nulls the
+    # dsum contract instead of raising; the engine's semantics assume
+    # Spark 4's default strict mode even under a hostile host session
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     try:  # TIME logical-type support (static-only in some builds → best effort)
         spark.conf.set("spark.sql.timeType.enabled", "true")
     except Exception:
