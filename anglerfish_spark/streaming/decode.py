@@ -126,3 +126,88 @@ def q_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     msgs = events_as_messages(spark, sf_dir)
     return windowed_counts(decode_messages(msgs)).orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# schema-registry consumption: interleaved schema versions, one relation
+# ---------------------------------------------------------------------------
+
+#: writer schema v1 — early producers: no event_type yet
+MESSAGE_SCHEMA_V1 = """
+{"type":"record","name":"EventMsg","namespace":"stream","fields":[
+  {"name":"event_id","type":"long"},
+  {"name":"value","type":"double"}
+]}
+"""
+
+#: reader (= latest writer) schema: event_type added with a default, so
+#: v1 messages resolve with the fill-in — the compatible-evolution rule
+MESSAGE_SCHEMA_V2 = """
+{"type":"record","name":"EventMsg","namespace":"stream","fields":[
+  {"name":"event_id","type":"long"},
+  {"name":"value","type":"double"},
+  {"name":"event_type","type":"string","default":"unknown"}
+]}
+"""
+
+
+@query(
+    "q_stream_decode_registry",
+    oracle=f"""
+SELECT CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE event_type END AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY event_type
+""",
+    group="streaming",
+)
+def q_stream_decode_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full schema-registry consumption path
+    (functions/avro_binary.py single_object_decode_registry): a topic
+    interleaving messages from TWO schema versions — even events framed
+    with writer v1 (no event_type), odd with v2 — reads as ONE uniform
+    relation under the v2 reader: each message dispatches to its writer
+    schema by the embedded CRC-64-AVRO fingerprint, then resolves into
+    the reader (v1 rows get the declared default 'unknown').  This is the
+    consumer shape a registry-backed Kafka pipeline runs; the oracle
+    derives the same relation from the raw events with plain SQL, so the
+    framing, fingerprint dispatch, resolution, and default fill are all
+    under the hash check."""
+    from ..functions.avro_binary import (
+        single_object_decode_registry,
+        single_object_encode,
+    )
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v1_payload = F.to_json(F.struct(F.col("event_id"), F.col("value")))
+    v2_payload = F.to_json(F.struct(F.col("event_id"), F.col("value"), F.col("event_type")))
+    even = (F.col("event_id") % 2) == 0
+    msgs = ev.select(
+        F.when(even, single_object_encode(v1_payload, MESSAGE_SCHEMA_V1))
+        .otherwise(single_object_encode(v2_payload, MESSAGE_SCHEMA_V2))
+        .alias("value")
+    )
+    decoded = decode_json(
+        msgs.select(
+            single_object_decode_registry(
+                "value", [MESSAGE_SCHEMA_V1, MESSAGE_SCHEMA_V2], MESSAGE_SCHEMA_V2
+            ).alias("json")
+        ),
+        "json",
+        MESSAGE_SCHEMA_V2,
+    )
+    return (
+        decoded.select(
+            F.col("decoded.event_type").alias("event_type"),
+            F.col("decoded.value").alias("value"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
