@@ -577,3 +577,215 @@ def single_object_decode_registry(
 ) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return single_object_decode_registry_udf(writer_schemas, reader_schema)(c)
+
+
+def single_object_decode_permissive_udf(schema_json: str):
+    """Series→Series pandas UDF: single-object binary → struct(value json,
+    error).  The dead-letter variant of :func:`single_object_decode_udf`:
+    framing defects (bad magic, short header, fingerprint mismatch) and
+    body defects (truncated varints, overruns, bad indices) land in the
+    error channel instead of failing the batch — the PERMISSIVE contract a
+    long-running stream consumer needs (one poisoned message must not kill
+    the query)."""
+    from pyspark.sql.functions import pandas_udf
+
+    out_t = T.StructType(
+        [
+            T.StructField("value", T.StringType(), True),
+            T.StructField("error", T.StringType(), True),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        codec = BinaryCodec(parse_schema(schema_json))
+        header = _single_object_header(schema_json)
+        values, errors = [], []
+        for b in s:
+            try:
+                buf = bytes(b)
+                if len(buf) < 10 or buf[:2] != SINGLE_OBJECT_MAGIC:
+                    raise DatumError("not a single-object-encoded Avro message")
+                if buf[2:10] != header[2:]:
+                    raise DatumError(
+                        f"schema fingerprint mismatch: message {buf[2:10].hex()}, "
+                        f"reader {header[2:].hex()}"
+                    )
+                values.append(dumps_avro_json(codec.decode(buf[10:])))
+                errors.append(None)
+            except DatumError as ex:
+                values.append(None)
+                errors.append(f"DatumError: {ex}")
+        return pd.DataFrame({"value": values, "error": errors})
+
+    return _decode
+
+
+def single_object_decode_permissive(col: Column | str, schema_json: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return single_object_decode_permissive_udf(schema_json)(c)
+
+
+# ---------------------------------------------------------------------------
+# Confluent Schema Registry wire format: magic byte 0x00 + 4-byte BIG-endian
+# schema id + Avro binary body.  This is the framing every Kafka producer
+# using Confluent's serializers emits — distinct from the Avro spec's
+# single-object encoding above (0xC3 0x01 + little-endian CRC-64-AVRO
+# fingerprint).  The reference roadmap names "Schemaregistry support"
+# (/root/reference/README.md:25); format per Confluent's public wire-format
+# documentation.  Ids are registry-assigned integers; the consumer resolves
+# id → writer schema via its subject map (here: a closed-over dict standing
+# in for the registry client's id cache).
+# ---------------------------------------------------------------------------
+
+CONFLUENT_MAGIC = b"\x00"
+
+
+def confluent_header(schema_id: int) -> bytes:
+    """5-byte Confluent frame header: 0x00 + big-endian uint32 schema id."""
+    if not 0 <= schema_id <= 0xFFFFFFFF:
+        raise DatumError(f"schema id {schema_id} out of uint32 range")
+    return CONFLUENT_MAGIC + _struct.pack(">I", schema_id)
+
+
+def confluent_encode_udf(schema_json: str, schema_id: int):
+    """Series→Series pandas UDF: Avro-JSON text → Confluent-framed binary
+    (5-byte header + Avro binary body), as a registry-registered producer
+    with the given id would emit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BinaryType())
+    def _encode(s: pd.Series) -> pd.Series:
+        from ..codec.pydecode import decode_datum
+
+        ps = parse_schema(schema_json)
+        codec = BinaryCodec(ps)
+        header = confluent_header(schema_id)
+        return s.map(
+            lambda txt: header + codec.encode(decode_datum(ps.root, json.loads(txt), ps.env))
+        )
+
+    return _encode
+
+
+def confluent_decode_registry_udf(schemas_by_id: dict[int, str], reader_schema: str):
+    """Series→Series pandas UDF: Confluent-framed binary →
+    struct(schema_id int, json string) under the reader schema.
+
+    Each message dispatches to its writer schema by the embedded 4-byte id
+    (the id cache a Confluent deserializer keeps after resolving ids against
+    the registry), then resolves writer→reader via the engine's schema
+    evolution (codec/evolve.py) — so a topic interleaving several registered
+    versions reads as one uniform reader-shaped relation, with the writer id
+    surfaced as a column (consumers routinely audit which producers are on
+    which version).  Unknown ids and bad magic raise DatumError — use
+    :func:`confluent_decode_registry_permissive_udf` for the dead-letter
+    variant."""
+    from pyspark.sql.functions import pandas_udf
+
+    out_t = T.StructType(
+        [
+            T.StructField("schema_id", T.IntegerType(), True),
+            T.StructField("json", T.StringType(), True),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        from ..codec.evolve import resolve_datum
+
+        rps = parse_schema(reader_schema)
+        by_id = {}
+        for sid, wjson in schemas_by_id.items():
+            ps = parse_schema(wjson)
+            by_id[int(sid)] = (ps, BinaryCodec(ps))
+
+        ids, jsons = [], []
+        for b in s:
+            sid, txt = _confluent_one(bytes(b), by_id, rps, resolve_datum)
+            ids.append(sid)
+            jsons.append(txt)
+        return pd.DataFrame({"schema_id": pd.array(ids, dtype="Int32"), "json": jsons})
+
+    return _decode
+
+
+def _confluent_one(buf: bytes, by_id: dict, rps, resolve_datum) -> tuple[int, str]:
+    """Decode one Confluent-framed message; shared by strict + permissive."""
+    if len(buf) < 5 or buf[:1] != CONFLUENT_MAGIC:
+        raise DatumError("not a Confluent-framed message (magic byte != 0x00)")
+    sid = _struct.unpack(">I", buf[1:5])[0]
+    entry = by_id.get(sid)
+    if entry is None:
+        raise DatumError(f"schema id {sid} not in registry map")
+    wps, codec = entry
+    v = codec.decode(buf[5:])
+    return sid, dumps_avro_json(resolve_datum(v, wps.root, rps.root, rps.env, wps.env))
+
+
+def confluent_decode_registry_permissive_udf(
+    schemas_by_id: dict[int, str], reader_schema: str
+):
+    """Dead-letter variant of :func:`confluent_decode_registry_udf`:
+    struct(schema_id, json, error) — framing/id/body defects populate
+    ``error`` instead of failing the batch (schema_id is still surfaced
+    when the header parsed, for routing poisoned messages by producer)."""
+    from pyspark.sql.functions import pandas_udf
+
+    out_t = T.StructType(
+        [
+            T.StructField("schema_id", T.IntegerType(), True),
+            T.StructField("json", T.StringType(), True),
+            T.StructField("error", T.StringType(), True),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        from ..codec.evolve import resolve_datum
+
+        rps = parse_schema(reader_schema)
+        by_id = {}
+        for sid, wjson in schemas_by_id.items():
+            ps = parse_schema(wjson)
+            by_id[int(sid)] = (ps, BinaryCodec(ps))
+
+        ids, jsons, errors = [], [], []
+        for b in s:
+            buf = bytes(b)
+            sid = None
+            try:
+                if len(buf) >= 5 and buf[:1] == CONFLUENT_MAGIC:
+                    sid = _struct.unpack(">I", buf[1:5])[0]
+                _, txt = _confluent_one(buf, by_id, rps, resolve_datum)
+                ids.append(sid)
+                jsons.append(txt)
+                errors.append(None)
+            except DatumError as ex:
+                ids.append(sid)
+                jsons.append(None)
+                errors.append(f"DatumError: {ex}")
+        return pd.DataFrame(
+            {"schema_id": pd.array(ids, dtype="Int32"), "json": jsons, "error": errors}
+        )
+
+    return _decode
+
+
+def confluent_encode(col: Column | str, schema_json: str, schema_id: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return confluent_encode_udf(schema_json, schema_id)(c)
+
+
+def confluent_decode_registry(
+    col: Column | str, schemas_by_id: dict[int, str], reader_schema: str
+) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return confluent_decode_registry_udf(schemas_by_id, reader_schema)(c)
+
+
+def confluent_decode_registry_permissive(
+    col: Column | str, schemas_by_id: dict[int, str], reader_schema: str
+) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return confluent_decode_registry_permissive_udf(schemas_by_id, reader_schema)(c)

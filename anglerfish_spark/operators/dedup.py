@@ -162,11 +162,46 @@ def lsh_bands(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, with_band: bool = False) -> DataFrame:
+#: default bucket-occupancy cap for the LSH band join.  A bucket's join
+#: cost is O(n²); a degenerate band key (empty docs, boilerplate sharing a
+#: signature) turns one bucket into the whole job's runtime at 100 TB.
+#: Buckets above the cap are quarantined out of the join — at 1000 docs a
+#: bucket is no longer "near-duplicate candidates", it is a boilerplate
+#: cluster that deserves its own treatment (exact-dedup the bucket, or
+#: sample it).  Max observed occupancy on testdata: 3 at sf0.01, 10 at
+#: sf0.1 — the default never binds below ~sf100, so capped and uncapped
+#: outputs are identical everywhere the oracle runs; q_dedup_lsh_skewcap
+#: registers a low-cap variant whose oracle models the quarantine exactly.
+LSH_MAX_BUCKET = 1000
+
+
+def lsh_hot_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """Buckets whose occupancy exceeds the cap: (band_id, band_key,
+    bucket_n).  One combinable count keyed exactly like the band join."""
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > max_bucket)
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, with_band: bool = False, max_bucket: int | None = LSH_MAX_BUCKET
+) -> DataFrame:
     """Candidate near-dup pairs (doc_a < doc_b) from the band bucket join;
     with ``with_band`` each row also carries the matching band_id
-    (callers that only need the pair set get it pre-distinct)."""
+    (callers that only need the pair set get it pre-distinct).
+
+    Skew guard: when ``max_bucket`` is set, bucket occupancy is counted
+    *before* the self-join and over-cap buckets are excluded via a
+    broadcast anti-join — the hot-bucket list is tiny by construction
+    (only degenerate keys exceed the cap), so the guard costs one
+    map-side-combinable count, never a second shuffle of the bands.
+    Quarantined buckets are recoverable via :func:`lsh_hot_buckets`."""
     bands = lsh_bands(docs)
+    if max_bucket is not None:
+        hot = lsh_hot_buckets(bands, max_bucket).select("band_id", "band_key")
+        bands = bands.join(F.broadcast(hot), ["band_id", "band_key"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     pairs = a.join(
         b,
@@ -298,6 +333,91 @@ def q_dedup_lsh_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.7)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q_dedup_lsh_skewcap",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(
+           f"MIN(substring(md5('{'a' if i < 4 else 'b'}|' || s), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+           for i in range(N_MINHASH)
+         )}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, h{2*b} || h{2*b+1} AS band_key FROM sig"
+    for b in range(N_BANDS)
+  )}
+),
+occ AS (SELECT band_id, band_key, COUNT(*) AS n FROM bands GROUP BY 1, 2),
+stats AS (
+  SELECT band_id,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(COUNT(*) FILTER (n > 2) AS BIGINT) AS n_quarantined,
+         CAST(COALESCE(SUM(n) FILTER (n > 2), 0) AS BIGINT) AS n_docs_quarantined
+  FROM occ GROUP BY band_id
+),
+ok AS (
+  SELECT b.* FROM bands b
+  JOIN occ o ON b.band_id = o.band_id AND b.band_key = o.band_key
+  WHERE o.n <= 2
+),
+pc AS (
+  SELECT a.band_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM ok a JOIN ok b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY a.band_id
+)
+SELECT s.band_id, s.n_buckets, s.n_quarantined, s.n_docs_quarantined,
+       CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs
+FROM stats s LEFT JOIN pc ON s.band_id = pc.band_id
+ORDER BY s.band_id
+""",
+    group="llm-dedup",
+)
+def q_dedup_lsh_skewcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH skew guard, observable: per band, bucket census + how many
+    buckets a (deliberately low) occupancy cap of 2 quarantines, and the
+    candidate-pair count from the *capped* join.  This is the 100 TB
+    protection for the band self-join — a degenerate band key (empty docs,
+    shared boilerplate) makes one bucket O(n²); counting occupancy first
+    (one combinable agg on the join's own key) and anti-joining the tiny
+    hot-bucket list (broadcast) bounds every bucket's cost by cap² without
+    a second shuffle.  The oracle reproduces census, quarantine, and capped
+    pairs exactly, so the guard's semantics — not just its existence — are
+    under the hash check.  Production queries run the same guard at
+    LSH_MAX_BUCKET=1000, which never binds at test scales (max occupancy:
+    3 at sf0.01, 10 at sf0.1)."""
+    prepare(spark)
+    cap = 2
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    bands = lsh_bands(d)
+    occ = bands.groupBy("band_id", "band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
+    bucket_stats = occ.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.count(F.when(F.col("bucket_n") > cap, 1)).cast("bigint").alias("n_quarantined"),
+        F.coalesce(
+            F.sum(F.when(F.col("bucket_n") > cap, F.col("bucket_n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_docs_quarantined"),
+    )
+    pair_counts = (
+        lsh_candidate_pairs(d, with_band=True, max_bucket=cap)
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    return (
+        bucket_stats.join(pair_counts, "band_id", "left")
+        .withColumn("n_pairs", F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint"))
+        .orderBy("band_id")
     )
 
 

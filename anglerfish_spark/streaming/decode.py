@@ -211,3 +211,169 @@ def q_stream_decode_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Confluent Schema Registry framing: what a real Kafka topic carries
+# ---------------------------------------------------------------------------
+
+#: the consumer's id cache after resolving against the registry — ids are
+#: registry-assigned; 7/12 chosen non-sequential as real registries assign
+CONFLUENT_IDS = {7: MESSAGE_SCHEMA_V1, 12: MESSAGE_SCHEMA_V2}
+
+
+@query(
+    "q_stream_decode_confluent",
+    oracle=f"""
+SELECT CAST(CASE WHEN event_id % 2 = 0 THEN 7 ELSE 12 END AS INTEGER) AS schema_id,
+       CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE event_type END AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY schema_id, event_type
+""",
+    group="streaming",
+)
+def q_stream_decode_confluent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent-framed registry consumption (magic 0x00 + 4-byte BE schema
+    id + Avro body — functions/avro_binary.py:confluent_*): the framing an
+    actual Kafka + Confluent Schema Registry topic carries, vs the Avro-spec
+    single-object framing of q_stream_decode_registry.  Even events are
+    produced under registered id 7 (writer v1, no event_type), odd under id
+    12 (v2); the consumer dispatches each message by its embedded id,
+    resolves writer→reader (v2), and surfaces the writer id as a column —
+    grouping by (schema_id, event_type) puts the id dispatch, evolution
+    default fill, body codec, and 5-byte framing all under the hash check.
+    Reference roadmap: "Schemaregistry support"
+    (/root/reference/README.md:25)."""
+    from ..functions.avro_binary import confluent_decode_registry, confluent_encode
+
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v1_payload = F.to_json(F.struct(F.col("event_id"), F.col("value")))
+    v2_payload = F.to_json(F.struct(F.col("event_id"), F.col("value"), F.col("event_type")))
+    even = (F.col("event_id") % 2) == 0
+    msgs = ev.select(
+        F.when(even, confluent_encode(v1_payload, MESSAGE_SCHEMA_V1, 7))
+        .otherwise(confluent_encode(v2_payload, MESSAGE_SCHEMA_V2, 12))
+        .alias("value")
+    )
+    dec = msgs.select(
+        confluent_decode_registry("value", CONFLUENT_IDS, MESSAGE_SCHEMA_V2).alias("m")
+    )
+    decoded = decode_json(
+        dec.select(F.col("m.schema_id").alias("schema_id"), F.col("m.json").alias("json")),
+        "json",
+        MESSAGE_SCHEMA_V2,
+    )
+    return (
+        decoded.select(
+            F.col("schema_id"),
+            F.col("decoded.event_type").alias("event_type"),
+            F.col("decoded.value").alias("value"),
+        )
+        .groupBy("schema_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("schema_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PERMISSIVE streaming decode: poisoned messages → dead-letter, not job death
+# ---------------------------------------------------------------------------
+
+
+def decode_messages_permissive(messages: DataFrame) -> DataFrame:
+    """Kafka-wire relation → typed event columns + an ``error`` channel.
+    Corrupt frames (bad magic, truncated body, fingerprint mismatch) yield a
+    row with null typed columns and a non-null error — the long-running
+    consumer's contract: one poisoned message must never kill the stream.
+    Works identically on batch and streaming inputs."""
+    from ..functions.avro_binary import single_object_decode_permissive
+
+    dec = messages.select(
+        single_object_decode_permissive("value", MESSAGE_SCHEMA).alias("d"),
+        F.col("offset"),
+    )
+    # dead-letter rows carry no decodable payload; feed the strict decoder a
+    # schema-valid placeholder for them (masked back to null below) so the
+    # one expression-decoder plan serves both routes
+    placeholder = '{"event_id":0,"event_type":"","value":0.0,"ts":0}'
+    good = decode_json(
+        dec.select(
+            F.when(F.col("d.error").isNull(), F.col("d.value"))
+            .otherwise(F.lit(placeholder))
+            .alias("json"),
+            F.col("d.error").alias("error"),
+            "offset",
+        ),
+        "json",
+        MESSAGE_SCHEMA,
+    )
+    return good.select(
+        F.when(F.col("error").isNull(), F.col("decoded.event_id")).alias("event_id"),
+        F.when(F.col("error").isNull(), F.col("decoded.event_type")).alias("event_type"),
+        F.when(F.col("error").isNull(), F.col("decoded.value")).alias("value"),
+        F.when(F.col("error").isNull(), F.col("decoded.ts").cast("timestamp")).alias("ts"),
+        F.col("error"),
+        F.col("offset"),
+    )
+
+
+@query(
+    "q_stream_decode_errors",
+    oracle=f"""
+SELECT CASE WHEN event_id % 7 = 0 THEN '_dead_letter' ELSE event_type END AS route,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       {dsum_sql('CASE WHEN event_id % 7 = 0 THEN 0.0 ELSE value END')} AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY route
+""",
+    group="streaming",
+)
+def q_stream_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode streaming decode with a dead-letter route: every 7th
+    message is corrupted in transit (magic bytes replaced — the framing
+    check fails deterministically), and the permissive decoder routes it to
+    the error channel instead of failing the batch, while healthy messages
+    decode normally.  Output is per-route traffic accounting: good rows
+    grouped by event_type, poisoned rows under '_dead_letter' (their
+    payloads are unreadable, so they contribute 0 to sum_value).  The oracle
+    derives the same routing from the raw events by the corruption rule, so
+    the permissive contract — exactly the corrupt rows land in the
+    dead-letter, everything else decodes intact — is under the hash check.
+    The same ``decode_messages_permissive`` runs behind ``readStream`` in
+    tests/test_streaming.py with injected corruption."""
+    prepare(spark)
+    msgs = events_as_messages(spark, sf_dir)
+    # corrupt in transit: stamp garbage over the 2-byte magic of every 7th
+    # message (offset carries event_id here)
+    corrupted = msgs.withColumn(
+        "value",
+        F.when(
+            F.col("offset") % 7 == 0,
+            F.concat(F.lit(bytearray(b"\xde\xad")), F.expr("substring(value, 3, length(value))")),
+        ).otherwise(F.col("value")),
+    )
+    typed = decode_messages_permissive(corrupted)
+    return (
+        typed.select(
+            F.when(F.col("error").isNotNull(), F.lit("_dead_letter"))
+            .otherwise(F.col("event_type"))
+            .alias("route"),
+            F.when(F.col("error").isNotNull(), F.lit(0.0))
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        .groupBy("route")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .orderBy("route")
+    )

@@ -320,6 +320,113 @@ class TestRegistryDispatch:
             ).collect()
 
 
+class TestConfluentFraming:
+    """Confluent Schema Registry wire format: magic 0x00 + 4-byte BE schema
+    id + Avro body — the framing a real Kafka + registry topic carries
+    (reference roadmap /root/reference/README.md:25)."""
+
+    V1 = TestRegistryDispatch.V1
+    V2 = TestRegistryDispatch.V2
+    READER = TestRegistryDispatch.READER
+
+    def test_header_shape(self):
+        import struct
+
+        from anglerfish_spark.functions.avro_binary import confluent_header
+
+        h = confluent_header(1042)
+        assert len(h) == 5 and h[0] == 0x00
+        assert struct.unpack(">I", h[1:])[0] == 1042
+
+    def test_header_id_range(self):
+        import pytest
+
+        from anglerfish_spark.errors import DatumError
+        from anglerfish_spark.functions.avro_binary import confluent_header
+
+        with pytest.raises(DatumError):
+            confluent_header(-1)
+        with pytest.raises(DatumError):
+            confluent_header(1 << 32)
+
+    def test_mixed_ids_decode_to_reader_shape(self, spark):
+        import json as _json
+
+        from anglerfish_spark.functions.avro_binary import (
+            confluent_decode_registry,
+            confluent_encode,
+        )
+
+        df1 = spark.createDataFrame([('{"k": 1}',), ('{"k": 2}',)], ["j"]).withColumn(
+            "msg", confluent_encode("j", self.V1, 7)
+        )
+        df2 = spark.createDataFrame([('{"k": 30, "tag": "new"}',)], ["j"]).withColumn(
+            "msg", confluent_encode("j", self.V2, 12)
+        )
+        out = df1.unionByName(df2).withColumn(
+            "m", confluent_decode_registry("msg", {7: self.V1, 12: self.V2}, self.READER)
+        )
+        rows = sorted(
+            ((r["m"]["schema_id"], _json.loads(r["m"]["json"])) for r in out.collect()),
+            key=lambda t: t[1]["k"],
+        )
+        assert rows == [
+            (7, {"k": 1.0, "tag": "legacy"}),
+            (7, {"k": 2.0, "tag": "legacy"}),
+            (12, {"k": 30.0, "tag": "new"}),
+        ]
+        # wire shape: magic byte 0x00, then the id big-endian
+        msg = df1.select("msg").first()["msg"]
+        assert msg[0] == 0x00 and bytes(msg[1:5]) == (7).to_bytes(4, "big")
+
+    def test_unknown_id_rejected_strict_captured_permissive(self, spark):
+        import pytest
+
+        from anglerfish_spark.functions.avro_binary import (
+            confluent_decode_registry,
+            confluent_decode_registry_permissive,
+            confluent_encode,
+        )
+
+        df = spark.createDataFrame([('{"k": 5}',)], ["j"]).withColumn(
+            "msg", confluent_encode("j", self.V1, 99)
+        )
+        with pytest.raises(Exception, match="not in registry map|PythonException"):
+            df.withColumn(
+                "m", confluent_decode_registry("msg", {7: self.V1}, self.READER)
+            ).collect()
+        row = (
+            df.withColumn(
+                "m",
+                confluent_decode_registry_permissive("msg", {7: self.V1}, self.READER),
+            )
+            .select("m")
+            .first()["m"]
+        )
+        assert row["schema_id"] == 99 and row["json"] is None
+        assert "not in registry map" in row["error"]
+
+    def test_garbage_and_truncation_permissive(self, spark):
+        from anglerfish_spark.functions.avro_binary import (
+            confluent_decode_registry_permissive,
+            confluent_header,
+        )
+
+        rows = [
+            (b"\x01\x00\x00\x00\x07\x02",),  # wrong magic
+            (b"\x00\x00",),  # short header
+            (confluent_header(7) + b"\x80",),  # truncated varint body
+        ]
+        df = spark.createDataFrame(rows, "msg binary")
+        out = df.withColumn(
+            "m", confluent_decode_registry_permissive("msg", {7: self.V1}, self.READER)
+        ).collect()
+        assert all(r["m"]["json"] is None and r["m"]["error"] is not None for r in out)
+        # header parsed on the truncated-body row → id still surfaced
+        by_err = {r["m"]["error"]: r["m"]["schema_id"] for r in out}
+        assert any("truncated" in e and sid == 7 for e, sid in by_err.items())
+
+
 # --- union short-name collisions -------------------------------------------
 
 #: two named records share the short name X (different namespaces), so the

@@ -69,3 +69,72 @@ class TestHeavyHitters:
             [(f"u{i} u{i+1} u{i+2}",) for i in range(1000)], ["text"]
         ).repartition(8)
         assert heavy_hitters(docs, theta=0.01).count() == 0
+
+
+class TestLshBucketCap:
+    """Skew guard on the LSH band join: a degenerate hot bucket (many docs
+    sharing a band key) must be quarantined out of the self-join instead of
+    exploding O(n²) — the 100 TB scale-killer VERDICT r3 flagged."""
+
+    def _docs(self, spark):
+        # 40 identical docs → every band key collides (one hot bucket per
+        # band); plus 3 pairs of distinct near-identical docs that share
+        # buckets of size 2 each
+        rows = [(i, "the same boilerplate text repeated across many documents endlessly") for i in range(40)]
+        for j, txt in enumerate(
+            [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "one two three four five six seven eight nine",
+                "red orange yellow green blue indigo violet ultraviolet",
+            ]
+        ):
+            rows.append((100 + 2 * j, txt))
+            rows.append((101 + 2 * j, txt))
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_cap_quarantines_hot_bucket(self, spark):
+        from anglerfish_spark.operators.dedup import (
+            lsh_bands,
+            lsh_candidate_pairs,
+            lsh_hot_buckets,
+        )
+
+        docs = self._docs(spark)
+        capped = lsh_candidate_pairs(docs, max_bucket=10).collect()
+        # the 40-doc boilerplate cluster (780 pairs/band uncapped) is gone;
+        # the three 2-doc buckets survive untouched
+        got = {(r["doc_a"], r["doc_b"]) for r in capped}
+        assert got == {(100, 101), (102, 103), (104, 105)}
+        hot = lsh_hot_buckets(lsh_bands(docs), 10).collect()
+        assert len(hot) > 0 and all(r["bucket_n"] == 40 for r in hot)
+
+    def test_uncapped_explodes(self, spark):
+        from anglerfish_spark.operators.dedup import lsh_candidate_pairs
+
+        docs = self._docs(spark)
+        n = lsh_candidate_pairs(docs, max_bucket=None).count()
+        assert n == 780 + 3  # C(40,2) boilerplate pairs + the 3 honest pairs
+
+    def test_default_cap_no_op_on_testdata(self, spark, sf_dir):
+        """LSH_MAX_BUCKET=1000 must not change the candidate set at test
+        scale (max observed occupancy is 10 at sf0.1)."""
+        from anglerfish_spark.operators.dedup import lsh_candidate_pairs
+        from anglerfish_spark.sources.registry import load_table
+
+        d = load_table(spark, sf_dir, "documents")
+        capped = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(d).collect()}
+        raw = {
+            (r["doc_a"], r["doc_b"])
+            for r in lsh_candidate_pairs(d, max_bucket=None).collect()
+        }
+        assert capped == raw
+
+    def test_occupancy_preagg_and_broadcast_in_plan(self, spark):
+        """The guard's plan shape: an aggregate on (band_id, band_key)
+        feeding a broadcast anti-join — occupancy is counted before the
+        self-join and the hot list is broadcast, never shuffled."""
+        from anglerfish_spark.operators.dedup import lsh_candidate_pairs
+
+        plan = lsh_candidate_pairs(self._docs(spark), max_bucket=10)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        assert plan.count("HashAggregate") >= 2, plan  # occupancy count (partial+final)

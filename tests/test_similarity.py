@@ -1,0 +1,75 @@
+"""similarity_topk front door: auto mode must route by corpus size so the
+O(|Q|·N) brute-force baseline is never silently run on a large corpus
+(VERDICT r3 weak item #1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anglerfish_spark.operators.similarity import (
+    ann_lsh_topk,
+    exact_topk,
+    similarity_topk,
+)
+
+
+def _corpus(spark, n=30, dim=64):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 3).cast("int").alias("label"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (F.col("id") % 7 + i).cast("float") / 10.0,
+        ).alias("embedding"),
+    )
+
+
+def _queries(corpus):
+    return corpus.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+class TestSimilarityFrontDoor:
+    def test_auto_picks_ann_above_threshold(self, spark):
+        c = _corpus(spark)
+        q = _queries(c)
+        # caller-supplied size above the threshold → ANN plan (the LSH
+        # signature join is visible as the qsig column)
+        df = similarity_topk(c, q, mode="auto", ann_threshold=10, corpus_size=11)
+        assert "qsig" in _plan(df)
+
+    def test_auto_picks_exact_below_threshold(self, spark):
+        c = _corpus(spark)
+        q = _queries(c)
+        df = similarity_topk(c, q, mode="auto", ann_threshold=10, corpus_size=9)
+        assert "qsig" not in _plan(df)
+
+    def test_auto_counts_when_size_unknown(self, spark):
+        c = _corpus(spark, n=30)
+        q = _queries(c)
+        # 30 rows > threshold 10 → ann; 30 rows < threshold 1000 → exact
+        assert "qsig" in _plan(similarity_topk(c, q, ann_threshold=10))
+        assert "qsig" not in _plan(similarity_topk(c, q, ann_threshold=1000))
+
+    def test_explicit_modes_match_building_blocks(self, spark):
+        c = _corpus(spark)
+        q = _queries(c)
+        assert (
+            similarity_topk(c, q, mode="exact").collect()
+            == exact_topk(c, q).collect()
+        )
+        assert (
+            similarity_topk(c, q, mode="ann").collect()
+            == ann_lsh_topk(c, q).collect()
+        )
+
+    def test_unknown_mode_raises(self, spark):
+        c = _corpus(spark)
+        with pytest.raises(ValueError, match="unknown mode"):
+            similarity_topk(c, _queries(c), mode="bogus")

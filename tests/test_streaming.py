@@ -233,6 +233,119 @@ def test_stream_decode_matches_batch(spark, sf_dir):
             )
 
 
+def test_stream_decode_confluent_matches_batch(spark, sf_dir):
+    """Confluent-framed registry consumption behind a true readStream:
+    messages interleaving two schema ids decode to one reader-shaped
+    relation with the writer id surfaced; stateless decode in append mode
+    must reproduce the batch rows exactly."""
+    import json as _json
+
+    from anglerfish_spark.functions.avro_binary import (
+        confluent_decode_registry,
+        confluent_encode,
+    )
+    from anglerfish_spark.streaming.decode import (
+        CONFLUENT_IDS,
+        MESSAGE_SCHEMA_V1,
+        MESSAGE_SCHEMA_V2,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    even = (F.col("event_id") % 2) == 0
+    msgs = ev.select(
+        F.when(
+            even,
+            confluent_encode(
+                F.to_json(F.struct("event_id", "value")), MESSAGE_SCHEMA_V1, 7
+            ),
+        )
+        .otherwise(
+            confluent_encode(
+                F.to_json(F.struct("event_id", "value", "event_type")),
+                MESSAGE_SCHEMA_V2,
+                12,
+            )
+        )
+        .alias("value")
+    )
+
+    def decode(df):
+        return df.select(
+            confluent_decode_registry("value", CONFLUENT_IDS, MESSAGE_SCHEMA_V2).alias("m")
+        ).select("m.schema_id", "m.json")
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        msgs.write.parquet(src)
+        stream = spark.readStream.schema(msgs.schema).parquet(src)
+        q = (
+            decode(stream)
+            .writeStream.format("memory")
+            .queryName("confluent_smoke")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["schema_id"], _json.loads(r["json"])["event_id"])
+            for r in spark.sql("SELECT * FROM confluent_smoke").collect()
+        }
+    batch = {
+        (r["schema_id"], _json.loads(r["json"])["event_id"])
+        for r in decode(msgs).collect()
+    }
+    assert len(batch) == 500 and got == batch
+    # v1-framed (even) ids carry schema id 7, v2 (odd) carry 12
+    assert all(sid == (7 if eid % 2 == 0 else 12) for sid, eid in got)
+
+
+def test_stream_decode_dead_letter(spark, sf_dir):
+    """PERMISSIVE streaming decode: corrupt frames injected into the topic
+    route to the dead-letter channel (error non-null, typed columns null)
+    while healthy messages decode — the stream survives poisoned input."""
+    from anglerfish_spark.streaming.decode import (
+        decode_messages_permissive,
+        events_as_messages,
+    )
+
+    msgs = events_as_messages(spark, sf_dir).limit(700)
+    corrupted = msgs.withColumn(
+        "value",
+        F.when(
+            F.col("offset") % 7 == 0,
+            F.concat(
+                F.lit(bytearray(b"\xde\xad")), F.expr("substring(value, 3, length(value))")
+            ),
+        ).otherwise(F.col("value")),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        corrupted.write.parquet(src)
+        stream = spark.readStream.schema(corrupted.schema).parquet(src)
+        q = (
+            decode_messages_permissive(stream)
+            .writeStream.format("memory")
+            .queryName("deadletter_smoke")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rows = spark.sql("SELECT * FROM deadletter_smoke").collect()
+
+    total = corrupted.count()
+    expect_dead = corrupted.where(F.col("offset") % 7 == 0).count()
+    dead = [r for r in rows if r["error"] is not None]
+    good = [r for r in rows if r["error"] is None]
+    assert len(rows) == total  # nothing dropped, nothing crashed
+    assert len(dead) == expect_dead and expect_dead > 0
+    assert all(r["event_id"] is None and r["ts"] is None for r in dead)
+    assert all(r["event_id"] is not None and r["event_type"] is not None for r in good)
+    # dead-letter rows keep their transport offset for replay/audit
+    assert all(r["offset"] % 7 == 0 for r in dead)
+
+
 def test_stateful_count_on_rocksdb_backend(spark, sf_dir):
     """The production state backend: the same applyInPandasWithState
     pipeline runs on RocksDBStateStoreProvider (what a real cluster uses
