@@ -269,9 +269,43 @@ def objects_to_dataframe(spark, objs, schema, mode: str = "strict", max_depth: i
     from .decoder import decode_json
 
     ps = schema if not isinstance(schema, str) else parse_schema(schema)
-    rows = [(json.dumps(tag_generic(ps.root, o, ps.env)),) for o in objs]
+    rows = []
+    for i, o in enumerate(objs):
+        tagged = tag_generic(ps.root, o, ps.env)
+        try:
+            rows.append((json.dumps(tagged),))
+        except TypeError:
+            # a runtime value of the wrong shape on a logical-less field
+            # (e.g. a datetime where a plain long is declared) passes
+            # tag_generic untouched — surface it as the engine error class
+            # with the field path, not a bare json TypeError
+            where = _find_unserializable(tagged) or ("$", "?")
+            raise DatumError(
+                f"object {i}: value of type {where[1]} at {where[0]} does not "
+                f"match the declared Avro type (not JSON-serializable after "
+                f"union tagging)"
+            ) from None
     df = spark.createDataFrame(rows, "value string")
     return decode_json(df, "value", ps, mode=mode, max_depth=max_depth).select("decoded.*")
+
+
+def _find_unserializable(v, path: str = "$"):
+    """(path, type name) of the first non-JSON-serializable leaf, or None."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return None
+    if isinstance(v, list):
+        for i, x in enumerate(v):
+            hit = _find_unserializable(x, f"{path}[{i}]")
+            if hit:
+                return hit
+        return None
+    if isinstance(v, dict):
+        for k, x in v.items():
+            hit = _find_unserializable(x, f"{path}.{k}")
+            if hit:
+                return hit
+        return None
+    return (path, type(v).__name__)
 
 
 def dataframe_to_objects(df, schema) -> list:

@@ -943,6 +943,76 @@ def avro_ocf_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+@query(
+    "avro_ocf_native_interop",
+    oracle="""
+SELECT d.dir, o_orderkey AS okey, o_orderstatus AS status,
+       CAST(o_totalprice AS DOUBLE) AS price
+FROM orders
+CROSS JOIN (SELECT 'engine_to_native' AS dir
+            UNION ALL SELECT 'native_to_engine' AS dir) d
+WHERE o_orderkey % 37 = 0
+ORDER BY d.dir, okey
+""",
+    group="sources",
+)
+def avro_ocf_native_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-implementation OCF differential at the *file* level: the same
+    orders slice travels engine-writer → JVM-native reader AND JVM-native
+    writer (deflate codec) → engine reader, and both directions must equal
+    the raw table.  The JVM side is Spark's own Avro file format — since
+    Spark 4 its implementation classes ship inside spark-sql but are not
+    service-registered, so it is reachable only by FQCN
+    (``sources.registry.avro_format_provider``); the engine side is the
+    pure-Python OCF datasource.  This puts the engine's container framing,
+    writer-schema derivation, deflate block decompression, and
+    nullable-union value mapping under a second, independent
+    implementation — the file-level analogue of the byte-level
+    org.apache.avro differential (tests/test_avro_binary.py).  Where no
+    JVM Avro classes exist at all, both directions degrade to
+    engine→engine (documented, still a valid round-trip against the
+    oracle)."""
+    import tempfile
+
+    from ..sources.avro_ocf import read_avro_ocf_typed, write_avro_ocf_typed
+    from ..sources.ocf_datasource import FORMAT_NAME, register
+    from ..sources.registry import avro_format_provider
+
+    prepare(spark)
+    register(spark)
+    provider = avro_format_provider(spark)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") % 37) == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="anglerfish_native_interop_")
+
+    # engine writer → native reader
+    schema_json = write_avro_ocf_typed(o, f"{base}/en", name="orders_slice")
+    if provider is not None:
+        a = spark.read.format(provider).load(f"{base}/en")
+    else:
+        a = read_avro_ocf_typed(spark, f"{base}/en", schema_json)
+    a = a.select(F.lit("engine_to_native").alias("dir"), "okey", "status", "price")
+
+    # native writer (deflate blocks) → engine reader
+    if provider is not None:
+        o.write.format(provider).option("compression", "deflate").save(f"{base}/ne")
+    else:
+        write_avro_ocf_typed(o, f"{base}/ne", name="orders_slice")
+    b = (
+        spark.read.format(FORMAT_NAME)
+        .load(f"{base}/ne")
+        .select(F.lit("native_to_engine").alias("dir"), "okey", "status", "price")
+    )
+    return a.unionByName(b).orderBy("dir", "okey")
+
+
 # ---------------------------------------------------------------------------
 # in-memory generic-object interop (I4/I5 bridge — codec/interop.py)
 # ---------------------------------------------------------------------------

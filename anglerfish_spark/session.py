@@ -20,16 +20,33 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Driver-heap default: $SPARK_GRAFT_DRIVER_MEM if set, else
+    min(8g, half of physical RAM).  The cap matters on small hosts — an
+    unconditional 8g can fail JVM launch or swap a 4 GB box; half-of-RAM
+    keeps the local-mode session usable everywhere while 8g remains the
+    roomy default on the 128 GiB target."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        half_mb = max(1024, total // 2 // (1 << 20))
+        return f"{min(8192, half_mb)}m"
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+
+
 def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
     """Apply engine defaults to a builder (idempotent, driver-friendly)."""
     return (
         # local mode puts driver + all 32 executor threads in ONE JVM whose
         # default heap is 1g — a 32-task stage over a codegen-heavy plan can
         # OOM it and take the whole session down.  Only effective before the
-        # JVM starts; a cluster's spark-submit settings win as usual.
-        builder.config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
-        )
+        # JVM starts (silently inert on an existing one); a cluster's
+        # spark-submit settings win as usual.  SPARK_GRAFT_DRIVER_MEM
+        # overrides; the default caps at half the host's physical RAM.
+        builder.config("spark.driver.memory", _default_driver_mem())
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

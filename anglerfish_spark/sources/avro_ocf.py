@@ -96,22 +96,59 @@ def decode_ocf_with_schema(blob: bytes) -> tuple[list, str]:
             meta[key] = blob[pos : pos + vlen]
             pos += vlen
     codec_name = meta.get("avro.codec", b"null")
-    if codec_name != b"null":
-        raise ValueError(f"unsupported OCF codec {codec_name!r}")
+    decompress = _block_decompressor(codec_name)
     codec = BinaryCodec(meta["avro.schema"].decode())
     sync = blob[pos : pos + 16]
     pos += 16
     values = []
     while pos < len(blob):
         count, pos = read_long(blob, pos)
-        _size, pos = read_long(blob, pos)
+        size, pos = read_long(blob, pos)
+        payload = decompress(blob[pos : pos + size])
+        pos += size
+        ppos = 0
         for _ in range(count):
-            v, pos = codec._dec(codec.root, blob, pos)
+            v, ppos = codec._dec(codec.root, payload, ppos)
             values.append(v)
+        if ppos != len(payload):
+            raise ValueError(f"block decoded {ppos} of {len(payload)} payload bytes")
         if blob[pos : pos + 16] != sync:
             raise ValueError("sync marker mismatch")
         pos += 16
     return values, meta["avro.schema"].decode()
+
+
+def _block_decompressor(codec_name: bytes):
+    """Per-block payload decompressor for the OCF codecs this reader
+    supports: null (identity), deflate (raw RFC-1951, spec codec — what
+    the JVM Avro writer emits under ``compression=deflate``), and snappy
+    (block payload + 4-byte big-endian CRC32 suffix per spec) when the
+    python-snappy module is importable."""
+    if codec_name == b"null":
+        return lambda b: b
+    if codec_name == b"deflate":
+        import zlib
+
+        return lambda b: zlib.decompress(b, -15)
+    if codec_name == b"snappy":
+        try:
+            import snappy  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise ValueError(
+                "OCF snappy codec requires the python-snappy module"
+            ) from exc
+        import struct
+        import zlib as _zlib
+
+        def _unsnappy(b: bytes) -> bytes:
+            data, crc = b[:-4], struct.unpack(">I", b[-4:])[0]
+            out = snappy.uncompress(data)
+            if _zlib.crc32(out) & 0xFFFFFFFF != crc:
+                raise ValueError("snappy block CRC mismatch")
+            return out
+
+        return _unsnappy
+    raise ValueError(f"unsupported OCF codec {codec_name!r}")
 
 
 def write_avro_ocf(df_json: DataFrame, json_col: str, schema_json: str, out_dir: str) -> None:

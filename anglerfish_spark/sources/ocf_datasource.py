@@ -163,7 +163,15 @@ class _OcfWriter(DataSourceArrowWriter):
     def commit(self, messages):
         # all tasks succeeded: for overwrite, the old data is replaced
         # HERE (a failed job leaves it untouched — unlike deleting at
-        # plan time); then each staged file becomes visible atomically
+        # plan time); then each staged file becomes visible atomically.
+        # Per-FILE renames are atomic but the commit as a whole is not
+        # (no manifest): a concurrent reader can list an empty/partial
+        # directory between the deletes and the renames, and a driver
+        # crash inside this window loses the old data without the new
+        # being fully visible.  That is the standard contract of a
+        # manifest-less file sink (Spark's own file formats share it);
+        # overwrite-into-live-path should be treated as maintenance, not
+        # serving-path, operation.
         if self.overwrite:
             for f in _files(self.path):
                 os.remove(f)
@@ -188,7 +196,18 @@ class _OcfStreamReader(DataSourceStreamReader):
     file.  Producers must publish files ATOMICALLY (stage elsewhere /
     under a non-``.avro`` suffix, then rename — exactly what this
     module's own writers do): a file listed mid-write would be read
-    partially and its late bytes skipped forever."""
+    partially and its late bytes skipped forever.
+
+    Offset growth / retention: the offset is O(files ever seen) and is
+    serialized into the checkpoint offset log every micro-batch — the same
+    growth law as Spark's built-in file source seen-log.  For a long-lived
+    stream, bound it operationally: compact small segments and move
+    processed files out of the watched directory on a retention schedule
+    (the offset shrinks with the listing, and files re-appearing under new
+    names are new segments by definition).  A (mtime, name) watermark
+    offset would stay O(1) but trades away exactly the determinism the
+    set-difference gives under mtime skew, so it is deliberately not
+    used."""
 
     def __init__(self, path: str, reader_schema_json: str):
         self.path = path
@@ -215,10 +234,13 @@ class _OcfStreamReader(DataSourceStreamReader):
 
 class _OcfStreamWriter(DataSourceStreamArrowWriter):
     """Streaming OCF sink: partitions stage ``.tmp`` files; commit renames
-    them to ``part-<batchId>-<i>.avro``.  Replaying a micro-batch after a
-    crash re-stages and renames onto the SAME names (``os.replace``
-    overwrites), so the replay is idempotent — no duplicate segments —
-    and uncommitted attempts are never visible to the ``*.avro`` glob."""
+    them to ``part-<batchId>-<i>.avro``.  Replay idempotency does NOT
+    assume the replay produces the same partition count (AQE or a config
+    change across a restart can shrink it): commit first deletes every
+    ``part-<batchId>-*.avro`` already visible — leftovers of a crashed
+    first attempt — then renames the new staging files, so a replayed
+    batch can never leave higher-index segments from the earlier attempt
+    as duplicates."""
 
     def __init__(self, path: str, writer_schema_json: str):
         self.path = path
@@ -228,6 +250,10 @@ class _OcfStreamWriter(DataSourceStreamArrowWriter):
         return _stage_partition(self.path, iterator, self.writer_schema_json)
 
     def commit(self, messages, batchId: int) -> None:
+        import glob as _g
+
+        for stale in _g.glob(os.path.join(self.path, f"part-{batchId:010d}-*.avro")):
+            os.remove(stale)
         for i, m in enumerate(messages):
             if m is not None:
                 final = os.path.join(self.path, f"part-{batchId:010d}-{i:05d}.avro")

@@ -145,7 +145,14 @@ def read(spark: SparkSession, fmt: str, path: str, schema=None, **options) -> Da
 
     JSON reads honour an explicit schema (strongly recommended at scale —
     schema inference is a full extra pass over the data).
+
+    ``fmt="avro"`` resolves through :func:`avro_format_provider`, so the
+    same call works whether the datasource is service-registered (external
+    spark-avro), bundled-but-unregistered (pip pyspark 4: rewritten to the
+    FQCN), or absent (clear error steering to the pure-Python OCF source).
     """
+    if fmt == "avro":
+        fmt = _resolve_avro_provider(spark)
     reader = spark.read.format(fmt).options(**options)
     if schema is not None:
         reader = reader.schema(schema)
@@ -153,23 +160,76 @@ def read(spark: SparkSession, fmt: str, path: str, schema=None, **options) -> Da
 
 
 def write(df: DataFrame, fmt: str, path: str, mode: str = "error", partition_by=None, **options) -> None:
-    """Generic writer; ``partition_by`` produces hive-style partition dirs."""
+    """Generic writer; ``partition_by`` produces hive-style partition dirs.
+    ``fmt="avro"`` resolves like :func:`read`."""
+    if fmt == "avro":
+        fmt = _resolve_avro_provider(df.sparkSession)
     writer = df.write.format(fmt).mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
 
 
-def avro_available(spark: SparkSession) -> bool:
-    """True when the spark-avro datasource is on the classpath.
+def _resolve_avro_provider(spark: SparkSession) -> str:
+    provider = avro_format_provider(spark)
+    if provider is None:
+        raise ValueError(
+            "no JVM Avro file datasource on this classpath; use the "
+            "pure-Python OCF datasource (format 'avro_ocf', "
+            "sources/ocf_datasource.py) instead"
+        )
+    return provider
 
-    The pip pyspark distribution ships avro-core but not the spark-avro
-    connector; features that need ``from_avro``/``to_avro``/avro files are
-    gated on this probe.
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the native ``from_avro``/``to_avro`` *expressions* are
+    usable (the external spark-avro module is on the classpath).
+
+    Probes ``AvroDataToCatalyst`` — the from_avro expression class, shipped
+    only in the external spark-avro jar — NOT ``AvroFileFormat``: since
+    Spark 4, spark-sql bundles the Avro file-format implementation classes
+    without service-registering the ``avro`` short name or the expression
+    classes, so a Class.forName on AvroFileFormat reports "available" in an
+    environment where calling ``to_avro`` raises
+    AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE (caught by this round's
+    both-branches gate test).  File-level Avro IO has its own, looser probe:
+    :func:`avro_format_provider`.
     """
     try:
         jvm = spark._jvm  # noqa: SLF001 - capability probe only
-        jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroFileFormat")
+        jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroDataToCatalyst")
         return True
     except Exception:
         return False
+
+
+#: fully-qualified provider for the bundled-but-unregistered case
+AVRO_FILE_FORMAT_FQCN = "org.apache.spark.sql.avro.AvroFileFormat"
+
+
+def avro_format_provider(spark: SparkSession) -> str | None:
+    """Usable provider string for Avro *file* IO, or None when absent.
+
+    Three deployment states exist in the wild:
+
+    * external spark-avro jar present → the short name ``"avro"`` is
+      service-registered (probe: the V2 datasource class);
+    * pip pyspark ≥ 4 → the file-format implementation (reader, writer,
+      schema converters) is compiled into spark-sql but NOT registered, so
+      ``format("avro")`` fails while ``format(FQCN)`` works — the probe
+      returns the FQCN (verified read+write in this sandbox);
+    * neither class loadable → None (callers fall back to the pure-Python
+      OCF datasource, ``sources/ocf_datasource.py``).
+    """
+    try:
+        jvm = spark._jvm  # noqa: SLF001 - capability probe only
+        jvm.java.lang.Class.forName("org.apache.spark.sql.v2.avro.AvroDataSourceV2")
+        return "avro"
+    except Exception:
+        pass
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jvm.java.lang.Class.forName(AVRO_FILE_FORMAT_FQCN)
+        return AVRO_FILE_FORMAT_FQCN
+    except Exception:
+        return None

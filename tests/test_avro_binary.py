@@ -427,6 +427,79 @@ class TestConfluentFraming:
         assert any("truncated" in e and sid == 7 for e, sid in by_err.items())
 
 
+class TestAvroDecodeTyped:
+    """Connector-aware typed decode: both branches of the spark-avro gate
+    must be exercised — the sandbox runs the engine-codec fallback for
+    real, and the native branch's argument construction runs against an
+    injected from_avro so its first execution isn't on a customer cluster
+    (VERDICT r3 item #6)."""
+
+    SCHEMA = """
+    {"type":"record","name":"m","namespace":"gate","fields":[
+      {"name":"k","type":"long"},
+      {"name":"s","type":"string"}
+    ]}
+    """
+
+    def test_native_branch_builds_from_avro_call(self, spark):
+        import json as _json
+
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.functions.avro_binary import avro_decode_typed
+        from anglerfish_spark.schema.printer import to_avsc
+
+        captured = {}
+
+        def fake_from_avro(col, jsonFormatSchema):
+            captured["col"] = col
+            captured["schema"] = jsonFormatSchema
+            return F.lit("native-marker")
+
+        df = spark.createDataFrame([(b"\x00",)], "msg binary")
+        out = avro_decode_typed(df, "msg", self.SCHEMA, _from_avro=fake_from_avro)
+        # the schema handed to the connector is the engine-normalized avsc
+        ps = parse_schema(self.SCHEMA)
+        assert _json.loads(captured["schema"]) == _json.loads(to_avsc(ps.root))
+        assert "msg" in str(captured["col"])
+        assert out.select("decoded").first()["decoded"] == "native-marker"
+
+    def test_probe_true_routes_to_native_import(self, spark, monkeypatch):
+        """With the probe forced True, the router must reach for
+        pyspark.sql.avro.functions.from_avro (patched here) — proving the
+        production wiring, not just the injectable test seam."""
+        import pyspark.sql.avro.functions as avro_fns
+        from pyspark.sql import functions as F
+
+        import anglerfish_spark.sources.registry as reg
+        from anglerfish_spark.functions.avro_binary import avro_decode_typed
+
+        monkeypatch.setattr(reg, "avro_available", lambda s: True)
+        monkeypatch.setattr(avro_fns, "from_avro", lambda c, s: F.lit("via-probe"))
+        df = spark.createDataFrame([(b"\x00",)], "msg binary")
+        out = avro_decode_typed(df, "msg", self.SCHEMA)
+        assert out.select("decoded").first()["decoded"] == "via-probe"
+
+    def test_fallback_branch_decodes_for_real(self, spark):
+        import pytest
+
+        from anglerfish_spark.functions.avro_binary import (
+            avro_decode_typed,
+            avro_encode,
+        )
+        from anglerfish_spark.sources.registry import avro_available
+
+        if avro_available(spark):
+            pytest.skip("connector present: fallback branch not selected here")
+        df = spark.createDataFrame([('{"k": 7, "s": "hi"}',)], ["j"]).withColumn(
+            "msg", avro_encode("j", self.SCHEMA)
+        )
+        out = avro_decode_typed(df, "msg", self.SCHEMA)
+        r = out.select("decoded").first()["decoded"]
+        assert r["k"] == 7 and r["s"] == "hi"
+        assert "_anglerfish_avro_json" not in out.columns
+
+
 # --- union short-name collisions -------------------------------------------
 
 #: two named records share the short name X (different namespaces), so the

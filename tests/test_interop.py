@@ -224,3 +224,29 @@ def test_congruence_property(obj):
     """tag → strict decode → untag is the identity on valid generic
     objects, including runtime-matched multi-union branches."""
     assert _roundtrip(_PROP_SCHEMA, obj) == obj
+
+
+class TestMismatchedRuntimeType:
+    """ADVICE r3: a type-mismatched value on a logical-less field (datetime
+    where long is declared) used to surface as a bare TypeError from
+    json.dumps; it must be a DatumError naming the field path."""
+
+    SCHEMA = """
+    {"type":"record","name":"m","fields":[
+      {"name":"k","type":"long"},
+      {"name":"nested","type":{"type":"record","name":"n","fields":[
+        {"name":"w","type":"long"}]}}
+    ]}
+    """
+
+    def test_datetime_on_plain_long_raises_datum_error(self, spark):
+        import datetime
+
+        import pytest
+
+        from anglerfish_spark.codec.interop import objects_to_dataframe
+        from anglerfish_spark.errors import DatumError
+
+        objs = [{"k": 1, "nested": {"w": datetime.datetime(2020, 1, 1)}}]
+        with pytest.raises(DatumError, match=r"datetime at \$\.nested\.w"):
+            objects_to_dataframe(spark, objs, self.SCHEMA)

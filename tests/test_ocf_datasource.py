@@ -183,3 +183,33 @@ def test_stream_sink_segments_named_by_batch_id(spark):
         assert names and all(n.startswith("part-") and n.endswith(".avro") for n in names)
         assert all(n.split("-")[1].isdigit() for n in names)  # batchId component
         assert spark.read.format(FORMAT_NAME).load(out).count() == 4
+
+
+class TestStreamWriterReplayIdempotency:
+    """ADVICE r3: a replayed micro-batch with FEWER partitions than the
+    crashed first attempt must not leave the first attempt's higher-index
+    part-<batchId>-<i>.avro files visible as duplicate segments."""
+
+    def test_commit_removes_stale_batch_files(self, tmp_path):
+        import os
+
+        from anglerfish_spark.sources.ocf_datasource import (
+            _OcfCommit,
+            _OcfStreamWriter,
+        )
+
+        d = str(tmp_path)
+        # first attempt committed 3 partitions for batch 7
+        for i in range(3):
+            with open(os.path.join(d, f"part-{7:010d}-{i:05d}.avro"), "wb") as f:
+                f.write(b"old")
+        # replay stages only 1 partition
+        staged = os.path.join(d, "part-replay.avro.tmp")
+        with open(staged, "wb") as f:
+            f.write(b"new")
+        w = _OcfStreamWriter(d, "{}")
+        w.commit([_OcfCommit(staged, 1)], batchId=7)
+        remaining = sorted(p for p in os.listdir(d) if p.endswith(".avro"))
+        assert remaining == [f"part-{7:010d}-{0:05d}.avro"]
+        with open(os.path.join(d, remaining[0]), "rb") as f:
+            assert f.read() == b"new"
