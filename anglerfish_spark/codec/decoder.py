@@ -722,23 +722,38 @@ def decode_json(
     if not isinstance(wire_t, (T.StructType, T.ArrayType, T.MapType)):
         raise InvalidParserStateError("root schema must be a record, array, map, or multi-union")
 
-    # staged projections: the wire parse and the error string are each
-    # materialized as intermediate columns so they are evaluated exactly
-    # once (Catalyst does not CSE across CASE-WHEN branch boundaries, and
-    # the strict guard would otherwise re-evaluate the whole check tree);
-    # the projections still fuse into one whole-stage-codegen pipeline.
+    # staged projections: the wire parse and the error string are
+    # materialized as intermediate columns THROUGH A GENERATE BARRIER
+    # (below) so each is evaluated exactly once.  A plain withColumn is
+    # not enough: CollapseProject inlines the from_json into every
+    # downstream reference, and JsonToStructs is CodegenFallback — no
+    # codegen subexpression elimination reaches it, so the validation
+    # tree's many references each re-parsed the JSON (measured 246
+    # from_json copies in q_stream_decode's physical plan, ~13x the
+    # pipeline's runtime, before the barrier).
     wire_col = "_anglerfish_wire"
     rmap_col = "_anglerfish_rmap"
     err_col = "_anglerfish_errs"
-    staged = df.withColumn(
-        rmap_col, F.from_json(raw, T.MapType(T.StringType(), T.StringType()))
+    raw_col = "_anglerfish_raw"
+    staged = df.withColumn(raw_col, raw).withColumn(
+        rmap_col, F.from_json(F.col(raw_col), T.MapType(T.StringType(), T.StringType()))
     )
+    if not _is_flat_record(root):
+        staged = staged.withColumn(wire_col, F.from_json(F.col(raw_col), wire_t))
+    # Generate barrier: explode of a one-element array is a row-preserving
+    # generator Catalyst cannot collapse a Project through, so the parsed
+    # columns materialize once and every downstream reference reads the
+    # materialized value.  Stays whole-stage-codegen (Generate is
+    # codegen-able; the single CodegenFallback parse runs once per row).
+    staged = staged.select(
+        F.explode(F.array(F.struct(*[F.col(c) for c in staged.columns]))).alias("_b")
+    ).select("_b.*")
+    raw = F.col(raw_col)
     builder = _ExprBuilder(env, max_depth, root_map=F.col(rmap_col))
     if _is_flat_record(root):
         # flat records decode from the map view alone: ONE JSON parse/row
         value, errs = builder.build_flat_record(root, F.col(rmap_col), raw, "$")
     else:
-        staged = staged.withColumn(wire_col, F.from_json(raw, wire_t))
         value, errs = builder.build(root, F.col(wire_col), raw, "$")
     # malformed JSON text: get_json_object('$') is null only when the text
     # does not parse at all (from_json PERMISSIVE yields an all-null struct,
@@ -750,7 +765,7 @@ def decode_json(
     errs = F.when(malformed, F.lit("UnexpectedJsonTypeError@$")).otherwise(errs)
     staged = staged.withColumn(err_col, errs)
     e = F.col(err_col)
-    stage_cols = [c for c in (wire_col, rmap_col, err_col) if c in staged.columns]
+    stage_cols = [c for c in (wire_col, rmap_col, err_col, raw_col) if c in staged.columns]
 
     if mode == "permissive":
         err_arr = F.when(e.isNull(), F.array().cast("array<string>")).otherwise(F.split(e, ";"))

@@ -192,16 +192,27 @@ def lsh_candidate_pairs(
     with ``with_band`` each row also carries the matching band_id
     (callers that only need the pair set get it pre-distinct).
 
-    Skew guard: when ``max_bucket`` is set, bucket occupancy is counted
-    *before* the self-join and over-cap buckets are excluded via a
-    broadcast anti-join — the hot-bucket list is tiny by construction
-    (only degenerate keys exceed the cap), so the guard costs one
-    map-side-combinable count, never a second shuffle of the bands.
-    Quarantined buckets are recoverable via :func:`lsh_hot_buckets`."""
+    Skew guard: when ``max_bucket`` is set, bucket occupancy is computed
+    as an unordered window count partitioned by the JOIN key itself
+    (band_id, band_key) and over-cap rows are filtered before the join.
+    That shape costs exactly one exchange: the window's hash partitioning
+    satisfies the self-join's distribution requirement, so the join adds
+    no new shuffle, and — unlike a count-aggregate + anti-join, which
+    re-evaluates the band lineage (the minhash signatures, the pipeline's
+    CPU hot spot) on a second branch — the signatures are computed once
+    (measured: the agg+anti-join variant nearly doubled q_dedup_minhash_lsh
+    at sf0.1).  Quarantined buckets are recoverable via
+    :func:`lsh_hot_buckets`."""
+    from pyspark.sql import Window
+
     bands = lsh_bands(docs)
     if max_bucket is not None:
-        hot = lsh_hot_buckets(bands, max_bucket).select("band_id", "band_key")
-        bands = bands.join(F.broadcast(hot), ["band_id", "band_key"], "left_anti")
+        w_bucket = Window.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("bucket_n", F.count(F.lit(1)).over(w_bucket))
+            .where(F.col("bucket_n") <= max_bucket)
+            .drop("bucket_n")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = a.join(
         b,
@@ -999,5 +1010,280 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pernode.groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster, then prune within clusters)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8  # coarse clusters (centroids = vec_id < K, like the IVF cells)
+SEMDEDUP_TAU = 0.99  # within-cluster cosine above which the pair is semantic-dup
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+WITH aug AS (
+  SELECT vec_id + 10000 AS vec_id, {{aug_emb}} AS emb
+  FROM embeddings WHERE vec_id < {N_PERTURB}
+),
+corpus AS (
+  SELECT vec_id, {{dbl_emb}} AS emb FROM embeddings
+  UNION ALL SELECT vec_id, emb FROM aug
+),
+c AS (SELECT vec_id AS cell_id, {{dbl_emb}} AS ce
+      FROM embeddings WHERE vec_id < {SEMDEDUP_K}),
+scored AS (
+  SELECT x.vec_id, x.emb, c.cell_id, {{cos_cc}} AS cscore
+  FROM corpus x CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, emb, cell_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cscore DESC, cell_id) AS rn
+  FROM scored
+),
+cells AS (SELECT vec_id, emb, cell_id FROM assigned WHERE rn = 1),
+dup_pairs AS (
+  SELECT a.cell_id, a.vec_id AS dominator, b.vec_id AS removed,
+         {{cos_ab}} AS score,
+         ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY a.vec_id) AS pick
+  FROM cells a JOIN cells b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {{cos_ab}} >= {SEMDEDUP_TAU}
+)
+SELECT cell_id, removed, dominator, score
+FROM dup_pairs WHERE pick = 1
+ORDER BY removed
+""".format(
+        aug_emb=_AUG_EMB_SQL,
+        dbl_emb=_DBL_EMB_SQL,
+        cos_cc=cosine_sql("x.emb", "c.ce"),
+        cos_ab=cosine_sql("a.emb", "b.emb"),
+    ),
+    group="llm-dedup",
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus coarsely, then prune
+    near-identical vectors *within* each cluster — the cross-cluster pairs
+    the clustering separates are never scored, which is the whole point:
+    the quadratic term is bounded by cluster size, not corpus size.
+
+    Semantics here: centroids are the ``vec_id < K`` vectors (the same
+    deterministic coarse quantizer the IVF index uses); every vector —
+    including the planted perturbed near-copies, same fixture as
+    ``q_dedup_embedding`` — is assigned to its max-cosine centroid, and
+    within a cell a vector is REMOVED when any lower-``vec_id`` cell-mate
+    has cosine >= tau, reported with its first (smallest-id) dominator.
+    One-pass priority pruning is the order-free distributed relaxation of
+    the paper's sequential greedy scan: a removed vector can still
+    dominate (chains prune harder than greedy, never softer), and the
+    output is independent of partitioning and visit order — which the
+    sequential version is not.
+
+    Scale shape: assignment is a broadcast join against K metadata-scale
+    centroids (the corpus never shuffles for it); the prune is an
+    equi-join keyed by ``cell_id``, cost sum-of-cell^2.  At 100 TB, K
+    grows with the corpus (the paper uses ~100k clusters) to hold cell
+    sizes ~1e4, and the per-cell work stays constant — plus the cells are
+    the unit of partition pruning if the assigned corpus is persisted
+    partitioned by cell.
+    """
+    prepare(spark)
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    perturbed = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(i == 0, x.cast("double") + F.lit(0.05)).otherwise(
+            x.cast("double")
+        ),
+    )
+    corpus = e.select("vec_id", as_double.alias("emb")).unionByName(
+        e.where(F.col("vec_id") < N_PERTURB).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), perturbed.alias("emb")
+        )
+    )
+    cents = e.where(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cell_id"), as_double.alias("ce")
+    )
+    from pyspark.sql import Window
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), "cell_id")
+    # per-vector norm precomputed ONCE: the pair loop then costs one dot
+    # product instead of three.  dot/(na*nb) with na=sqrt(dot(a,a)) is the
+    # same float operations in the same order as the inline cosine, so the
+    # oracle (which spells cosine out) stays bit-identical — this is a
+    # Spark-side-only optimization (measured 3x on the pair stage).
+    from .similarity import dot
+    cells = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "emb", "cell_id", cosine(F.col("emb"), F.col("ce")).alias("cscore"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "emb", "cell_id", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("n"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.cell_id").alias("cell_id"),
+            F.col("a.vec_id").alias("dominator"),
+            F.col("b.vec_id").alias("removed"),
+            (dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.n") * F.col("b.n"))).alias("score"),
+        )
+        .where(F.col("score") >= SEMDEDUP_TAU)
+    )
+    w_pick = Window.partitionBy("removed").orderBy("dominator")
+    return (
+        pairs.withColumn("pick", F.row_number().over(w_pick))
+        .where(F.col("pick") == 1)
+        .select("cell_id", "removed", "dominator", "score")
+        .orderBy("removed")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-substring detection (ExactSubstr-style, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+SUBSTR_N = 8  # tokens per gram: spans of >= N shared tokens are "repeated"
+SUBSTR_MIN_OCCURS = 2  # a gram occurring this often anywhere is repeated
+
+
+def word_ngrams(tok: Column, n: int) -> Column:
+    """Positional word n-grams (NOT distinct — positions matter for span
+    merging).  Linear construction: n shifted slices folded with n-1
+    ``zip_with`` concats, same O(tokens) trick as :func:`shingles` —
+    never ``transform(sequence, i -> slice(...))``, which is O(tokens²).
+    Empty when the document is shorter than n tokens."""
+    m = F.size(tok) - (n - 1)
+    grams = F.slice(tok, 1, m)
+    for k in range(2, n + 1):
+        grams = F.zip_with(
+            grams, F.slice(tok, k, m), lambda acc, x: F.concat_ws(" ", acc, x)
+        )
+    return F.when(F.size(tok) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "q_dedup_substrings",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+glist AS (
+  SELECT doc_id,
+         [{{'pos': i,
+            'g': md5(array_to_string(list_slice(t, i, i + {SUBSTR_N - 1}), ' '))}}
+          for i in generate_series(1, len(t) - {SUBSTR_N - 1})] AS gs
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g
+  FROM (SELECT doc_id, unnest(gs) AS u FROM glist)
+),
+rep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= {SUBSTR_MIN_OCCURS}),
+spans AS (
+  SELECT doc_id, pos AS s, pos + {SUBSTR_N - 1} AS e
+  FROM grams JOIN rep USING (g)
+),
+islands AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM spans
+),
+grouped AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM islands
+),
+merged AS (
+  SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS covered
+  FROM grouped GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(covered) AS BIGINT) AS tokens_covered
+FROM merged GROUP BY doc_id
+ORDER BY doc_id
+""",
+    group="llm-dedup",
+)
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection — the token-level complement of
+    document-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499: their ExactSubstr
+    removes any >= 50-token span occurring verbatim more than once; the
+    span length here is {SUBSTR_N} to suit the short synthetic docs).
+
+    The paper builds a corpus-wide suffix array — inherently sequential.
+    The distributed re-expression: positional token n-grams (a repeated
+    span of length L >= n is exactly a run of L-n+1 repeated n-grams, so
+    n-gram granularity loses nothing), one combinable count to find grams
+    occurring >= {SUBSTR_MIN_OCCURS} times anywhere (including within one
+    document — self-repetition is repetition), a join-back to positions,
+    and per-document island-merging of overlapping spans with one running
+    ``MAX(end)`` window.  Output per affected document: merged span count
+    and tokens covered — the removal mask of the paper, summarized.
+
+    Scale shape: gram construction is map-side and linear (slices +
+    ``zip_with`` folds); md5 keys shrink the gram shuffle to 32 bytes
+    regardless of n; the occurrence count is a combinable hash agg; the
+    join-back is an equi-join on the hash; the window partitions by
+    doc_id (bounded by document length).  No suffix array, no global
+    sort, no driver-side state — every stage is a standard shuffle whose
+    keys are uniform by construction (md5) except doc_id, which is
+    bounded by the longest document, not the corpus.
+    """
+    prepare(spark)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    grams = (
+        d.select("doc_id", word_ngrams(tokens(), SUBSTR_N).alias("gs"))
+        .select("doc_id", F.posexplode("gs").alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5(F.col("gram").cast("binary")).alias("g"))
+    )
+    rep = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= SUBSTR_MIN_OCCURS)
+        .select("g")
+    )
+    spans = grams.join(rep, "g").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + (SUBSTR_N - 1)).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    merged = (
+        spans.withColumn(
+            "new_island",
+            F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
+    )
+    return (
+        merged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("covered").cast("bigint").alias("tokens_covered"),
+        )
         .orderBy("doc_id")
     )

@@ -54,8 +54,15 @@ def events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table re-shaped as a Kafka-wire relation: one
     single-object-encoded Avro message per event plus transport metadata
     (topic, partition, offset).  Stands in for ``spark.read.format("kafka")``
-    in this connector-less sandbox; producers would emit identical bytes."""
-    ev = load_table(spark, sf_dir, "events")
+    in this connector-less sandbox; producers would emit identical bytes.
+
+    ``fanout=True``: the encode/decode pandas UDFs are the pipeline's CPU
+    cost, and a small parquet stand-in is one row group — without the
+    fan-out the whole codec path runs on one core (measured 19.3 s at
+    sf0.1; ~1.5 s fanned out).  A real Kafka source is already
+    partitioned by topic-partition, so this is purely the stand-in's
+    concern."""
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     payload = F.to_json(
         F.struct(
             F.col("event_id"),

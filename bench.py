@@ -22,6 +22,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: headline set: one per operator family — aggregation, multi-join, window,
 #: top-k, dedup, similarity, text, streaming-window analogue, codec.
+#: The first 14 are the r1 set (kept stable so per-query deltas track across
+#: rounds); the tail widens coverage to the r3/r4 surface (DataSource scan,
+#: TF-IDF, chunk dedup, SCD2, Kafka-shaped stream decode, profiling).
 HEADLINE = [
     "q1_pricing_summary",
     "q_join_inner",
@@ -37,6 +40,13 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_similarity_topk",
     "q_join_asof",
+    # r4 widening (VERDICT r3 item #3)
+    "avro_ocf_datasource",
+    "q_tfidf",
+    "q_dedup_chunks",
+    "q_scd2_history",
+    "q_stream_decode",
+    "q_profile_stats",
 ]
 
 
