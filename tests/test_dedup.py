@@ -129,12 +129,32 @@ class TestLshBucketCap:
         }
         assert capped == raw
 
-    def test_occupancy_preagg_and_broadcast_in_plan(self, spark):
-        """The guard's plan shape: an aggregate on (band_id, band_key)
-        feeding a broadcast anti-join — occupancy is counted before the
-        self-join and the hot list is broadcast, never shuffled."""
+    def test_occupancy_window_reuses_join_partitioning(self, spark):
+        """The guard's plan shape: bucket occupancy is a window count
+        partitioned by the JOIN key itself (band_id, band_key), filtered
+        BEFORE the self-join.  The window's hash partitioning satisfies the
+        join's distribution requirement, so no exchange sits between the
+        Window and the join, and at runtime AQE reuses the (canonically
+        identical) band exchange so the minhash lineage runs once."""
         from anglerfish_spark.operators.dedup import lsh_candidate_pairs
 
-        plan = lsh_candidate_pairs(self._docs(spark), max_bucket=10)._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
-        assert plan.count("HashAggregate") >= 2, plan  # occupancy count (partial+final)
+        df = lsh_candidate_pairs(self._docs(spark), max_bucket=10)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # occupancy is a window count over the join key, not a second agg branch
+        assert "Window [count(1)" in plan, plan
+        assert "windowspecdefinition(band_id" in plan, plan
+        # over-cap rows filtered out before the join
+        assert "bucket_n" in plan and "<= 10" in plan, plan
+        # no anti-join / broadcast of a hot list — the filter IS the guard
+        assert "LeftAnti" not in plan, plan
+        # the only exchanges below the join are the band-key partitioning:
+        # nothing re-shuffles between Window and the self-join
+        join_section = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+        for line in join_section.splitlines():
+            if "Exchange" in line:
+                assert "hashpartitioning(band_id" in line, line
+        # runtime: AQE dedupes the two identical band exchanges, so the
+        # signature lineage (the CPU hot spot) is computed once
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in final or final.count("Exchange hashpartitioning(band_id") <= 1, final
