@@ -181,19 +181,19 @@ def q_slide(spark, sf_dir):
     "q_session",
     oracle=f"""
 WITH e AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
 ),
 s AS (
-  SELECT user_id, t, value,
+  SELECT user_id, event_id, t, value,
          CASE WHEN LAG(t) OVER w IS NULL
                 OR t - LAG(t) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM e
-  WINDOW w AS (PARTITION BY user_id ORDER BY t)
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 ),
 g AS (
   SELECT user_id, t, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM s
 )
