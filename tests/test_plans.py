@@ -220,3 +220,24 @@ def test_chunk_dedup_single_agg_shuffle(spark, sf_dir):
     # fan-out repartition + one hash-agg exchange + presentation sort
     assert ops.count("Exchange") <= 3, plan
     assert ops.count("HashAggregate") >= 2, plan  # partial + final (combinable)
+
+
+def test_semantic_dedup_centroids_broadcast_no_cartesian(spark, sf_dir):
+    """SemDeDup's coarse-quantizer assignment is corpus × K-centroids: the
+    centroid side must arrive by broadcast (BroadcastNestedLoopJoin over a
+    metadata-scale relation), never a partitioned CartesianProduct — and
+    the within-cell pair scoring must be an equi-join on cell_id, not a
+    second all-pairs product."""
+    plan = _plan(spark, sf_dir, "q_dedup_semantic")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dedup_substrings_no_all_pairs(spark, sf_dir):
+    """ExactSubstr dedup must find cross-document repeats through the
+    positional n-gram hash-agg + equi-join, never by comparing documents
+    pairwise."""
+    plan = _plan(spark, sf_dir, "q_dedup_substrings")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashAggregate" in plan, plan  # the n-gram occurrence count
