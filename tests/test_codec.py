@@ -540,3 +540,33 @@ class TestResolveDatum:
         s = parse_schema('"string"').root
         assert resolve_datum("hi", s, b) == b"hi"
         assert resolve_datum(b"hi", b, s) == "hi"
+
+
+class TestCollectionDepthStrictness:
+    """D6/D3 strictness must reach records nested inside collections: the
+    expression decoder zips the typed parse with a same-text raw parse, so
+    extra-field / missing-required / overflow are caught per element (the
+    pydecode ground truth catches them by construction)."""
+
+    SCHEMA = """
+    {"type":"record","name":"R","fields":[
+      {"name":"items","type":{"type":"array","items":
+        {"type":"record","name":"E","fields":[{"name":"x","type":"long"}]}}}
+    ]}
+    """
+
+    def test_expression_decoder_checks_array_elements(self, spark):
+        from anglerfish_spark.codec.decoder import decode_json
+
+        rows = [
+            ('{"items":[{"x":1},{"x":2}]}',),
+            ('{"items":[{"x":1,"zzz":9}]}',),
+            ('{"items":[{"x":99999999999999999999}]}',),
+            ('{"items":[{}]}',),
+        ]
+        df = spark.createDataFrame(rows, ["j"])
+        out = decode_json(df, "j", self.SCHEMA, mode="permissive").collect()
+        assert out[0]["_errors"] == []
+        assert out[1]["_errors"] == ["RecordError@$.items[]"]
+        assert out[2]["_errors"] == ["UnrepresentableError@$.items[].x"]
+        assert out[3]["_errors"] == ["RecordError@$.items[].x"]
