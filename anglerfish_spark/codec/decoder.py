@@ -327,14 +327,7 @@ class _ExprBuilder:
                 else _empty_errs()
             )
             return F.lit(None), err
-        if kind is Primitive.INT:
-            too_big = wire.isNotNull() & ((wire < INT32_MIN) | (wire > INT32_MAX))
-            # try_cast: under ANSI a plain cast would THROW on overflow even
-            # in permissive mode; the range check above carries the error
-            return wire.try_cast("int"), self._cat(
-                self._err(too_big, "UnexpectedTypeError", path), mismatch
-            )
-        if kind is Primitive.LONG:
+        if kind in (Primitive.INT, Primitive.LONG):
             if raw is not None:
                 # int64 overflow also nulls the wire; the raw digits reveal
                 # it.  try_cast: ANSI casts throw; >38-digit literals must
@@ -346,12 +339,33 @@ class _ExprBuilder:
                     | (rawd > F.lit(2**63 - 1).cast("decimal(38,0)"))
                     | (rawd < F.lit(-(2**63)).cast("decimal(38,0)"))
                 )
-                not_overflow_mismatch = self._err(
-                    present_text & wire.isNull() & ~integral, "UnexpectedTypeError", path
+                # anything else present that the typed parse nulled is a
+                # wrong JSON type — including a QUOTED in-range number: the
+                # raw object view strips quotes, so integral raw digits with
+                # a null wire can only mean the token was a JSON string (a
+                # bare in-range integer would have parsed).  Pre-r4 this
+                # case slipped through as a silent null (pydecode raises
+                # UnexpectedTypeError).
+                type_mismatch = self._err(
+                    present_text & wire.isNull() & ~overflow, "UnexpectedTypeError", path
                 )
+                if kind is Primitive.INT:
+                    # pydecode D3: fits int64 but not int32 → UnexpectedType;
+                    # beyond int64 → Unrepresentable (the digits say which)
+                    too_big = wire.isNotNull() & ((wire < INT32_MIN) | (wire > INT32_MAX))
+                    return wire.try_cast("int"), self._cat(
+                        self._err(too_big, "UnexpectedTypeError", path),
+                        self._err(overflow, "UnrepresentableError", path),
+                        type_mismatch,
+                    )
                 return wire, self._cat(
-                    self._err(overflow, "UnrepresentableError", path), not_overflow_mismatch
+                    self._err(overflow, "UnrepresentableError", path), type_mismatch
                 )
+            if kind is Primitive.INT:
+                too_big = wire.isNotNull() & ((wire < INT32_MIN) | (wire > INT32_MAX))
+                # try_cast: under ANSI a plain cast would THROW on overflow
+                # even in permissive mode; the range check carries the error
+                return wire.try_cast("int"), self._err(too_big, "UnexpectedTypeError", path)
             return wire, _empty_errs()
         if kind in (Primitive.FLOAT, Primitive.DOUBLE):
             # strict D3: JSON integer literals are not acceptable for
@@ -631,11 +645,28 @@ class _ExprBuilder:
         return rawf  # STRING / BYTES travel as text
 
     def build_flat_record(
-        self, t: AvroRecord, rmap: Column, raw: Column, path: str
+        self,
+        t: AvroRecord,
+        rmap: Column,
+        raw: Column,
+        path: str,
+        vprobe: Optional[Column] = None,
     ) -> tuple[Column, Column]:
         """Decode a record whose fields are all primitive/enum/fixed from
         the staged ``map<string,string>`` view alone — identical semantics
-        to the general path minus its second (wire-struct) JSON parse."""
+        to the general path minus its second (wire-struct) JSON parse.
+
+        ``vprobe`` (a staged ``try_parse_json`` variant of the same text)
+        closes the one hole the string map cannot see: the map view strips
+        JSON quotes, so a *quoted* number/boolean at a numeric/boolean
+        position (``"123"`` for ``long``) is indistinguishable from a bare
+        one — ``_synth_wire``'s casts accept it where ``pydecode`` (and the
+        general path's typed ``from_json``) reject.  The variant preserves
+        the token type: ``schema_of_variant == 'STRING'`` at such a field
+        is exactly the quoted case.  When the variant parse fails on
+        JSON Jackson tolerates (bare NaN), the probe is null and the check
+        silently stands down — strictness never regresses below the map
+        view's."""
         keys = F.map_keys(rmap)
         present_text = raw.isNotNull() & (raw != F.lit("null"))
         shape_err = self._err(present_text & rmap.isNull(), "UnexpectedTypeError", path)
@@ -647,6 +678,12 @@ class _ExprBuilder:
             fpath = f"{path}.{f.name}"
             fraw = rmap.getItem(f.name)
             v, e = self.build(f.type, self._synth_wire(f.type, fraw), fraw, fpath)
+            if vprobe is not None and _kind_rejects_json_strings(f.type):
+                quoted = (
+                    F.schema_of_variant(F.try_variant_get(vprobe, f"$.{f.name}", "variant"))
+                    == F.lit("STRING")
+                )
+                errs.append(self._err(quoted, "UnexpectedTypeError", fpath))
             present = F.array_contains(keys, f.name)
             if f.has_default:
                 default_lit = self._default_lit(f, target[f.name].dataType)
@@ -674,6 +711,18 @@ class _ExprBuilder:
 def _is_flat_record(t: AvroType) -> bool:
     return isinstance(t, AvroRecord) and all(
         isinstance(f.type, (AvroPrimitive, AvroEnum, AvroFixed)) for f in t.fields
+    )
+
+
+def _kind_rejects_json_strings(t: AvroType) -> bool:
+    """Primitive kinds for which a JSON string token is a type error that
+    the quote-stripping map view cannot detect (numerics + boolean)."""
+    return isinstance(t, AvroPrimitive) and t.kind in (
+        Primitive.INT,
+        Primitive.LONG,
+        Primitive.FLOAT,
+        Primitive.DOUBLE,
+        Primitive.BOOLEAN,
     )
 
 
@@ -735,11 +784,18 @@ def decode_json(
     rmap_col = "_anglerfish_rmap"
     err_col = "_anglerfish_errs"
     raw_col = "_anglerfish_raw"
+    vprobe_col = "_anglerfish_vprobe"
+    flat = _is_flat_record(root)
+    needs_vprobe = flat and any(_kind_rejects_json_strings(f.type) for f in root.fields)
     staged = df.withColumn(raw_col, raw).withColumn(
         rmap_col, F.from_json(F.col(raw_col), T.MapType(T.StringType(), T.StringType()))
     )
-    if not _is_flat_record(root):
+    if not flat:
         staged = staged.withColumn(wire_col, F.from_json(F.col(raw_col), wire_t))
+    if needs_vprobe:
+        # quoted-number/boolean detection (see build_flat_record): one
+        # variant parse per row, staged through the same barrier
+        staged = staged.withColumn(vprobe_col, F.try_parse_json(F.col(raw_col)))
     # Generate barrier: explode of a one-element array is a row-preserving
     # generator Catalyst cannot collapse a Project through, so the parsed
     # columns materialize once and every downstream reference reads the
@@ -750,9 +806,15 @@ def decode_json(
     ).select("_b.*")
     raw = F.col(raw_col)
     builder = _ExprBuilder(env, max_depth, root_map=F.col(rmap_col))
-    if _is_flat_record(root):
+    if flat:
         # flat records decode from the map view alone: ONE JSON parse/row
-        value, errs = builder.build_flat_record(root, F.col(rmap_col), raw, "$")
+        value, errs = builder.build_flat_record(
+            root,
+            F.col(rmap_col),
+            raw,
+            "$",
+            vprobe=F.col(vprobe_col) if needs_vprobe else None,
+        )
     else:
         value, errs = builder.build(root, F.col(wire_col), raw, "$")
     # malformed JSON text: get_json_object('$') is null only when the text
@@ -765,7 +827,9 @@ def decode_json(
     errs = F.when(malformed, F.lit("UnexpectedJsonTypeError@$")).otherwise(errs)
     staged = staged.withColumn(err_col, errs)
     e = F.col(err_col)
-    stage_cols = [c for c in (wire_col, rmap_col, err_col, raw_col) if c in staged.columns]
+    stage_cols = [
+        c for c in (wire_col, rmap_col, err_col, raw_col, vprobe_col) if c in staged.columns
+    ]
 
     if mode == "permissive":
         err_arr = F.when(e.isNull(), F.array().cast("array<string>")).otherwise(F.split(e, ";"))

@@ -570,3 +570,82 @@ class TestCollectionDepthStrictness:
         assert out[1]["_errors"] == ["RecordError@$.items[]"]
         assert out[2]["_errors"] == ["UnrepresentableError@$.items[].x"]
         assert out[3]["_errors"] == ["RecordError@$.items[].x"]
+
+
+class TestQuotedTokenStrictness:
+    """D3: a JSON *string* token at a numeric/boolean position is a type
+    error (pydecode's _require_integral / float / bool checks), but the
+    raw object view strips quotes.  The flat fast path detects it via the
+    staged variant probe (schema_of_variant == STRING); the general path
+    via typed-wire-null + integral raw digits.  Pre-r4 a quoted in-range
+    long was silently accepted (flat) or silently NULLED (nested)."""
+
+    FLAT = (
+        '{"type":"record","name":"R","fields":['
+        '{"name":"x","type":"long"},{"name":"d","type":"double"},'
+        '{"name":"b","type":"boolean"},{"name":"s","type":"string"}]}'
+    )
+    NESTED = (
+        '{"type":"record","name":"R","fields":[{"name":"x","type":"long"},'
+        '{"name":"n","type":{"type":"record","name":"N","fields":['
+        '{"name":"y","type":"long"},{"name":"i","type":"int"}]}}]}'
+    )
+
+    def _errs(self, spark, schema, rows):
+        from anglerfish_spark.codec.decoder import decode_json
+
+        df = spark.createDataFrame([(r,) for r in rows], ["j"])
+        out = decode_json(df, "j", schema, mode="permissive").collect()
+        return [r["_errors"] for r in out]
+
+    def test_flat_path_quoted_tokens_error(self, spark):
+        errs = self._errs(
+            spark,
+            self.FLAT,
+            [
+                '{"x":123,"d":1.5,"b":true,"s":"ok"}',
+                '{"x":"123","d":1.5,"b":true,"s":"ok"}',
+                '{"x":123,"d":"1.5","b":true,"s":"ok"}',
+                '{"x":123,"d":1.5,"b":"true","s":"ok"}',
+            ],
+        )
+        assert errs == [
+            [],
+            ["UnexpectedTypeError@$.x"],
+            ["UnexpectedTypeError@$.d"],
+            ["UnexpectedTypeError@$.b"],
+        ]
+
+    def test_nested_path_quoted_long_errors_not_silent_null(self, spark):
+        errs = self._errs(
+            spark,
+            self.NESTED,
+            [
+                '{"x":1,"n":{"y":2,"i":3}}',
+                '{"x":"1","n":{"y":2,"i":3}}',
+                '{"x":1,"n":{"y":"2","i":3}}',
+                '{"x":1,"n":{"y":2,"i":"3"}}',
+            ],
+        )
+        assert errs == [
+            [],
+            ["UnexpectedTypeError@$.x"],
+            ["UnexpectedTypeError@$.n.y"],
+            ["UnexpectedTypeError@$.n.i"],
+        ]
+
+    def test_int_overflow_classification_matches_pydecode(self, spark):
+        # fits int64 but not int32 -> UnexpectedType; beyond int64 ->
+        # Unrepresentable (pydecode.py D3 branch order)
+        errs = self._errs(
+            spark,
+            self.NESTED,
+            [
+                '{"x":1,"n":{"y":2,"i":5000000000}}',
+                '{"x":1,"n":{"y":2,"i":99999999999999999999}}',
+            ],
+        )
+        assert errs == [
+            ["UnexpectedTypeError@$.n.i"],
+            ["UnrepresentableError@$.n.i"],
+        ]

@@ -49,8 +49,13 @@ _bad_mutations = st.sampled_from(
     [
         ("f_int", 2**40),              # int32 overflow (but int64-ok)
         ("f_int", "nope"),             # type mismatch
+        ("f_int", "7"),                # QUOTED in-range int (r4: was silent)
+        ("f_int", 10**25),             # beyond int64 (Unrepresentable, not mismatch)
         ("f_long", 10**25),            # beyond int64
+        ("f_long", "123"),             # QUOTED in-range long (r4: was silent null)
+        ("f_double", "1.5"),           # QUOTED double
         ("f_bool", 1),                 # int where bool expected
+        ("f_bool", "true"),            # QUOTED boolean
         ("f_enum", "Z"),               # out of symbol set
         ("f_opt", {"string": "x"}),    # wrong union branch
         ("f_opt", {"long": 1, "extra": 2}),  # two keys
