@@ -25,10 +25,15 @@ raw text once into a ``map<string,string>`` object view, and arrays/maps
 zip the typed parse with an ``array<string>`` / ``map<string,string>``
 parse of the same text, so per-element raw text (and with it extra-field,
 overflow, and wrong-type detection) is available inside collections too.
-Residual divergence from ``pydecode``: JSON *string* raw text arrives
-unquoted from the string-typed parses, so a quoted number at a numeric
-position (``"123"`` for ``long``) is indistinguishable from a bare one at
-nested paths and may be accepted where ``pydecode`` rejects.
+Quoted tokens at typed positions (``"123"`` for ``long``) are rejected on
+both paths since r4 — the general path infers quotedness from
+typed-wire-null + integral raw digits, the flat path from a staged
+``try_parse_json`` variant probe (``schema_of_variant == 'STRING'``).
+Residual divergences from ``pydecode``: a QUOTED beyond-int64 literal
+classifies ``UnrepresentableError`` (pydecode: ``UnexpectedTypeError`` —
+quotedness of overflowed digits is unobservable here), and past the
+``RAW_RECURSION_LIMIT`` unroll depth validation falls back to wire-proxy
+checks.
 
 Error channel: ``mode="strict"`` raises on first violation (FAILFAST
 analogue); ``mode="permissive"`` adds an ``_errors array<string>`` column
