@@ -151,9 +151,18 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree exactly (a term in every document scores 0 bits and can
     never be characteristic, the classic idf behavior).
 
-    Shuffles: (doc, term) count (combinable, corpus-scale once), df rollup
-    over the *model* (vocab-sized), model join back, per-doc top-k window
-    (partitioned by doc_id — no global sort).
+    Shuffles: (doc, term) count (combinable, corpus-scale once), then df
+    as a WINDOW count over the tf relation itself partitioned by term —
+    df(term) is by construction the number of tf rows per term, so no
+    separate vocab rollup, no join back, and (decisively) no second
+    evaluation of the tokenize+explode lineage: the df-as-aggregate
+    formulation built tfc on two plan branches that Catalyst did not
+    reuse (0 ReusedExchange, 2 Generate explodes, 4 exchanges; measured
+    1.71 s at sf0.1 — this shape: 1 explode, 3 exchanges, 1.35 s).
+    Term-skew exposure is unchanged: the old shape repartitioned tfc by
+    term for the df join; the window partitions by the same key.
+    Finally the per-doc top-k window (partitioned by doc_id — no global
+    sort).
     """
     prepare(spark)
     d = load_table(spark, sf_dir, "documents", fanout=True)
@@ -163,9 +172,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    df_tab = tfc.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w_term = Window.partitionBy("term")
     scored = (
-        tfc.join(df_tab, "term")
+        tfc.withColumn("df", F.count(F.lit(1)).over(w_term).cast("bigint"))
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
