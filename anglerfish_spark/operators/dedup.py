@@ -706,9 +706,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .similarity import DIM, _hyperplanes, _sig_sql, cosine, cosine_sql, lsh_signature
 
-EMB_PLANES = _hyperplanes(16)  # 16 hyperplanes → 4 bands of 4 bits
+EMB_PLANES = _hyperplanes(32)  # 32 hyperplanes → 4 bands of 8 bits
 EMB_BANDS = 4
-EMB_BAND_BITS = 4
+EMB_BAND_BITS = 8
 N_PERTURB = 25  # vec_id < 25 get a perturbed near-copy (vec_id + 10000)
 EMB_THRESHOLD = 0.99
 
@@ -762,7 +762,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine(original, copy) ≈ 0.9999 — and the detector must find exactly
     those pairs.
 
-    Scale shape: banded random-hyperplane LSH (4 bands x 4 bits here; at
+    Scale shape: banded random-hyperplane LSH (4 bands x 8 bits here; at
     production scale raise bits/band to push the random-collision rate
     down the S-curve) generates candidates from band-key equi-joins — cost
     is sum of bucket^2, never corpus^2.  Candidate pairs are de-duplicated
