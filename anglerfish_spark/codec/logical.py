@@ -70,6 +70,20 @@ def _stripped_hex(col: Column) -> Column:
     return F.regexp_replace(h, r"^(?:FF)+(?=[89A-F])", "")
 
 
+def _let(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` exactly once and
+    reference it many times via the lambda variable.
+
+    Interpreted evaluation has NO common-subexpression elimination, and the
+    fold below lives inside higher-order functions (CodegenFallback), so a
+    subtree referenced N times is re-evaluated N times — multiplicatively
+    when bindings nest.  Materializing the subtree as a 1-element array and
+    binding ``transform``'s lambda variable makes each reference a variable
+    lookup.  (Measured on the decimal fold: the logical-type decode queries
+    dropped ~2.5-3x at sf0.1 from exactly this.)"""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def binary_to_decimal_expr(col: Column, precision: int, scale: int) -> Column:
     """Big-endian two's-complement unscaled bytes → decimal(p,s).
 
@@ -80,36 +94,52 @@ def binary_to_decimal_expr(col: Column, precision: int, scale: int) -> Column:
     Out-of-bound encodings (> 15 significant bytes) and values that do not
     fit (p,s) yield NULL — pair with :func:`decimal_overflow_expr` /
     null-vs-carrier checks for the error channel.  NULL/empty input → NULL.
+
+    The carrier, its stripped hex, the folded unscaled integer, and the
+    digit string are each let-bound (:func:`_let`) — every one is
+    referenced several times downstream, and unbound they re-evaluate per
+    reference (the carrier itself is typically an ``unbase64`` over a
+    raw-map extraction, so the blowup multiplies all the way down).
     """
     dt = f"decimal({precision},{scale})"
-    h = _stripped_hex(col)
-    first = F.conv(F.substring(h, 1, 2), 16, 10).cast("decimal(38,0)")
-    first_signed = F.when(first >= 128, first - 256).otherwise(first)
-    unscaled = F.when(F.length(h) <= 2, first_signed).otherwise(
-        F.aggregate(
-            F.sequence(F.lit(3), F.length(h) - 1, F.lit(2)),
-            first_signed,
-            lambda acc, i: acc * 256
-            + F.conv(F.substring(_stripped_hex(col), i, 2), 16, 10).cast("decimal(38,0)"),
+
+    def with_hex(c: Column, h: Column) -> Column:
+        first = F.conv(F.substring(h, 1, 2), 16, 10).cast("decimal(38,0)")
+        first_signed = F.when(first >= 128, first - 256).otherwise(first)
+        unscaled = F.when(F.length(h) <= 2, first_signed).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(3), F.length(h) - 1, F.lit(2)),
+                first_signed,
+                lambda acc, i: acc * 256
+                + F.conv(F.substring(h, i, 2), 16, 10).cast("decimal(38,0)"),
+            )
         )
-    )
-    if scale == 0:
-        value = unscaled.try_cast(dt)
-    else:
-        raw_digits = F.abs(unscaled).cast("string")
-        # pad to at least scale+1 digits — NB lpad also truncates longer
-        # strings, so it must be guarded behind a length check
-        digits = F.when(
-            F.length(raw_digits) <= scale, F.lpad(raw_digits, scale + 1, "0")
-        ).otherwise(raw_digits)
-        ip = F.substring(digits, F.lit(1), F.length(digits) - scale)
-        fp = F.substring(digits, F.length(digits) - scale + 1, F.lit(scale))
-        sign = F.when(unscaled < 0, F.lit("-")).otherwise(F.lit(""))
-        value = F.concat(sign, ip, F.lit("."), fp).try_cast(dt)
-    return F.when(
-        col.isNull() | (F.length(col) == 0) | (F.length(h) > _MAX_DECIMAL_HEX),
-        F.lit(None).cast(dt),
-    ).otherwise(value)
+
+        def with_unscaled(u: Column) -> Column:
+            if scale == 0:
+                return u.try_cast(dt)
+            raw_digits = F.abs(u).cast("string")
+            # pad to at least scale+1 digits — NB lpad also truncates longer
+            # strings, so it must be guarded behind a length check
+            digits = F.when(
+                F.length(raw_digits) <= scale, F.lpad(raw_digits, scale + 1, "0")
+            ).otherwise(raw_digits)
+
+            def with_digits(dg: Column) -> Column:
+                ip = F.substring(dg, F.lit(1), F.length(dg) - scale)
+                fp = F.substring(dg, F.length(dg) - scale + 1, F.lit(scale))
+                sign = F.when(u < 0, F.lit("-")).otherwise(F.lit(""))
+                return F.concat(sign, ip, F.lit("."), fp).try_cast(dt)
+
+            return _let(digits, with_digits)
+
+        value = _let(unscaled, with_unscaled)
+        return F.when(
+            c.isNull() | (F.length(c) == 0) | (F.length(h) > _MAX_DECIMAL_HEX),
+            F.lit(None).cast(dt),
+        ).otherwise(value)
+
+    return _let(col, lambda c: _let(_stripped_hex(c), lambda h: with_hex(c, h)))
 
 
 def decimal_overflow_expr(col: Column) -> Column:

@@ -865,7 +865,9 @@ def json_decode_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decimal(12,2)`` on bytes → DECIMAL(12,2) — all in whole-stage
     codegen (codec/logical.py), validated against the original columns."""
     prepare(spark)
-    o = load_table(spark, sf_dir, "orders").where(
+    # CPU-dense decode (decimal hex fold) over a one-row-group stand-in:
+    # fan out so the map stage uses the cores (see load_table docstring)
+    o = load_table(spark, sf_dir, "orders", fanout=True).where(
         ((F.col("o_orderkey") % 17) == 0) & F.col("o_orderdate").isNotNull()
     )
     amt = F.element_at(
@@ -917,8 +919,13 @@ def avro_ocf_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.avro_ocf import read_avro_ocf_typed, write_avro_ocf_typed
 
     prepare(spark)
+    # fanout: a single-row-group orders slice would write ONE OCF file and
+    # the read+decode (the CPU-dense stage under test) would run on one
+    # core — measured 19 s; fanned out it writes one file per partition
+    # and the decode parallelizes (~2 s).  Real tables have many row
+    # groups, so the size gate keeps this a stand-in-only concern.
     o = (
-        load_table(spark, sf_dir, "orders")
+        load_table(spark, sf_dir, "orders", fanout=True)
         .where((F.col("o_orderkey") % 13) == 0)
         .select(
             "o_orderkey",
