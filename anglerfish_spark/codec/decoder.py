@@ -66,6 +66,7 @@ from ..schema.model import (
 )
 from ..schema.parser import ParsedSchema, parse_schema
 from ..schema.spark_convert import to_struct_type, union_field_names
+from .logical import _let as _logical_let
 from .pydecode import Decoder as _PyDecoder
 
 INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
@@ -234,8 +235,17 @@ class _ExprBuilder:
     # node dispatch ----------------------------------------------------------
 
     def build(
-        self, t: AvroType, wire: Column, raw: Optional[Column], path: str
+        self, t: AvroType, wire: Column, raw: Optional[Column], path: str,
+        role: str = "both",
     ) -> tuple[Column, Column]:
+        """Build the (value, errors) column pair for a schema node.
+
+        ``role`` controls which slot the caller will actually use —
+        ``"value"`` / ``"errs"`` traversals skip the other slot's
+        construction at the let-bound nodes (records, unions, collections),
+        so the per-column let-binding costs ONE Python traversal per
+        column instead of doubling per nesting level.  The unused slot is
+        a cheap dummy; leaves build both slots (negligible)."""
         if isinstance(t, AvroRecursionRef):
             if self.depth.get(t.fqn, 0) >= self.max_depth:
                 # truncated: decodes to null; data beyond the bound is an error
@@ -248,7 +258,7 @@ class _ExprBuilder:
             target = self.env.get(t.fqn)
             if target is None:
                 raise InvalidParserStateError(f"dangling recursion ref {t.fqn!r}")
-            return self.build(target, wire, raw, path)
+            return self.build(target, wire, raw, path, role)
         if isinstance(t, AvroPrimitive):
             value, err = self._prim(t.kind, wire, raw, path)
             if t.logical is not None:
@@ -272,13 +282,13 @@ class _ExprBuilder:
                 err = self._cat(err, lerr)
             return value, err
         if isinstance(t, AvroArray):
-            return self._array(t, wire, raw, path)
+            return self._array(t, wire, raw, path, role)
         if isinstance(t, AvroMap):
-            return self._map(t, wire, raw, path)
+            return self._map(t, wire, raw, path, role)
         if isinstance(t, AvroUnion):
-            return self._union(t, wire, raw, path)
+            return self._union(t, wire, raw, path, role)
         if isinstance(t, AvroRecord):
-            return self._record(t, wire, raw, path)
+            return self._record(t, wire, raw, path, role)
         raise InvalidParserStateError(f"unexpected type {t!r}")
 
     def _lift_logical(self, logical, carrier: Column, path: str) -> tuple[Column, Column]:
@@ -395,7 +405,8 @@ class _ExprBuilder:
         return wire, (self._cat(mismatch) if mismatch is not None else _empty_errs())
 
     def _array(
-        self, t: AvroArray, wire: Column, raw: Optional[Column], path: str
+        self, t: AvroArray, wire: Column, raw: Optional[Column], path: str,
+        role: str = "both",
     ) -> tuple[Column, Column]:
         """Raw text, when addressable, is parsed once as ``array<string>``
         (same single-pass trick as records) and zipped element-wise with the
@@ -403,23 +414,44 @@ class _ExprBuilder:
         at full depth inside arrays.  Both arrays come from the same text,
         so lengths always agree when both parse."""
         elem_path = f"{path}[]"
+        want_v, want_e = role != "errs", role != "value"
 
         if raw is None:
-            value = F.transform(wire, lambda w: self.build(t.items, w, None, elem_path)[0])
+            value = (
+                F.transform(wire, lambda w: self.build(t.items, w, None, elem_path, "value")[0])
+                if want_v
+                else F.lit(None)
+            )
             # array_join drops null elements → one ';'-joined string per array
-            errs = F.when(
-                wire.isNotNull(),
-                F.nullif(
-                    F.array_join(
-                        F.transform(wire, lambda w: self.build(t.items, w, None, elem_path)[1]),
-                        ";",
+            errs = (
+                F.when(
+                    wire.isNotNull(),
+                    F.nullif(
+                        F.array_join(
+                            F.transform(
+                                wire,
+                                lambda w: self.build(t.items, w, None, elem_path, "errs")[1],
+                            ),
+                            ";",
+                        ),
+                        F.lit(""),
                     ),
-                    F.lit(""),
-                ),
+                )
+                if want_e
+                else _empty_errs()
             )
             return value, errs
 
         raw_elems = F.from_json(raw, T.ArrayType(T.StringType()))
+        value = (
+            F.zip_with(
+                wire, raw_elems, lambda w, r: self.build(t.items, w, r, elem_path, "value")[0]
+            )
+            if want_v
+            else F.lit(None)
+        )
+        if not want_e:
+            return value, _empty_errs()
         present = raw.isNotNull() & (raw != F.lit("null"))
         # scalar/object at an array position → the raw array parse nulls;
         # an element whose *typed* parse failed nulls the whole wire array
@@ -428,13 +460,12 @@ class _ExprBuilder:
         elem_fail = self._err(
             raw_elems.isNotNull() & wire.isNull(), "UnexpectedTypeError", elem_path
         )
-        value = F.zip_with(wire, raw_elems, lambda w, r: self.build(t.items, w, r, elem_path)[0])
         errs = F.when(
             wire.isNotNull(),
             F.nullif(
                 F.array_join(
                     F.zip_with(
-                        wire, raw_elems, lambda w, r: self.build(t.items, w, r, elem_path)[1]
+                        wire, raw_elems, lambda w, r: self.build(t.items, w, r, elem_path, "errs")[1]
                     ),
                     ";",
                 ),
@@ -444,44 +475,64 @@ class _ExprBuilder:
         return value, self._cat(errs, shape, elem_fail)
 
     def _map(
-        self, t: AvroMap, wire: Column, raw: Optional[Column], path: str
+        self, t: AvroMap, wire: Column, raw: Optional[Column], path: str,
+        role: str = "both",
     ) -> tuple[Column, Column]:
         """Same raw-threading as ``_array``: the one-pass object view gives
         per-value raw text; key order is identical between the typed and raw
         parses because both stream the same document."""
         val_path = f"{path}.{{}}" if raw is not None else "{}"
+        want_v, want_e = role != "errs", role != "value"
 
         if raw is None:
-            value = F.map_from_arrays(
-                F.map_keys(wire),
-                F.transform(F.map_values(wire), lambda v: self.build(t.values, v, None, val_path)[0]),
-            )
-            errs = F.when(
-                wire.isNotNull(),
-                F.nullif(
-                    F.array_join(
-                        F.transform(
-                            F.map_values(wire), lambda v: self.build(t.values, v, None, val_path)[1]
-                        ),
-                        ";",
+            value = (
+                F.map_from_arrays(
+                    F.map_keys(wire),
+                    F.transform(
+                        F.map_values(wire),
+                        lambda v: self.build(t.values, v, None, val_path, "value")[0],
                     ),
-                    F.lit(""),
-                ),
+                )
+                if want_v
+                else F.lit(None)
+            )
+            errs = (
+                F.when(
+                    wire.isNotNull(),
+                    F.nullif(
+                        F.array_join(
+                            F.transform(
+                                F.map_values(wire),
+                                lambda v: self.build(t.values, v, None, val_path, "errs")[1],
+                            ),
+                            ";",
+                        ),
+                        F.lit(""),
+                    ),
+                )
+                if want_e
+                else _empty_errs()
             )
             return value, errs
 
         rmap = self._obj_map(raw, path)
+        value = (
+            F.map_from_arrays(
+                F.map_keys(wire),
+                F.zip_with(
+                    F.map_values(wire),
+                    F.map_values(rmap),
+                    lambda v, r: self.build(t.values, v, r, val_path, "value")[0],
+                ),
+            )
+            if want_v
+            else F.lit(None)
+        )
+        if not want_e:
+            return value, _empty_errs()
         present = raw.isNotNull() & (raw != F.lit("null"))
         shape = self._err(present & rmap.isNull(), "UnexpectedTypeError", path)
         val_fail = self._err(rmap.isNotNull() & wire.isNull(), "UnexpectedTypeError", val_path)
-        value = F.map_from_arrays(
-            F.map_keys(wire),
-            F.zip_with(
-                F.map_values(wire),
-                F.map_values(rmap),
-                lambda v, r: self.build(t.values, v, r, val_path)[0],
-            ),
-        )
         errs = F.when(
             wire.isNotNull(),
             F.nullif(
@@ -489,7 +540,7 @@ class _ExprBuilder:
                     F.zip_with(
                         F.map_values(wire),
                         F.map_values(rmap),
-                        lambda v, r: self.build(t.values, v, r, val_path)[1],
+                        lambda v, r: self.build(t.values, v, r, val_path, "errs")[1],
                     ),
                     ";",
                 ),
@@ -499,7 +550,8 @@ class _ExprBuilder:
         return value, self._cat(errs, shape, val_fail)
 
     def _union(
-        self, t: AvroUnion, wire: Column, raw: Optional[Column], path: str
+        self, t: AvroUnion, wire: Column, raw: Optional[Column], path: str,
+        role: str = "both",
     ) -> tuple[Column, Column]:
         non_null = t.non_null_members
         if len(non_null) == 0:
@@ -514,14 +566,53 @@ class _ExprBuilder:
         # union_field_names (member_0_X on short-name collisions), not the
         # bare branch name — bare names would duplicate on collisions
         field_names = union_field_names(t)
-        umap = self._obj_map(raw, path)
+        umap_expr = self._obj_map(raw, path)
+        if umap_expr is not None:
+            # let-bind the object view per output column — same k^depth
+            # duplication story (and the same shared-pair trap) as _record;
+            # each column's lambda runs a single-role traversal, so the
+            # Python-side build stays linear too
+            value = (
+                _logical_let(
+                    umap_expr,
+                    lambda m: self._union_with_map(t, wire, raw, m, path, "value")[0],
+                )
+                if role != "errs"
+                else F.lit(None)
+            )
+            errs = (
+                _logical_let(
+                    umap_expr,
+                    lambda m: self._union_with_map(t, wire, raw, m, path, "errs")[1],
+                )
+                if role != "value"
+                else _empty_errs()
+            )
+            return value, errs
+        return self._union_with_map(t, wire, raw, None, path, role)
+
+    def _union_with_map(
+        self,
+        t: AvroUnion,
+        wire: Column,
+        raw: Optional[Column],
+        umap: Optional[Column],
+        path: str,
+        role: str = "both",
+    ) -> tuple[Column, Column]:
+        non_null = t.non_null_members
+        branch_keys = [type_name(m) for m in non_null]
+        field_names = union_field_names(t)
+        want_v, want_e = role != "errs", role != "value"
         members = []
         member_errs: list[Column] = []
         for m, key, fname in zip(non_null, branch_keys, field_names):
             sub_raw = umap.getItem(key) if umap is not None else None
-            v, e = self.build(m, wire.getField(key), sub_raw, f"{path}.{key}")
-            members.append(v.alias(fname))
-            member_errs.append(e)
+            v, e = self.build(m, wire.getField(key), sub_raw, f"{path}.{key}", role)
+            if want_v:
+                members.append(v.alias(fname))
+            if want_e:
+                member_errs.append(e)
         checks: list[Column] = []
         if umap is not None:
             keys = F.map_keys(umap)
@@ -540,85 +631,146 @@ class _ExprBuilder:
             )
             if not t.is_nullable:
                 checks.append(self._err(raw.isNull() & wire.isNull(), "UnionError", path))
-        if len(non_null) == 1:
+        if not want_v:
+            value = F.lit(None)
+        elif len(non_null) == 1:
             # target is the bare nullable value, not a member_* struct
             value = members[0]
         else:
             value = F.when(wire.isNull(), F.lit(None)).otherwise(F.struct(*members))
+        if not want_e:
+            return value, _empty_errs()
         return value, self._cat(
             F.when(wire.isNotNull(), self._cat(*member_errs)),
             *checks,
         )
 
     def _record(
-        self, t: AvroRecord, wire: Column, raw: Optional[Column], path: str
+        self, t: AvroRecord, wire: Column, raw: Optional[Column], path: str,
+        role: str = "both",
     ) -> tuple[Column, Column]:
         n = self.depth.get(t.fqn, 0)
         self.depth[t.fqn] = n + 1
         if n >= self.RAW_RECURSION_LIMIT:
             raw = None  # keep the expression tree linear in unroll depth
         try:
-            rmap = self._obj_map(raw, path)
-            keys = F.map_keys(rmap) if rmap is not None else None
-            shape_err = None
-            if rmap is not None:
-                # JSON present but not an object (scalar/array) at a record
-                # position; JSON null is the parent's (union) concern
-                shape_err = self._err(
-                    raw.isNotNull() & (raw != F.lit("null")) & rmap.isNull(),
-                    "UnexpectedTypeError",
-                    path,
+            rmap_expr = self._obj_map(raw, path)
+            if rmap_expr is None:
+                return self._record_with_map(t, wire, raw, None, path, role)
+            # let-bind the object view separately under each output column:
+            # every field extraction, the key set, and the shape check
+            # reference the map — unbound, each reference embeds its own
+            # copy of the from_json parse, and the copies multiply per
+            # nesting level (k_fields^depth: json_decode_recursive carried
+            # 178 from_json copies and spent ~20 s per call in
+            # analysis+codegen for THREE rows).  The value tree references
+            # only child values and the errs tree only child errors, so
+            # binding per column keeps each output linear in node count.
+            # (Binding one shared (v, e) pair struct instead is a trap: the
+            # two getField references duplicate the pair tree and compound
+            # per level — measured 250 kB plans and a 37 MiB task binary.)
+            # each lambda runs a single-role traversal (children skip the
+            # other slot), so Python-side build work is linear per column
+            value = (
+                _logical_let(
+                    rmap_expr,
+                    lambda m: self._record_with_map(t, wire, raw, m, path, "value")[0],
                 )
-            target = to_struct_type(t, self.env, self.max_depth)  # for default literals
-
-            fields: list[Column] = []
-            errs: list[Column] = []
-            for f in t.fields:
-                fpath = f"{path}.{f.name}"
-                fwire = wire.getField(f.name)
-                fraw = rmap.getItem(f.name) if rmap is not None else None
-                v, e = self.build(f.type, fwire, fraw, fpath)
-                if keys is not None:
-                    present = F.array_contains(keys, f.name)
-                    if f.has_default:
-                        default_lit = self._default_lit(f, target[f.name].dataType)
-                        v = F.when(present, v).otherwise(default_lit)
-                        e = F.when(present, e)
-                    else:
-                        errs.append(
-                            self._err(keys.isNotNull() & ~present, "RecordError", fpath)
-                        )
-                else:
-                    # raw text unaddressable (inside a collection): proxy —
-                    # required non-nullable field that parsed to null is an
-                    # error; null with a default takes the default
-                    if f.has_default:
-                        default_lit = self._default_lit(f, target[f.name].dataType)
-                        v = F.coalesce(v, default_lit) if not _is_null_default(f) else v
-                    elif not _field_nullable(f):
-                        errs.append(self._err(wire.isNotNull() & fwire.isNull(), "RecordError", fpath))
-                fields.append(v.alias(f.name))
-                errs.append(e)
-
-            if keys is not None:
-                known = F.array(*[F.lit(f.name) for f in t.fields])
-                errs.append(
-                    self._err(
-                        keys.isNotNull() & (F.size(F.array_except(keys, known)) > 0),
-                        "RecordError",
-                        path,
-                    )
+                if role != "errs"
+                else F.lit(None)
+            )
+            errs = (
+                _logical_let(
+                    rmap_expr,
+                    lambda m: self._record_with_map(t, wire, raw, m, path, "errs")[1],
                 )
-            value = F.when(wire.isNull(), F.lit(None)).otherwise(F.struct(*fields))
-            guarded = [
-                F.when(wire.isNotNull(), e) if keys is None else e
-                for e in errs
-            ]
-            if shape_err is not None:
-                guarded.append(shape_err)
-            return value, self._cat(*guarded)
+                if role != "value"
+                else _empty_errs()
+            )
+            return value, errs
         finally:
             self.depth[t.fqn] = n
+
+    def _record_with_map(
+        self,
+        t: AvroRecord,
+        wire: Column,
+        raw: Optional[Column],
+        rmap: Optional[Column],
+        path: str,
+        role: str = "both",
+    ) -> tuple[Column, Column]:
+        want_v, want_e = role != "errs", role != "value"
+        keys = F.map_keys(rmap) if rmap is not None else None
+        shape_err = None
+        if want_e and rmap is not None:
+            # JSON present but not an object (scalar/array) at a record
+            # position; JSON null is the parent's (union) concern
+            shape_err = self._err(
+                raw.isNotNull() & (raw != F.lit("null")) & rmap.isNull(),
+                "UnexpectedTypeError",
+                path,
+            )
+        target = to_struct_type(t, self.env, self.max_depth)  # for default literals
+
+        fields: list[Column] = []
+        errs: list[Column] = []
+        for f in t.fields:
+            fpath = f"{path}.{f.name}"
+            fwire = wire.getField(f.name)
+            fraw = rmap.getItem(f.name) if rmap is not None else None
+            v, e = self.build(f.type, fwire, fraw, fpath, role)
+            if keys is not None:
+                present = F.array_contains(keys, f.name)
+                if f.has_default:
+                    if want_v:
+                        default_lit = self._default_lit(f, target[f.name].dataType)
+                        v = F.when(present, v).otherwise(default_lit)
+                    if want_e:
+                        e = F.when(present, e)
+                elif want_e:
+                    errs.append(
+                        self._err(keys.isNotNull() & ~present, "RecordError", fpath)
+                    )
+            else:
+                # raw text unaddressable (inside a collection): proxy —
+                # required non-nullable field that parsed to null is an
+                # error; null with a default takes the default
+                if f.has_default:
+                    if want_v:
+                        default_lit = self._default_lit(f, target[f.name].dataType)
+                        v = F.coalesce(v, default_lit) if not _is_null_default(f) else v
+                elif want_e and not _field_nullable(f):
+                    errs.append(self._err(wire.isNotNull() & fwire.isNull(), "RecordError", fpath))
+            if want_v:
+                fields.append(v.alias(f.name))
+            if want_e:
+                errs.append(e)
+
+        if not want_e:
+            value = F.when(wire.isNull(), F.lit(None)).otherwise(F.struct(*fields))
+            return value, _empty_errs()
+        if keys is not None:
+            known = F.array(*[F.lit(f.name) for f in t.fields])
+            errs.append(
+                self._err(
+                    keys.isNotNull() & (F.size(F.array_except(keys, known)) > 0),
+                    "RecordError",
+                    path,
+                )
+            )
+        value = (
+            F.when(wire.isNull(), F.lit(None)).otherwise(F.struct(*fields))
+            if want_v
+            else F.lit(None)
+        )
+        guarded = [
+            F.when(wire.isNotNull(), e) if keys is None else e
+            for e in errs
+        ]
+        if shape_err is not None:
+            guarded.append(shape_err)
+        return value, self._cat(*guarded)
 
     def _default_lit(self, f: AvroField, dtype: T.DataType) -> Column:
         decoded = _PyDecoder(self.env, self.max_depth).decode(f.type, f.default, f"default({f.name})")
