@@ -188,7 +188,7 @@ def q_stream_decode_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     prepare(spark)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     v1_payload = F.to_json(F.struct(F.col("event_id"), F.col("value")))
     v2_payload = F.to_json(F.struct(F.col("event_id"), F.col("value"), F.col("event_type")))
     even = (F.col("event_id") % 2) == 0
@@ -257,7 +257,7 @@ def q_stream_decode_confluent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.avro_binary import confluent_decode_registry, confluent_encode
 
     prepare(spark)
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events", fanout=True)
     v1_payload = F.to_json(F.struct(F.col("event_id"), F.col("value")))
     v2_payload = F.to_json(F.struct(F.col("event_id"), F.col("value"), F.col("event_type")))
     even = (F.col("event_id") % 2) == 0
