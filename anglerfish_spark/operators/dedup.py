@@ -1277,14 +1277,16 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode("gs").alias("pos0", "gram"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5(F.col("gram").cast("binary")).alias("g"))
     )
-    rep = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # occurrence count as a window over the gram relation itself (same
+    # lesson as q_tfidf's df): a separate count-aggregate joined back
+    # builds the posexplode+md5 lineage on two plan branches Catalyst
+    # does not reuse; the window partitions by the same key the join
+    # would have shuffled on, so skew exposure is unchanged
+    w_gram = Window.partitionBy("g")
+    spans = (
+        grams.withColumn("n", F.count(F.lit(1)).over(w_gram))
         .where(F.col("n") >= SUBSTR_MIN_OCCURS)
-        .select("g")
-    )
-    spans = grams.join(rep, "g").select(
-        "doc_id", F.col("pos").alias("s"), (F.col("pos") + (SUBSTR_N - 1)).alias("e")
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + (SUBSTR_N - 1)).alias("e"))
     )
     w_prev = (
         Window.partitionBy("doc_id")
