@@ -1042,7 +1042,7 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantic dedup (SemDeDup-style: cluster, then prune within clusters)
 # ---------------------------------------------------------------------------
 
-SEMDEDUP_K = 8  # coarse clusters (centroids = vec_id < K, like the IVF cells)
+SEMDEDUP_K = 32  # coarse clusters (centroids = vec_id < K; the paper scales K to hold cell sizes constant - 8 left ~250-vector cells and a 255k-pair quadratic at sf0.1, 32 holds ~63 and ~16k)
 SEMDEDUP_TAU = 0.99  # within-cluster cosine above which the pair is semantic-dup
 
 
