@@ -439,3 +439,42 @@ class TestOcfTyped:
         assert back == [(1, dt.date(2024, 3, 1))] or [tuple(r) for r in back] == [
             (1, dt.date(2024, 3, 1))
         ]
+
+
+class TestLetBinding:
+    """codec/logical._let: the expression-level let that de-duplicates
+    subtree evaluation (interpreted eval has no CSE)."""
+
+    def test_evaluates_value_once(self, spark):
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.codec.logical import _let
+
+        # count evaluations via an accumulator-backed row UDF (slow path
+        # is fine here — the point is the evaluation COUNT)
+        calls = spark.sparkContext.accumulator(0)
+
+        def _probe(x):
+            calls.add(1)
+            return x
+
+        probe = F.udf(_probe, "long")
+
+        df = spark.range(10).coalesce(1)
+        bound = _let(probe(F.col("id")), lambda v: v + v + v)
+        out = df.select(bound.alias("r")).collect()
+        assert [r["r"] for r in out] == [3 * i for i in range(10)]
+        assert calls.value == 10  # one probe evaluation per row, not three
+
+    def test_null_value_flows_through(self, spark):
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.codec.logical import _let
+
+        df = spark.range(3).select(
+            F.when(F.col("id") == 1, F.col("id")).alias("x")
+        )
+        out = df.select(
+            _let(F.col("x"), lambda v: F.coalesce(v, F.lit(-1))).alias("r")
+        ).collect()
+        assert sorted(r["r"] for r in out) == [-1, -1, 1]
