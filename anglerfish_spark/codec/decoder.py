@@ -841,6 +841,15 @@ class _ExprBuilder:
                     == F.lit("STRING")
                 )
                 errs.append(self._err(quoted, "UnexpectedTypeError", fpath))
+                # A quoted token is ONE violation (pydecode raises exactly one
+                # UnexpectedTypeError).  The quote-stripped map view cannot see
+                # the quotes, so its own checks may fire too — the int-literal
+                # check for "2" at a double position, the cast-null mismatch
+                # for "abc" at a long position — producing a duplicate (or a
+                # bogus Unrepresentable from a cast of what was a string
+                # token).  The probe's verdict wins; stand-down (null probe)
+                # keeps the map view's errors.
+                e = F.when(~F.coalesce(quoted, F.lit(False)), e)
             present = F.array_contains(keys, f.name)
             if f.has_default:
                 default_lit = self._default_lit(f, target[f.name].dataType)

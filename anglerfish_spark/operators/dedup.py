@@ -628,7 +628,13 @@ def connected_components(pairs: DataFrame, src: str, dst: str, max_iter: int = 1
             ).alias("e")
         )
         .select("e.s", "e.t")
-        .localCheckpoint()
+        # eager=False: merely *constructing* (or explaining) the plan must
+        # not run the whole LSH candidate pipeline as a job; truncation
+        # still happens at the first action.  Trade-off: localCheckpoint
+        # blocks are not fault-tolerant either way — on a long-lived
+        # cluster where executor loss matters, swap for reliable
+        # checkpoint() against a checkpoint dir.
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")

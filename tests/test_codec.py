@@ -616,6 +616,29 @@ class TestQuotedTokenStrictness:
             ["UnexpectedTypeError@$.b"],
         ]
 
+    def test_flat_path_quoted_token_reports_exactly_one_error(self, spark):
+        # ADVICE r4: a quoted token is ONE violation (pydecode raises one
+        # UnexpectedTypeError).  Pre-r5 the quote-stripped map view's own
+        # checks fired *as well* — the int-literal check for "2" at a
+        # double position, the cast-null mismatch for "abc" at a long
+        # position — duplicating the probe's entry.
+        errs = self._errs(
+            spark,
+            self.FLAT,
+            [
+                '{"x":123,"d":"2","b":true,"s":"ok"}',     # quoted integral @ double
+                '{"x":"abc","d":1.5,"b":true,"s":"ok"}',   # quoted non-numeric @ long
+                '{"x":123,"d":1.5,"b":"yes","s":"ok"}',    # quoted non-bool @ boolean
+                '{"x":123,"d":"2.50000000001","b":true,"s":"ok"}',  # would be float-inexact if cast
+            ],
+        )
+        assert errs == [
+            ["UnexpectedTypeError@$.d"],
+            ["UnexpectedTypeError@$.x"],
+            ["UnexpectedTypeError@$.b"],
+            ["UnexpectedTypeError@$.d"],
+        ]
+
     def test_nested_path_quoted_long_errors_not_silent_null(self, spark):
         errs = self._errs(
             spark,

@@ -6,8 +6,8 @@ sketch state, and window tie-breaks are the classic leaks.  The engine's
 answers are the decimal-accumulate contract (`operators/common.dsum`),
 exact integer quantization, and total window orders; this test runs
 representative queries over the SAME rows arranged three hostile ways
-(one partition, many tiny partitions, reversed order) and asserts
-identical results.
+(a single row group, many tiny row groups, content-rehashed row order)
+and asserts results identical to the base sf_dir layout.
 
 The queries load their own tables, so the arrangement is injected by
 rewriting the parquet input: each variant directory holds identical rows
@@ -40,17 +40,20 @@ def variant_dirs(sf_dir, tmp_path_factory):
     """Three physical arrangements of the same logical tables."""
     con = duckdb.connect()
     out = []
-    for name, clause in [
-        ("onefile", ""),
-        # reverse the file order via a deterministic shuffle key: hash of
-        # the row's text form (row-content order, not storage order)
-        ("rehashed", "ORDER BY md5(CAST(t AS VARCHAR)) DESC"),
+    for name, clause, row_group in [
+        # one giant row group per file — a single Spark input partition
+        ("onegroup", "", 1_000_000_000),
+        # many tiny row groups — many tiny input partitions
+        ("tinygroups", "", 2048),
+        # same tiny groups with the rows reordered by a deterministic
+        # content hash (row-content order, not storage order)
+        ("rehashed", "ORDER BY md5(CAST(t AS VARCHAR)) DESC", 2048),
     ]:
         d = tmp_path_factory.mktemp(f"inv_{name}")
         for t in TABLES:
             con.execute(
                 f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet') t {clause})"
-                f" TO '{d}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)"
+                f" TO '{d}/{t}.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE {row_group})"
             )
         out.append(str(d))
     return out
