@@ -960,8 +960,21 @@ def decode_json(
         staged = staged.withColumn(wire_col, F.from_json(F.col(raw_col), wire_t))
     if needs_vprobe:
         # quoted-number/boolean detection (see build_flat_record): one
-        # variant parse per row, staged through the same barrier
-        staged = staged.withColumn(vprobe_col, F.try_parse_json(F.col(raw_col)))
+        # variant parse per row, staged through the same barrier — but only
+        # for rows that can possibly contain a quoted token.  By JSON
+        # grammar a string value is always ':' + optional whitespace + '"',
+        # so rows without that byte pattern provably hold no quoted token
+        # and skip the second (variant) parse entirely; the per-field
+        # checks see a null probe there and stand down, which is exact.
+        # Measured (r5 A/B, same session, sf0.1 events): the whole probe
+        # apparatus costs ~6% on json_decode_strict (0.68 -> 0.72 s) and
+        # the prefilter is neutral-to-slightly-positive on these ~15-byte
+        # payloads — its real payoff is numeric-only payloads at realistic
+        # row sizes, where it skips a full second parse of the row text.
+        staged = staged.withColumn(
+            vprobe_col,
+            F.when(F.col(raw_col).rlike(':\\s*"'), F.try_parse_json(F.col(raw_col))),
+        )
     # Generate barrier: explode of a one-element array is a row-preserving
     # generator Catalyst cannot collapse a Project through, so the parsed
     # columns materialize once and every downstream reference reads the

@@ -56,27 +56,48 @@ def events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     (topic, partition, offset).  Stands in for ``spark.read.format("kafka")``
     in this connector-less sandbox; producers would emit identical bytes.
 
-    ``fanout=True``: the encode/decode pandas UDFs are the pipeline's CPU
-    cost, and a small parquet stand-in is one row group — without the
-    fan-out the whole codec path runs on one core (measured 19.3 s at
-    sf0.1; ~1.5 s fanned out).  A real Kafka source is already
-    partitioned by topic-partition, so this is purely the stand-in's
-    concern."""
-    ev = load_table(spark, sf_dir, "events", fanout=True)
-    payload = F.to_json(
-        F.struct(
-            F.col("event_id"),
-            F.col("event_type"),
-            F.col("value"),
-            F.unix_micros(F.col("ts")).alias("ts"),
+    The *encode* is the producer's cost, not the consumer's — a real
+    Kafka source reads bytes that already exist — so the relation is
+    materialized ONCE per (process, sf_dir) and re-read from parquet
+    afterwards (VERDICT r4 #2: the bench number must time consumption,
+    not stand-in generation).
+
+    ``fanout=True`` on the build: the encode pandas UDF is the build's
+    CPU cost, and a small parquet stand-in is one row group — without
+    the fan-out the whole codec path runs on one core (measured 19.3 s
+    at sf0.1; ~1.5 s fanned out).  The materialized relation inherits
+    the fan-out's file count, so consumers read in parallel the way a
+    partitioned topic is consumed."""
+    from ..sources.standin import materialize_once
+
+    def build(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events", fanout=True)
+        payload = F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.unix_micros(F.col("ts")).alias("ts"),
+            )
         )
-    )
-    return ev.select(
-        single_object_encode(payload, MESSAGE_SCHEMA).alias("value"),
-        F.lit(TOPIC).alias("topic"),
-        F.spark_partition_id().alias("partition"),
-        F.col("event_id").alias("offset"),
-    )
+        ev.select(
+            single_object_encode(payload, MESSAGE_SCHEMA).alias("value"),
+            F.lit(TOPIC).alias("topic"),
+            F.spark_partition_id().alias("partition"),
+            F.col("event_id").alias("offset"),
+        ).write.parquet(path)
+
+    return _read_fanned(spark, materialize_once("stream_messages", sf_dir, build))
+
+
+def _read_fanned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a materialized message relation at consumer parallelism.  The
+    stand-in files are small enough that the scan packs them into a few
+    input partitions (maxPartitionBytes), which would serialize the decode
+    UDF; a real topic is consumed across its partitions, so re-fan to the
+    session's parallelism — the shuffle moves only the message bytes."""
+    df = spark.read.parquet(path)
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def decode_messages(messages: DataFrame) -> DataFrame:
@@ -139,6 +160,24 @@ def q_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # schema-registry consumption: interleaved schema versions, one relation
 # ---------------------------------------------------------------------------
 
+
+def _two_version_messages(spark, sf_dir, key, value_expr) -> DataFrame:
+    """Stand-in topic interleaving two writer-schema versions (even events
+    under v1, odd under v2), materialized once per (process, sf_dir) —
+    the producer-side encode is setup, not consumption (VERDICT r4 #2).
+    ``value_expr(v1_payload, v2_payload, even)`` builds the framed value
+    column (spec single-object or Confluent framing)."""
+    from ..sources.standin import materialize_once
+
+    def build(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events", fanout=True)
+        v1 = F.to_json(F.struct(F.col("event_id"), F.col("value")))
+        v2 = F.to_json(F.struct(F.col("event_id"), F.col("value"), F.col("event_type")))
+        even = (F.col("event_id") % 2) == 0
+        ev.select(value_expr(v1, v2, even)).write.parquet(path)
+
+    return _read_fanned(spark, materialize_once(key, sf_dir, build))
+
 #: writer schema v1 — early producers: no event_type yet
 MESSAGE_SCHEMA_V1 = """
 {"type":"record","name":"EventMsg","namespace":"stream","fields":[
@@ -188,14 +227,13 @@ def q_stream_decode_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     prepare(spark)
-    ev = load_table(spark, sf_dir, "events", fanout=True)
-    v1_payload = F.to_json(F.struct(F.col("event_id"), F.col("value")))
-    v2_payload = F.to_json(F.struct(F.col("event_id"), F.col("value"), F.col("event_type")))
-    even = (F.col("event_id") % 2) == 0
-    msgs = ev.select(
-        F.when(even, single_object_encode(v1_payload, MESSAGE_SCHEMA_V1))
-        .otherwise(single_object_encode(v2_payload, MESSAGE_SCHEMA_V2))
-        .alias("value")
+    msgs = _two_version_messages(
+        spark,
+        sf_dir,
+        "registry_messages",
+        lambda v1, v2, even: F.when(even, single_object_encode(v1, MESSAGE_SCHEMA_V1))
+        .otherwise(single_object_encode(v2, MESSAGE_SCHEMA_V2))
+        .alias("value"),
     )
     decoded = decode_json(
         msgs.select(
@@ -257,14 +295,13 @@ def q_stream_decode_confluent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.avro_binary import confluent_decode_registry, confluent_encode
 
     prepare(spark)
-    ev = load_table(spark, sf_dir, "events", fanout=True)
-    v1_payload = F.to_json(F.struct(F.col("event_id"), F.col("value")))
-    v2_payload = F.to_json(F.struct(F.col("event_id"), F.col("value"), F.col("event_type")))
-    even = (F.col("event_id") % 2) == 0
-    msgs = ev.select(
-        F.when(even, confluent_encode(v1_payload, MESSAGE_SCHEMA_V1, 7))
-        .otherwise(confluent_encode(v2_payload, MESSAGE_SCHEMA_V2, 12))
-        .alias("value")
+    msgs = _two_version_messages(
+        spark,
+        sf_dir,
+        "confluent_messages",
+        lambda v1, v2, even: F.when(even, confluent_encode(v1, MESSAGE_SCHEMA_V1, 7))
+        .otherwise(confluent_encode(v2, MESSAGE_SCHEMA_V2, 12))
+        .alias("value"),
     )
     dec = msgs.select(
         confluent_decode_registry("value", CONFLUENT_IDS, MESSAGE_SCHEMA_V2).alias("m")

@@ -67,15 +67,20 @@ def main() -> None:
     except Exception:
         pass
 
-    # three passes per query, keep the best: the first execution of each
+    # five passes per query, keep the best: the first execution of each
     # distinct plan pays one-off JIT/codegen/footer costs that say nothing
-    # about throughput, and ambient machine load adds one-sided noise.
-    # Per-query fault tolerance: one broken query must never zero out the
-    # whole round's perf signal — record its error and keep going.
+    # about throughput, and ambient machine load adds one-sided noise —
+    # r4's q_join_asof "regression" (+55%) was exactly this (isolated
+    # quiet-session min matched r3 to 1%; SCALE.md r5).  Each pass runs
+    # the queries in a rotated order so adjacency effects (a heavy
+    # neighbor's GC debt, AQE state) cannot bias the same query every
+    # pass.  Per-query fault tolerance: one broken query must never zero
+    # out the whole round's perf signal — record its error and keep going.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _ in range(3):
-        for name in names:
+    for p in range(5):
+        k = (p * 7) % max(len(names), 1)
+        for name in names[k:] + names[:k]:
             if name in errors:
                 continue
             t0 = time.perf_counter()
@@ -96,6 +101,14 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    # stand-in generation (Kafka-message encode, OCF producer writes) is
+    # setup a real consumer never pays — materialized once per process
+    # (sources/standin.py), reported separately, excluded from best-of-N
+    # since only the first pass pays it (VERDICT r4 #2)
+    from anglerfish_spark.sources.standin import SETUP_SECONDS
+
+    if SETUP_SECONDS:
+        payload["setup_sec"] = dict(sorted(SETUP_SECONDS.items()))
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))

@@ -309,7 +309,10 @@ def test_stream_decode_dead_letter(spark, sf_dir):
         events_as_messages,
     )
 
-    msgs = events_as_messages(spark, sf_dir).limit(700)
+    # deterministic subset: limit() on a repartitioned relation picks
+    # whichever rows arrive first, so the streamed subset would differ
+    # from the recount below; offset (= event_id) is stable
+    msgs = events_as_messages(spark, sf_dir).where(F.col("offset") < 700)
     corrupted = msgs.withColumn(
         "value",
         F.when(
