@@ -710,8 +710,12 @@ def confluent_decode_registry_udf(schemas_by_id: dict[int, str], reader_schema: 
     return _decode
 
 
-def _confluent_one(buf: bytes, by_id: dict, rps, resolve_datum) -> tuple[int, str]:
-    """Decode one Confluent-framed message; shared by strict + permissive."""
+def _confluent_one(buf: bytes, by_id, rps, resolve_datum) -> tuple[int, str]:
+    """Decode one Confluent-framed message; shared by strict + permissive.
+    ``by_id`` is a dict (static id map) or any object with a dict-shaped
+    ``get`` whose miss may raise DatumError itself (the registry-client
+    resolver does, so an id unknown to the *registry* dead-letters with
+    the same contract as an id missing from a static map)."""
     if len(buf) < 5 or buf[:1] != CONFLUENT_MAGIC:
         raise DatumError("not a Confluent-framed message (magic byte != 0x00)")
     sid = _struct.unpack(">I", buf[1:5])[0]
@@ -721,6 +725,90 @@ def _confluent_one(buf: bytes, by_id: dict, rps, resolve_datum) -> tuple[int, st
     wps, codec = entry
     v = codec.decode(buf[5:])
     return sid, dumps_avro_json(resolve_datum(v, wps.root, rps.root, rps.env, wps.env))
+
+
+class _ClientIdResolver:
+    """id -> (ParsedSchema, BinaryCodec) through a SchemaRegistryClient,
+    memoizing parsed schemas per UDF instance (the client itself memoizes
+    the JSON per process).  Registry id-miss becomes DatumError so the
+    permissive path dead-letters it like any other poisoned frame; network
+    failures stay SchemaRegistryError — those must fail the batch (retry),
+    not silently dead-letter healthy messages."""
+
+    def __init__(self, client) -> None:
+        self._client = client
+        self._cache: dict[int, tuple] = {}
+
+    def get(self, sid: int):
+        from ..sources.schema_registry import SchemaNotFoundError
+
+        entry = self._cache.get(sid)
+        if entry is None:
+            try:
+                wjson = self._client.schema_by_id(sid)
+            except SchemaNotFoundError as ex:
+                raise DatumError(f"schema id {sid} not in registry") from ex
+            ps = parse_schema(wjson)
+            entry = self._cache[sid] = (ps, BinaryCodec(ps))
+        return entry
+
+
+def confluent_decode_client_udf(base_url: str, reader_schema: str, permissive: bool = False):
+    """Registry-client-backed variant of the Confluent decode UDFs: writer
+    schemas resolve by id against the Schema Registry REST API
+    (sources/schema_registry.py — LRU id cache, retries) instead of a
+    static id map, which is what a long-lived consumer actually does when
+    a producer rolls a new version mid-stream.  One client per (process,
+    base_url) so the cache amortizes across Arrow batches and partitions.
+    ``permissive``: unknown-id / framing / body defects populate an
+    ``error`` column (dead-letter) instead of failing the batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    fields = [
+        T.StructField("schema_id", T.IntegerType(), True),
+        T.StructField("json", T.StringType(), True),
+    ]
+    if permissive:
+        fields.append(T.StructField("error", T.StringType(), True))
+    out_t = T.StructType(fields)
+
+    @pandas_udf(out_t)
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        from ..codec.evolve import resolve_datum
+        from ..sources.schema_registry import process_client
+
+        rps = parse_schema(reader_schema)
+        resolver = _ClientIdResolver(process_client(base_url))
+        ids, jsons, errors = [], [], []
+        for b in s:
+            buf = bytes(b)
+            sid = None
+            try:
+                if len(buf) >= 5 and buf[:1] == CONFLUENT_MAGIC:
+                    sid = _struct.unpack(">I", buf[1:5])[0]
+                sid, txt = _confluent_one(buf, resolver, rps, resolve_datum)
+                ids.append(sid)
+                jsons.append(txt)
+                errors.append(None)
+            except DatumError as ex:
+                if not permissive:
+                    raise
+                ids.append(sid)
+                jsons.append(None)
+                errors.append(f"DatumError: {ex}")
+        out = {"schema_id": pd.array(ids, dtype="Int32"), "json": jsons}
+        if permissive:
+            out["error"] = errors
+        return pd.DataFrame(out)
+
+    return _decode
+
+
+def confluent_decode_client(
+    col: Column | str, base_url: str, reader_schema: str, permissive: bool = False
+) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return confluent_decode_client_udf(base_url, reader_schema, permissive)(c)
 
 
 def confluent_decode_registry_permissive_udf(
