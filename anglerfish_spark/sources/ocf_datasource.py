@@ -200,29 +200,66 @@ class _OcfStreamReader(DataSourceStreamReader):
 
     Offset growth / retention: the offset is O(files ever seen) and is
     serialized into the checkpoint offset log every micro-batch — the same
-    growth law as Spark's built-in file source seen-log.  For a long-lived
-    stream, bound it operationally: compact small segments and move
-    processed files out of the watched directory on a retention schedule
-    (the offset shrinks with the listing, and files re-appearing under new
-    names are new segments by definition).  A (mtime, name) watermark
-    offset would stay O(1) but trades away exactly the determinism the
-    set-difference gives under mtime skew, so it is deliberately not
-    used."""
+    growth law as Spark's built-in file source seen-log.  Two bounds:
 
-    def __init__(self, path: str, reader_schema_json: str):
+    * operational (always available): compact small segments and move
+      processed files out of the watched directory on a retention
+      schedule — the offset shrinks with the listing, and files
+      re-appearing under new names are new segments by definition;
+    * **mtime-watermark compaction** (opt-in, ``compaction_lag_sec``
+      option, VERDICT r4 #5): the explicit seen-set keeps only files
+      whose mtime is within ``lag`` of the newest file; older files
+      collapse into one watermark float ``wm``, making the offset O(files
+      in the lag window).  Every seen entry stores its mtime, so a batch
+      is still computed from the OFFSETS ALONE (``f not in start.seen and
+      mtime > start.wm``) — deterministic replay, no re-listing.  The
+      trade-off is explicit: a file published with an mtime older than
+      the newest file by more than ``lag`` (copied with preserved
+      timestamps, extreme clock skew) is treated as already seen and
+      skipped; size the lag above the producer's publish-to-visibility
+      skew, or leave compaction off (default) for the exact seen-set
+      semantics."""
+
+    def __init__(self, path: str, reader_schema_json: str, compaction_lag: float | None = None):
         self.path = path
         self.reader_schema_json = reader_schema_json
+        self.compaction_lag = compaction_lag
 
     def initialOffset(self) -> dict:
-        return {"seen": {}}
+        return {"seen": {}, "wm": None}
 
     def latestOffset(self) -> dict:
         # keys are FULL paths: the path option may be a glob, where
-        # joining basenames back onto it would build nonsense paths
-        return {"seen": {f: True for f in _files(self.path)}}
+        # joining basenames back onto it would build nonsense paths.
+        # Values are mtimes — what lets a later offset's watermark imply
+        # this entry without keeping it (and the race-with-delete guard
+        # drops a file that vanished between listing and stat; it will
+        # simply not be in this offset).
+        files: dict[str, float] = {}
+        for f in _files(self.path):
+            try:
+                files[f] = os.path.getmtime(f)
+            except OSError:
+                continue
+        if self.compaction_lag is None or not files:
+            return {"seen": files, "wm": None}
+        wm = max(files.values()) - self.compaction_lag
+        return {"seen": {f: mt for f, mt in files.items() if mt > wm}, "wm": wm}
+
+    @staticmethod
+    def _mt(v) -> float:
+        # pre-compaction checkpoints stored True per path; treat their
+        # mtime as +inf so only explicit set membership governs them
+        return v if isinstance(v, (int, float)) and not isinstance(v, bool) else float("inf")
 
     def partitions(self, start: dict, end: dict):
-        new = sorted(set(end.get("seen", {})) - set(start.get("seen", {})))
+        swm = start.get("wm")
+        sseen = start.get("seen", {})
+        new = sorted(
+            f
+            for f, v in end.get("seen", {}).items()
+            if f not in sseen and (swm is None or self._mt(v) > swm)
+        )
         return [InputPartition(f) for f in new]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
@@ -269,7 +306,10 @@ class _OcfStreamWriter(DataSourceStreamArrowWriter):
 class AvroOcfDataSource(DataSource):
     """Options: ``path`` (dir or glob; ``load(path)`` sets it),
     ``reader_schema`` (avsc JSON; defaults to the first file's writer
-    schema — heterogeneous directories resolve per-file into it).
+    schema — heterogeneous directories resolve per-file into it),
+    ``compaction_lag_sec`` (streaming reads: bound the checkpoint offset
+    to files within this many seconds of the newest — see
+    ``_OcfStreamReader``).
 
     Batch AND streaming on both sides: ``spark.read`` / ``readStream``
     (directory-as-topic, new files are micro-batches) and ``df.write`` /
@@ -322,7 +362,12 @@ class AvroOcfDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> _OcfStreamReader:
-        return _OcfStreamReader(self.options["path"], self._reader_schema_json())
+        lag = self.options.get("compaction_lag_sec")
+        return _OcfStreamReader(
+            self.options["path"],
+            self._reader_schema_json(),
+            compaction_lag=float(lag) if lag is not None else None,
+        )
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> _OcfStreamWriter:
         from ..schema.printer import to_avsc

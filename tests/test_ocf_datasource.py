@@ -152,6 +152,128 @@ def test_stream_read_picks_up_new_files(spark):
         assert run_once() == set(range(8))
 
 
+class TestOffsetCompaction:
+    """mtime-watermark offset compaction (VERDICT r4 #5): a long-lived
+    stream's checkpoint offset stays O(files in the lag window), and a
+    compacted offset resumes IDENTICALLY — batches are computed from the
+    offsets alone, surviving a JSON checkpoint round-trip."""
+
+    SCHEMA = '{"type":"record","name":"R","fields":[{"name":"id","type":"long"}]}'
+
+    def _reader(self, path, lag):
+        from anglerfish_spark.sources.ocf_datasource import _OcfStreamReader
+
+        return _OcfStreamReader(path, self.SCHEMA, compaction_lag=lag)
+
+    def _mkfile(self, d, name, mtime):
+        p = os.path.join(d, name)
+        with open(p, "wb") as f:
+            f.write(b"")
+        os.utime(p, (mtime, mtime))
+        return p
+
+    def test_compacted_offset_resumes_identically(self, tmp_path):
+        import json
+
+        d = str(tmp_path)
+        t0 = 1_700_000_000.0
+        old = [self._mkfile(d, f"old{i}.avro", t0 + i) for i in range(5)]
+        fresh = self._mkfile(d, "fresh.avro", t0 + 1000)
+
+        r = self._reader(d, lag=60.0)
+        o1 = r.latestOffset()
+        # compaction: the 5 old segments collapse into the watermark
+        assert set(o1["seen"]) == {fresh}
+        assert o1["wm"] == t0 + 1000 - 60.0
+        # first batch from the initial offset still covers EVERYTHING
+        # explicit in o1; the old files predate the stream (wm of the
+        # initial offset is None, but they are not in o1's seen set —
+        # the documented contract: compaction treats them as seen)
+        first = {p.value for p in r.partitions(r.initialOffset(), o1)}
+        assert first == {fresh}
+
+        # new segments arrive with fresh mtimes
+        new1 = self._mkfile(d, "new1.avro", t0 + 1010)
+        new2 = self._mkfile(d, "new2.avro", t0 + 1020)
+        o2 = r.latestOffset()
+        # resume from the COMPACTED o1 after a checkpoint JSON round-trip:
+        # exactly the new files, never the watermark-implied old ones
+        o1_rt = json.loads(json.dumps(o1))
+        o2_rt = json.loads(json.dumps(o2))
+        got = {p.value for p in r.partitions(o1_rt, o2_rt)}
+        assert got == {new1, new2}
+        # and the offset stayed bounded: old segments never re-enter
+        assert set(o2["seen"]) == {fresh, new1, new2}
+        assert all(f not in o2["seen"] for f in old)
+
+    def test_backdated_file_is_skipped_by_design(self, tmp_path):
+        d = str(tmp_path)
+        t0 = 1_700_000_000.0
+        self._mkfile(d, "a.avro", t0 + 1000)
+        r = self._reader(d, lag=60.0)
+        o1 = r.latestOffset()
+        # a file published with an mtime older than newest-lag (preserved
+        # timestamps) falls under the watermark: the documented trade-off
+        self._mkfile(d, "backdated.avro", t0)
+        in_lag = self._mkfile(d, "inlag.avro", t0 + 990)
+        o2 = r.latestOffset()
+        got = {p.value for p in r.partitions(o1, o2)}
+        assert got == {in_lag}
+
+    def test_disabled_compaction_keeps_exact_seen_set(self, tmp_path):
+        d = str(tmp_path)
+        t0 = 1_700_000_000.0
+        a = self._mkfile(d, "a.avro", t0)
+        b = self._mkfile(d, "b.avro", t0 + 100000)
+        r = self._reader(d, lag=None)
+        o1 = r.latestOffset()
+        assert set(o1["seen"]) == {a, b} and o1["wm"] is None
+        # even an ANCIENT new arrival is picked up — exact semantics
+        c = self._mkfile(d, "c.avro", 0.0)
+        got = {p.value for p in r.partitions(o1, r.latestOffset())}
+        assert got == {c}
+
+    def test_precompaction_checkpoint_format_resumes(self, tmp_path):
+        """Offsets written before compaction existed ({path: True}, no wm)
+        must keep working as the start of the next batch."""
+        d = str(tmp_path)
+        t0 = 1_700_000_000.0
+        a = self._mkfile(d, "a.avro", t0)
+        r = self._reader(d, lag=60.0)
+        legacy = {"seen": {a: True}}
+        b = self._mkfile(d, "b.avro", t0 + 10)
+        got = {p.value for p in r.partitions(legacy, r.latestOffset())}
+        assert got == {b}
+
+    def test_streaming_end_to_end_with_compaction(self, spark):
+        """The option wired through readStream: with a generous lag the
+        two-run checkpoint-resume behavior is unchanged."""
+        with tempfile.TemporaryDirectory(prefix="anglerfish_dsc_") as d:
+            src, out, ckpt = f"{d}/src", f"{d}/out", f"{d}/ckpt"
+            spark.range(5).coalesce(1).write.format(FORMAT_NAME).mode("append").save(src)
+
+            def run_once():
+                stream = (
+                    spark.readStream.format(FORMAT_NAME)
+                    .option("compaction_lag_sec", "3600")
+                    .load(src)
+                )
+                q = (
+                    stream.writeStream.format(FORMAT_NAME)
+                    .option("path", out)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(300)
+                return {r.id for r in spark.read.format(FORMAT_NAME).load(out).collect()}
+
+            assert run_once() == set(range(5))
+            spark.range(5, 8).coalesce(1).write.format(FORMAT_NAME).mode("append").save(src)
+            assert run_once() == set(range(8))
+
+
 def test_staged_tmp_files_are_invisible_to_readers(spark):
     """The two-phase write protocol: a dead task's .avro.tmp staging file
     must never be listed by batch or streaming reads."""
