@@ -1371,3 +1371,330 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# the full curation pipeline: exact -> LSH(capped) -> SemDeDup -> ExactSubstr
+# ---------------------------------------------------------------------------
+
+#: semantic-stage threshold for the composed pipeline.  The synthetic
+#: embeddings carry no planted near-copies on the documents' id space
+#: (natural within-cell max cosine ~0.49 at sf0.01), so the composed run
+#: uses an aggressive tau — the knob a curator turns — to exercise the
+#: stage; the standalone q_dedup_semantic keeps the paper's 0.99 against
+#: its planted fixtures.
+CURATION_SEM_TAU = 0.45
+
+
+def _curation_oracle() -> str:
+    from .similarity import cosine_sql
+
+    sig_cols = ", ".join(
+        f"MIN(substring(md5('{'a' if i < 4 else 'b'}|' || s), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, h{2*b} || h{2*b+1} AS band_key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, len({TOKENS_SQL}) AS n_tok,
+         md5(array_to_string(list_sort(list_distinct({TOKENS_SQL})), ' ')) AS fp
+  FROM documents
+),
+s1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM base),
+exact_removed AS (SELECT doc_id FROM s1 WHERE rn > 1),
+surv1 AS (SELECT doc_id FROM s1 WHERE rn = 1),
+sh AS (
+  SELECT d.doc_id, unnest({_SHINGLES_SQL}) AS s
+  FROM documents d JOIN surv1 USING (doc_id)
+),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({bands_union}),
+near_removed AS (
+  SELECT DISTINCT b.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+surv2 AS (SELECT doc_id FROM surv1 WHERE doc_id NOT IN (SELECT doc_id FROM near_removed)),
+cents AS (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < {SEMDEDUP_K}),
+assign AS (
+  SELECT e.vec_id, e.embedding AS emb, c.cell_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cosine_sql('e.embedding', 'c.ce')} DESC, c.cell_id) AS crn
+  FROM embeddings e JOIN surv2 s ON e.vec_id = s.doc_id
+  CROSS JOIN cents c
+),
+cells AS (SELECT vec_id, emb, cell_id FROM assign WHERE crn = 1),
+sem_removed AS (
+  SELECT DISTINCT b.vec_id AS doc_id
+  FROM cells a JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {cosine_sql('a.emb', 'b.emb')} >= {CURATION_SEM_TAU}
+),
+surv3 AS (SELECT doc_id FROM surv2 WHERE doc_id NOT IN (SELECT doc_id FROM sem_removed)),
+toks3 AS (
+  SELECT d.doc_id, {TOKENS_SQL} AS t FROM documents d JOIN surv3 USING (doc_id)
+),
+glist AS (
+  SELECT doc_id,
+         [{{'pos': i,
+            'g': md5(array_to_string(list_slice(t, i, i + {SUBSTR_N - 1}), ' '))}}
+          for i in generate_series(1, len(t) - {SUBSTR_N - 1})] AS gs
+  FROM toks3
+),
+grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g
+  FROM (SELECT doc_id, unnest(gs) AS u FROM glist)
+),
+rep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= {SUBSTR_MIN_OCCURS}),
+spans AS (
+  SELECT doc_id, pos AS s, pos + {SUBSTR_N - 1} AS e
+  FROM grams JOIN rep USING (g)
+),
+islands AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM spans
+),
+grouped AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM islands
+),
+covered AS (
+  SELECT doc_id, SUM(cov) AS c
+  FROM (SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS cov
+        FROM grouped GROUP BY doc_id, island)
+  GROUP BY doc_id
+),
+ledger AS (
+  SELECT b.doc_id, b.n_tok,
+         CASE WHEN er.doc_id IS NOT NULL THEN 1
+              WHEN nr.doc_id IS NOT NULL THEN 2
+              WHEN sr.doc_id IS NOT NULL THEN 3
+              WHEN cv.c IS NOT NULL AND 2 * cv.c >= b.n_tok THEN 4
+         END AS removed_stage,
+         CASE WHEN er.doc_id IS NULL AND nr.doc_id IS NULL AND sr.doc_id IS NULL
+                   AND cv.c IS NOT NULL AND 2 * cv.c < b.n_tok
+              THEN cv.c ELSE 0 END AS trimmed
+  FROM base b
+  LEFT JOIN exact_removed er ON er.doc_id = b.doc_id
+  LEFT JOIN near_removed nr ON nr.doc_id = b.doc_id
+  LEFT JOIN sem_removed sr ON sr.doc_id = b.doc_id
+  LEFT JOIN covered cv ON cv.doc_id = b.doc_id
+),
+m AS (
+  SELECT COUNT(*) AS n_total, SUM(n_tok) AS t_total,
+         COUNT(*) FILTER (removed_stage = 1) AS d1,
+         COALESCE(SUM(n_tok) FILTER (removed_stage = 1), 0) AS t1,
+         COUNT(*) FILTER (removed_stage = 2) AS d2,
+         COALESCE(SUM(n_tok) FILTER (removed_stage = 2), 0) AS t2,
+         COUNT(*) FILTER (removed_stage = 3) AS d3,
+         COALESCE(SUM(n_tok) FILTER (removed_stage = 3), 0) AS t3,
+         COUNT(*) FILTER (removed_stage = 4) AS d4,
+         COALESCE(SUM(n_tok) FILTER (removed_stage = 4), 0) + SUM(trimmed) AS t4
+  FROM ledger
+)
+SELECT stage,
+       CAST(docs_removed AS BIGINT) AS docs_removed,
+       CAST(tokens_removed AS BIGINT) AS tokens_removed,
+       CAST(docs_remaining AS BIGINT) AS docs_remaining,
+       CAST(tokens_remaining AS BIGINT) AS tokens_remaining
+FROM (
+  SELECT '0_input' AS stage, 0 AS docs_removed, 0 AS tokens_removed,
+         n_total AS docs_remaining, t_total AS tokens_remaining FROM m
+  UNION ALL SELECT '1_exact', d1, t1, n_total - d1, t_total - t1 FROM m
+  UNION ALL SELECT '2_near', d2, t2, n_total - d1 - d2, t_total - t1 - t2 FROM m
+  UNION ALL SELECT '3_semantic', d3, t3, n_total - d1 - d2 - d3,
+                   t_total - t1 - t2 - t3 FROM m
+  UNION ALL SELECT '4_substr', d4, t4, n_total - d1 - d2 - d3 - d4,
+                   t_total - t1 - t2 - t3 - t4 FROM m
+)
+ORDER BY stage
+"""
+
+
+@query("q_curation_full", oracle=_curation_oracle(), group="llm-dedup")
+def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation run a real 100 TB cleanup executes, with
+    per-stage removal accounting (VERDICT r4 #6): exact dedup →
+    MinHash-LSH near-dedup (skew-capped band join) → SemDeDup semantic
+    prune → ExactSubstr repeated-span trimming, each stage consuming the
+    previous stage's SURVIVORS — the stage interactions (a doc exact-
+    removed never reaches the LSH join; substring trimming only counts
+    tokens on docs that survived all document-level stages) are exactly
+    what the standalone queries cannot see.
+
+    Removal rules are each stage's order-free relaxation (remove the
+    higher doc_id of a qualifying pair), so the composition stays
+    partition/visit-order independent end to end.  Substr stage: a
+    surviving doc loses its repeated-span tokens; a doc that is mostly
+    repetition (2*covered >= n_tok) is dropped whole.
+
+    Output: one row per stage — docs_removed, tokens_removed, and the
+    running remaining counts; `0_input` anchors the totals.
+
+    Scale shape / shuffle budget (SCALE.md r5): exact = one window by fp;
+    LSH = map-side signatures + one capped band-join exchange (the
+    survivor filter rides the same scan); semantic = broadcast centroid
+    assign + one cell-keyed self-join of survivors only; substr = one
+    gram-keyed window + one doc-keyed window over survivor grams.  Each
+    stage's join input shrinks monotonically — the composed plan never
+    re-shuffles a removed document.
+    """
+    prepare(spark)
+    from pyspark.sql import Window
+
+    from .similarity import cosine
+
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    tok = tokens()
+    base = d.select(
+        "doc_id",
+        F.size(tok).cast("bigint").alias("n_tok"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok))).cast("binary")).alias("fp"),
+    )
+    s1 = base.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    )
+    removed1 = s1.where(F.col("rn") > 1).select("doc_id")
+    surv1 = s1.where(F.col("rn") == 1).select("doc_id")
+
+    d1 = d.join(surv1, "doc_id", "left_semi")
+    removed2 = (
+        lsh_candidate_pairs(d1)  # skew cap active (LSH_MAX_BUCKET)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    surv2 = surv1.join(removed2, "doc_id", "left_anti")
+
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cents = e.where(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cell_id"), as_double.alias("ce")
+    )
+    vec2 = e.join(
+        surv2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    ).select("vec_id", as_double.alias("emb"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), "cell_id")
+    cells = (
+        vec2.crossJoin(F.broadcast(cents))
+        .select("vec_id", "emb", "cell_id", cosine(F.col("emb"), F.col("ce")).alias("cscore"))
+        .withColumn("crn", F.row_number().over(w_assign))
+        .where(F.col("crn") == 1)
+        .select("vec_id", "emb", "cell_id")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    removed3 = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cosine(F.col("a.emb"), F.col("b.emb")) >= CURATION_SEM_TAU)
+        .select(F.col("b.vec_id").alias("doc_id"))
+        .distinct()
+    )
+    surv3 = surv2.join(removed3, "doc_id", "left_anti")
+
+    d3 = d.join(surv3, "doc_id", "left_semi")
+    grams = (
+        d3.select("doc_id", word_ngrams(tokens(), SUBSTR_N).alias("gs"))
+        .select("doc_id", F.posexplode("gs").alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5(F.col("gram").cast("binary")).alias("g"),
+        )
+    )
+    w_gram = Window.partitionBy("g")
+    spans = (
+        grams.withColumn("n", F.count(F.lit(1)).over(w_gram))
+        .where(F.col("n") >= SUBSTR_MIN_OCCURS)
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + (SUBSTR_N - 1)).alias("e"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    covered = (
+        spans.withColumn(
+            "new_island",
+            F.when(F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("cov").cast("bigint").alias("c"))
+    )
+
+    led = (
+        base.select("doc_id", "n_tok")
+        .join(removed1.withColumn("_r1", F.lit(True)), "doc_id", "left")
+        .join(removed2.withColumn("_r2", F.lit(True)), "doc_id", "left")
+        .join(removed3.withColumn("_r3", F.lit(True)), "doc_id", "left")
+        .join(covered, "doc_id", "left")
+    )
+    stage_col = (
+        F.when(F.col("_r1"), 1)
+        .when(F.col("_r2"), 2)
+        .when(F.col("_r3"), 3)
+        .when(F.col("c").isNotNull() & (2 * F.col("c") >= F.col("n_tok")), 4)
+    )
+    led = led.select(
+        "n_tok",
+        stage_col.alias("rs"),
+        F.when(
+            stage_col.isNull() & F.col("c").isNotNull(), F.col("c")
+        ).otherwise(F.lit(0)).alias("trimmed"),
+    )
+
+    def _dsum_stage(s: int) -> Column:
+        return F.coalesce(F.sum(F.when(F.col("rs") == s, F.col("n_tok"))), F.lit(0))
+
+    m = led.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("n_tok").alias("t_total"),
+        *[F.count(F.when(F.col("rs") == s, 1)).alias(f"d{s}") for s in (1, 2, 3, 4)],
+        *[_dsum_stage(s).alias(f"t{s}") for s in (1, 2, 3)],
+        (_dsum_stage(4) + F.sum("trimmed")).alias("t4"),
+    )
+    n, t = F.col("r.n_total"), F.col("r.t_total")
+    d_ = [F.col(f"r.d{s}") for s in (1, 2, 3, 4)]
+    t_ = [F.col(f"r.t{s}") for s in (1, 2, 3, 4)]
+
+    def row(stage: str, dr, tr, drem, trem):
+        return F.struct(
+            F.lit(stage).alias("stage"),
+            dr.cast("bigint").alias("docs_removed"),
+            tr.cast("bigint").alias("tokens_removed"),
+            drem.cast("bigint").alias("docs_remaining"),
+            trem.cast("bigint").alias("tokens_remaining"),
+        )
+
+    zero = F.lit(0)
+    rows = F.array(
+        row("0_input", zero, zero, n, t),
+        row("1_exact", d_[0], t_[0], n - d_[0], t - t_[0]),
+        row("2_near", d_[1], t_[1], n - d_[0] - d_[1], t - t_[0] - t_[1]),
+        row(
+            "3_semantic", d_[2], t_[2],
+            n - d_[0] - d_[1] - d_[2], t - t_[0] - t_[1] - t_[2],
+        ),
+        row(
+            "4_substr", d_[3], t_[3],
+            n - d_[0] - d_[1] - d_[2] - d_[3], t - t_[0] - t_[1] - t_[2] - t_[3],
+        ),
+    )
+    return (
+        m.alias("r")
+        .select(F.explode(rows).alias("x"))
+        .select("x.*")
+        .orderBy("stage")
+    )
