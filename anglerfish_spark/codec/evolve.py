@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..errors import SchemaEvolutionError
 from ..schema.model import (
     AvroArray,
+    AvroEnum,
     AvroFixed,
     AvroMap,
     AvroPrimitive,
@@ -42,6 +43,24 @@ from ..schema.model import (
     AvroUnion,
     Primitive,
 )
+
+
+def _check_enum_resolution(w: AvroEnum, r: AvroEnum, path: str) -> None:
+    """Spec enum resolution: names must match (reader aliases may absorb a
+    writer rename) and every writer symbol must exist in the reader — the
+    schema-level strictness mirror of the per-datum "symbol not present"
+    error (pre-enum-default Avro, which is the reference's vintage).  The
+    decoded representation is the symbol string, so a legal resolution is
+    the identity projection.  (r5: found by the can_read↔evolve
+    differential — enums previously resolved only via full equality,
+    rejecting spec-legal reader-superset widening.)"""
+    if w.name != r.name and w.name not in r.aliases and w.fqn not in r.aliases:
+        raise SchemaEvolutionError(f"{path}: enum name mismatch {w.fqn} vs {r.fqn}")
+    missing = [s for s in w.symbols if s not in r.symbols]
+    if missing:
+        raise SchemaEvolutionError(
+            f"{path}: writer enum symbols {missing} not in reader {r.fqn}"
+        )
 from ..schema.parser import ParsedSchema, parse_schema
 from ..schema.spark_convert import to_struct_type, union_field_names
 from .decoder import _lit_value, decode_json
@@ -153,6 +172,9 @@ def _resolve(col: Column, w: AvroType, r: AvroType, renv, wenv, max_depth: int, 
         raise SchemaEvolutionError(
             f"{path}: fixed mismatch {w.fqn}[{w.length}] vs {r.fqn}[{r.length}]"
         )
+    if isinstance(w, AvroEnum) and isinstance(r, AvroEnum):
+        _check_enum_resolution(w, r, path)
+        return col  # decoded repr is the symbol string: identity
     if type(w) is type(r) and w == r:
         return col
     raise SchemaEvolutionError(f"{path}: cannot resolve {type(w).__name__} against {type(r).__name__}")
@@ -387,6 +409,9 @@ def resolve_datum(
         raise SchemaEvolutionError(
             f"{path}: fixed mismatch {writer.fqn}[{writer.length}] vs {reader.fqn}[{reader.length}]"
         )
+    if isinstance(writer, AvroEnum) and isinstance(reader, AvroEnum):
+        _check_enum_resolution(writer, reader, path)
+        return value  # symbol string: identity
     if type(writer) is type(reader) and writer == reader:
         return value
     raise SchemaEvolutionError(

@@ -418,6 +418,42 @@ class TestUnionEvolution:
         assert u.asDict() == {"member_long": 11, "member_string": None}
         assert self._evolved(spark, writer, reader, '{"u": null}') is None
 
+    def test_enum_widened_to_superset_reader(self, spark):
+        # r5 (found by the can_read<->evolve differential): spec-legal enum
+        # widening — writer symbols all present in the reader — previously
+        # raised because enums only resolved via full schema equality
+        writer = self._rec('{"type":"enum","name":"E","symbols":["A","B"]}')
+        reader = self._rec('{"type":"enum","name":"E","symbols":["A","B","C"]}')
+        assert self._evolved(spark, writer, reader, '{"u": "B"}') == "B"
+
+    def test_enum_narrowed_reader_raises(self, spark):
+        import pytest
+
+        from anglerfish_spark.errors import SchemaEvolutionError
+
+        writer = self._rec('{"type":"enum","name":"E","symbols":["A","B","C"]}')
+        reader = self._rec('{"type":"enum","name":"E","symbols":["A","B"]}')
+        with pytest.raises(SchemaEvolutionError, match="symbols"):
+            self._evolved(spark, writer, reader, '{"u": "A"}')
+
+    def test_enum_resolution_value_space(self):
+        import pytest
+
+        from anglerfish_spark.codec.evolve import resolve_datum
+        from anglerfish_spark.errors import SchemaEvolutionError
+        from anglerfish_spark.schema.parser import parse_schema
+
+        w = parse_schema('{"type":"enum","name":"E","symbols":["A","B"]}')
+        r = parse_schema('{"type":"enum","name":"E","symbols":["A","B","C"]}')
+        assert resolve_datum("B", w.root, r.root, r.env, w.env) == "B"
+        with pytest.raises(SchemaEvolutionError, match="symbols"):
+            resolve_datum("C", r.root, w.root, w.env, r.env)
+        # reader alias absorbs a writer enum rename (spec alias rule)
+        r2 = parse_schema(
+            '{"type":"enum","name":"E2","aliases":["E"],"symbols":["A","B"]}'
+        )
+        assert resolve_datum("A", w.root, r2.root, r2.env, w.env) == "A"
+
     def test_union_with_promotion_into_nonunion(self, spark):
         # writer ["int","long"] → reader plain "double": both branches promote
         writer = self._rec('["int", "long"]')

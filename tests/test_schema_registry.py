@@ -200,6 +200,66 @@ class TestCanRead:
         assert can_read(ll, ll) == []
 
 
+class TestCanReadAgreesWithEvolve:
+    """can_read is the *predicate* form of the evolve layer's resolution:
+    on logical-annotation-free schemas the two must agree exactly —
+    can_read()==[] iff evolve_struct builds without SchemaEvolutionError.
+    (Logical types excluded: evolve adds carrier-bridge restrictions that
+    are about value conversion, not schema compatibility.)"""
+
+    REC = '{"type":"record","name":"R","fields":[%s]}'
+    PAIRS = [
+        # (writer fields, reader fields)
+        ('{"name":"x","type":"long"}', '{"name":"x","type":"long"}'),
+        ('{"name":"x","type":"int"}', '{"name":"x","type":"double"}'),
+        ('{"name":"x","type":"double"}', '{"name":"x","type":"float"}'),
+        ('{"name":"x","type":"string"}', '{"name":"x","type":"bytes"}'),
+        ('{"name":"x","type":"long"}',
+         '{"name":"x","type":"long"},{"name":"y","type":"string","default":"d"}'),
+        ('{"name":"x","type":"long"}',
+         '{"name":"x","type":"long"},{"name":"y","type":"string"}'),
+        ('{"name":"old","type":"long"}',
+         '{"name":"new","type":"long","aliases":["old"]}'),
+        ('{"name":"x","type":"long"}', '{"name":"x","type":["null","long"]}'),
+        ('{"name":"x","type":["null","long"]}', '{"name":"x","type":"long"}'),
+        ('{"name":"x","type":["null","long"]}', '{"name":"x","type":["null","double"]}'),
+        ('{"name":"x","type":{"type":"array","items":"int"}}',
+         '{"name":"x","type":{"type":"array","items":"long"}}'),
+        ('{"name":"x","type":{"type":"array","items":"long"}}',
+         '{"name":"x","type":{"type":"array","items":"int"}}'),
+        ('{"name":"x","type":{"type":"map","values":"int"}}',
+         '{"name":"x","type":{"type":"map","values":"double"}}'),
+        ('{"name":"x","type":{"type":"enum","name":"E","symbols":["A","B"]}}',
+         '{"name":"x","type":{"type":"enum","name":"E","symbols":["A","B","C"]}}'),
+        ('{"name":"x","type":{"type":"enum","name":"E","symbols":["A","B","C"]}}',
+         '{"name":"x","type":{"type":"enum","name":"E","symbols":["A","B"]}}'),
+        ('{"name":"x","type":{"type":"fixed","name":"Fx","size":4}}',
+         '{"name":"x","type":{"type":"fixed","name":"Fx","size":4}}'),
+        ('{"name":"x","type":{"type":"fixed","name":"Fx","size":4}}',
+         '{"name":"x","type":{"type":"fixed","name":"Fx","size":8}}'),
+        ('{"name":"x","type":"long"}', '{"name":"x","type":"string"}'),
+    ]
+
+    @pytest.mark.parametrize("wf,rf", PAIRS)
+    def test_agreement(self, spark, wf, rf):
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.codec.evolve import evolve_struct
+        from anglerfish_spark.errors import SchemaEvolutionError
+
+        w, r = self.REC % wf, self.REC % rf
+        compat = can_read(w, r) == []
+        try:
+            evolve_struct(F.col("c"), w, r)
+            evolved = True
+        except SchemaEvolutionError:
+            evolved = False
+        assert compat == evolved, (
+            f"can_read={can_read(w, r)} but evolve_struct "
+            f"{'built' if evolved else 'raised'} for writer={wf} reader={rf}"
+        )
+
+
 class TestClientBackedDecode:
     def test_confluent_decode_resolves_ids_via_registry(self, spark):
         from pyspark.sql import functions as F
