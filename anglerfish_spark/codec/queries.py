@@ -348,6 +348,77 @@ def schema_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "schema_compat_check",
+    oracle="""
+SELECT * FROM (VALUES
+  ('01_identity',        TRUE,  0),
+  ('02_add_default',     TRUE,  0),
+  ('03_add_required',    FALSE, 1),
+  ('04_promote_int_dbl', TRUE,  0),
+  ('05_narrow_long_int', FALSE, 1),
+  ('06_rename_alias',    TRUE,  0),
+  ('07_union_widen',     TRUE,  0),
+  ('08_union_null_loss', FALSE, 1),
+  ('09_enum_widen',      TRUE,  0),
+  ('10_enum_narrow',     FALSE, 1),
+  ('11_fixed_resize',    FALSE, 1),
+  ('12_recursive_self',  TRUE,  0)
+) AS t(case_name, compatible, n_reasons)
+ORDER BY case_name
+""",
+    group="codec",
+)
+def schema_compat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKWARD-compatibility verdicts of the structural schema-resolution
+    checker (``sources/schema_registry.can_read`` — the client-side
+    pre-check a registry consumer runs before registering; r5, reference
+    roadmap /root/reference/README.md:25) over a fixed evolution matrix:
+    field add with/without default, primitive promotion vs narrowing,
+    alias rename, union widening vs null-loss, enum widening vs
+    narrowing, fixed resize, recursive self-compatibility.  The checker
+    is differentially pinned to the evolve layer's actual resolution
+    behavior in tests/test_schema_registry.py; this query puts its
+    verdicts under the driver's oracle hash as well."""
+    from ..sources.schema_registry import can_read
+
+    prepare(spark)
+    rec = '{"type":"record","name":"R","fields":[%s]}'
+    f_long = '{"name":"x","type":"long"}'
+    ll = (
+        '{"type":"record","name":"Node","fields":[{"name":"head","type":"long"},'
+        '{"name":"tail","type":["null","Node"],"default":null}]}'
+    )
+    enum = '{"name":"e","type":{"type":"enum","name":"E","symbols":[%s]}}'
+    fixed = '{"name":"f","type":{"type":"fixed","name":"Fx","size":%d}}'
+    cases = [
+        ("01_identity", rec % f_long, rec % f_long),
+        ("02_add_default", rec % f_long,
+         rec % (f_long + ',{"name":"t","type":"string","default":"d"}')),
+        ("03_add_required", rec % f_long,
+         rec % (f_long + ',{"name":"t","type":"string"}')),
+        ("04_promote_int_dbl", rec % '{"name":"x","type":"int"}',
+         rec % '{"name":"x","type":"double"}'),
+        ("05_narrow_long_int", rec % f_long, rec % '{"name":"x","type":"int"}'),
+        ("06_rename_alias", rec % '{"name":"old","type":"long"}',
+         rec % '{"name":"new","type":"long","aliases":["old"]}'),
+        ("07_union_widen", rec % f_long, rec % '{"name":"x","type":["null","long"]}'),
+        ("08_union_null_loss", rec % '{"name":"x","type":["null","long"]}',
+         rec % f_long),
+        ("09_enum_widen", rec % (enum % '"A","B"'), rec % (enum % '"A","B","C"')),
+        ("10_enum_narrow", rec % (enum % '"A","B","C"'), rec % (enum % '"A","B"')),
+        ("11_fixed_resize", rec % (fixed % 4), rec % (fixed % 8)),
+        ("12_recursive_self", ll, ll),
+    ]
+    rows = []
+    for name, w, r in cases:
+        reasons = can_read(w, r)
+        rows.append((name, len(reasons) == 0, len(reasons)))
+    return spark.createDataFrame(
+        rows, "case_name string, compatible boolean, n_reasons int"
+    ).orderBy("case_name")
+
+
+@query(
     "schema_export_spark",
     oracle="""
 SELECT * FROM (VALUES
