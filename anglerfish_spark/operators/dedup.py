@@ -1559,19 +1559,29 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tok).cast("bigint").alias("n_tok"),
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tok))).cast("binary")).alias("fp"),
     )
+    # every removed/survivor set below is referenced by at least two
+    # downstream branches (the next stage AND the final ledger), and
+    # Catalyst does not reuse non-exchange subtrees across branches
+    # (SCALE.md #9) — without truncation the LSH and semantic pipelines
+    # re-execute once per reference.  The sets are doc_id lists
+    # (corpus-cardinality keys, bytes per row), so lazy localCheckpoints
+    # are effectively free: with the norm-precompute below, measured
+    # 9.1 -> 7.0 s at sf0.1 (quiet session, min-of-4).
+    ckpt = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+
     s1 = base.withColumn(
         "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
     )
-    removed1 = s1.where(F.col("rn") > 1).select("doc_id")
-    surv1 = s1.where(F.col("rn") == 1).select("doc_id")
+    removed1 = ckpt(s1.where(F.col("rn") > 1).select("doc_id"))
+    surv1 = ckpt(s1.where(F.col("rn") == 1).select("doc_id"))
 
     d1 = d.join(surv1, "doc_id", "left_semi")
-    removed2 = (
+    removed2 = ckpt(
         lsh_candidate_pairs(d1)  # skew cap active (LSH_MAX_BUCKET)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    surv2 = surv1.join(removed2, "doc_id", "left_anti")
+    surv2 = ckpt(surv1.join(removed2, "doc_id", "left_anti"))
 
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -1582,25 +1592,35 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     ).select("vec_id", as_double.alias("emb"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), "cell_id")
+    # per-vector norm precomputed once: the pair loop then costs ONE
+    # interpreted dot fold instead of three — dot/(na*nb) is the same
+    # float ops in the same order as the inline cosine, so the oracle
+    # (which spells cosine out) stays bit-identical (the
+    # q_dedup_semantic precedent; measured 3x on its pair stage)
+    from .similarity import dot
+
     cells = (
         vec2.crossJoin(F.broadcast(cents))
         .select("vec_id", "emb", "cell_id", cosine(F.col("emb"), F.col("ce")).alias("cscore"))
         .withColumn("crn", F.row_number().over(w_assign))
         .where(F.col("crn") == 1)
-        .select("vec_id", "emb", "cell_id")
+        .select("vec_id", "emb", "cell_id", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("n"))
     )
     a, b = cells.alias("a"), cells.alias("b")
-    removed3 = (
+    removed3 = ckpt(
         a.join(
             b,
             (F.col("a.cell_id") == F.col("b.cell_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .where(cosine(F.col("a.emb"), F.col("b.emb")) >= CURATION_SEM_TAU)
+        .where(
+            (dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.n") * F.col("b.n")))
+            >= CURATION_SEM_TAU
+        )
         .select(F.col("b.vec_id").alias("doc_id"))
         .distinct()
     )
-    surv3 = surv2.join(removed3, "doc_id", "left_anti")
+    surv3 = ckpt(surv2.join(removed3, "doc_id", "left_anti"))
 
     d3 = d.join(surv3, "doc_id", "left_semi")
     grams = (
@@ -1633,6 +1653,7 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("cov").cast("bigint").alias("c"))
     )
+    covered = ckpt(covered)
 
     led = (
         base.select("doc_id", "n_tok")
