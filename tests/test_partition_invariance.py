@@ -29,6 +29,7 @@ QUERIES = [
     "q_dedup_pagerank",     # decimal-exact rank mass over the LSH graph
     "q_heavy_hitters",      # per-partition Misra-Gries candidates + exact verify
     "q_perplexity",         # integer-bits quantization
+    "q_curation_full",      # composed dedup stages, order-free relaxations
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
