@@ -147,8 +147,8 @@ def upsert(
     at-least-once becomes effectively-once).  Returns the table version
     after the call."""
     v = current_version(table)
-    if txn_id is not None and read_manifest(table, v).get("txn_id") == txn_id:
-        return v  # replayed commit: already applied
+    if txn_id is not None and _txn_committed(table, v, txn_id):
+        return v  # replayed commit: already applied (possibly not latest)
     batch = batch.dropDuplicates(key_cols)
     if v > 0:
         existing = snapshot(spark, table, v)
@@ -159,6 +159,21 @@ def upsert(
         merged = batch
     files = stage_files(merged, table)
     return commit(table, files, expected_version=v, txn_id=txn_id)
+
+
+def _txn_committed(table: str, latest: int, txn_id: str) -> bool:
+    """Whether ``txn_id`` appears ANYWHERE in the retained history — not
+    just the latest manifest: a replayed batch whose original commit has
+    since been followed by other writers must still be recognized (the
+    real formats keep exactly this per-application transaction history)."""
+    for v in range(latest, 0, -1):
+        path = _manifest_path(table, v)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            if json.load(f).get("txn_id") == txn_id:
+                return True
+    return False
 
 
 def vacuum(table: str) -> list[str]:

@@ -71,6 +71,20 @@ class TestCommitProtocol:
         assert read_manifest(t)["txn_id"] == "batch-7"
         assert _rows(snapshot(spark, t)) == [(1, "a")]
 
+    def test_txn_replay_after_interleaved_commit_is_still_noop(self, spark, tmp_path):
+        """A replayed batch must be recognized even when OTHER commits
+        landed after its original — the txn check scans history, not just
+        the latest manifest."""
+        t = str(tmp_path / "t")
+        upsert(spark, t, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"], txn_id="batch-1")
+        upsert(spark, t, spark.createDataFrame([(2, "b")], ["k", "v"]), ["k"], txn_id="batch-2")
+        # crash-recovery redelivers batch-1 after batch-2 already committed
+        v = upsert(
+            spark, t, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"], txn_id="batch-1"
+        )
+        assert v == 2  # no third version
+        assert _rows(snapshot(spark, t)) == [(1, "a"), (2, "b")]
+
     def test_vacuum_removes_only_orphans(self, spark, tmp_path):
         t = str(tmp_path / "t")
         df = spark.createDataFrame([(1, "a")], ["k", "v"])
