@@ -408,8 +408,11 @@ def avro_decode_udf(schema_json: str):
 
     @pandas_udf(T.StringType())
     def _decode(s: pd.Series) -> pd.Series:
-        codec = BinaryCodec(parse_schema(schema_json))
-        return s.map(lambda b: dumps_avro_json(codec.decode(bytes(b))))
+        ps = parse_schema(schema_json)
+        codec = BinaryCodec(ps)
+        return s.map(
+            lambda b: dumps_avro_json(as_avro_json(ps.root, codec.decode(bytes(b)), ps.env))
+        )
 
     return _decode
 
@@ -470,7 +473,8 @@ def single_object_decode_udf(schema_json: str):
 
     @pandas_udf(T.StringType())
     def _decode(s: pd.Series) -> pd.Series:
-        codec = BinaryCodec(parse_schema(schema_json))
+        ps = parse_schema(schema_json)
+        codec = BinaryCodec(ps)
         header = _single_object_header(schema_json)
 
         def one(b) -> str:
@@ -482,7 +486,7 @@ def single_object_decode_udf(schema_json: str):
                     f"schema fingerprint mismatch: message {buf[2:10].hex()}, "
                     f"reader {header[2:].hex()}"
                 )
-            return dumps_avro_json(codec.decode(buf[10:]))
+            return dumps_avro_json(as_avro_json(ps.root, codec.decode(buf[10:]), ps.env))
 
         return s.map(one)
 
@@ -508,11 +512,14 @@ def avro_decode_permissive_udf(schema_json: str):
 
     @pandas_udf(out_t)
     def _decode(s: pd.Series) -> pd.DataFrame:
-        codec = BinaryCodec(parse_schema(schema_json))
+        ps = parse_schema(schema_json)
+        codec = BinaryCodec(ps)
         values, errors = [], []
         for b in s:
             try:
-                values.append(dumps_avro_json(codec.decode(bytes(b))))
+                values.append(
+                    dumps_avro_json(as_avro_json(ps.root, codec.decode(bytes(b)), ps.env))
+                )
                 errors.append(None)
             except DatumError as ex:
                 values.append(None)
@@ -535,6 +542,134 @@ def single_object_encode(col: Column | str, schema_json: str) -> Column:
 def single_object_decode(col: Column | str, schema_json: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return single_object_decode_udf(schema_json)(c)
+
+
+def _semantic_value(t, v, env):
+    """Carrier-space decoded value (BinaryCodec output) → semantic Python
+    value in the shape ``to_struct_type`` declares (logical carriers
+    lifted via ``py_carrier_to_value``; unions in the engine's decoded
+    representation).  The Python mirror of the expression decoder's
+    ``_lift_logical`` — what lets a pandas UDF emit the typed struct
+    directly instead of round-tripping through JSON text."""
+    import datetime as _dt
+
+    from ..codec.logical import py_carrier_to_value
+
+    def lift(logical, x):
+        out = py_carrier_to_value(logical, x)
+        # instant-semantics timestamps land as TimestampType (LTZ):
+        # Arrow struct conversion requires tz-aware values there (naive
+        # ones only pass for the *-local NTZ variants).  Sessions are
+        # pinned UTC, so the wall clock IS the instant.
+        if logical.name in ("timestamp-millis", "timestamp-micros"):
+            return out.replace(tzinfo=_dt.timezone.utc)
+        return out
+
+    while isinstance(t, AvroRecursionRef):
+        t = env[t.fqn]
+    if v is None:
+        return None
+    if isinstance(t, AvroPrimitive):
+        return lift(t.logical, v) if t.logical is not None else v
+    if isinstance(t, AvroFixed):
+        return lift(t.logical, v) if t.logical is not None else v
+    if isinstance(t, AvroEnum):
+        return v
+    if isinstance(t, AvroArray):
+        return [_semantic_value(t.items, x, env) for x in v]
+    if isinstance(t, AvroMap):
+        return {k: _semantic_value(t.values, x, env) for k, x in v.items()}
+    if isinstance(t, AvroUnion):
+        nn = t.non_null_members
+        if len(nn) == 1:
+            return _semantic_value(nn[0], v, env)
+        names = union_field_names(t)
+        return {
+            k: (_semantic_value(nn[i], v[k], env) if v.get(k) is not None else None)
+            for i, k in enumerate(names)
+        }
+    if isinstance(t, AvroRecord):
+        return {f.name: _semantic_value(f.type, v[f.name], env) for f in t.fields}
+    raise DatumError(f"cannot lift {type(t).__name__}")
+
+
+def _nullable_type(dt: T.DataType) -> T.DataType:
+    """Recursively nullable, metadata-free copy of a Catalyst type.
+    pandas→Arrow batches carry neither non-null flags nor field metadata,
+    and Spark 4's pandas_udf struct check compares schemas EXACTLY (the
+    mismatch error prints two visually identical types when only
+    nullability/metadata differ)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _nullable_type(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_nullable_type(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(dt.keyType, _nullable_type(dt.valueType), True)
+    return dt
+
+
+def single_object_decode_typed_udf(schema_json: str):
+    """Series→DataFrame pandas UDF: single-object binary → the TYPED
+    struct directly (one Arrow hop), skipping the JSON text round-trip of
+    :func:`single_object_decode_udf` + ``decode_json``.
+
+    Same validation contract as the JSON-hop path — framing marker and
+    embedded-fingerprint checks raise :class:`DatumError` — and the body
+    needs no re-validation: binary decode is schema-directed, so a
+    successfully decoded datum IS well-typed (the JSON hop merely
+    re-checked the codec's own output).  Use for the consumption hot
+    path; the JSON hop remains the route when downstream wants the
+    permissive error channel or text for auditing."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..schema.spark_convert import to_struct_type
+
+    _ps = parse_schema(schema_json)
+    # all-nullable copy: pandas→Arrow batches always carry nullable
+    # fields, and Spark 4 rejects the schema otherwise (nullability here
+    # is metadata — required-field enforcement happened at binary decode)
+    out_t = _nullable_type(to_struct_type(_ps.root, _ps.env))
+    if not isinstance(_ps.root, AvroRecord):
+        raise DatumError("typed decode requires a record root schema")
+    field_names = [f.name for f in _ps.root.fields]
+
+    @pandas_udf(out_t)
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        ps = parse_schema(schema_json)
+        codec = BinaryCodec(ps)
+        header = _single_object_header(schema_json)
+        rows = []
+        for b in s:
+            buf = bytes(b)
+            if len(buf) < 10 or buf[:2] != SINGLE_OBJECT_MAGIC:
+                raise DatumError("not a single-object-encoded Avro message")
+            if buf[2:10] != header[2:]:
+                raise DatumError(
+                    f"schema fingerprint mismatch: message {buf[2:10].hex()}, "
+                    f"reader {header[2:].hex()}"
+                )
+            rows.append(_semantic_value(ps.root, codec.decode(buf[10:]), ps.env))
+        df = pd.DataFrame(rows, columns=field_names)
+        # struct-returning pandas UDFs get an EXACT Arrow schema check
+        # (no ns→us coercion like scalar returns): timestamp columns must
+        # be datetime64[us] — tz-aware for LTZ, naive for NTZ
+        for f in out_t.fields:
+            if isinstance(f.dataType, T.TimestampType):
+                df[f.name] = pd.to_datetime(df[f.name], utc=True).astype(
+                    "datetime64[us, UTC]"
+                )
+            elif isinstance(f.dataType, T.TimestampNTZType):
+                df[f.name] = pd.to_datetime(df[f.name]).astype("datetime64[us]")
+        return df
+
+    return _decode
+
+
+def single_object_decode_typed(col: Column | str, schema_json: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return single_object_decode_typed_udf(schema_json)(c)
 
 
 def single_object_decode_registry_udf(writer_schemas: list[str], reader_schema: str):
@@ -565,7 +700,8 @@ def single_object_decode_registry_udf(writer_schemas: list[str], reader_schema: 
                 raise DatumError(f"unknown schema fingerprint {buf[2:10].hex()}")
             wps, codec = entry
             v = codec.decode(buf[10:])
-            return dumps_avro_json(resolve_datum(v, wps.root, rps.root, rps.env, wps.env))
+            out = resolve_datum(v, wps.root, rps.root, rps.env, wps.env)
+            return dumps_avro_json(as_avro_json(rps.root, out, rps.env))
 
         return s.map(one)
 
@@ -598,7 +734,8 @@ def single_object_decode_permissive_udf(schema_json: str):
 
     @pandas_udf(out_t)
     def _decode(s: pd.Series) -> pd.DataFrame:
-        codec = BinaryCodec(parse_schema(schema_json))
+        ps = parse_schema(schema_json)
+        codec = BinaryCodec(ps)
         header = _single_object_header(schema_json)
         values, errors = [], []
         for b in s:
@@ -611,7 +748,9 @@ def single_object_decode_permissive_udf(schema_json: str):
                         f"schema fingerprint mismatch: message {buf[2:10].hex()}, "
                         f"reader {header[2:].hex()}"
                     )
-                values.append(dumps_avro_json(codec.decode(buf[10:])))
+                values.append(
+                    dumps_avro_json(as_avro_json(ps.root, codec.decode(buf[10:]), ps.env))
+                )
                 errors.append(None)
             except DatumError as ex:
                 values.append(None)
@@ -724,7 +863,8 @@ def _confluent_one(buf: bytes, by_id, rps, resolve_datum) -> tuple[int, str]:
         raise DatumError(f"schema id {sid} not in registry map")
     wps, codec = entry
     v = codec.decode(buf[5:])
-    return sid, dumps_avro_json(resolve_datum(v, wps.root, rps.root, rps.env, wps.env))
+    out = resolve_datum(v, wps.root, rps.root, rps.env, wps.env)
+    return sid, dumps_avro_json(as_avro_json(rps.root, out, rps.env))
 
 
 class _ClientIdResolver:

@@ -542,3 +542,84 @@ class TestCollidingUnion:
         v = decode_datum(ps.root, {"u": {"a.X": {"av": 7}}}, ps.env)
         j = as_avro_json(ps.root, v, ps.env)
         assert j == {"u": {"a.X": {"av": 7}}}
+
+
+class TestTypedSingleObjectDecode:
+    """r5 typed fast path: single_object_decode_typed must return exactly
+    what the JSON-hop route (single_object_decode + decode_json) returns,
+    for every field shape the message pipelines register — primitives,
+    logical timestamp (LTZ), nullable union, array — plus the same
+    framing/fingerprint strictness."""
+
+    SCHEMA = """
+    {"type":"record","name":"M","namespace":"t","fields":[
+      {"name":"id","type":"long"},
+      {"name":"name","type":"string"},
+      {"name":"score","type":"double"},
+      {"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},
+      {"name":"day","type":{"type":"int","logicalType":"date"}},
+      {"name":"tag","type":["null","string"],"default":null},
+      {"name":"xs","type":{"type":"array","items":"int"}}
+    ]}
+    """
+
+    def _messages(self, spark):
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.functions.avro_binary import single_object_encode
+
+        rows = [
+            (i, f"n{i}", i / 3.0, 1_700_000_000_000_000 + i, 19700 + i,
+             None if i % 2 else f"t{i}", list(range(i % 4)))
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, name string, score double, ts long, day int, "
+                  "tag string, xs array<int>"
+        )
+        # Avro-JSON union values are TAGGED ({"string": ...}); null rides
+        # the field's default by omission (to_json drops null fields)
+        tagged = F.when(
+            F.col("tag").isNotNull(), F.struct(F.col("tag").alias("string"))
+        ).alias("tag")
+        payload = F.to_json(F.struct("id", "name", "score", "ts", "day", tagged, "xs"))
+        return df.select(single_object_encode(payload, self.SCHEMA).alias("value"))
+
+    def test_typed_equals_json_hop(self, spark):
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.codec.decoder import decode_json
+        from anglerfish_spark.functions.avro_binary import (
+            single_object_decode,
+            single_object_decode_typed,
+        )
+        from anglerfish_spark.session import prepare
+
+        prepare(spark)
+        msgs = self._messages(spark)
+        typed = msgs.select(single_object_decode_typed("value", self.SCHEMA).alias("m")).select(
+            "m.*"
+        )
+        hop = decode_json(
+            msgs.select(single_object_decode("value", self.SCHEMA).alias("json")),
+            "json",
+            self.SCHEMA,
+        ).select("decoded.*")
+        t_rows = sorted(map(str, (tuple(r) for r in typed.collect())))
+        h_rows = sorted(map(str, (tuple(r) for r in hop.collect())))
+        assert t_rows == h_rows
+        # and the schemas agree modulo nullability/metadata
+        assert [
+            (f.name, f.dataType.simpleString()) for f in typed.schema.fields
+        ] == [(f.name, f.dataType.simpleString()) for f in hop.schema.fields]
+
+    def test_typed_rejects_bad_framing(self, spark):
+        import pytest
+
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.functions.avro_binary import single_object_decode_typed
+
+        bad = spark.createDataFrame([(bytearray(b"\xde\xad\x00\x01"),)], "value binary")
+        with pytest.raises(Exception, match="single-object"):
+            bad.select(single_object_decode_typed("value", self.SCHEMA).alias("m")).collect()
