@@ -610,6 +610,20 @@ def _nullable_type(dt: T.DataType) -> T.DataType:
     return dt
 
 
+def _typed_frame(rows: list, field_names: list[str], out_t: T.StructType) -> pd.DataFrame:
+    """Row dicts → the pandas frame Arrow will accept for ``out_t``.
+    Struct-returning pandas UDFs get an EXACT Arrow schema check (no
+    ns→us coercion like scalar returns): top-level timestamp columns must
+    be datetime64[us] — tz-aware for LTZ, naive for NTZ."""
+    df = pd.DataFrame(rows, columns=field_names)
+    for f in out_t.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            df[f.name] = pd.to_datetime(df[f.name], utc=True).astype("datetime64[us, UTC]")
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df[f.name] = pd.to_datetime(df[f.name]).astype("datetime64[us]")
+    return df
+
+
 def single_object_decode_typed_udf(schema_json: str):
     """Series→DataFrame pandas UDF: single-object binary → the TYPED
     struct directly (one Arrow hop), skipping the JSON text round-trip of
@@ -651,18 +665,7 @@ def single_object_decode_typed_udf(schema_json: str):
                     f"reader {header[2:].hex()}"
                 )
             rows.append(_semantic_value(ps.root, codec.decode(buf[10:]), ps.env))
-        df = pd.DataFrame(rows, columns=field_names)
-        # struct-returning pandas UDFs get an EXACT Arrow schema check
-        # (no ns→us coercion like scalar returns): timestamp columns must
-        # be datetime64[us] — tz-aware for LTZ, naive for NTZ
-        for f in out_t.fields:
-            if isinstance(f.dataType, T.TimestampType):
-                df[f.name] = pd.to_datetime(df[f.name], utc=True).astype(
-                    "datetime64[us, UTC]"
-                )
-            elif isinstance(f.dataType, T.TimestampNTZType):
-                df[f.name] = pd.to_datetime(df[f.name]).astype("datetime64[us]")
-        return df
+        return _typed_frame(rows, field_names, out_t)
 
     return _decode
 
@@ -670,6 +673,113 @@ def single_object_decode_typed_udf(schema_json: str):
 def single_object_decode_typed(col: Column | str, schema_json: str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return single_object_decode_typed_udf(schema_json)(c)
+
+
+def single_object_decode_registry_typed_udf(writer_schemas: list[str], reader_schema: str):
+    """Typed variant of :func:`single_object_decode_registry_udf`: dispatch
+    each message to its writer schema by the embedded CRC-64-AVRO
+    fingerprint, resolve writer→reader (codec/evolve.resolve_datum), and
+    emit the reader-shaped TYPED struct straight from the Arrow batch —
+    the registry consumption hot path without the JSON round-trip.
+    Unknown fingerprints raise DatumError, as in the JSON-hop variant."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..schema.spark_convert import to_struct_type
+
+    _rps = parse_schema(reader_schema)
+    if not isinstance(_rps.root, AvroRecord):
+        raise DatumError("typed decode requires a record root schema")
+    out_t = _nullable_type(to_struct_type(_rps.root, _rps.env))
+    field_names = [f.name for f in _rps.root.fields]
+
+    @pandas_udf(out_t)
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        from ..codec.evolve import resolve_datum
+        from ..schema.fingerprint import schema_fingerprint
+
+        rps = parse_schema(reader_schema)
+        by_fp = {}
+        for wjson in writer_schemas:
+            wps = parse_schema(wjson)
+            by_fp[schema_fingerprint(wjson, "CRC-64-AVRO")] = (wps, BinaryCodec(wps))
+        rows = []
+        for b in s:
+            buf = bytes(b)
+            if len(buf) < 10 or buf[:2] != SINGLE_OBJECT_MAGIC:
+                raise DatumError("not a single-object-encoded Avro message")
+            entry = by_fp.get(buf[2:10])
+            if entry is None:
+                raise DatumError(f"unknown schema fingerprint {buf[2:10].hex()}")
+            wps, codec = entry
+            out = resolve_datum(codec.decode(buf[10:]), wps.root, rps.root, rps.env, wps.env)
+            rows.append(_semantic_value(rps.root, out, rps.env))
+        return _typed_frame(rows, field_names, out_t)
+
+    return _decode
+
+
+def single_object_decode_registry_typed(
+    col: Column | str, writer_schemas: list[str], reader_schema: str
+) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return single_object_decode_registry_typed_udf(writer_schemas, reader_schema)(c)
+
+
+def confluent_decode_registry_typed_udf(schemas_by_id: dict[int, str], reader_schema: str):
+    """Typed variant of :func:`confluent_decode_registry_udf`: Confluent
+    5-byte framing (0x00 + BE id) dispatched by id, resolved writer→reader,
+    emitted as ``struct(schema_id int, value struct<reader>)`` — the id
+    stays a column for producer-version auditing, the body skips the JSON
+    round-trip."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..schema.spark_convert import to_struct_type
+
+    _rps = parse_schema(reader_schema)
+    if not isinstance(_rps.root, AvroRecord):
+        raise DatumError("typed decode requires a record root schema")
+    value_t = _nullable_type(to_struct_type(_rps.root, _rps.env))
+    out_t = T.StructType(
+        [
+            T.StructField("schema_id", T.IntegerType(), True),
+            T.StructField("value", value_t, True),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _decode(s: pd.Series) -> pd.DataFrame:
+        from ..codec.evolve import resolve_datum
+
+        rps = parse_schema(reader_schema)
+        by_id = {}
+        for sid, wjson in schemas_by_id.items():
+            wps = parse_schema(wjson)
+            by_id[int(sid)] = (wps, BinaryCodec(wps))
+        ids, values = [], []
+        for b in s:
+            buf = bytes(b)
+            if len(buf) < 5 or buf[:1] != CONFLUENT_MAGIC:
+                raise DatumError("not a Confluent-framed message (magic byte != 0x00)")
+            sid = _struct.unpack(">I", buf[1:5])[0]
+            entry = by_id.get(sid)
+            if entry is None:
+                raise DatumError(f"schema id {sid} not in registry map")
+            wps, codec = entry
+            out = resolve_datum(codec.decode(buf[5:]), wps.root, rps.root, rps.env, wps.env)
+            ids.append(sid)
+            values.append(_semantic_value(rps.root, out, rps.env))
+        return pd.DataFrame(
+            {"schema_id": pd.array(ids, dtype="Int32"), "value": values}
+        )
+
+    return _decode
+
+
+def confluent_decode_registry_typed(
+    col: Column | str, schemas_by_id: dict[int, str], reader_schema: str
+) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return confluent_decode_registry_typed_udf(schemas_by_id, reader_schema)(c)
 
 
 def single_object_decode_registry_udf(writer_schemas: list[str], reader_schema: str):

@@ -225,7 +225,7 @@ def q_stream_decode_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     framing, fingerprint dispatch, resolution, and default fill are all
     under the hash check."""
     from ..functions.avro_binary import (
-        single_object_decode_registry,
+        single_object_decode_registry_typed,
         single_object_encode,
     )
 
@@ -238,19 +238,17 @@ def q_stream_decode_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(single_object_encode(v2, MESSAGE_SCHEMA_V2))
         .alias("value"),
     )
-    decoded = decode_json(
-        msgs.select(
-            single_object_decode_registry(
-                "value", [MESSAGE_SCHEMA_V1, MESSAGE_SCHEMA_V2], MESSAGE_SCHEMA_V2
-            ).alias("json")
-        ),
-        "json",
-        MESSAGE_SCHEMA_V2,
+    # typed registry decode (r5): fingerprint dispatch + writer->reader
+    # resolution emit the reader struct straight from the Arrow batch
+    decoded = msgs.select(
+        single_object_decode_registry_typed(
+            "value", [MESSAGE_SCHEMA_V1, MESSAGE_SCHEMA_V2], MESSAGE_SCHEMA_V2
+        ).alias("m")
     )
     return (
         decoded.select(
-            F.col("decoded.event_type").alias("event_type"),
-            F.col("decoded.value").alias("value"),
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.value").alias("value"),
         )
         .groupBy("event_type")
         .agg(
@@ -295,7 +293,7 @@ def q_stream_decode_confluent(spark: SparkSession, sf_dir: str) -> DataFrame:
     default fill, body codec, and 5-byte framing all under the hash check.
     Reference roadmap: "Schemaregistry support"
     (/root/reference/README.md:25)."""
-    from ..functions.avro_binary import confluent_decode_registry, confluent_encode
+    from ..functions.avro_binary import confluent_decode_registry_typed, confluent_encode
 
     prepare(spark)
     msgs = _two_version_messages(
@@ -306,19 +304,16 @@ def q_stream_decode_confluent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(confluent_encode(v2, MESSAGE_SCHEMA_V2, 12))
         .alias("value"),
     )
+    # typed Confluent decode (r5): id dispatch + writer->reader resolution,
+    # reader struct straight from the Arrow batch, writer id as a column
     dec = msgs.select(
-        confluent_decode_registry("value", CONFLUENT_IDS, MESSAGE_SCHEMA_V2).alias("m")
-    )
-    decoded = decode_json(
-        dec.select(F.col("m.schema_id").alias("schema_id"), F.col("m.json").alias("json")),
-        "json",
-        MESSAGE_SCHEMA_V2,
+        confluent_decode_registry_typed("value", CONFLUENT_IDS, MESSAGE_SCHEMA_V2).alias("m")
     )
     return (
-        decoded.select(
-            F.col("schema_id"),
-            F.col("decoded.event_type").alias("event_type"),
-            F.col("decoded.value").alias("value"),
+        dec.select(
+            F.col("m.schema_id").alias("schema_id"),
+            F.col("m.value.event_type").alias("event_type"),
+            F.col("m.value.value").alias("value"),
         )
         .groupBy("schema_id", "event_type")
         .agg(

@@ -623,3 +623,89 @@ class TestTypedSingleObjectDecode:
         bad = spark.createDataFrame([(bytearray(b"\xde\xad\x00\x01"),)], "value binary")
         with pytest.raises(Exception, match="single-object"):
             bad.select(single_object_decode_typed("value", self.SCHEMA).alias("m")).collect()
+
+    V1 = (
+        '{"type":"record","name":"EM","fields":['
+        '{"name":"id","type":"long"},{"name":"v","type":"double"}]}'
+    )
+    V2 = (
+        '{"type":"record","name":"EM","fields":['
+        '{"name":"id","type":"long"},{"name":"v","type":"double"},'
+        '{"name":"kind","type":"string","default":"unknown"}]}'
+    )
+
+    def _two_version_messages(self, spark):
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.functions.avro_binary import single_object_encode
+
+        df = spark.createDataFrame(
+            [(i, i / 7.0, f"k{i}") for i in range(30)], "id long, v double, kind string"
+        )
+        v1 = F.to_json(F.struct("id", "v"))
+        v2 = F.to_json(F.struct("id", "v", "kind"))
+        return df.select(
+            F.when(F.col("id") % 2 == 0, single_object_encode(v1, self.V1))
+            .otherwise(single_object_encode(v2, self.V2))
+            .alias("value")
+        )
+
+    def test_registry_typed_equals_json_hop(self, spark):
+        from anglerfish_spark.codec.decoder import decode_json
+        from anglerfish_spark.functions.avro_binary import (
+            single_object_decode_registry,
+            single_object_decode_registry_typed,
+        )
+        from anglerfish_spark.session import prepare
+
+        prepare(spark)
+        msgs = self._two_version_messages(spark)
+        typed = msgs.select(
+            single_object_decode_registry_typed("value", [self.V1, self.V2], self.V2).alias("m")
+        ).select("m.*")
+        hop = decode_json(
+            msgs.select(
+                single_object_decode_registry("value", [self.V1, self.V2], self.V2).alias("json")
+            ),
+            "json",
+            self.V2,
+        ).select("decoded.*")
+        assert sorted(map(str, (tuple(r) for r in typed.collect()))) == sorted(
+            map(str, (tuple(r) for r in hop.collect()))
+        )
+
+    def test_confluent_typed_equals_json_hop(self, spark):
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.codec.decoder import decode_json
+        from anglerfish_spark.functions.avro_binary import (
+            confluent_decode_registry,
+            confluent_decode_registry_typed,
+            confluent_encode,
+        )
+        from anglerfish_spark.session import prepare
+
+        prepare(spark)
+        df = spark.createDataFrame(
+            [(i, i / 7.0, f"k{i}") for i in range(30)], "id long, v double, kind string"
+        )
+        v1 = F.to_json(F.struct("id", "v"))
+        v2 = F.to_json(F.struct("id", "v", "kind"))
+        msgs = df.select(
+            F.when(F.col("id") % 2 == 0, confluent_encode(v1, self.V1, 3))
+            .otherwise(confluent_encode(v2, self.V2, 9))
+            .alias("value")
+        )
+        ids = {3: self.V1, 9: self.V2}
+        typed = msgs.select(
+            confluent_decode_registry_typed("value", ids, self.V2).alias("m")
+        ).select("m.schema_id", "m.value.*")
+        dec = msgs.select(confluent_decode_registry("value", ids, self.V2).alias("m"))
+        hop = decode_json(
+            dec.select(F.col("m.schema_id").alias("schema_id"), F.col("m.json").alias("json")),
+            "json",
+            self.V2,
+        ).select("schema_id", "decoded.*")
+        assert sorted(map(str, (tuple(r) for r in typed.collect()))) == sorted(
+            map(str, (tuple(r) for r in hop.collect()))
+        )
