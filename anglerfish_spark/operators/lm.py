@@ -190,3 +190,194 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "tf", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+#: hashed-feature space size for the bucket n-gram model
+DSIR_BUCKETS = 256
+#: target domain stand-in: English documents
+DSIR_TARGET_LANG = "en"
+#: selection threshold on the mean per-token log-ratio, in half-bits:
+#: selected  ⇔  avg_bits >= -DSIR_THRESHOLD_HALFBITS / 2
+DSIR_THRESHOLD_HALFBITS = 5
+
+_DSIR_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5('ir|' || tok), 1, 4)) AS INT) % " + str(DSIR_BUCKETS)
+)
+
+
+@query(
+    "q_importance_resampling",
+    oracle=f"""
+WITH occ AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS bucket
+  FROM (SELECT doc_id, lang, unnest({TOKENS_SQL}) AS tok FROM documents)
+),
+model AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(COUNT(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS BIGINT) AS ct
+  FROM occ GROUP BY bucket
+),
+scored AS (
+  SELECT occ.doc_id,
+         CAST(length(bin(ct + 1)) - 1 AS BIGINT)
+           - CAST(length(bin(cr + 1)) - 1 AS BIGINT) AS bits
+  FROM occ JOIN model USING (bucket)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tok,
+       CAST(SUM(bits) AS BIGINT) AS weight_bits,
+       CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS avg_bits,
+       2 * SUM(bits) >= -{DSIR_THRESHOLD_HALFBITS} * COUNT(*) AS selected
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: score every document by the importance
+    ratio of a hashed-unigram bucket model fit on a target domain
+    (English docs stand in for the "high-quality target") against the raw
+    corpus, then select documents whose mean per-token ratio clears a
+    threshold.
+
+    Model: token -> md5 bucket (``DSIR_BUCKETS``-way hashed features, the
+    paper's hashed n-gram reduction); bucket weight is the whole-bit
+    log-ratio ``floor(log2(ct+1)) - floor(log2(cr+1))`` (add-one
+    smoothed, quantized to integers so both engines agree exactly — the
+    module's transcendental-free convention).  A document's weight is the
+    sum over its token occurrences; selection compares the mean
+    per-token weight against -2.5 bits in pure integer arithmetic
+    (``2*sum >= -5*n``), so the verdict is engine-exact too.
+
+    Scale shape: the model is a {DSIR_BUCKETS}-row aggregate (one
+    combinable shuffle over bucket ids); it joins back to the occurrence
+    relation by broadcast, and the per-doc rollup is the only
+    corpus-scale shuffle.  The tokenize+explode lineage feeds both the
+    model branch and the probe branch — Catalyst re-executes it (no
+    subtree reuse), which at 100 TB is the RIGHT trade: the re-execution
+    is a map-only CPU pass, while the alternatives either window-by-bucket
+    ({DSIR_BUCKETS} groups -> catastrophic reducer skew) or persist a
+    corpus-scale intermediate.  In production the model table would be
+    computed once and reused across selection runs (it is domain-level,
+    not corpus-run-level).
+    """
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    occ = d.select("doc_id", "lang", F.explode(tokens()).alias("tok")).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ir|"), F.col("tok")).cast("binary")), 1, 4
+                ),
+                16,
+                10,
+            ).cast("int")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    model = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG).cast("bigint").alias("ct"),
+    )
+    scored = occ.join(F.broadcast(model), "bucket").select(
+        "doc_id", (_bits(F.col("ct") + 1) - _bits(F.col("cr") + 1)).alias("bits")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.sum("bits").cast("bigint").alias("weight_bits"),
+            (F.sum("bits").cast("double") / F.count(F.lit(1))).alias("avg_bits"),
+            (2 * F.sum("bits") >= -DSIR_THRESHOLD_HALFBITS * F.count(F.lit(1))).alias(
+                "selected"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: one merge round over the word-frequency table
+# ---------------------------------------------------------------------------
+
+#: merge candidates reported per round
+BPE_TOP_MERGES = 20
+
+
+@query(
+    "q_bpe_merge_step",
+    oracle=f"""
+WITH wc AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest({TOKENS_SQL}) AS tok FROM documents)
+  GROUP BY tok
+),
+pc AS (
+  SELECT pair, CAST(SUM(c) AS BIGINT) AS merge_count
+  FROM (
+    SELECT unnest([substring(word, i, 2)
+                   for i in generate_series(1, length(word) - 1)]) AS pair, c
+    FROM wc WHERE length(word) >= 2
+  )
+  GROUP BY pair
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY merge_count DESC, pair) AS INT) AS rank,
+       pair, merge_count
+FROM pc
+ORDER BY merge_count DESC, pair
+LIMIT {BPE_TOP_MERGES}
+""",
+    group="llm-text",
+)
+def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round (Sennrich et al. 2016): count adjacent
+    symbol pairs over the word-frequency table from the initial
+    character-level state and report the top merge candidates.
+
+    This is the tokenizer-trainer's core loop body in its scale-correct
+    shape: the corpus is touched ONCE (word counting, a combinable hash
+    aggregate); every subsequent round operates on the vocab-sized
+    word-frequency table only — pair extraction is
+    ``substring(word, i, 2)`` over an index sequence (adjacent pairs ARE
+    2-char substrings in the initial state), and the pair rollup is
+    bounded by |alphabet|^2, so the final rank window runs over a
+    constant-bounded relation, not corpus data.  Ties break on the pair
+    string for a total order (the oracle-determinism house rule).
+    """
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    wc = (
+        d.select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pairs = (
+        wc.where(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substring(F.col("word"), i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "c",
+        )
+        .groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("merge_count"))
+    )
+    w = Window.orderBy(F.col("merge_count").desc(), "pair")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= BPE_TOP_MERGES)
+        .select("rank", "pair", "merge_count")
+        .orderBy("rank")
+    )

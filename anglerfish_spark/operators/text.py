@@ -322,6 +322,130 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom-filter probes per n-gram
+BLOOM_K = 3
+
+
+def _bloom_pos(gram: Column, i: int, m: int) -> Column:
+    """Probe ``i``'s bit index for ``gram`` in an ``m``-bit Bloom filter:
+    32 md5 bits taken mod m (identical arithmetic in DuckDB)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}#"), gram).cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % m
+    )
+
+
+_BLOOM_POS_SQL = (
+    "CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || '#' || gram), 1, 8)) AS BIGINT) % m"
+)
+
+
+@query(
+    "q_bloom_decontaminate",
+    oracle=f"""
+WITH g0 AS (SELECT doc_id, unnest({_NGRAMS_SQL}) AS gram FROM documents),
+bg AS (SELECT DISTINCT gram FROM g0 WHERE doc_id % 97 = 0),
+mm AS (SELECT CAST(POWER(2, length(bin(10 * COUNT(*)))) AS BIGINT) AS m FROM bg),
+bpos AS (
+  SELECT DISTINCT {_BLOOM_POS_SQL} AS p
+  FROM bg, mm, generate_series(1, {BLOOM_K}) AS s(i)
+),
+cg AS (SELECT doc_id, gram FROM g0 WHERE doc_id % 97 <> 0),
+hit AS (
+  SELECT doc_id, gram,
+         COUNT(*) FILTER (WHERE p IN (SELECT p FROM bpos)) = {BLOOM_K} AS bloom_hit
+  FROM (SELECT doc_id, gram, {_BLOOM_POS_SQL} AS p
+        FROM cg, mm, generate_series(1, {BLOOM_K}) AS s(i))
+  GROUP BY doc_id, gram
+),
+flagged AS (
+  SELECT h.doc_id, h.bloom_hit, bg.gram IS NOT NULL AS exact_hit
+  FROM hit h LEFT JOIN bg ON h.gram = bg.gram
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) FILTER (WHERE bloom_hit) AS BIGINT) AS bloom_hits,
+       CAST(COUNT(*) FILTER (WHERE exact_hit) AS BIGINT) AS exact_hits,
+       CAST(COUNT(*) FILTER (WHERE bloom_hit AND NOT exact_hit) AS BIGINT) AS false_pos,
+       COUNT(*) FILTER (WHERE bloom_hit) > 0 AS contaminated
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-bounded decontamination: the benchmark n-gram set compressed
+    into a Bloom filter, the corpus probed against the filter's bits —
+    with per-document false-positive accounting against the exact join,
+    so the sketch's one-sided error contract (no false negatives, bounded
+    false positives) is *measured inside the query*, not asserted.
+
+    Build stage (driver): the benchmark grams (doc_id % 97 = 0, the
+    q_decontaminate convention) hash into ``m`` bits under ``BLOOM_K``
+    probes; ``m`` is the next power of two above 10x the benchmark gram
+    count — computed as ``2^(floor(log2(10n))+1)`` in exact integer
+    arithmetic so the oracle sizes the filter identically.  The filter is
+    collected to the driver (bounded by the *benchmark* size — eval sets
+    are MB-scale by nature, never corpus-scale) and embedded in the plan
+    as an m-char '0'/'1' literal, the broadcast-variable shape.
+
+    Probe stage: pure map — each corpus gram tests ``BLOOM_K`` substring
+    probes against the literal, so the corpus side has NO join against
+    benchmark data at all; the only shuffle is the per-doc rollup.  At
+    100 TB this is the decisive advantage over q_decontaminate's
+    broadcast equi-join: the probe cost is independent of benchmark
+    count (hundreds of eval sets compress into one fixed-size bitset).
+    The exact-join column here exists to verify the error contract and
+    would be dropped in production.
+    """
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    g0 = d.select("doc_id", F.explode(ngrams(tokens(), DECON_N)).alias("gram"))
+    bench = g0.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    bench = bench.localCheckpoint(eager=False)
+
+    # build: size the filter from the benchmark gram count, then collect
+    # the set bit positions (both jobs touch only the tiny bench relation)
+    n_bench = bench.count()
+    m = 1 << (10 * max(n_bench, 1)).bit_length()
+    set_bits = {
+        r[0]
+        for i in range(1, BLOOM_K + 1)
+        for r in bench.select(_bloom_pos(F.col("gram"), i, m).alias("p")).distinct().collect()
+    }
+    bits = "".join("1" if b in set_bits else "0" for b in range(m))
+
+    # probe: K substring tests against the literal bitset — map-only
+    g = g0.where(F.col("doc_id") % 97 != 0)
+    bloom_hit = F.lit(True)
+    for i in range(1, BLOOM_K + 1):
+        probe = F.substring(
+            F.lit(bits), (_bloom_pos(F.col("gram"), i, m) + 1).cast("int"), 1
+        )
+        bloom_hit = bloom_hit & (probe == "1")
+    flagged = g.withColumn("bloom_hit", bloom_hit).join(
+        F.broadcast(bench.withColumn("exact_hit", F.lit(True))), "gram", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count_if(F.col("bloom_hit")).cast("bigint").alias("bloom_hits"),
+            F.count_if(F.col("exact_hit").isNotNull()).cast("bigint").alias("exact_hits"),
+            F.count_if(F.col("bloom_hit") & F.col("exact_hit").isNull())
+            .cast("bigint")
+            .alias("false_pos"),
+            (F.count_if(F.col("bloom_hit")) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q_repetition_filter",
     oracle=f"""
