@@ -710,7 +710,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-cosine near-duplicate detection
 # ---------------------------------------------------------------------------
 
-from .similarity import DIM, _hyperplanes, _sig_sql, cosine, cosine_sql, lsh_signature
+from .similarity import DIM, _hyperplanes, _sig_sql, cosine, cosine_sql, lsh_signature_batch
 
 EMB_PLANES = _hyperplanes(32)  # 32 hyperplanes → 4 bands of 8 bits
 EMB_BANDS = 4
@@ -787,7 +787,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 10000).alias("vec_id"), perturbed.alias("emb")
     )
     corpus = base.unionByName(aug)
-    sigs = corpus.select("vec_id", lsh_signature(F.col("emb"), EMB_PLANES).alias("sig"))
+    sigs = corpus.select("vec_id", lsh_signature_batch(F.col("emb"), EMB_PLANES).alias("sig"))
     band_structs = F.array(
         *[
             F.struct(
@@ -800,6 +800,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select("vec_id", F.explode(band_structs).alias("b")).select(
         "vec_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
     )
+    # the self-join below references bands on BOTH sides and Catalyst does
+    # not reuse non-exchange subtrees, so without a cut the 32-plane
+    # signature (higher-order functions — CodegenFallback, interpreted per
+    # row) would run twice; the band relation is (id, band_id, 8-char key)
+    # — tiny — so truncate lineage once (lazy: materializes at first
+    # action, SCALE.md union-reuse lesson)
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(

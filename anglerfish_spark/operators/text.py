@@ -328,20 +328,19 @@ BLOOM_K = 3
 
 def _bloom_pos(gram: Column, i: int, m: int) -> Column:
     """Probe ``i``'s bit index for ``gram`` in an ``m``-bit Bloom filter:
-    32 md5 bits taken mod m (identical arithmetic in DuckDB)."""
+    the ``i``-th disjoint 8-hex slice of ONE md5 (32 independent bits per
+    probe, up to K=4 probes per digest — one hash call per gram, the
+    standard production-Bloom trick), mod m.  Identical arithmetic in
+    DuckDB."""
     return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}#"), gram).cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
+        F.conv(F.substring(F.md5(gram.cast("binary")), 8 * (i - 1) + 1, 8), 16, 10).cast(
+            "bigint"
+        )
         % m
     )
 
 
-_BLOOM_POS_SQL = (
-    "CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || '#' || gram), 1, 8)) AS BIGINT) % m"
-)
+_BLOOM_POS_SQL = "CAST(('0x' || substring(md5(gram), 8 * (i - 1) + 1, 8)) AS BIGINT) % m"
 
 
 @query(
@@ -409,15 +408,26 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = g0.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
     bench = bench.localCheckpoint(eager=False)
 
-    # build: size the filter from the benchmark gram count, then collect
-    # the set bit positions (both jobs touch only the tiny bench relation)
-    n_bench = bench.count()
+    # build: ONE job over the tiny bench relation collects the K raw
+    # 32-bit hashes per gram (mod-free, so they don't depend on m); the
+    # gram count then sizes the filter and the mod folds in driver-side.
+    # The collect also materializes the lazy checkpoint the probe-side
+    # exact join reuses.
+    raw = bench.select(
+        F.array(
+            *[
+                F.conv(
+                    F.substring(F.md5(F.col("gram").cast("binary")), 8 * (i - 1) + 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                for i in range(1, BLOOM_K + 1)
+            ]
+        ).alias("hs")
+    ).collect()
+    n_bench = len(raw)
     m = 1 << (10 * max(n_bench, 1)).bit_length()
-    set_bits = {
-        r[0]
-        for i in range(1, BLOOM_K + 1)
-        for r in bench.select(_bloom_pos(F.col("gram"), i, m).alias("p")).distinct().collect()
-    }
+    set_bits = {h % m for r in raw for h in r["hs"]}
     bits = "".join("1" if b in set_bits else "0" for b in range(m))
 
     # probe: K substring tests against the literal bitset — map-only

@@ -73,3 +73,36 @@ class TestSimilarityFrontDoor:
         c = _corpus(spark)
         with pytest.raises(ValueError, match="unknown mode"):
             similarity_topk(c, _queries(c), mode="bogus")
+
+
+def test_signature_batch_matches_expression(spark):
+    """The Arrow-vectorized signature must be BIT-IDENTICAL to the
+    expression form (same left-fold order per plane) — the determinism
+    contract every LSH oracle relies on.  Exercised on synthetic vectors
+    incl. zero vectors and sign boundaries."""
+    from anglerfish_spark.operators.similarity import (
+        lsh_signature,
+        lsh_signature_batch,
+    )
+
+    c = _corpus(spark, n=200)
+    # add a zero vector and a negative-heavy vector (sign boundary stress)
+    extra = spark.range(2).select(
+        (F.col("id") + 1000).alias("vec_id"),
+        F.lit(0).cast("int").alias("label"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(F.col("id") == 0, F.lit(0.0)).otherwise(-i.cast("float")),
+        ).alias("embedding"),
+    )
+    both = (
+        c.unionByName(extra)
+        .select(
+            "vec_id",
+            lsh_signature(F.col("embedding")).alias("expr_sig"),
+            lsh_signature_batch(F.col("embedding")).alias("batch_sig"),
+        )
+        .collect()
+    )
+    diffs = [(r["vec_id"], r["expr_sig"], r["batch_sig"]) for r in both if r["expr_sig"] != r["batch_sig"]]
+    assert not diffs, f"signature divergence: {diffs[:5]}"
