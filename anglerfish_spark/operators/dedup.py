@@ -22,6 +22,9 @@ Everything is built-in expressions; md5/array ops are whole-stage codegen.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1261,6 +1264,43 @@ def word_ngrams(tok: Column, n: int) -> Column:
     return F.when(F.size(tok) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def gram_hashes(tok: Column, n: int) -> Column:
+    """Positional n-gram KEYS as 64-bit rolling hashes — Arrow-vectorized.
+
+    The ExactSubstr pipelines never look at gram *text*: both the query
+    output and the oracle aggregate positions/counts, so the gram column
+    only has to be a deterministic, collision-negligible grouping key.
+    Building the strings via :func:`word_ngrams` is the hot stage of the
+    substring pipelines (interpreted zip_with concats, ~400 us per doc —
+    measured 2.1 s of the 3.1 s query at sf0.1; above the SCALE.md #19
+    vectorization threshold, and the input is corpus-cardinality, not
+    pair-expanded).  Here token hashes come from pandas' fixed-key
+    siphash (``pd.util.hash_array``, process-stable) and combine
+    positionally with an FNV-prime polynomial in uint64 (wrap-around mod
+    2^64): one vectorized multiply-add per offset, O(n) passes per doc.
+    64-bit keys over ~10^6-10^8 grams put collision odds at ~1e-7;
+    deterministic, so a pass is a pass on every partitioning."""
+
+    @F.pandas_udf("array<long>")
+    def gh(toks: pd.Series) -> pd.Series:
+        prime = np.uint64(1099511628211)
+        out = []
+        for t in toks:
+            arr = np.asarray(t if t is not None else [], dtype=object)
+            m = arr.size - (n - 1)
+            if m <= 0:
+                out.append([])
+                continue
+            h = pd.util.hash_array(arr).astype(np.uint64)
+            g = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                g = g * prime + h[j : j + m]
+            out.append(g.view(np.int64).tolist())
+        return pd.Series(out)
+
+    return gh(tok)
+
+
 @query(
     "q_dedup_substrings",
     oracle=f"""
@@ -1338,9 +1378,9 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents", fanout=True)
     grams = (
-        d.select("doc_id", word_ngrams(tokens(), SUBSTR_N).alias("gs"))
-        .select("doc_id", F.posexplode("gs").alias("pos0", "gram"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5(F.col("gram").cast("binary")).alias("g"))
+        d.select("doc_id", gram_hashes(tokens(), SUBSTR_N).alias("gs"))
+        .select("doc_id", F.posexplode("gs").alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
     )
     # occurrence count as a window over the gram relation itself (same
     # lesson as q_tfidf's df): a separate count-aggregate joined back
@@ -1631,13 +1671,9 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d3 = d.join(surv3, "doc_id", "left_semi")
     grams = (
-        d3.select("doc_id", word_ngrams(tokens(), SUBSTR_N).alias("gs"))
-        .select("doc_id", F.posexplode("gs").alias("pos0", "gram"))
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.md5(F.col("gram").cast("binary")).alias("g"),
-        )
+        d3.select("doc_id", gram_hashes(tokens(), SUBSTR_N).alias("gs"))
+        .select("doc_id", F.posexplode("gs").alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
     )
     w_gram = Window.partitionBy("g")
     spans = (
