@@ -428,7 +428,12 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bench = len(raw)
     m = 1 << (10 * max(n_bench, 1)).bit_length()
     set_bits = {h % m for r in raw for h in r["hs"]}
-    bits = "".join("1" if b in set_bits else "0" for b in range(m))
+    # the bitset literal is BINARY, not string: substring on a string
+    # literal counts UTF-8 codepoints from the start — O(position) per
+    # probe, which turned the sf0.5 soak superlinear (probe stage 1.6 ->
+    # 21 s when m grew 32k -> 131k); byte-indexed substring on binary is
+    # O(1)
+    bits = bytes(0x31 if b in set_bits else 0x30 for b in range(m))
 
     # probe: K substring tests against the literal bitset — map-only
     g = g0.where(F.col("doc_id") % 97 != 0)
@@ -437,7 +442,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe = F.substring(
             F.lit(bits), (_bloom_pos(F.col("gram"), i, m) + 1).cast("int"), 1
         )
-        bloom_hit = bloom_hit & (probe == "1")
+        bloom_hit = bloom_hit & (probe == F.lit(b"1"))
     flagged = g.withColumn("bloom_hit", bloom_hit).join(
         F.broadcast(bench.withColumn("exact_hit", F.lit(True))), "gram", "left"
     )
