@@ -478,3 +478,64 @@ def test_hostile_union_shapes(spark):
             if (kind == "valid") != py_ok:
                 mismatches.append((schema["name"], kind, "expectation", py_ok))
     assert not mismatches, f"hostile-union mismatches: {mismatches}"
+
+
+# ---------------------------------------------------------------------------
+# OCF container layer + JVM cross-checks over the same random schemas
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_ocf_roundtrip_and_jvm_read(spark, fuzz_cases, tmp_path):
+    """For every random schema: (a) the OCF container round-trips every
+    accepted datum byte-exactly through encode_ocf/decode_ocf; (b) the JVM
+    ``org.apache.avro`` DataFileReader — a fully independent implementation
+    — parses the engine-written file, yields the same record count, and
+    agrees on the schema via Parsing-Canonical-Form text AND CRC-64-AVRO
+    fingerprint (extending the fixed-corpus fingerprint differential to
+    generated schemas)."""
+    from anglerfish_spark.schema.fingerprint import (
+        parsing_canonical_form,
+        schema_fingerprint,
+    )
+    from anglerfish_spark.sources.avro_ocf import decode_ocf_with_schema, encode_ocf
+
+    jvm = spark._jvm
+    try:
+        jvm.java.lang.Class.forName("org.apache.avro.SchemaNormalization")
+        jvm_ok = True
+    except Exception:
+        jvm_ok = False
+
+    for k, (schema_json, datums) in enumerate(fuzz_cases):
+        ps = parse_schema(schema_json)
+        vals = []
+        for _, d in datums:
+            try:
+                vals.append(decode_datum(ps.root, d, ps.env))
+            except E.DatumError:
+                continue
+        blob = encode_ocf(vals, schema_json)
+        got, wschema = decode_ocf_with_schema(blob)
+        assert [_norm(v) for v in got] == [_norm(v) for v in vals], schema_json
+        assert parsing_canonical_form(wschema) == parsing_canonical_form(schema_json)
+        if not jvm_ok:
+            continue
+        path = tmp_path / f"fuzz{k}.avro"
+        path.write_bytes(blob)
+        reader = jvm.org.apache.avro.generic.GenericDatumReader()
+        dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(str(path)), reader)
+        jschema = dfr.getSchema()
+        n = 0
+        while dfr.hasNext():
+            dfr.next()
+            n += 1
+        dfr.close()
+        assert n == len(vals), schema_json
+        assert jvm.org.apache.avro.SchemaNormalization.toParsingForm(
+            jschema
+        ) == parsing_canonical_form(schema_json)
+        jfp = jvm.org.apache.avro.SchemaNormalization.parsingFingerprint64(jschema) & (
+            2**64 - 1
+        )
+        ours = int.from_bytes(schema_fingerprint(schema_json, "CRC-64-AVRO"), "little")
+        assert jfp == ours, schema_json
