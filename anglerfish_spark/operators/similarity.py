@@ -676,3 +676,247 @@ def q_pca_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("sc") * F.col("val")).alias("comp"))
         .orderBy("dim_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): the standard ANN compression at corpus scale
+# ---------------------------------------------------------------------------
+
+#: subspaces x dims-per-subspace must equal DIM; PQ_K codebook entries per
+#: subspace -> codes are PQ_SUBSPACES small ints per vector (here 8 bytes
+#: against 256 bytes of float32 -- 32x)
+PQ_SUBSPACES, PQ_SUB_DIM, PQ_K = 8, 8, 16
+
+_PQ_CB_CACHE: dict[str, "np.ndarray"] = {}
+
+
+def _pq_codebook(e: DataFrame, cache_key: str | None = None) -> "np.ndarray":
+    """(PQ_K, DIM) float64 codebook: the subspace slices of the vectors
+    with vec_id < PQ_K — deterministic "training sample", collected to
+    the driver at plan-build time like the IVF centroids (metadata-scale;
+    a k-means-trained codebook would be collected the same way)."""
+    if cache_key is not None and cache_key in _PQ_CB_CACHE:
+        return _PQ_CB_CACHE[cache_key]
+    rows = e.where(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
+    cb = np.array(
+        [v for _, v in sorted((r.vec_id, [float(x) for x in r.embedding]) for r in rows)],
+        dtype=np.float64,
+    )
+    if cache_key is not None:
+        _PQ_CB_CACHE[cache_key] = cb
+    return cb
+
+
+_PQ_SQL_D2 = f"""
+list_sum([ (CAST(v.embedding[s.s * {PQ_SUB_DIM} + j] AS DOUBLE)
+            - CAST(cb.ce[s.s * {PQ_SUB_DIM} + j] AS DOUBLE))
+           * (CAST(v.embedding[s.s * {PQ_SUB_DIM} + j] AS DOUBLE)
+              - CAST(cb.ce[s.s * {PQ_SUB_DIM} + j] AS DOUBLE))
+           for j in generate_series(1, {PQ_SUB_DIM}) ])
+""".strip()
+
+
+@query(
+    "q_pq_codes",
+    oracle=f"""
+WITH cb AS (SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < {PQ_K}),
+d AS (
+  SELECT v.vec_id, s.s, cb.c, {_PQ_SQL_D2} AS d2
+  FROM embeddings v, generate_series(0, {PQ_SUBSPACES - 1}) AS s(s), cb
+),
+best AS (
+  SELECT vec_id, s, c, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+  FROM d
+)
+SELECT vec_id,
+       list(CAST(c AS INT) ORDER BY s) AS codes,
+       list_sum(list(d2 ORDER BY s)) AS recon_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+ORDER BY vec_id
+""",
+    group="similarity",
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: each vector's {PQ_SUBSPACES}
+    subspaces assigned to the nearest of {PQ_K} per-subspace codebook
+    entries (squared L2, ties to the lowest code), plus the total
+    reconstruction error — the compressed representation ADC search
+    scans at 100 TB (codes are {PQ_SUBSPACES} small ints ≈ 32x smaller
+    than the float32 vectors, so the scan set fits in memory where the
+    raw corpus cannot).
+
+    Scale shape: the codebook is metadata-scale and rides the closure as
+    a numpy constant; encoding is a pure Arrow-vectorized map (no join,
+    no shuffle beyond the final cosmetic sort).  Per SCALE.md #19 this
+    sits well above the vectorization threshold ({PQ_SUBSPACES * PQ_K *
+    PQ_SUB_DIM} interpreted ops/row in expression form) with
+    corpus-cardinality input.  Determinism: distances accumulate in the
+    exact subspace-dim order on both engines (numpy updates are
+    row-vectorized, dim-sequential); argmin ties break to the lowest
+    code on both (np.argmin first-min, SQL ROW_NUMBER d2-then-c).
+    """
+    prepare(spark)
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
+    cb = _pq_codebook(e, cache_key=sf_dir)
+
+    out_t = T.StructType(
+        [
+            T.StructField("codes", T.ArrayType(T.IntegerType()), True),
+            T.StructField("err", T.DoubleType(), True),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def pq(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"codes": [], "err": []})
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        n = X.shape[0]
+        codes = np.zeros((n, PQ_SUBSPACES), dtype=np.int32)
+        err = np.zeros(n)
+        for s in range(PQ_SUBSPACES):
+            D = np.zeros((n, PQ_K))
+            for j in range(PQ_SUB_DIM):
+                col = s * PQ_SUB_DIM + j
+                diff = X[:, col][:, None] - cb[None, :, col]
+                D = D + diff * diff
+            cs = np.argmin(D, axis=1)
+            codes[:, s] = cs
+            err = err + D[np.arange(n), cs]
+        return pd.DataFrame({"codes": [r.tolist() for r in codes], "err": err})
+
+    return (
+        e.select("vec_id", pq(F.col("embedding")).alias("pq"))
+        .select("vec_id", F.col("pq.codes").alias("codes"), F.col("pq.err").alias("recon_err"))
+        .orderBy("vec_id")
+    )
+
+
+_PQ_SQL_QD2 = f"""
+list_sum([ (CAST(q.qe[s.s * {PQ_SUB_DIM} + j] AS DOUBLE)
+            - CAST(cb.ce[s.s * {PQ_SUB_DIM} + j] AS DOUBLE))
+           * (CAST(q.qe[s.s * {PQ_SUB_DIM} + j] AS DOUBLE)
+              - CAST(cb.ce[s.s * {PQ_SUB_DIM} + j] AS DOUBLE))
+           for j in generate_series(1, {PQ_SUB_DIM}) ])
+""".strip()
+
+
+@query(
+    "q_pq_topk",
+    oracle=f"""
+WITH cb AS (SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < {PQ_K}),
+d AS (
+  SELECT v.vec_id, s.s, cb.c, {_PQ_SQL_D2} AS d2
+  FROM embeddings v, generate_series(0, {PQ_SUBSPACES - 1}) AS s(s), cb
+),
+best AS (
+  SELECT vec_id, s, c,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+  FROM d
+),
+codes AS (SELECT vec_id, s, c FROM best WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+lut AS (
+  SELECT q.query_id, s.s, cb.c, {_PQ_SQL_QD2} AS d2
+  FROM q, generate_series(0, {PQ_SUBSPACES - 1}) AS s(s), cb
+),
+contrib AS (
+  SELECT lut.query_id, codes.vec_id, lut.s, lut.d2
+  FROM codes JOIN lut ON lut.s = codes.s AND lut.c = codes.c
+  WHERE codes.vec_id <> lut.query_id
+),
+score AS (
+  SELECT query_id, vec_id, list_sum(list(d2 ORDER BY s)) AS adc_dist
+  FROM contrib GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, vec_id) AS rank
+  FROM score
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dist
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+""",
+    group="similarity",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: queries stay raw,
+    the corpus is scanned as codes, and each candidate's distance is the
+    sum of {PQ_SUBSPACES} lookup-table entries — the query-time half of
+    product quantization.
+
+    Scale shape: the per-query lookup tables ({N_QUERIES} x
+    {PQ_SUBSPACES} x {PQ_K} doubles) are computed on the DRIVER from the
+    broadcast-scale codebook and query vectors, and ride the plan as a
+    broadcast relation; the corpus side reads codes only (no float
+    vectors move), scores via {PQ_SUBSPACES} array lookups per
+    (query, vec) — a static left-fold expression, whole-stage codegen —
+    and the only shuffle is the per-query top-k window.  Determinism:
+    LUT entries accumulate dim-sequentially (numpy on the driver, the
+    same fold the oracle spells out); the score fold over subspaces is a
+    static expression-order sum; rank ties break on vec_id.
+    """
+    prepare(spark)
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
+    cb = _pq_codebook(e, cache_key=sf_dir)
+
+    # driver-side LUTs from the collected query vectors (metadata-scale)
+    q_rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding])
+        for r in e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+    )
+    lut_rows = []
+    for qid, qe in q_rows:
+        Q = np.array(qe, dtype=np.float64)
+        luts = []
+        for s in range(PQ_SUBSPACES):
+            D = np.zeros(PQ_K)
+            for j in range(PQ_SUB_DIM):
+                col = s * PQ_SUB_DIM + j
+                diff = Q[col] - cb[:, col]
+                D = D + diff * diff
+            luts.append([float(x) for x in D])
+        lut_rows.append((qid, luts))
+    lut_df = spark.createDataFrame(lut_rows, ["query_id", "luts"])
+
+    from pyspark.sql import types as T
+
+    out_t = T.ArrayType(T.IntegerType())
+
+    @F.pandas_udf(out_t)
+    def pq_codes_only(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        n = X.shape[0]
+        codes = np.zeros((n, PQ_SUBSPACES), dtype=np.int32)
+        for s in range(PQ_SUBSPACES):
+            D = np.zeros((n, PQ_K))
+            for j in range(PQ_SUB_DIM):
+                col = s * PQ_SUB_DIM + j
+                diff = X[:, col][:, None] - cb[None, :, col]
+                D = D + diff * diff
+            codes[:, s] = np.argmin(D, axis=1)
+        return pd.Series([r.tolist() for r in codes])
+
+    coded = e.select("vec_id", pq_codes_only(F.col("embedding")).alias("codes"))
+    cand = coded.crossJoin(F.broadcast(lut_df)).where(F.col("vec_id") != F.col("query_id"))
+    score = F.lit(0.0)
+    for s in range(PQ_SUBSPACES):
+        score = score + F.element_at(
+            F.element_at(F.col("luts"), s + 1), F.element_at(F.col("codes"), s + 1) + 1
+        )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), "vec_id")
+    return (
+        cand.select("query_id", "vec_id", score.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    )
