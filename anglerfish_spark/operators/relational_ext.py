@@ -1506,3 +1506,106 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(s2.cast("int")).cast("bigint").alias("stage_click"),
         F.sum(s3.cast("int")).cast("bigint").alias("stage_purchase"),
     )
+
+
+@query(
+    "q_pattern_match",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CASE WHEN event_type = LAG(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+),
+runs0 AS (
+  SELECT user_id, event_type, rn,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, run_id, MIN(event_type) AS typ,
+         CAST(COUNT(*) AS BIGINT) AS len
+  FROM runs0 GROUP BY user_id, run_id
+),
+seq AS (
+  SELECT user_id, typ, len,
+         LAG(typ)  OVER (PARTITION BY user_id ORDER BY run_id) AS prev_typ,
+         LEAD(typ) OVER (PARTITION BY user_id ORDER BY run_id) AS next_typ
+  FROM runs
+),
+matches AS (
+  SELECT user_id, len FROM seq
+  WHERE typ = 'click' AND prev_typ = 'view' AND next_typ = 'purchase'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(SUM(len) AS BIGINT) AS total_clicks,
+       CAST(MAX(len) AS BIGINT) AS max_click_run
+FROM matches GROUP BY user_id
+ORDER BY user_id
+""",
+    group="relational",
+)
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection — the pattern
+    ``view click+ purchase`` over each user's event stream, CONTIGUOUS
+    (no intervening events), reported per user as match count, clicks
+    consumed, and longest click run.  Spark has no MATCH_RECOGNIZE; the
+    standard re-expression is gaps-and-islands: same-type runs via the
+    change-flag running sum, then one lag/lead pass over the RUN relation
+    (a 'click' run sandwiched between a 'view' run and a 'purchase' run
+    is exactly one greedy match).
+
+    Scale shape: everything partitions by user_id and reuses that one
+    partitioning — two window passes (event-level run ids, run-level
+    lag/lead) and two combinable aggregations; no joins, no explode, no
+    global sort.  Event order is the total (ts, event_id) — the oracle
+    window-determinism house rule.
+    """
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_ev).alias("rn"),
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w_ev), 0
+        ).otherwise(1).alias("chg"),
+    )
+    w_run = (
+        Window.partitionBy("user_id").orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = (
+        ordered.withColumn("run_id", F.sum("chg").over(w_run))
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.min("event_type").alias("typ"),
+            F.count(F.lit(1)).cast("bigint").alias("len"),
+        )
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("run_id")
+    seq = runs.select(
+        "user_id",
+        "typ",
+        "len",
+        F.lag("typ").over(w_seq).alias("prev_typ"),
+        F.lead("typ").over(w_seq).alias("next_typ"),
+    )
+    return (
+        seq.where(
+            (F.col("typ") == "click")
+            & (F.col("prev_typ") == "view")
+            & (F.col("next_typ") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.sum("len").cast("bigint").alias("total_clicks"),
+            F.max("len").cast("bigint").alias("max_click_run"),
+        )
+        .orderBy("user_id")
+    )
