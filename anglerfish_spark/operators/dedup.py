@@ -1762,3 +1762,120 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x.*")
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated incremental dedup: the crawl steady state where most docs
+# are NEW and should never touch the index join at all
+# ---------------------------------------------------------------------------
+
+#: Bloom probes per fingerprint (disjoint 8-hex slices of the fp itself —
+#: the fp IS an md5, so no extra hashing)
+IDX_BLOOM_K = 3
+
+_FP_SQL = f"md5(array_to_string(list_sort(list_distinct({TOKENS_SQL})), ' '))"
+_FP_POS_SQL = "CAST(('0x' || substring(fp, 8 * (i - 1) + 1, 8)) AS BIGINT) % m"
+
+
+def _fp_pos(fp: Column, i: int, m: int) -> Column:
+    return (
+        F.conv(F.substring(fp, 8 * (i - 1) + 1, 8), 16, 10).cast("bigint") % m
+    )
+
+
+@query(
+    "q_dedup_bloom_incremental",
+    oracle=f"""
+WITH newdocs AS (
+  SELECT doc_id, {_FP_SQL} AS fp FROM documents WHERE doc_id % 10 = 0
+),
+idx AS (
+  SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id % 10 <> 0
+),
+mm AS (SELECT CAST(POWER(2, length(bin(10 * COUNT(*)))) AS BIGINT) AS m FROM idx),
+bpos AS (
+  SELECT DISTINCT {_FP_POS_SQL} AS p
+  FROM idx, mm, generate_series(1, {IDX_BLOOM_K}) AS s(i)
+),
+probed AS (
+  SELECT doc_id, fp,
+         COUNT(*) FILTER (WHERE p IN (SELECT p FROM bpos)) = {IDX_BLOOM_K} AS maybe
+  FROM (SELECT doc_id, fp, {_FP_POS_SQL} AS p
+        FROM newdocs, mm, generate_series(1, {IDX_BLOOM_K}) AS s(i))
+  GROUP BY doc_id, fp
+)
+SELECT p.doc_id,
+       p.maybe AS bloom_maybe,
+       i.fp IS NOT NULL AS exact_dup
+FROM probed p LEFT JOIN idx i ON p.fp = i.fp
+ORDER BY p.doc_id
+""",
+    group="llm-dedup",
+)
+def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated incremental dedup — the crawl steady state: before the
+    batch's fingerprints ever touch the index join, they probe a Bloom
+    filter of the INDEX fingerprints; bloom-negative docs are DEFINITELY
+    new (the sketch's one-sided guarantee) and skip the join entirely,
+    so the index join's probe side shrinks to the maybe-dup subset —
+    on a fresh crawl where most docs are new, that is most of the join
+    gone.  Bloom positions are disjoint 8-hex slices of the fingerprint
+    itself (it is already an md5 — no extra hashing), and the filter is
+    self-sized to the index (next pow2 >= 10x |index| fps, ~1.25 GB per
+    1e9 docs at these parameters — the real systems' trade).
+
+    Build stage: |index| count + distinct-positions collect; both
+    driver-side results are bounded by m, NOT by the index (positions
+    are mod-m BEFORE distinct).  At 100 TB the count comes from catalog
+    stats and the filter is maintained incrementally at ingest, not
+    rebuilt per batch (same caveat as q_dedup_incremental's index-side
+    recompute).  Probe stage: O(1) byte tests against the BINARY bitset
+    literal (SCALE.md #21) — map-only.  The confirmation join runs only
+    over bloom-positive docs; output keeps the gate visible
+    (``bloom_maybe``) next to ground truth (``exact_dup``) so the
+    no-false-negatives contract is oracle-checked row by row, false
+    positives included.
+    """
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens()))).cast("binary"))
+    fps = d.select("doc_id", fp.alias("fp"))
+    is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    new_fps = fps.where(is_new)
+    idx_fps = fps.where(~is_new).select("fp").distinct()
+    idx_fps = idx_fps.localCheckpoint(eager=False)
+
+    n_idx = idx_fps.count()
+    m = 1 << (10 * max(n_idx, 1)).bit_length()
+    pos_rows = (
+        idx_fps.select(
+            F.explode(
+                F.array(*[_fp_pos(F.col("fp"), i, m) for i in range(1, IDX_BLOOM_K + 1)])
+            ).alias("p")
+        )
+        .distinct()  # scalar positions: the collect is bounded by m, not |index|
+        .collect()
+    )
+    set_bits = {r["p"] for r in pos_rows}
+    bits = bytes(0x31 if b in set_bits else 0x30 for b in range(m))
+
+    maybe = F.lit(True)
+    for i in range(1, IDX_BLOOM_K + 1):
+        probe = F.substring(F.lit(bits), (_fp_pos(F.col("fp"), i, m) + 1).cast("int"), 1)
+        maybe = maybe & (probe == F.lit(b"1"))
+    gated = new_fps.withColumn("bloom_maybe", maybe)
+    confirmed = (
+        gated.where(F.col("bloom_maybe"))
+        .join(idx_fps.withColumn("_hit", F.lit(True)), "fp", "left")
+        .select("doc_id", F.col("_hit").isNotNull().alias("exact_dup"))
+    )
+    return (
+        gated.select("doc_id", "bloom_maybe")
+        .join(confirmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_maybe",
+            F.coalesce(F.col("exact_dup"), F.lit(False)).alias("exact_dup"),
+        )
+        .orderBy("doc_id")
+    )
