@@ -163,3 +163,81 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
         .orderBy("cohort_day", "age_days")
     )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+WITH log AS (
+  SELECT user_id,
+         CASE event_type WHEN 'error' THEN 'D' WHEN 'signup' THEN 'I' ELSE 'U' END AS op,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value, event_id
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM log
+),
+stats AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ops,
+         CAST(COUNT(*) FILTER (WHERE op = 'D') AS BIGINT) AS n_deletes
+  FROM log GROUP BY user_id
+)
+SELECT r.user_id, r.op AS last_op, r.ts_us AS latest_ts_us,
+       r.value AS latest_value, s.n_ops, s.n_deletes
+FROM ranked r JOIN stats s USING (user_id)
+WHERE r.rn = 1 AND r.op <> 'D'
+ORDER BY r.user_id
+""",
+    group="relational",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply: materialize the current table state from an
+    insert/update/delete event log — the Debezium-consumer / MERGE
+    steady-state shape that :func:`q_log_compact` (upsert-only) cannot
+    express, because DELETE tombstones must *remove* keys: a user whose
+    latest change is a delete is absent from the final state, regardless
+    of history.  (Ops are derived from event_type: signup=I, error=D,
+    else U.)  Lifetime op counts ride along so the resurrection case —
+    deleted then re-inserted — is visible in the output.
+
+    Scale shape: ONE shuffle by the primary key serves both the
+    latest-row window and the op-count aggregate; ties break on
+    event_id (total order, the oracle house rule).  In production the
+    output feeds a MERGE into the manifest-committed table
+    (sources/manifest_table.py) exactly like the foreachBatch upsert
+    sink, with deletes mapped to tombstone rows.
+    """
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+    )
+    log = ev.select(
+        "user_id",
+        op.alias("op"),
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+        "value",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    w_all = Window.partitionBy("user_id")
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(w_all).cast("bigint"))
+        .withColumn("n_deletes", F.count_if(F.col("op") == "D").over(w_all).cast("bigint"))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("ts_us").alias("latest_ts_us"),
+            F.col("value").alias("latest_value"),
+            "n_ops",
+            "n_deletes",
+        )
+        .orderBy("user_id")
+    )

@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QueryDef]:
     # the modules need a working pyspark, which the front-end-only schema
     # tools must not require.
     from .codec import queries as _codec_queries  # noqa: F401
+    from .sources import manifest_table as _manifest_table  # noqa: F401
     from .sources import ocf_datasource as _ocf_ds  # noqa: F401
     from .operators import dedup as _dedup  # noqa: F401
     from .operators import history as _history  # noqa: F401

@@ -46,6 +46,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from ..errors import AnglerfishError
+from ..registry import query
+from ..session import prepare
 
 
 class ConcurrentCommitError(AnglerfishError):
@@ -217,3 +219,99 @@ def start_manifest_upsert_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.trigger(availableNow=True).start()
+
+
+# ---------------------------------------------------------------------------
+# registered time-travel query: the snapshot/commit protocol under the
+# driver's oracle gate
+# ---------------------------------------------------------------------------
+
+_ASOF_TABLES: dict[str, str] = {}
+
+
+def _asof_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) a two-snapshot manifest table
+    from ``orders``: v1 inserts every o_orderkey % 3 == 0 row; v2 upserts
+    the % 3 == 1 rows (inserts) plus the % 6 == 0 rows with o_totalprice
+    bumped by 1000 (updates) — so v1 and v2 differ in BOTH membership and
+    values, and an AS-OF read must resolve the v1 manifest, not the
+    current one."""
+    from pyspark.sql import functions as F
+
+    from ..sources.registry import load_table
+
+    t = _ASOF_TABLES.get(sf_dir)
+    if t and os.path.isdir(os.path.join(t, _MANIFEST_DIR)):
+        return t
+    import tempfile
+
+    t = tempfile.mkdtemp(prefix="anglerfish_asof_")
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(*cols)
+    upsert(spark, t, base, ["o_orderkey"], txn_id="asof-v1")
+    updates = (
+        orders.where(F.col("o_orderkey") % 6 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .unionByName(orders.where(F.col("o_orderkey") % 3 == 1).select(*cols))
+    )
+    upsert(spark, t, updates, ["o_orderkey"], txn_id="asof-v2")
+    _ASOF_TABLES[sf_dir] = t
+    return t
+
+
+@query(
+    "q_table_asof",
+    oracle=f"""
+SELECT 1 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {{dsum}} AS total_price
+FROM (SELECT o_totalprice AS p FROM orders WHERE o_orderkey % 3 = 0)
+UNION ALL
+SELECT 2,
+       CAST(COUNT(*) AS BIGINT),
+       {{dsum}}
+FROM (
+  SELECT CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+)
+ORDER BY version
+""".format(dsum="CAST(CAST(SUM(CAST(p AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"),
+    group="sources",
+)
+def q_table_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the manifest-committed table: summarize snapshot
+    v1 AS OF its manifest and the current snapshot (v2) side by side —
+    membership AND values must come from the version's own manifest
+    (half of v1's rows were value-bumped in v2, a third of v2's rows
+    don't exist in v1), so a reader that lists the data directory
+    instead of resolving manifests cannot pass.
+
+    The build (once per process) exercises the real protocol: two
+    transactional upserts with txn ids, O_EXCL manifest commits, staged
+    files invisible until named.  Reads are ordinary parquet scans of
+    exactly the files each manifest names — at 100 TB this is the
+    entire point of the format: snapshot isolation without touching or
+    re-listing the data lake (SCALE.md; sources/manifest_table.py
+    design note).
+    """
+    prepare(spark)
+    from pyspark.sql import functions as F
+
+    from ..operators.common import dsum
+
+    t = _asof_table(spark, sf_dir)
+
+    def summarize(version: int) -> DataFrame:
+        return snapshot(spark, t, version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+
+    return summarize(1).unionByName(summarize(2)).orderBy("version")
