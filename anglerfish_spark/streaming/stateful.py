@@ -91,3 +91,177 @@ def q_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         updates.groupBy("user_id").agg(F.max("cnt").alias("cnt")).orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# order-sensitive stateful pattern detection (streaming MATCH_RECOGNIZE)
+# ---------------------------------------------------------------------------
+
+_PAT_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+        T.StructField("total_clicks", T.LongType()),
+        T.StructField("max_click_run", T.LongType()),
+    ]
+)
+_PAT_STATE = T.StructType(
+    [
+        T.StructField("last_type", T.StringType()),
+        T.StructField("active", T.BooleanType()),
+        T.StructField("run", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("tot", T.LongType()),
+        T.StructField("mx", T.LongType()),
+    ]
+)
+
+
+def _match_pattern(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user ``view click+ purchase`` state machine, continued ACROSS
+    micro-batches (a click run that starts at the end of one batch and
+    completes in the next is one match).  Rows are sorted by
+    (ts_us, event_id) within the batch; cross-batch order is the
+    source's responsibility (chronological segments here; a Kafka topic
+    keyed by user delivers per-key order the same way)."""
+    last_type, active, run, n, tot, mx = (
+        state.get if state.exists else (None, False, 0, 0, 0, 0)
+    )
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for et in pdf["event_type"]:
+            if et == "click":
+                if last_type == "view":
+                    active, run = True, 1
+                elif last_type == "click" and active:
+                    run += 1
+                else:
+                    active, run = False, 0
+            elif et == "purchase" and active and last_type == "click":
+                n += 1
+                tot += run
+                mx = max(mx, run)
+                active, run = False, 0
+            else:
+                active, run = False, 0
+            last_type = et
+    state.update((last_type, active, run, n, tot, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_matches": [n],
+            "total_clicks": [tot],
+            "max_click_run": [mx],
+        }
+    )
+
+
+@query(
+    "q_stream_pattern",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CASE WHEN event_type = LAG(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+),
+runs0 AS (
+  SELECT user_id, event_type, rn,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, run_id, MIN(event_type) AS typ,
+         CAST(COUNT(*) AS BIGINT) AS len
+  FROM runs0 GROUP BY user_id, run_id
+),
+seq AS (
+  SELECT user_id, typ, len,
+         LAG(typ)  OVER (PARTITION BY user_id ORDER BY run_id) AS prev_typ,
+         LEAD(typ) OVER (PARTITION BY user_id ORDER BY run_id) AS next_typ
+  FROM runs
+),
+matches AS (
+  SELECT user_id, len FROM seq
+  WHERE typ = 'click' AND prev_typ = 'view' AND next_typ = 'purchase'
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(SUM(len) AS BIGINT) AS total_clicks,
+       CAST(MAX(len) AS BIGINT) AS max_click_run
+FROM matches GROUP BY user_id
+ORDER BY user_id
+""",
+    group="streaming",
+)
+def q_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE: the q_pattern_match state machine run
+    as a REAL Structured Streaming job whose state must survive
+    micro-batch boundaries — events are split into three chronological
+    segments (one file each, mtime-ordered, maxFilesPerTrigger=1), so a
+    pattern spanning a segment boundary is only counted if the per-user
+    state genuinely carries across batches.  Final per-user counters
+    (all monotone) must equal the batch gaps-and-islands oracle exactly.
+
+    The segment scaffolding stands in for a Kafka topic keyed by
+    user_id, which delivers the same per-key ordering guarantee; the
+    operator itself is the 100 TB shape — per-key state in the state
+    store (RocksDB-backed in production), Arrow batches, no shuffle
+    beyond the keyed grouping.
+    """
+    prepare(spark)
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max(hi - lo + 1, 1)
+    seg = F.least(F.lit(2), ((F.col("ts_us") - F.lit(lo)) * 3 / span).cast("int"))
+    with tempfile.TemporaryDirectory(prefix="anglerfish_pat_") as d:
+        src = f"{d}/src"
+        os.makedirs(src)
+        for s in range(3):
+            part = f"{d}/part{s}"
+            ev.where(seg == s).coalesce(1).write.json(part)
+            (jf,) = [f for f in os.listdir(part) if f.endswith(".json")]
+            dst = os.path.join(src, f"seg{s}.json")
+            os.rename(os.path.join(part, jf), dst)
+            os.utime(dst, (1_000_000 + s, 1_000_000 + s))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        matched = stream.groupBy("user_id").applyInPandasWithState(
+            _match_pattern,
+            outputStructType=_PAT_OUT,
+            stateStructType=_PAT_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        name = f"stream_pat_{abs(hash(sf_dir)) % 10**8}"
+        q = (
+            matched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    updates = spark.sql(f"SELECT * FROM {name}")
+    return (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("n_matches").cast("bigint").alias("n_matches"),
+            F.max("total_clicks").cast("bigint").alias("total_clicks"),
+            F.max("max_click_run").cast("bigint").alias("max_click_run"),
+        )
+        .where(F.col("n_matches") >= 1)
+        .orderBy("user_id")
+    )

@@ -391,3 +391,54 @@ def test_stateful_count_on_rocksdb_backend(spark, sf_dir):
         assert got == batch
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+class TestStreamPatternStateMachine:
+    """Cross-batch continuation: a match that SPANS a micro-batch
+    boundary must be counted once, and only via carried state."""
+
+    def _run(self, batch_lists):
+        import pandas as pd
+
+        from anglerfish_spark.streaming.stateful import _match_pattern
+
+        class _FakeState:
+            exists = False
+            get = None
+
+            def update(self, v):
+                self.get = v
+                self.exists = True
+
+        st = _FakeState()
+        out, t0 = None, 0
+        for batch in batch_lists:
+            pdf = pd.DataFrame(
+                {
+                    "ts_us": range(t0, t0 + len(batch)),
+                    "event_id": range(t0, t0 + len(batch)),
+                    "event_type": batch,
+                }
+            )
+            t0 += len(batch)
+            # emulate the engine: one call per batch, state carried over
+            (out,) = list(_match_pattern((7,), iter([pdf]), st))
+        return out.iloc[0]
+
+    def test_match_spanning_batches(self):
+        r = self._run([["view", "click"], ["click", "purchase"]])
+        assert (r["n_matches"], r["total_clicks"], r["max_click_run"]) == (1, 2, 2)
+
+    def test_interrupted_run_does_not_match(self):
+        r = self._run([["view", "click"], ["error", "purchase"]])
+        assert r["n_matches"] == 0
+
+    def test_two_matches_and_greedy_runs(self):
+        r = self._run(
+            [["view", "click", "click", "purchase"], ["view", "click", "purchase"]]
+        )
+        assert (r["n_matches"], r["total_clicks"], r["max_click_run"]) == (2, 3, 2)
+
+    def test_purchase_without_view_prefix(self):
+        r = self._run([["click", "click", "purchase"]])
+        assert r["n_matches"] == 0
