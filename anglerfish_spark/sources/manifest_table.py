@@ -315,3 +315,33 @@ def q_table_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return summarize(1).unionByName(summarize(2)).orderBy("version")
+
+
+def compact_table(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE-style file compaction: rewrite the CURRENT snapshot's
+    data into ceil(total_bytes / target) bin-packed files and commit the
+    result as a new snapshot — logically a no-op (same rows), physically
+    the small-files fix every streamed-into table eventually needs (each
+    micro-batch upsert stages one file set at source parallelism; at
+    100 TB the target is sized so one file ≈ one comfortable scan task).
+
+    Same protocol as every other write: staged files are invisible until
+    the O_EXCL manifest commit, concurrent writers conflict on the
+    version and retry, and time travel still resolves the pre-compaction
+    manifests (whose files remain referenced, so ``vacuum`` keeps them
+    while history is retained).  Returns the committed version."""
+    v = current_version(table)
+    snap = snapshot(spark, table, v)
+    m = read_manifest(table, v)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(table, f))
+        for f in m["files"]
+        if os.path.exists(os.path.join(table, f))
+    )
+    n_files = max(1, -(-total_bytes // target_file_bytes))
+    files = stage_files(snap.coalesce(n_files), table)
+    return commit(table, files, expected_version=v, txn_id=f"compact-v{v}")

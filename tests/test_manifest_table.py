@@ -113,3 +113,62 @@ class TestManifestUpsertSink:
         got = {r["k"]: r["v"] for r in snapshot(spark, t).collect()}
         assert set(got) == {1, 2}
         assert read_manifest(t)["txn_id"].startswith("batch-")
+
+
+class TestCompaction:
+    def test_compact_preserves_rows_and_shrinks_files(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            compact_table,
+            current_version,
+            read_manifest,
+            snapshot,
+            upsert,
+            vacuum,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(0, 1000, 1, 16).selectExpr("id AS k", "id * 2 AS v")
+        upsert(spark, t, df, ["k"])
+        n_before = len(read_manifest(t, 1)["files"])
+        assert n_before > 1  # small-files state to fix
+
+        before = sorted(tuple(r) for r in snapshot(spark, t).collect())
+        v2 = compact_table(spark, t, target_file_bytes=1 << 30)
+        assert v2 == 2
+        m2 = read_manifest(t, 2)
+        assert len(m2["files"]) == 1
+        after = sorted(tuple(r) for r in snapshot(spark, t).collect())
+        assert after == before  # logically a no-op
+
+        # time travel still reads the PRE-compaction layout...
+        old = sorted(tuple(r) for r in snapshot(spark, t, 1).collect())
+        assert old == before
+        # ...and vacuum keeps both snapshots' files while history remains
+        assert vacuum(t) == []
+        assert current_version(t) == 2
+
+    def test_compact_conflicts_like_any_writer(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from anglerfish_spark.sources.manifest_table import (
+            ConcurrentCommitError,
+            commit,
+            compact_table,
+            current_version,
+            snapshot,
+            stage_files,
+            upsert,
+        )
+
+        t = str(tmp_path / "t")
+        upsert(spark, t, spark.range(10).selectExpr("id AS k", "id AS v"), ["k"])
+        # another writer takes v2 first
+        files = stage_files(snapshot(spark, t), t)
+        commit(t, files, expected_version=1)
+
+        v = current_version(t)
+        snap_files = stage_files(snapshot(spark, t, 1), t)
+        with _pytest.raises(ConcurrentCommitError):
+            commit(t, snap_files, expected_version=1)
+        # rebased compaction (reads current version) succeeds
+        assert compact_table(spark, t) == v + 1
