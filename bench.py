@@ -47,6 +47,14 @@ HEADLINE = [
     "q_scd2_history",
     "q_stream_decode",
     "q_profile_stats",
+    # r5-continuation widening: the composed curation run + the new
+    # LLM-curation/ANN operators (DSIR selection, Bloom decontamination,
+    # PQ/ADC search) — the per-query deltas of everything above stay
+    # comparable across rounds
+    "q_curation_full",
+    "q_importance_resampling",
+    "q_bloom_decontaminate",
+    "q_pq_topk",
 ]
 
 
