@@ -30,6 +30,12 @@ QUERIES = [
     "q_heavy_hitters",      # per-partition Misra-Gries candidates + exact verify
     "q_perplexity",         # integer-bits quantization
     "q_curation_full",      # composed dedup stages, order-free relaxations
+    # r5 continuation additions
+    "q_importance_resampling",   # bucket-model bits + integer threshold
+    "q_bloom_decontaminate",     # driver-built bitset + per-doc fp accounting
+    "q_pq_codes",                # vectorized fold-order distance + argmin ties
+    "q_pattern_match",           # gaps-and-islands over a total event order
+    "q_cdc_apply",               # latest-row tombstone apply, event_id ties
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
