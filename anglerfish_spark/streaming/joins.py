@@ -129,3 +129,79 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )  # no trailing sort: row-level output
+
+
+@query(
+    "q_stream_enrich",
+    oracle=f"""
+SELECT CAST(FLOOR(epoch(CAST(e.ts AS TIMESTAMP)) / 21600) * 21600 AS BIGINT) AS window_start,
+       c.c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {{dsum}} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY window_start, mktsegment
+""".format(dsum="CAST(CAST(SUM(CAST(e.value AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"),
+    group="streaming",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the third join of the streaming matrix
+    (stream-stream: q_stream_interval_join; stream dedup: q_stream_dedup):
+    a REAL Structured Streaming job joins the event stream to the static
+    ``customer`` dimension (broadcast — dimension state is never keyed
+    into the state store; Spark re-plans the static side per micro-batch)
+    and aggregates 6-hour tumbling windows per market segment in complete
+    output mode.  The finalized table must equal the batch join+group
+    oracle exactly, decimal-sum contract included.
+
+    At 100 TB the static side is the slowly-changing dimension snapshot
+    (the manifest table's current version); stream-static is the shape
+    where NO watermark is needed on the dimension and the stream side's
+    state is only the window aggregates.
+    """
+    prepare(spark)
+    import tempfile
+
+    from ..operators.common import dsum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    with tempfile.TemporaryDirectory(prefix="anglerfish_enrich_") as d:
+        src = f"{d}/src"
+        ev.write.json(src)
+        stream = spark.readStream.schema(ev.schema).json(src)
+        enriched = stream.withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        ).join(F.broadcast(cust), "user_id")
+        agg = (
+            enriched.groupBy(
+                F.window("ts", "6 hours").alias("w"), F.col("c_mktsegment")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                dsum(F.col("value")).alias("total_value"),
+            )
+        )
+        name = f"stream_enrich_{abs(hash(sf_dir)) % 10**8}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.sql(f"SELECT * FROM {name}")
+        .select(
+            F.unix_seconds(F.col("w.start")).cast("bigint").alias("window_start"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "mktsegment")
+    )
