@@ -241,3 +241,46 @@ def test_dedup_substrings_no_all_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashAggregate" in plan, plan  # the n-gram occurrence count
+
+
+def test_pattern_match_single_user_partitioning(spark, sf_dir):
+    """Both window passes and both aggregations key on user_id; the plan
+    must shuffle the events exactly once for them (plus the tiny
+    presentation sort)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_pattern_match")
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    assert ops.count("Exchange") <= 2, plan
+
+
+def test_pq_topk_broadcasts_luts_and_moves_no_vectors(spark, sf_dir):
+    """ADC search: lookup tables broadcast, and NO float vector crosses a
+    shuffle — every Exchange's input carries codes/scores only."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_pq_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    blocks = re.split(r"\n(?=\(\d+\) )", plan)
+    for b in blocks:
+        if b.startswith("(") and ") Exchange" in b.splitlines()[0]:
+            inp = next(line for line in b.splitlines() if line.startswith("Input"))
+            assert "embedding" not in inp, b
+
+
+def test_importance_resampling_model_broadcasts(spark, sf_dir):
+    """The 256-bucket model joins back by broadcast — the corpus-scale
+    occurrence relation is never shuffled for the model join."""
+    plan = _plan(spark, sf_dir, "q_importance_resampling")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bloom_probe_stage_has_no_benchmark_join(spark, sf_dir):
+    """The Bloom probe itself is a map (bitset literal tests) — the only
+    join in the plan is the broadcast exact-accounting join."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_bloom_decontaminate")
+    ops = re.findall(r"\(\d+\) (\w+)", plan)
+    joins = [o for o in ops if "Join" in o]
+    assert joins == ["BroadcastHashJoin"], plan
