@@ -326,6 +326,46 @@ def test_fuzz_expression_vs_python(spark, fuzz_cases):
     )
 
 
+def test_fuzz_arrow_python_path(spark, fuzz_cases):
+    """The Arrow-batched python decode path (decode_json_python —
+    mapInPandas over pydecode) must agree with direct pydecode on every
+    random (schema, datum): same verdict, and the SAME VALUE after the
+    nested-value -> Arrow -> Row conversion, which is exactly the layer
+    the direct comparison cannot see (struct/array/map/bytes transport
+    for arbitrary shapes)."""
+    from anglerfish_spark.codec.decoder import decode_json_python
+
+    mismatches = []
+    for schema_json, datums in fuzz_cases:
+        ps = parse_schema(schema_json)
+        texts = [json.dumps(d) for _, d in datums]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["i", "j"]
+        ).repartition(3)
+        rows = {
+            r["i"]: r
+            for r in decode_json_python(df, "j", ps, mode="permissive")
+            .select("i", "decoded", "_errors")
+            .collect()
+        }
+        for i, (kind, d) in enumerate(datums):
+            py_ok, py_val = True, None
+            try:
+                py_val = decode_datum(ps.root, d, ps.env)
+            except E.DatumError:
+                py_ok = False
+            arrow_ok = len(rows[i]["_errors"]) == 0
+            if py_ok != arrow_ok:
+                mismatches.append((schema_json, kind, d, rows[i]["_errors"][:3]))
+            elif py_ok:
+                got = _norm(rows[i]["decoded"].asDict(recursive=True))
+                if got != _norm(py_val):
+                    mismatches.append((schema_json, kind, d, (got, _norm(py_val))))
+    assert not mismatches, (
+        f"{len(mismatches)} arrow-path mismatches; first 2: {mismatches[:2]}"
+    )
+
+
 def test_fuzz_binary_roundtrip(fuzz_cases):
     """decode(encode(v)) == v for every accepted datum (wire identity);
     pure Python, no Spark."""
