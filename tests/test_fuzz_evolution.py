@@ -334,3 +334,63 @@ def test_value_and_expression_paths_agree(spark, evolution_pairs):
     assert not mismatches, (
         f"{len(mismatches)} evolved-value mismatches; first: {mismatches[:2]}"
     )
+
+
+def test_jvm_resolution_agrees_on_compatible_pairs(spark, evolution_pairs, tmp_path):
+    """Third-implementation check: for every compatible random pair, the
+    JVM ``org.apache.avro`` resolver (GenericDatumReader with an expected
+    reader schema) re-encodes engine-written data under the reader, and
+    the engine's decode of THAT must equal ``resolve_datum`` — aliases,
+    promotions, default fill, and union re-tagging all cross-validated
+    against the reference implementation at the byte level."""
+    import os
+
+    from anglerfish_spark.sources.avro_ocf import decode_ocf, encode_ocf
+
+    jvm = spark._jvm
+    try:
+        jvm.java.lang.Class.forName("org.apache.avro.file.DataFileReader")
+    except Exception:
+        pytest.skip("avro-core not on classpath")
+
+    rng = random.Random(SEED + 2)
+    mismatches = []
+    checked = 0
+    for k, (w, r, expect_legal) in enumerate(evolution_pairs):
+        if not expect_legal or can_read(w, r) != []:
+            continue
+        wps, rps = parse_schema(w), parse_schema(r)
+        wdict = json.loads(w)
+        datums = [gen_datum(wdict, rng) for _ in range(3)]
+        vals = [decode_datum(wps.root, d, wps.env) for d in datums]
+        want = [
+            _norm(resolve_datum(v, wps.root, rps.root, rps.env, wps.env)) for v in vals
+        ]
+        src = str(tmp_path / f"w{k}.avro")
+        out = str(tmp_path / f"r{k}.avro")
+        with open(src, "wb") as f:
+            f.write(encode_ocf(vals, w))
+        try:
+            gdr = jvm.org.apache.avro.generic.GenericDatumReader()
+            dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(src), gdr)
+            rschema = jvm.org.apache.avro.Schema.Parser().parse(r)
+            gdr.setExpected(rschema)
+            gdw = jvm.org.apache.avro.generic.GenericDatumWriter(rschema)
+            dfw = jvm.org.apache.avro.file.DataFileWriter(gdw)
+            dfw.create(rschema, jvm.java.io.File(out))
+            while dfr.hasNext():
+                dfw.append(dfr.next())
+            dfw.close()
+            dfr.close()
+        except Exception as ex:  # JVM refused a pair can_read accepted
+            mismatches.append((w, r, "jvm_rejected", str(ex)[:200]))
+            continue
+        got = [_norm(v) for v in decode_ocf(open(out, "rb").read())]
+        checked += len(got)
+        if got != want:
+            diffs = [(g, x) for g, x in zip(got, want) if g != x][:2]
+            mismatches.append((w, r, "value", diffs))
+    assert checked > 0
+    assert not mismatches, (
+        f"{len(mismatches)} JVM-resolution disagreements; first 2: {mismatches[:2]}"
+    )
