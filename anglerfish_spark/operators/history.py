@@ -241,3 +241,56 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: EWMA frame length (half-life decay 0.5 per step; 2^-8 tail truncation)
+EWMA_FRAME = 8
+
+
+@query(
+    "q_ewma",
+    oracle=f"""
+SELECT user_id, event_id,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+       list_reduce(
+         list(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {EWMA_FRAME - 1} PRECEDING AND CURRENT ROW),
+         (acc, x) -> acc * 0.5 + x
+       ) AS ewma
+FROM events
+""",
+    group="relational",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user — the time-series
+    smoothing primitive (alerting baselines, trend features) bounded to
+    an {EWMA_FRAME}-row frame (the truncated tail weight is 2^-8; a true
+    infinite-history EWMA is a sequential recurrence no engine
+    parallelizes).
+
+    Cross-engine float exactness WITHOUT transcendentals: the weighted
+    sum is evaluated as the left fold ``acc*0.5 + v`` over the ordered
+    frame (Spark ``aggregate`` starting at 0.0, DuckDB ``list_reduce``
+    seeding with the first element — algebraically identical step
+    sequences), so every operation is an exact halving plus an add in
+    the same order; no ``pow`` whose libm rounding could differ.  One
+    shuffle by user_id; the frame list is bounded, so state per row is
+    O({EWMA_FRAME}).
+    """
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_FRAME - 1), 0)
+    )
+    frame = F.collect_list(F.col("value").cast("double")).over(w)
+    ewma = F.aggregate(frame, F.lit(0.0), lambda acc, x: acc * F.lit(0.5) + x)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        ewma.alias("ewma"),
+    )  # row-level output: no trailing sort (SCALE.md hot-spot rule #3)
