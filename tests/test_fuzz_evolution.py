@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import copy
 import json
+import os
 import random
 
 import pytest
@@ -42,7 +43,9 @@ from anglerfish_spark.schema import parse_schema
 from anglerfish_spark.sources.schema_registry import can_read
 from tests.test_fuzz_schemas import SchemaGen, _norm, gen_datum
 
-SEED = 5150
+#: rotate with ANGLERFISH_FUZZ_SEED (offset so the two files never share
+#: a generator stream even under rotation)
+SEED = int(os.environ.get("ANGLERFISH_FUZZ_SEED", "0")) + 5150
 N_WRITERS = 15
 DATUMS_PER_PAIR = 5
 

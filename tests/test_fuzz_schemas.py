@@ -25,6 +25,7 @@ from __future__ import annotations
 import base64
 import copy
 import json
+import os
 import random
 
 import pytest
@@ -35,7 +36,9 @@ from anglerfish_spark.codec.pydecode import decode_datum
 from anglerfish_spark.functions.avro_binary import BinaryCodec
 from anglerfish_spark.schema import parse_schema
 
-SEED = 20260814
+#: rotate with ANGLERFISH_FUZZ_SEED to explore fresh schema space per run;
+#: the default pins the committed corpus for reproducibility
+SEED = int(os.environ.get("ANGLERFISH_FUZZ_SEED", "20260814"))
 N_SCHEMAS = 12
 VALID_PER_SCHEMA = 6
 MUTANTS_PER_SCHEMA = 6
