@@ -294,3 +294,58 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         ewma.alias("ewma"),
     )  # row-level output: no trailing sort (SCALE.md hot-spot rule #3)
+
+
+@query(
+    "q_cumulative_uniques",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id,
+         MIN(CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)) AS d
+  FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM first_seen GROUP BY d
+)
+SELECT d AS day,
+       new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM per_day
+ORDER BY day
+""",
+    group="relational",
+)
+def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve query.  A
+    windowed ``COUNT(DISTINCT) OVER`` does not exist in either engine
+    (distinct state per frame is inherently non-mergeable); the
+    scale-correct re-expression is first-seen reduction: each user
+    contributes exactly once at their MIN day, so cumulative uniques =
+    running sum of the per-day first-seen counts.
+
+    Shuffles: one combinable agg by user_id (corpus-scale), one tiny agg
+    by day, and the running window over the DAYS relation —
+    calendar-bounded, so the single-partition window is O(days), never
+    corpus-scale.  At 100 TB the first-seen table is the thing you
+    persist and incrementally maintain (MERGE new users per batch); the
+    growth curve is then a metadata-scale rollup.
+    """
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = (
+        ev.select("user_id", F.floor(F.unix_seconds(F.col("ts")) / 86400).cast("bigint").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d"))
+    )
+    per_day = first_seen.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.select(
+            F.col("d").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+        )
+        .orderBy("day")
+    )
