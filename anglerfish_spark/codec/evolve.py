@@ -180,13 +180,56 @@ def _resolve(col: Column, w: AvroType, r: AvroType, renv, wenv, max_depth: int, 
     raise SchemaEvolutionError(f"{path}: cannot resolve {type(w).__name__} against {type(r).__name__}")
 
 
+def _best_branch_order(w: AvroType, rn, renv, wenv) -> list[int]:
+    """Reader-union member indices in the Avro *reference implementation's*
+    resolution order: EXACT matches first (same primitive kind, array/map
+    kind, or named type by FQN / reader alias), then the remaining members
+    in declaration order for promotion-based matches — the two-pass
+    ``bestBranch`` of ``GenericDatumReader`` (``getIndexNamed`` lookup
+    before the promotion scan).
+
+    Found by the JVM byte-level differential (seed 2002): a writer ``long``
+    resolving into ``["double", R, "long"]`` must select the exact ``long``
+    branch; the previous first-readable scan promoted it into ``double``.
+    """
+    from ..schema.model import AvroRecursionRef
+
+    wt = w
+    while isinstance(wt, AvroRecursionRef):
+        wt = wenv[wt.fqn]
+
+    def exact(m: AvroType) -> bool:
+        mt = m
+        while isinstance(mt, AvroRecursionRef):
+            mt = renv[mt.fqn]
+        if isinstance(wt, AvroPrimitive) and isinstance(mt, AvroPrimitive):
+            return wt.kind is mt.kind
+        if isinstance(wt, AvroArray) and isinstance(mt, AvroArray):
+            return True
+        if isinstance(wt, AvroMap) and isinstance(mt, AvroMap):
+            return True
+        for cls in (AvroRecord, AvroEnum, AvroFixed):
+            if isinstance(wt, cls) and isinstance(mt, cls):
+                return (
+                    mt.fqn == wt.fqn
+                    or wt.fqn in mt.aliases
+                    or wt.name in mt.aliases
+                )
+        return False
+
+    idx = list(range(len(rn)))
+    ex = [i for i in idx if exact(rn[i])]
+    return ex + [i for i in idx if i not in ex]
+
+
 def _resolve_into_union(
     col: Column, w: AvroType, r: AvroUnion, renv, wenv, max_depth: int, path: str
 ) -> Column:
     """Resolve a non-union writer value into the reader union's Spark shape:
     the bare nullable member when the union has ≤1 non-null branch, else the
     ``member_*`` tagged struct with exactly the matched branch populated
-    (previously the bare member column leaked out — ADVICE r1)."""
+    (previously the bare member column leaked out — ADVICE r1).  Branch
+    selection follows :func:`_best_branch_order` (exact before promoted)."""
     rn = r.non_null_members
     errs: list[str] = []
     if len(rn) <= 1:
@@ -197,7 +240,8 @@ def _resolve_into_union(
                 errs.append(str(ex))
         raise SchemaEvolutionError(f"{path}: no reader union branch accepts writer type ({errs})")
     names = union_field_names(r)
-    for name, m in zip(names, rn):
+    for bi in _best_branch_order(w, rn, renv, wenv):
+        name, m = names[bi], rn[bi]
         try:
             resolved = _resolve(col, w, m, renv, wenv, max_depth, path)
         except SchemaEvolutionError as ex:
@@ -461,9 +505,9 @@ def _resolve_datum_into(value, w: AvroType, r: AvroType, renv, wenv, max_depth, 
         return resolve_datum(value, w, r, renv, wenv, max_depth, path)
     rn = r.non_null_members
     errs = []
-    for i, m in enumerate(rn):
+    for i in _best_branch_order(w, rn, renv, wenv):
         try:
-            resolved = resolve_datum(value, w, m, renv, wenv, max_depth, path)
+            resolved = resolve_datum(value, w, rn[i], renv, wenv, max_depth, path)
         except SchemaEvolutionError as ex:
             errs.append(str(ex))
             continue

@@ -397,3 +397,46 @@ def test_jvm_resolution_agrees_on_compatible_pairs(spark, evolution_pairs, tmp_p
     assert not mismatches, (
         f"{len(mismatches)} JVM-resolution disagreements; first 2: {mismatches[:2]}"
     )
+
+
+def test_union_best_branch_prefers_exact_match(spark):
+    """Regression pin for the JVM-differential find (seed 2002): a writer
+    ``long`` resolving into reader union ``["double", R, "long"]`` must
+    select the EXACT ``long`` branch, not promote into the
+    first-readable ``double`` — GenericDatumReader's two-pass bestBranch
+    (exact getIndexNamed lookup before the promotion scan).  Checked on
+    the value path and the expression path."""
+    w = json.dumps(
+        {
+            "type": "record",
+            "name": "R8",
+            "fields": [
+                {
+                    "name": "f7",
+                    "type": [
+                        "double",
+                        {
+                            "type": "record",
+                            "name": "R6",
+                            "fields": [{"name": "f4", "type": "bytes"}],
+                        },
+                        "long",
+                    ],
+                }
+            ],
+        }
+    )
+    # reader widens R6.f4 to nullable — unions otherwise identical
+    r = w.replace('{"name": "f4", "type": "bytes"}', '{"name": "f4", "type": ["null", "bytes"]}')
+    wps, rps = parse_schema(w), parse_schema(r)
+    datum = {"f7": {"long": 853021215777}}
+    v = decode_datum(wps.root, datum, wps.env)
+    resolved = resolve_datum(v, wps.root, rps.root, rps.env, wps.env)
+    assert resolved["f7"]["member_long"] == 853021215777
+    assert resolved["f7"]["member_double"] is None
+
+    df = spark.createDataFrame([(json.dumps(datum),)], ["j"])
+    row = decode_json_evolved(df, "j", wps, rps, mode="strict").select("decoded").first()
+    got = row["decoded"].asDict(recursive=True)
+    assert got["f7"]["member_long"] == 853021215777
+    assert got["f7"]["member_double"] is None
