@@ -1783,6 +1783,101 @@ def _fp_pos(fp: Column, i: int, m: int) -> Column:
     )
 
 
+#: bits per aggregation word in the distributed Bloom build
+BLOOM_WORD_BITS = 64
+#: filters up to this many bits ride the plan as a BINARY literal
+#: (codegen byte tests); larger filters go through the broadcast +
+#: Arrow-probe path.  Env-overridable so tests can force either path.
+BLOOM_LITERAL_MAX_BITS = 1 << 20
+
+
+def bloom_words_df(fps: DataFrame, m: int, k: int = IDX_BLOOM_K) -> DataFrame:
+    """The distributed half of ``bloom_build`` as a DataFrame — exposed so
+    tests can assert its plan shape (map-side partial ``bit_or``, word-
+    rather than index-cardinality shuffle)."""
+    pos = fps.select(
+        F.explode(
+            F.array(*[_fp_pos(F.col("fp"), i, m) for i in range(1, k + 1)])
+        ).alias("p")
+    )
+    return pos.groupBy((F.col("p") / BLOOM_WORD_BITS).cast("bigint").alias("w")).agg(
+        F.bit_or(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, {BLOOM_WORD_BITS}) AS INT))"
+            )
+        ).alias("bits")
+    )
+
+
+def bloom_build(fps: DataFrame, m: int, k: int = IDX_BLOOM_K) -> bytes:
+    """Distributed Bloom-filter build over a ``fp`` column: each
+    fingerprint's k positions are exploded, then OR-ed into 64-bit words
+    by a hash aggregation keyed on ``p // 64`` — partial (map-side)
+    ``bit_or`` per word means the shuffle carries at most ``m/64`` words
+    per map partition, never index-cardinality rows, and the driver
+    receives only the final ``m/64`` aggregated words (the filter
+    itself), exactly as Spark's own ``bloom_filter_agg`` expression
+    does.  Returns the '0'/'1'-byte bitset the probe reads."""
+    # ≤ m/64 rows reach the driver — the aggregated filter, not the index
+    words = bloom_words_df(fps, m, k).collect()
+    assert len(words) <= m // BLOOM_WORD_BITS + 1
+    buf = bytearray(b"0" * m)
+    for r in words:
+        wbits, base = r["bits"], r["w"] * BLOOM_WORD_BITS
+        for b in range(BLOOM_WORD_BITS):
+            if wbits & (1 << b):
+                buf[base + b] = 0x31
+    return bytes(buf)
+
+
+def bloom_add(filter_bits: bytes, new_fps: DataFrame, k: int = IDX_BLOOM_K) -> bytes:
+    """Incremental maintenance: OR a batch of NEW fingerprints into an
+    existing filter without touching the index it summarizes — the
+    steady-state ingest path (m stays fixed; growing m is a rebuild).
+    ``bloom_add(f, day2) == bloom_build(index ∪ day2)`` whenever
+    ``f == bloom_build(index)`` at the same m."""
+    delta = bloom_build(new_fps, len(filter_bits), k)
+    return bytes(max(a, b) for a, b in zip(filter_bits, delta))
+
+
+def bloom_probe(spark: SparkSession, fp: Column, filter_bits: bytes,
+                k: int = IDX_BLOOM_K) -> Column:
+    """Membership test of a fingerprint column against a built filter.
+    Small filters ride the plan as a BINARY literal and probe via O(1)
+    byte tests (whole-stage codegen, SCALE.md #21); filters past
+    BLOOM_LITERAL_MAX_BITS are shipped ONCE per executor as a broadcast
+    variable and probed by an Arrow-batched numpy UDF — the 100 TB path,
+    where a ~1.25 GB filter cannot be a task-binary literal."""
+    import os
+
+    m = len(filter_bits)
+    limit = int(os.environ.get("ANGLERFISH_BLOOM_LITERAL_MAX", BLOOM_LITERAL_MAX_BITS))
+    if m <= limit:
+        maybe = F.lit(True)
+        for i in range(1, k + 1):
+            probe = F.substring(
+                F.lit(filter_bits), (_fp_pos(fp, i, m) + 1).cast("int"), 1
+            )
+            maybe = maybe & (probe == F.lit(b"1"))
+        return maybe
+
+    bc = spark.sparkContext.broadcast(filter_bits)
+
+    @F.pandas_udf("boolean")
+    def probe(fps: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        arr = fps.to_numpy()
+        res = np.ones(len(arr), dtype=bool)
+        for i in range(k):
+            p = np.array(
+                [int(f[8 * i : 8 * i + 8], 16) % m for f in arr], dtype=np.int64
+            )
+            res &= bits[p] == 0x31
+        return pd.Series(res)
+
+    return probe(fp)
+
+
 @query(
     "q_dedup_bloom_incremental",
     oracle=f"""
@@ -1824,17 +1919,21 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-sized to the index (next pow2 >= 10x |index| fps, ~1.25 GB per
     1e9 docs at these parameters — the real systems' trade).
 
-    Build stage: |index| count + distinct-positions collect; both
-    driver-side results are bounded by m, NOT by the index (positions
-    are mod-m BEFORE distinct).  At 100 TB the count comes from catalog
-    stats and the filter is maintained incrementally at ingest, not
-    rebuilt per batch (same caveat as q_dedup_incremental's index-side
-    recompute).  Probe stage: O(1) byte tests against the BINARY bitset
-    literal (SCALE.md #21) — map-only.  The confirmation join runs only
-    over bloom-positive docs; output keeps the gate visible
-    (``bloom_maybe``) next to ground truth (``exact_dup``) so the
-    no-false-negatives contract is oracle-checked row by row, false
-    positives included.
+    Build stage: fully distributed — ``bloom_build`` explodes each index
+    fingerprint's k positions and OR-s them into 64-bit words via a
+    map-side-partial ``bit_or`` hash aggregation, so no
+    index-cardinality rows ever reach the driver (the collect is the
+    aggregated filter itself, ≤ m/64 words — the same contract as
+    Spark's ``bloom_filter_agg``).  Steady-state ingest uses
+    ``bloom_add`` to OR a day's new fingerprints into yesterday's filter
+    WITHOUT touching the index (tested equal to a full rebuild).  Probe
+    stage: O(1) byte tests against the BINARY bitset literal
+    (SCALE.md #21) — map-only — or, past BLOOM_LITERAL_MAX_BITS, an
+    Arrow-batched probe against a once-per-executor broadcast of the
+    filter.  The confirmation join runs only over bloom-positive docs;
+    output keeps the gate visible (``bloom_maybe``) next to ground
+    truth (``exact_dup``) so the no-false-negatives contract is
+    oracle-checked row by row, false positives included.
     """
     prepare(spark)
     d = load_table(spark, sf_dir, "documents", fanout=True)
@@ -1846,24 +1945,13 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_fps = idx_fps.localCheckpoint(eager=False)
 
     n_idx = idx_fps.count()
-    m = 1 << (10 * max(n_idx, 1)).bit_length()
-    pos_rows = (
-        idx_fps.select(
-            F.explode(
-                F.array(*[_fp_pos(F.col("fp"), i, m) for i in range(1, IDX_BLOOM_K + 1)])
-            ).alias("p")
-        )
-        .distinct()  # scalar positions: the collect is bounded by m, not |index|
-        .collect()
-    )
-    set_bits = {r["p"] for r in pos_rows}
-    bits = bytes(0x31 if b in set_bits else 0x30 for b in range(m))
+    # next pow2 >= 10 * |index|, mirroring the oracle's
+    # POWER(2, length(bin(10 * COUNT(*)))) exactly — bin(0) is '0'
+    # (length 1), so an empty index sizes to m = 2 on both engines.
+    m = 1 << max((10 * n_idx).bit_length(), 1)
+    bits = bloom_build(idx_fps, m)
 
-    maybe = F.lit(True)
-    for i in range(1, IDX_BLOOM_K + 1):
-        probe = F.substring(F.lit(bits), (_fp_pos(F.col("fp"), i, m) + 1).cast("int"), 1)
-        maybe = maybe & (probe == F.lit(b"1"))
-    gated = new_fps.withColumn("bloom_maybe", maybe)
+    gated = new_fps.withColumn("bloom_maybe", bloom_probe(spark, F.col("fp"), bits))
     confirmed = (
         gated.where(F.col("bloom_maybe"))
         .join(idx_fps.withColumn("_hit", F.lit(True)), "fp", "left")

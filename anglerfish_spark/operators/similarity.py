@@ -214,7 +214,9 @@ _PLANES = _hyperplanes()
 
 
 def lsh_signature(vec: Column, planes: list[list[int]] | None = None) -> Column:
-    """len(planes)-character '0'/'1' signature by hyperplane sign."""
+    """len(planes)-character '0'/'1' signature by hyperplane sign.
+    A null vector yields a null signature (not the all-zeros bucket a
+    bare ``otherwise('0')`` would silently assign every null row to)."""
     bits = []
     for plane in planes if planes is not None else _PLANES:
         w = F.array(*[F.lit(float(x)) for x in plane])
@@ -224,7 +226,7 @@ def lsh_signature(vec: Column, planes: list[list[int]] | None = None) -> Column:
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj >= 0, "1").otherwise("0"))
-    return F.concat(*bits)
+    return F.when(vec.isNull(), F.lit(None).cast("string")).otherwise(F.concat(*bits))
 
 
 def lsh_signature_batch(vec: Column, planes: list[list[int]] | None = None) -> Column:
@@ -247,13 +249,20 @@ def lsh_signature_batch(vec: Column, planes: list[list[int]] | None = None) -> C
     def sig(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        acc = np.zeros((X.shape[0], P.shape[0]), dtype=np.float64)
-        for i in range(P.shape[1]):
-            acc += X[:, i : i + 1] * P[:, i]
-        return pd.Series(
-            ["".join("1" if b else "0" for b in row) for row in (acc >= 0.0)]
-        )
+        # Null embeddings propagate null, matching the expression form
+        # (zip_with/aggregate over NULL array is NULL) — mask before
+        # np.stack, which would raise on a None element.
+        mask = v.notna().to_numpy()
+        out = np.full(len(v), None, dtype=object)
+        if mask.any():
+            X = np.stack(v.to_numpy()[mask]).astype(np.float64)
+            acc = np.zeros((X.shape[0], P.shape[0]), dtype=np.float64)
+            for i in range(P.shape[1]):
+                acc += X[:, i : i + 1] * P[:, i]
+            out[mask] = [
+                "".join("1" if b else "0" for b in row) for row in (acc >= 0.0)
+            ]
+        return pd.Series(out)
 
     return sig(vec)
 
@@ -775,20 +784,27 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pq(v: pd.Series) -> pd.DataFrame:
         if len(v) == 0:
             return pd.DataFrame({"codes": [], "err": []})
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        n = X.shape[0]
-        codes = np.zeros((n, PQ_SUBSPACES), dtype=np.int32)
-        err = np.zeros(n)
-        for s in range(PQ_SUBSPACES):
-            D = np.zeros((n, PQ_K))
-            for j in range(PQ_SUB_DIM):
-                col = s * PQ_SUB_DIM + j
-                diff = X[:, col][:, None] - cb[None, :, col]
-                D = D + diff * diff
-            cs = np.argmin(D, axis=1)
-            codes[:, s] = cs
-            err = err + D[np.arange(n), cs]
-        return pd.DataFrame({"codes": [r.tolist() for r in codes], "err": err})
+        mask = v.notna().to_numpy()
+        out_codes = np.full(len(v), None, dtype=object)
+        out_err = np.full(len(v), np.nan)
+        if mask.any():
+            X = np.stack(v.to_numpy()[mask]).astype(np.float64)
+            n = X.shape[0]
+            codes = np.zeros((n, PQ_SUBSPACES), dtype=np.int32)
+            err = np.zeros(n)
+            for s in range(PQ_SUBSPACES):
+                D = np.zeros((n, PQ_K))
+                for j in range(PQ_SUB_DIM):
+                    col = s * PQ_SUB_DIM + j
+                    diff = X[:, col][:, None] - cb[None, :, col]
+                    D = D + diff * diff
+                cs = np.argmin(D, axis=1)
+                codes[:, s] = cs
+                err = err + D[np.arange(n), cs]
+            for j, i in enumerate(np.flatnonzero(mask)):
+                out_codes[i] = codes[j].tolist()
+            out_err[mask] = err
+        return pd.DataFrame({"codes": out_codes, "err": out_err})
 
     return (
         e.select("vec_id", pq(F.col("embedding")).alias("pq"))
@@ -893,17 +909,22 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pq_codes_only(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        X = np.stack(v.to_numpy()).astype(np.float64)
-        n = X.shape[0]
-        codes = np.zeros((n, PQ_SUBSPACES), dtype=np.int32)
-        for s in range(PQ_SUBSPACES):
-            D = np.zeros((n, PQ_K))
-            for j in range(PQ_SUB_DIM):
-                col = s * PQ_SUB_DIM + j
-                diff = X[:, col][:, None] - cb[None, :, col]
-                D = D + diff * diff
-            codes[:, s] = np.argmin(D, axis=1)
-        return pd.Series([r.tolist() for r in codes])
+        mask = v.notna().to_numpy()
+        out = np.full(len(v), None, dtype=object)
+        if mask.any():
+            X = np.stack(v.to_numpy()[mask]).astype(np.float64)
+            n = X.shape[0]
+            codes = np.zeros((n, PQ_SUBSPACES), dtype=np.int32)
+            for s in range(PQ_SUBSPACES):
+                D = np.zeros((n, PQ_K))
+                for j in range(PQ_SUB_DIM):
+                    col = s * PQ_SUB_DIM + j
+                    diff = X[:, col][:, None] - cb[None, :, col]
+                    D = D + diff * diff
+                codes[:, s] = np.argmin(D, axis=1)
+            for j, i in enumerate(np.flatnonzero(mask)):
+                out[i] = codes[j].tolist()
+        return pd.Series(out)
 
     coded = e.select("vec_id", pq_codes_only(F.col("embedding")).alias("codes"))
     cand = coded.crossJoin(F.broadcast(lut_df)).where(F.col("vec_id") != F.col("query_id"))

@@ -210,12 +210,27 @@ def start_manifest_upsert_sink(
     """The keyed-upsert streaming sink over the manifest table: same
     ``foreachBatch`` wiring as ``sinks.start_upsert_sink``, but each
     micro-batch commits transactionally with ``txn_id=batch-{epoch}`` —
-    a replayed epoch is detected in the manifest and skipped."""
-    writer = stream.writeStream.outputMode("update").foreachBatch(
-        lambda batch, epoch: upsert(
-            batch.sparkSession, table, batch, key_cols, txn_id=f"batch-{epoch}"
-        )
-    )
+    a replayed epoch is detected in the manifest and skipped.  A
+    concurrent writer (e.g. a ``compact_table`` run) losing the O_EXCL
+    race raises ``ConcurrentCommitError`` inside ``upsert``; the batch
+    retries against the re-read snapshot (``upsert`` re-reads
+    ``current_version`` on every attempt) rather than failing the
+    stream permanently."""
+
+    def _upsert_with_retry(batch: DataFrame, epoch: int) -> None:
+        last: ConcurrentCommitError | None = None
+        for _ in range(5):
+            try:
+                upsert(
+                    batch.sparkSession, table, batch, key_cols,
+                    txn_id=f"batch-{epoch}",
+                )
+                return
+            except ConcurrentCommitError as e:  # loser re-reads + re-merges
+                last = e
+        raise last
+
+    writer = stream.writeStream.outputMode("update").foreachBatch(_upsert_with_retry)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.trigger(availableNow=True).start()

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..session import prepare
 from ..sources.registry import load_table
+from .stateful import await_or_fail
 
 JOIN_WINDOW = "1 hour"  # purchases attributed to a click within this window
 
@@ -194,7 +195,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_fail(q)
     return (
         spark.sql(f"SELECT * FROM {name}")
         .select(

@@ -25,6 +25,16 @@ from ..registry import query
 from ..session import prepare
 from ..sources.registry import load_table
 
+def await_or_fail(q, timeout_sec: int = 300) -> None:
+    """Block on a streaming query; fail loudly instead of silently reading
+    a partially-populated sink if it has not finished within the timeout."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not finish in {timeout_sec}s"
+        )
+
+
 _OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -86,7 +96,7 @@ def q_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_fail(q)
     updates = spark.sql(f"SELECT * FROM {name}")
     return (
         updates.groupBy("user_id").agg(F.max("cnt").alias("cnt")).orderBy("user_id")
@@ -122,15 +132,19 @@ def _match_pattern(
 ) -> Iterator[pd.DataFrame]:
     """Per-user ``view click+ purchase`` state machine, continued ACROSS
     micro-batches (a click run that starts at the end of one batch and
-    completes in the next is one match).  Rows are sorted by
-    (ts_us, event_id) within the batch; cross-batch order is the
-    source's responsibility (chronological segments here; a Kafka topic
-    keyed by user delivers per-key order the same way)."""
+    completes in the next is one match).  The group's rows for this
+    micro-batch arrive as an iterator of Arrow chunks (~10k rows each);
+    they are materialized and sorted ONCE by (ts_us, event_id) —
+    sorting each chunk independently would feed the state machine
+    out-of-order rows whenever a user exceeds one chunk.  Cross-batch
+    order is the source's responsibility (chronological segments here;
+    a Kafka topic keyed by user delivers per-key order the same way)."""
     last_type, active, run, n, tot, mx = (
         state.get if state.exists else (None, False, 0, 0, 0, 0)
     )
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
+    chunks = list(batches)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts_us", "event_id"])
         for et in pdf["event_type"]:
             if et == "click":
                 if last_type == "view":
@@ -253,7 +267,7 @@ def q_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_or_fail(q)
     updates = spark.sql(f"SELECT * FROM {name}")
     return (
         updates.groupBy("user_id")

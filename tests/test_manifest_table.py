@@ -172,3 +172,55 @@ class TestCompaction:
             commit(t, snap_files, expected_version=1)
         # rebased compaction (reads current version) succeeds
         assert compact_table(spark, t) == v + 1
+
+
+class TestUpsertSinkRetry:
+    """ADVICE r5: the foreachBatch upsert must survive losing the O_EXCL
+    commit race to a concurrent writer — retry against the re-read
+    snapshot instead of failing the stream permanently."""
+
+    def test_foreachbatch_retries_on_concurrent_commit(self, spark, tmp_path, monkeypatch):
+        import anglerfish_spark.sources.manifest_table as mt
+
+        table = str(tmp_path / "t")
+        batch = spark.createDataFrame([(1, "a")], ["k", "v"])
+
+        calls = {"n": 0}
+        real_upsert = mt.upsert
+
+        def flaky_upsert(sp, tbl, b, keys, txn_id=None):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise mt.ConcurrentCommitError("lost the race (simulated)")
+            return real_upsert(sp, tbl, b, keys, txn_id=txn_id)
+
+        monkeypatch.setattr(mt, "upsert", flaky_upsert)
+        # drive the foreachBatch function directly (the wiring around it is
+        # exercised by the existing streaming sink test)
+        sink_fn = None
+
+        class _FakeWriter:
+            def outputMode(self, *_):
+                return self
+
+            def foreachBatch(self, fn):
+                nonlocal sink_fn
+                sink_fn = fn
+                return self
+
+            def option(self, *_):
+                return self
+
+            def trigger(self, **_):
+                return self
+
+            def start(self):
+                return None
+
+        class _FakeStream:
+            writeStream = _FakeWriter()
+
+        mt.start_manifest_upsert_sink(_FakeStream(), table, ["k"])
+        sink_fn(batch, 0)
+        assert calls["n"] == 2  # one loss + one successful retry
+        assert mt.current_version(table) == 1

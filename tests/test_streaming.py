@@ -442,3 +442,74 @@ class TestStreamPatternStateMachine:
     def test_purchase_without_view_prefix(self):
         r = self._run([["click", "click", "purchase"]])
         assert r["n_matches"] == 0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the pattern UDF directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class TestPatternChunkOrder:
+    """ADVICE r5 (medium): _match_pattern must sort the WHOLE micro-batch,
+    not each Arrow chunk — a user whose rows span chunks would otherwise
+    feed the state machine out of global (ts_us, event_id) order."""
+
+    def test_interleaved_chunks_sorted_globally(self):
+        import pandas as pd
+
+        from anglerfish_spark.streaming.stateful import _match_pattern
+
+        # global order: view(1) click(2) click(3) purchase(4) → 1 match, run 2
+        # chunk split interleaves: chunk A holds ts 1,3; chunk B holds 2,4.
+        # Per-chunk sorting would see view,click | click,purchase →
+        # click run never reaches 2 and ends active from the wrong state.
+        a = pd.DataFrame(
+            {"ts_us": [1, 3], "event_id": [1, 3], "event_type": ["view", "click"]}
+        )
+        b = pd.DataFrame(
+            {"ts_us": [2, 4], "event_id": [2, 4], "event_type": ["click", "purchase"]}
+        )
+        state = _FakeState()
+        (out,) = list(_match_pattern((7,), iter([a, b]), state))
+        assert out["n_matches"][0] == 1
+        assert out["total_clicks"][0] == 2
+        assert out["max_click_run"][0] == 2
+
+    def test_state_carries_across_invocations(self):
+        import pandas as pd
+
+        from anglerfish_spark.streaming.stateful import _match_pattern
+
+        state = _FakeState()
+        b1 = pd.DataFrame(
+            {"ts_us": [1, 2], "event_id": [1, 2], "event_type": ["view", "click"]}
+        )
+        list(_match_pattern((7,), iter([b1]), state))
+        b2 = pd.DataFrame(
+            {"ts_us": [3, 4], "event_id": [3, 4], "event_type": ["click", "purchase"]}
+        )
+        (out,) = list(_match_pattern((7,), iter([b2]), state))
+        # the click run started in batch 1 completes in batch 2: one match of run 2
+        assert out["n_matches"][0] == 1
+        assert out["total_clicks"][0] == 2
+
+    def test_empty_batch_iterator(self):
+        from anglerfish_spark.streaming.stateful import _match_pattern
+
+        state = _FakeState(("click", True, 2, 0, 0, 0))
+        (out,) = list(_match_pattern((7,), iter([]), state))
+        assert out["n_matches"][0] == 0
+        assert state.get[0] == "click"  # state untouched by an empty batch
