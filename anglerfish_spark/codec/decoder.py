@@ -72,6 +72,15 @@ from .pydecode import Decoder as _PyDecoder
 INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
 _B64_RE = r"^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"
 
+def _nullif_empty(c: Column) -> Column:
+    """``nullif(c, '')`` without Spark 4's With-based NullIf, whose
+    definition RewriteWithExpression inlines (duplicating ``c``) when the
+    expression sits inside a higher-order-function lambda — see _cat."""
+    return _logical_let(
+        c, lambda v: F.when(v == "", F.lit(None).cast("string")).otherwise(v)
+    )
+
+
 def _empty_errs() -> Column:
     """No-error sentinel: the error channel is a nullable STRING of
     ';'-joined Code@path tags (null = clean).  Strings keep every
@@ -221,8 +230,18 @@ class _ExprBuilder:
             return _empty_errs()
         if len(errs) == 1:
             return errs[0]
-        # concat_ws skips nulls; collapse the all-null case back to null
-        return F.nullif(F.concat_ws(";", *errs), F.lit(""))
+        # concat_ws skips nulls; collapse the all-null case back to null.
+        # NOT F.nullif: Spark 4's NullIf is RuntimeReplaceable via a `With`
+        # whose definition RewriteWithExpression cannot hoist out of the
+        # `_let` lambdas these trees nest in — it INLINES the first argument
+        # (this whole concat of child errors) instead, doubling the error
+        # tree per nesting level (measured: depth-5 recursive decode plan
+        # 484k chars / 2558 CASE WHENs with nullif vs 16k / 53 with the
+        # explicit let-bound form; SCALE.md #23).
+        return _logical_let(
+            F.concat_ws(";", *errs),
+            lambda c: F.when(c == "", F.lit(None).cast("string")).otherwise(c),
+        )
 
     def _obj_map(self, raw: Optional[Column], path: str) -> Optional[Column]:
         """One-parse object view: keys + raw value text per key."""
@@ -426,16 +445,14 @@ class _ExprBuilder:
             errs = (
                 F.when(
                     wire.isNotNull(),
-                    F.nullif(
+                    _nullif_empty(
                         F.array_join(
                             F.transform(
                                 wire,
                                 lambda w: self.build(t.items, w, None, elem_path, "errs")[1],
                             ),
                             ";",
-                        ),
-                        F.lit(""),
-                    ),
+                        )),
                 )
                 if want_e
                 else _empty_errs()
@@ -462,15 +479,13 @@ class _ExprBuilder:
         )
         errs = F.when(
             wire.isNotNull(),
-            F.nullif(
+            _nullif_empty(
                 F.array_join(
                     F.zip_with(
                         wire, raw_elems, lambda w, r: self.build(t.items, w, r, elem_path, "errs")[1]
                     ),
                     ";",
-                ),
-                F.lit(""),
-            ),
+                )),
         )
         return value, self._cat(errs, shape, elem_fail)
 
@@ -499,16 +514,14 @@ class _ExprBuilder:
             errs = (
                 F.when(
                     wire.isNotNull(),
-                    F.nullif(
+                    _nullif_empty(
                         F.array_join(
                             F.transform(
                                 F.map_values(wire),
                                 lambda v: self.build(t.values, v, None, val_path, "errs")[1],
                             ),
                             ";",
-                        ),
-                        F.lit(""),
-                    ),
+                        )),
                 )
                 if want_e
                 else _empty_errs()
@@ -535,7 +548,7 @@ class _ExprBuilder:
         val_fail = self._err(rmap.isNotNull() & wire.isNull(), "UnexpectedTypeError", val_path)
         errs = F.when(
             wire.isNotNull(),
-            F.nullif(
+            _nullif_empty(
                 F.array_join(
                     F.zip_with(
                         F.map_values(wire),
@@ -543,9 +556,7 @@ class _ExprBuilder:
                         lambda v, r: self.build(t.values, v, r, val_path, "errs")[1],
                     ),
                     ";",
-                ),
-                F.lit(""),
-            ),
+                )),
         )
         return value, self._cat(errs, shape, val_fail)
 
@@ -1004,7 +1015,20 @@ def decode_json(
     # root schema is an array (rmap is then always null).
     malformed = raw.isNotNull() & F.col(rmap_col).isNull() & F.get_json_object(raw, "$").isNull()
     errs = F.when(malformed, F.lit("UnexpectedJsonTypeError@$")).otherwise(errs)
-    staged = staged.withColumn(err_col, errs)
+    staged = staged.withColumn(err_col, errs).withColumn(output_col, value)
+    if not flat:
+        # second Generate barrier: CollapseProject would otherwise inline
+        # the (deep) errs tree into the strict/permissive output column and
+        # SimplifyConditionals then grinds the merged tree — measured 2.8 s
+        # of the 3 s optimizer time on the depth-5 recursive decode
+        # (CollapseProject 1.44 s + SimplifyConditionals 1.36 s via
+        # RuleExecutor.dumpTimeSpent; SCALE.md #23).  Behind a barrier both
+        # trees stay in their own Project and are optimized once each.
+        # Flat records skip it: their trees are small and the extra
+        # Generate would tax the hot json_decode_strict path.
+        staged = staged.select(
+            F.explode(F.array(F.struct(*[F.col(c) for c in staged.columns]))).alias("_b2")
+        ).select("_b2.*")
     e = F.col(err_col)
     stage_cols = [
         c for c in (wire_col, rmap_col, err_col, raw_col, vprobe_col) if c in staged.columns
@@ -1012,15 +1036,13 @@ def decode_json(
 
     if mode == "permissive":
         err_arr = F.when(e.isNull(), F.array().cast("array<string>")).otherwise(F.split(e, ";"))
-        return (
-            staged.withColumn(output_col, value)
-            .withColumn(errors_col, err_arr)
-            .drop(*stage_cols)
-        )
+        return staged.withColumn(errors_col, err_arr).drop(*stage_cols)
     if mode == "strict":
         boom = F.raise_error(F.concat(F.lit("anglerfish strict decode failed: "), e))
         return (
-            staged.withColumn(output_col, F.when(e.isNotNull(), boom).otherwise(value))
+            staged.withColumn(
+                output_col, F.when(e.isNotNull(), boom).otherwise(F.col(output_col))
+            )
             .drop(*stage_cols)
         )
     raise ValueError(f"unknown mode {mode!r} (strict|permissive)")

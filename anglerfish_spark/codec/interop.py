@@ -55,6 +55,7 @@ from ..schema.model import (
 )
 from ..schema.parser import parse_schema
 from ..schema.spark_convert import union_field_names
+from ..localdata import local_df
 from .pydecode import INT32_MAX, INT32_MIN, INT64_MAX, INT64_MIN, _float_exact
 
 __all__ = [
@@ -285,7 +286,7 @@ def objects_to_dataframe(spark, objs, schema, mode: str = "strict", max_depth: i
                 f"match the declared Avro type (not JSON-serializable after "
                 f"union tagging)"
             ) from None
-    df = spark.createDataFrame(rows, "value string")
+    df = local_df(spark, rows, "value string")
     return decode_json(df, "value", ps, mode=mode, max_depth=max_depth).select("decoded.*")
 
 

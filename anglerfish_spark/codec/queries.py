@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localdata import local_df
 from ..registry import query
 from ..schema import from_struct_type, parse_schema, to_avsc, to_json
 from ..session import prepare
@@ -107,7 +108,7 @@ def json_decode_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union decode with the reference's tagged single-key-object encoding
     and branch-name resolution (D5 + S3)."""
     prepare(spark)
-    df = spark.createDataFrame(_UNION_ROWS, ["id", "j"])
+    df = local_df(spark, _UNION_ROWS, ["id", "j"])
     out = decode_json(df, "j", _UNION_SCHEMA, mode="strict")
     return out.select(
         "id",
@@ -160,7 +161,7 @@ def json_infer_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smallest-fitting-type classification of JSON numerics (reference
     numeric narrowing, JsonFAlgebras.scala:25-49 / JsonData.scala:13-19)."""
     prepare(spark)
-    df = spark.createDataFrame(_NARROW_ROWS, ["id", "s"])
+    df = local_df(spark, _NARROW_ROWS, ["id", "s"])
     s = F.col("s")
     d = s.try_cast("decimal(38,0)")
     integral = s.rlike(r"^-?[0-9]+$")
@@ -225,7 +226,7 @@ def json_errors_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE decode surfacing the E1 error taxonomy as data
     (reference error classes AvroJsonFAlgebras.scala:32-52)."""
     prepare(spark)
-    df = spark.createDataFrame(_ERR_ROWS, ["id", "j"])
+    df = local_df(spark, _ERR_ROWS, ["id", "j"])
     out = decode_json(df, "j", _ERR_SCHEMA, mode="permissive")
     return out.select(
         "id",
@@ -303,8 +304,8 @@ def schema_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for name, avsc in sorted(_FP_CORPUS.items())
     ]
-    return spark.createDataFrame(
-        rows, "schema_name string, canonical_len int, crc64_avro string, md5 string"
+    return local_df(
+        spark, rows, "schema_name string, canonical_len int, crc64_avro string, md5 string"
     ).orderBy("schema_name")
 
 
@@ -342,8 +343,8 @@ def schema_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fqn, *detail(t), identical)
         for fqn, t in sorted(ps2.env.items())
     ]
-    return spark.createDataFrame(
-        rows, ["fqn", "kind", "detail", "roundtrip_identical"]
+    return local_df(
+        spark, rows, ["fqn", "kind", "detail", "roundtrip_identical"]
     ).orderBy("fqn")
 
 
@@ -413,8 +414,8 @@ def schema_compat_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, w, r in cases:
         reasons = can_read(w, r)
         rows.append((name, len(reasons) == 0, len(reasons)))
-    return spark.createDataFrame(
-        rows, "case_name string, compatible boolean, n_reasons int"
+    return local_df(
+        spark, rows, "case_name string, compatible boolean, n_reasons int"
     ).orderBy("case_name")
 
 
@@ -450,7 +451,7 @@ def schema_export_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (f.name, non_null if isinstance(non_null, str) else _json.dumps(non_null))
         )
-    return spark.createDataFrame(rows, ["field", "avro_type"]).orderBy("field")
+    return local_df(spark, rows, ["field", "avro_type"]).orderBy("field")
 
 
 # ---------------------------------------------------------------------------
@@ -834,7 +835,7 @@ def json_decode_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesce(1): 3 rows over defaultParallelism tasks would compile the
     # (large, depth-unrolled) generated code once per task — 32 concurrent
     # copies OOM'd a 1g-heap session; one task is also simply faster here
-    df = spark.createDataFrame(_LL_ROWS, ["id", "j"]).coalesce(1)
+    df = local_df(spark, _LL_ROWS, ["id", "j"], single_partition=True)
     # depth-bounded unroll kept small for the expression path: each level
     # carries its own parse+validation subtree, so a deep unroll is a big
     # plan (and a big task binary).  Genuinely deep recursion belongs to

@@ -1433,6 +1433,11 @@ def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURATION_SEM_TAU = 0.45
 
 
+#: per-stage wall seconds of the last instrumented q_curation_full run
+#: (ANGLERFISH_CURATION_STAGES=1); bench.py surfaces it as stages_sec
+CURATION_STAGE_SECONDS: dict = {}
+
+
 def _curation_oracle() -> str:
     from .similarity import cosine_sql
 
@@ -1614,21 +1619,44 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (corpus-cardinality keys, bytes per row), so lazy localCheckpoints
     # are effectively free: with the norm-precompute below, measured
     # 9.1 -> 7.0 s at sf0.1 (quiet session, min-of-4).
-    ckpt = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+    # Stage instrumentation (VERDICT r5 #8): with
+    # ANGLERFISH_CURATION_STAGES=1 each stage's checkpoints materialize
+    # EAGERLY and their wall time accumulates into CURATION_STAGE_SECONDS
+    # — bench.py reports the breakdown as `stages_sec.curation` so a
+    # future regression points at a stage, not the composite.  (Eager
+    # checkpoints change scheduling slightly, so the instrumented pass is
+    # separate from the headline best-of-N timing.)
+    import os as _os
+    import time as _time
+
+    timing = _os.environ.get("ANGLERFISH_CURATION_STAGES") == "1"
+    if timing:
+        CURATION_STAGE_SECONDS.clear()
+
+    def ckpt(df, stage=None):
+        if not (timing and stage):
+            return df.localCheckpoint(eager=False)
+        t0 = _time.perf_counter()
+        out = df.localCheckpoint(eager=True)
+        CURATION_STAGE_SECONDS[stage] = round(
+            CURATION_STAGE_SECONDS.get(stage, 0.0) + _time.perf_counter() - t0, 3
+        )
+        return out
 
     s1 = base.withColumn(
         "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
     )
-    removed1 = ckpt(s1.where(F.col("rn") > 1).select("doc_id"))
-    surv1 = ckpt(s1.where(F.col("rn") == 1).select("doc_id"))
+    removed1 = ckpt(s1.where(F.col("rn") > 1).select("doc_id"), "1_exact")
+    surv1 = ckpt(s1.where(F.col("rn") == 1).select("doc_id"), "1_exact")
 
     d1 = d.join(surv1, "doc_id", "left_semi")
     removed2 = ckpt(
         lsh_candidate_pairs(d1)  # skew cap active (LSH_MAX_BUCKET)
         .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+        .distinct(),
+        "2_near",
     )
-    surv2 = ckpt(surv1.join(removed2, "doc_id", "left_anti"))
+    surv2 = ckpt(surv1.join(removed2, "doc_id", "left_anti"), "2_near")
 
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -1665,9 +1693,10 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= CURATION_SEM_TAU
         )
         .select(F.col("b.vec_id").alias("doc_id"))
-        .distinct()
+        .distinct(),
+        "3_semantic",
     )
-    surv3 = ckpt(surv2.join(removed3, "doc_id", "left_anti"))
+    surv3 = ckpt(surv2.join(removed3, "doc_id", "left_anti"), "3_semantic")
 
     d3 = d.join(surv3, "doc_id", "left_semi")
     grams = (
@@ -1696,7 +1725,7 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("cov").cast("bigint").alias("c"))
     )
-    covered = ckpt(covered)
+    covered = ckpt(covered, "4_substr")
 
     led = (
         base.select("doc_id", "n_tok")

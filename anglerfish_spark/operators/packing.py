@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localdata import local_df
 from ..registry import query
 from ..session import prepare
 from ..sources.registry import load_table
@@ -135,8 +136,8 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     total = counts.agg(F.sum("n").cast("bigint").alias("total"))
-    targets = spark.createDataFrame(
-        sorted(MIX_TARGETS.items()), "lang string, target_share double"
+    targets = local_df(
+        spark, sorted(MIX_TARGETS.items()), "lang string, target_share double"
     )
     rate = F.least(
         F.lit(1.0),

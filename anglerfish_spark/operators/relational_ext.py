@@ -1559,53 +1559,26 @@ def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a 'click' run sandwiched between a 'view' run and a 'purchase' run
     is exactly one greedy match).
 
+    Since r6 the pattern is DATA, not code: ``patterns.VIEW_CLICK_PURCHASE``
+    is a :class:`~..operators.patterns.PatternSpec`, and this query is its
+    batch compilation via :func:`~..operators.patterns.match_pattern_batch`
+    — the same spec drives the streaming automaton (q_stream_pattern), and
+    a seeded spec fuzzer differentials the two against an independent
+    runs-scan reference (tests/test_patterns.py).
+
     Scale shape: everything partitions by user_id and reuses that one
     partitioning — two window passes (event-level run ids, run-level
     lag/lead) and two combinable aggregations; no joins, no explode, no
     global sort.  Event order is the total (ts, event_id) — the oracle
     window-determinism house rule.
     """
+    from .patterns import VIEW_CLICK_PURCHASE, match_pattern_batch
+
     prepare(spark)
     ev = load_table(spark, sf_dir, "events")
-    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ordered = ev.select(
+    return match_pattern_batch(ev, VIEW_CLICK_PURCHASE).select(
         "user_id",
-        "event_type",
-        F.row_number().over(w_ev).alias("rn"),
-        F.when(
-            F.col("event_type") == F.lag("event_type").over(w_ev), 0
-        ).otherwise(1).alias("chg"),
-    )
-    w_run = (
-        Window.partitionBy("user_id").orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
-    )
-    runs = (
-        ordered.withColumn("run_id", F.sum("chg").over(w_run))
-        .groupBy("user_id", "run_id")
-        .agg(
-            F.min("event_type").alias("typ"),
-            F.count(F.lit(1)).cast("bigint").alias("len"),
-        )
-    )
-    w_seq = Window.partitionBy("user_id").orderBy("run_id")
-    seq = runs.select(
-        "user_id",
-        "typ",
-        "len",
-        F.lag("typ").over(w_seq).alias("prev_typ"),
-        F.lead("typ").over(w_seq).alias("next_typ"),
-    )
-    return (
-        seq.where(
-            (F.col("typ") == "click")
-            & (F.col("prev_typ") == "view")
-            & (F.col("next_typ") == "purchase")
-        )
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
-            F.sum("len").cast("bigint").alias("total_clicks"),
-            F.max("len").cast("bigint").alias("max_click_run"),
-        )
-        .orderBy("user_id")
+        "n_matches",
+        F.col("total_len").alias("total_clicks"),
+        F.col("max_len").alias("max_click_run"),
     )

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from ..localdata import local_df
 from ..registry import query
 from ..session import prepare
 from ..sources.registry import load_table
@@ -899,7 +900,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 D = D + diff * diff
             luts.append([float(x) for x in D])
         lut_rows.append((qid, luts))
-    lut_df = spark.createDataFrame(lut_rows, ["query_id", "luts"])
+    lut_df = local_df(spark, lut_rows, ["query_id", "luts"])
 
     from pyspark.sql import types as T
 

@@ -86,6 +86,10 @@ def prepare(spark: SparkSession) -> SparkSession:
     # dsum contract instead of raising; the engine's semantics assume
     # Spark 4's default strict mode even under a hostile host session
     spark.conf.set("spark.sql.ansi.enabled", "true")
+    # Arrow on: localdata.local_df routes driver-literal tables through
+    # pandas+Arrow (JVM-side batches — no Python-worker round-trips,
+    # SCALE.md #22); without this flag it silently degrades to pickle
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     try:  # TIME logical-type support (static-only in some builds → best effort)
         spark.conf.set("spark.sql.timeType.enabled", "true")
     except Exception:

@@ -107,69 +107,18 @@ def q_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order-sensitive stateful pattern detection (streaming MATCH_RECOGNIZE)
 # ---------------------------------------------------------------------------
 
-_PAT_OUT = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("n_matches", T.LongType()),
-        T.StructField("total_clicks", T.LongType()),
-        T.StructField("max_click_run", T.LongType()),
-    ]
-)
-_PAT_STATE = T.StructType(
-    [
-        T.StructField("last_type", T.StringType()),
-        T.StructField("active", T.BooleanType()),
-        T.StructField("run", T.LongType()),
-        T.StructField("n", T.LongType()),
-        T.StructField("tot", T.LongType()),
-        T.StructField("mx", T.LongType()),
-    ]
-)
+# Per-user ``view click+ purchase`` state machine, continued ACROSS
+# micro-batches (a click run that starts at the end of one batch and
+# completes in the next is one match).  Since r6 the automaton is compiled
+# from the SAME PatternSpec as the batch q_pattern_match — one spec, two
+# engines, fuzz-differentialed in tests/test_patterns.py.  The compiled fn
+# materializes and sorts the whole micro-batch once by (ts_us, event_id)
+# (ADVICE r5: per-chunk sorting breaks users spanning Arrow chunks);
+# cross-batch order is the source's responsibility (chronological segments
+# here; a Kafka topic keyed by user delivers per-key order the same way).
+from ..operators.patterns import VIEW_CLICK_PURCHASE, make_stateful_pattern_fn
 
-
-def _match_pattern(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-user ``view click+ purchase`` state machine, continued ACROSS
-    micro-batches (a click run that starts at the end of one batch and
-    completes in the next is one match).  The group's rows for this
-    micro-batch arrive as an iterator of Arrow chunks (~10k rows each);
-    they are materialized and sorted ONCE by (ts_us, event_id) —
-    sorting each chunk independently would feed the state machine
-    out-of-order rows whenever a user exceeds one chunk.  Cross-batch
-    order is the source's responsibility (chronological segments here;
-    a Kafka topic keyed by user delivers per-key order the same way)."""
-    last_type, active, run, n, tot, mx = (
-        state.get if state.exists else (None, False, 0, 0, 0, 0)
-    )
-    chunks = list(batches)
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts_us", "event_id"])
-        for et in pdf["event_type"]:
-            if et == "click":
-                if last_type == "view":
-                    active, run = True, 1
-                elif last_type == "click" and active:
-                    run += 1
-                else:
-                    active, run = False, 0
-            elif et == "purchase" and active and last_type == "click":
-                n += 1
-                tot += run
-                mx = max(mx, run)
-                active, run = False, 0
-            else:
-                active, run = False, 0
-            last_type = et
-    state.update((last_type, active, run, n, tot, mx))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_matches": [n],
-            "total_clicks": [tot],
-            "max_click_run": [mx],
-        }
-    )
+_match_pattern, _PAT_OUT, _PAT_STATE = make_stateful_pattern_fn(VIEW_CLICK_PURCHASE)
 
 
 @query(
@@ -273,8 +222,8 @@ def q_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         updates.groupBy("user_id")
         .agg(
             F.max("n_matches").cast("bigint").alias("n_matches"),
-            F.max("total_clicks").cast("bigint").alias("total_clicks"),
-            F.max("max_click_run").cast("bigint").alias("max_click_run"),
+            F.max("total_len").cast("bigint").alias("total_clicks"),
+            F.max("max_len").cast("bigint").alias("max_click_run"),
         )
         .where(F.col("n_matches") >= 1)
         .orderBy("user_id")

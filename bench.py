@@ -101,6 +101,24 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, dt), dt)
 
+    # one extra instrumented curation pass (outside best-of-N: eager
+    # per-stage checkpoints change scheduling, so it must not shadow the
+    # headline number) — the per-stage breakdown a regression hunt needs
+    stages: dict[str, dict[str, float]] = {}
+    if "q_curation_full" in times:
+        try:
+            os.environ["ANGLERFISH_CURATION_STAGES"] = "1"
+            qs["q_curation_full"].fn(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            from anglerfish_spark.operators.dedup import CURATION_STAGE_SECONDS
+
+            stages["curation"] = dict(sorted(CURATION_STAGE_SECONDS.items()))
+        except Exception:  # noqa: BLE001 - instrumentation must not fail the bench
+            pass
+        finally:
+            os.environ.pop("ANGLERFISH_CURATION_STAGES", None)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
         "metric": "headline_queries_total_sec",
@@ -117,6 +135,8 @@ def main() -> None:
 
     if SETUP_SECONDS:
         payload["setup_sec"] = dict(sorted(SETUP_SECONDS.items()))
+    if stages:
+        payload["stages_sec"] = stages
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))

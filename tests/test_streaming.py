@@ -485,8 +485,8 @@ class TestPatternChunkOrder:
         state = _FakeState()
         (out,) = list(_match_pattern((7,), iter([a, b]), state))
         assert out["n_matches"][0] == 1
-        assert out["total_clicks"][0] == 2
-        assert out["max_click_run"][0] == 2
+        assert out["total_len"][0] == 2
+        assert out["max_len"][0] == 2
 
     def test_state_carries_across_invocations(self):
         import pandas as pd
@@ -504,12 +504,12 @@ class TestPatternChunkOrder:
         (out,) = list(_match_pattern((7,), iter([b2]), state))
         # the click run started in batch 1 completes in batch 2: one match of run 2
         assert out["n_matches"][0] == 1
-        assert out["total_clicks"][0] == 2
+        assert out["total_len"][0] == 2
 
     def test_empty_batch_iterator(self):
         from anglerfish_spark.streaming.stateful import _match_pattern
 
-        state = _FakeState(("click", True, 2, 0, 0, 0))
+        state = _FakeState(("click", 1, 2, 2, 0, 0, 0))
         (out,) = list(_match_pattern((7,), iter([]), state))
         assert out["n_matches"][0] == 0
         assert state.get[0] == "click"  # state untouched by an empty batch
