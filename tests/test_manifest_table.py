@@ -224,3 +224,90 @@ class TestUpsertSinkRetry:
         sink_fn(batch, 0)
         assert calls["n"] == 2  # one loss + one successful retry
         assert mt.current_version(table) == 1
+
+
+class TestSchemaEvolution:
+    """VERDICT r5 #4: evolution resolved by the engine's own can_read /
+    evolve_struct — compatible changes read across filesets, incompatible
+    ones fail AT COMMIT, and time travel keeps each version's schema."""
+
+    V1 = """
+    {"type":"record","name":"t","fields":[
+      {"name":"k","type":"long"},
+      {"name":"total","type":"double"}
+    ]}
+    """
+    V2 = """
+    {"type":"record","name":"t","fields":[
+      {"name":"k","type":"long"},
+      {"name":"price","type":"double","aliases":["total"]},
+      {"name":"status","type":"string","default":"legacy"}
+    ]}
+    """
+
+    def _mk(self, spark, tmp_path):
+        import anglerfish_spark.sources.manifest_table as mt
+
+        t = str(tmp_path / "t")
+        v1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "total"])
+        mt.append_evolved(spark, t, v1, self.V1)
+        v2 = spark.createDataFrame([(3, 30.0, "live")], ["k", "price", "status"])
+        mt.append_evolved(spark, t, v2, self.V2, reader_schema=self.V2)
+        return mt, t
+
+    def test_evolved_read_renames_and_fills_default(self, spark, tmp_path):
+        mt, t = self._mk(spark, tmp_path)
+        rows = {r["k"]: (r["price"], r["status"])
+                for r in mt.snapshot_evolved(spark, t).collect()}
+        assert rows == {1: (10.0, "legacy"), 2: (20.0, "legacy"), 3: (30.0, "live")}
+
+    def test_time_travel_keeps_old_schema(self, spark, tmp_path):
+        mt, t = self._mk(spark, tmp_path)
+        v1 = mt.snapshot_evolved(spark, t, version=1)
+        assert v1.columns == ["k", "total"]
+        assert {tuple(r) for r in v1.collect()} == {(1, 10.0), (2, 20.0)}
+
+    def test_incompatible_evolution_fails_at_commit(self, spark, tmp_path):
+        import pytest
+
+        from anglerfish_spark.errors import SchemaEvolutionError
+        import anglerfish_spark.sources.manifest_table as mt
+
+        t = str(tmp_path / "t")
+        v1 = spark.createDataFrame([(1, 10.0)], ["k", "total"])
+        mt.append_evolved(spark, t, v1, self.V1)
+        # dropping `total` without the reader providing a default for a
+        # field the writer lacks -> new field `mandatory` has no default
+        bad = """
+        {"type":"record","name":"t","fields":[
+          {"name":"k","type":"long"},
+          {"name":"mandatory","type":"string"}
+        ]}
+        """
+        batch = spark.createDataFrame([(2, "x")], ["k", "mandatory"])
+        with pytest.raises(SchemaEvolutionError):
+            mt.append_evolved(spark, t, batch, bad, reader_schema=bad)
+        assert mt.current_version(t) == 1  # nothing was committed
+
+    def test_type_narrowing_rejected(self, spark, tmp_path):
+        import pytest
+
+        from anglerfish_spark.errors import SchemaEvolutionError
+        import anglerfish_spark.sources.manifest_table as mt
+
+        t = str(tmp_path / "t")
+        mt.append_evolved(
+            spark, t, spark.createDataFrame([(1, 10.0)], ["k", "total"]), self.V1
+        )
+        narrowed = """
+        {"type":"record","name":"t","fields":[
+          {"name":"k","type":"long"},
+          {"name":"total","type":"float"}
+        ]}
+        """
+        with pytest.raises(SchemaEvolutionError):
+            mt.append_evolved(
+                spark, t,
+                spark.createDataFrame([(2, 1.0)], ["k", "total"]),
+                narrowed, reader_schema=narrowed,
+            )

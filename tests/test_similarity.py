@@ -156,6 +156,7 @@ class TestNullEmbeddings:
         # directly over a frame containing a null
         from anglerfish_spark.operators import similarity as sim
 
+        k = k or sim.TOP_K  # q_pq_topk returns exactly TOP_K candidates
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(8)
         withnull = e.select(
             "vec_id",
@@ -169,3 +170,64 @@ class TestNullEmbeddings:
         # data plus a direct probe that nulls don't raise:
         rows = withnull.collect()
         assert any(r["embedding"] is None for r in rows)
+
+
+class TestPQRecall:
+    """VERDICT r5 #6: PQ approximation QUALITY, not just determinism —
+    recall@TOP_K against the exact L2 top-K, for BOTH the raw ADC
+    ranking (q_pq_topk) and the shortlist+exact-rerank path
+    (q_pq_rerank).  Real systems gate PQ deployment on the reranked
+    figure; measured values are recorded in SCALE.md.  Codebook
+    training was measured and rejected — see RERANK_MULT's comment in
+    operators/similarity.py."""
+
+    def _recalls(self, spark, sf_dir: str) -> tuple[float, float]:
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.operators import similarity as sim
+        from anglerfish_spark.registry import all_queries
+
+        qs = all_queries()
+        k = sim.TOP_K
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = e.select("vec_id", "embedding").collect()
+        order = sorted(range(len(rows)), key=lambda i: rows[i]["vec_id"])
+        X = np.array([rows[i]["embedding"] for i in order], dtype=np.float64)
+        ids = np.array([rows[i]["vec_id"] for i in order])
+
+        def recall_of(qname: str) -> float:
+            got: dict[int, list[int]] = {}
+            for r in qs[qname].fn(spark, sf_dir).collect():
+                got.setdefault(r["query_id"], []).append(r["vec_id"])
+            hits = total = 0
+            for qi in range(sim.N_QUERIES):
+                q = X[ids == qi][0]
+                d2 = ((X - q) ** 2).sum(axis=1)
+                exact = [
+                    int(ids[j])
+                    for j in sorted(range(len(ids)), key=lambda j: (d2[j], ids[j]))
+                    if ids[j] != qi
+                ][:k]
+                hits += len(set(exact) & set(got.get(qi, [])[:k]))
+                total += k
+            return hits / total
+
+        return recall_of("q_pq_topk"), recall_of("q_pq_rerank")
+
+    def test_recall_sf001(self, spark):
+        adc, rer = self._recalls(spark, "/root/testdata/sf0.01")
+        print(f"\nPQ recall@5 sf0.01: adc={adc:.3f} rerank={rer:.3f}")
+        # raw ADC on this near-uniform corpus is structurally weak — the
+        # floor just catches a broken LUT/codes regression
+        assert adc >= 0.1, f"ADC recall collapsed: {adc:.3f}"
+        # the deployable path: shortlist + exact rerank
+        assert rer >= 0.5, f"reranked recall degraded: {rer:.3f}"
+        assert rer >= adc
+
+    def test_recall_sf01(self, spark):
+        adc, rer = self._recalls(spark, "/root/testdata/sf0.1")
+        print(f"\nPQ recall@5 sf0.1: adc={adc:.3f} rerank={rer:.3f}")
+        assert adc >= 0.1, f"ADC recall collapsed: {adc:.3f}"
+        assert rer >= 0.5, f"reranked recall degraded: {rer:.3f}"
+        assert rer >= adc
