@@ -832,16 +832,17 @@ def json_decode_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     no recursive types, so the schema unrolls to the depth bound; the query
     surfaces the first three values and the list depth."""
     prepare(spark)
-    # coalesce(1): 3 rows over defaultParallelism tasks would compile the
-    # (large, depth-unrolled) generated code once per task — 32 concurrent
-    # copies OOM'd a 1g-heap session; one task is also simply faster here
+    # single partition: one copy of the generated code, and the 3-row
+    # table rides the Arrow local-table path (SCALE.md #24) — no
+    # Python-worker round-trips
     df = local_df(spark, _LL_ROWS, ["id", "j"], single_partition=True)
-    # depth-bounded unroll kept small for the expression path: each level
-    # carries its own parse+validation subtree, so a deep unroll is a big
-    # plan (and a big task binary).  Genuinely deep recursion belongs to
-    # decode_json_python (pydecode is O(depth) per row) — the documented
-    # Catalyst trade-off for AvroRecursionType (SURVEY §2.1).
-    out = decode_json(df, "j", _LINKED_LIST_SCHEMA, mode="strict", max_depth=4)
+    # the depth unroll is LINEAR in plan size since the r6 nullif/With
+    # fix (SCALE.md #23: ~1.5k plan chars and ~0.1 s analyze+codegen per
+    # extra level, measured to depth 8) — depth 8 here demonstrates it;
+    # unboundedly deep DATA still belongs to decode_json_python
+    # (pydecode is O(depth) per row), the documented Catalyst trade-off
+    # for AvroRecursionType (SURVEY §2.1).
+    out = decode_json(df, "j", _LINKED_LIST_SCHEMA, mode="strict", max_depth=8)
     v0 = F.col("decoded.value")
     v1 = F.col("decoded.tail.value")
     v2 = F.col("decoded.tail.tail.value")

@@ -708,3 +708,62 @@ class TestQuotedTokenStrictness:
             ["UnexpectedTypeError@$.n.i"],
             ["UnrepresentableError@$.n.i"],
         ]
+
+
+class TestRecursionThroughCollections:
+    """Recursive references nested under arrays/maps (a tree of children,
+    not just the linked-list chain) — the unroll and the decode must both
+    follow the ref through the collection type, and the r6 linear-plan
+    guarantee (SCALE.md #23) must hold for the branchier shape too."""
+
+    TREE = """
+    {"name": "node", "type": "record", "fields": [
+      {"name": "v", "type": "int"},
+      {"name": "kids", "type": {"type": "array", "items": "node"}, "default": []}
+    ]}
+    """
+
+    def test_tree_decode(self, spark):
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.codec.decoder import decode_json
+        from anglerfish_spark.localdata import local_df
+
+        rows = [
+            (1, '{"v": 1, "kids": [{"v": 2, "kids": []}, {"v": 3, "kids": [{"v": 4}]}]}'),
+            (2, '{"v": 9}'),
+        ]
+        df = local_df(spark, rows, ["id", "j"], single_partition=True)
+        out = decode_json(df, "j", self.TREE, mode="strict", max_depth=4)
+        got = {
+            r["id"]: (
+                r["v"],
+                r["k1"],
+                r["k2"],
+                r["grand"],
+            )
+            for r in out.select(
+                "id",
+                F.col("decoded.v").alias("v"),
+                F.try_element_at("decoded.kids", F.lit(1)).getField("v").alias("k1"),
+                F.try_element_at("decoded.kids", F.lit(2)).getField("v").alias("k2"),
+                F.try_element_at(
+                    F.try_element_at("decoded.kids", F.lit(2)).getField("kids"), F.lit(1)
+                ).getField("v").alias("grand"),
+            ).collect()
+        }
+        assert got[1] == (1, 2, 3, 4)
+        assert got[2] == (9, None, None, None)
+
+    def test_tree_plan_linear_in_depth(self, spark):
+        from anglerfish_spark.codec.decoder import decode_json
+        from anglerfish_spark.localdata import local_df
+
+        df = local_df(spark, [(1, '{"v": 1}')], ["id", "j"], single_partition=True)
+        sizes = []
+        for depth in (3, 5):
+            out = decode_json(df, "j", self.TREE, mode="strict", max_depth=depth)
+            sizes.append(len(out._jdf.queryExecution().optimizedPlan().toString()))
+        # two extra unroll levels must not double the plan (pre-r6 the
+        # nullif/With inlining made this exponential)
+        assert sizes[1] < sizes[0] * 1.9, sizes

@@ -156,7 +156,6 @@ class TestNullEmbeddings:
         # directly over a frame containing a null
         from anglerfish_spark.operators import similarity as sim
 
-        k = k or sim.TOP_K  # q_pq_topk returns exactly TOP_K candidates
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(8)
         withnull = e.select(
             "vec_id",

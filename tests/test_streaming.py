@@ -427,7 +427,7 @@ class TestStreamPatternStateMachine:
 
     def test_match_spanning_batches(self):
         r = self._run([["view", "click"], ["click", "purchase"]])
-        assert (r["n_matches"], r["total_clicks"], r["max_click_run"]) == (1, 2, 2)
+        assert (r["n_matches"], r["total_len"], r["max_len"]) == (1, 2, 2)
 
     def test_interrupted_run_does_not_match(self):
         r = self._run([["view", "click"], ["error", "purchase"]])
@@ -437,7 +437,7 @@ class TestStreamPatternStateMachine:
         r = self._run(
             [["view", "click", "click", "purchase"], ["view", "click", "purchase"]]
         )
-        assert (r["n_matches"], r["total_clicks"], r["max_click_run"]) == (2, 3, 2)
+        assert (r["n_matches"], r["total_len"], r["max_len"]) == (2, 3, 2)
 
     def test_purchase_without_view_prefix(self):
         r = self._run([["click", "click", "purchase"]])
