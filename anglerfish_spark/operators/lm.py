@@ -24,6 +24,8 @@ Scale shapes (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -380,4 +382,141 @@ def q_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= BPE_TOP_MERGES)
         .select("rank", "pair", "merge_count")
         .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode — the APPLY half of the tokenizer (q_bpe_merge_step trains)
+# ---------------------------------------------------------------------------
+
+#: merge-table size for q_bpe_encode (vocabulary-scale by construction)
+BPE_MERGES = 12
+
+
+def bpe_encode_len(word: str, rank_of: dict) -> int:
+    """Token count of one word under leftmost-min-rank merge application:
+    repeatedly find the adjacent symbol pair with the LOWEST merge rank
+    (leftmost occurrence on ties) and merge it, until no pair is in the
+    table.  Deterministic and shared verbatim by the Spark UDF and the
+    pattern the oracle's recursive CTE spells out."""
+    syms = list(word)
+    while len(syms) > 1:
+        best, bi = None, None
+        for i in range(len(syms) - 1):
+            r = rank_of.get(syms[i] + syms[i + 1])
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+    return len(syms)
+
+
+@query(
+    "q_bpe_encode",
+    oracle=f"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS w FROM documents
+),
+prs AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair FROM toks
+),
+merges AS (
+  SELECT pair, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS rank
+  FROM prs GROUP BY pair
+  ORDER BY COUNT(*) DESC, pair LIMIT {BPE_MERGES}
+),
+mm AS (SELECT map(list(pair), list(rank)) AS m FROM merges),
+dwords AS (SELECT DISTINCT w FROM toks),
+enc AS (
+  SELECT w, list_transform(range(1, len(w) + 1), i -> w[i:i]) AS syms, 0 AS step
+  FROM dwords
+  UNION ALL
+  SELECT w,
+         syms[1:i-1] || [syms[i] || syms[i+1]] || syms[i+2:],
+         step + 1
+  FROM (
+    SELECT w, syms, step,
+           list_position(ranks, list_min(ranks)) AS i,
+           list_min(ranks) AS rmin
+    FROM (
+      SELECT w, syms, step,
+             list_transform(range(1, len(syms)), i ->
+               coalesce(list_extract(map_extract(m, syms[i] || syms[i+1]), 1),
+                        999999)) AS ranks
+      FROM enc, mm
+    )
+  ) WHERE rmin < 999999
+),
+final AS (
+  SELECT w, len(syms) AS n_tok FROM enc e
+  WHERE step = (SELECT MAX(step) FROM enc e2 WHERE e2.w = e.w)
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(t.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(f.n_tok) AS BIGINT) AS n_bpe_tokens
+FROM toks t JOIN final f ON f.w = t.w
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    group="llm-text",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization APPLIED — the other half of q_bpe_merge_step:
+    derive a {BPE_MERGES}-entry merge table from corpus pair frequencies
+    (count DESC, pair ASC — deterministic), then encode every word by
+    leftmost-min-rank merge application and report per-document word /
+    character / BPE-token counts (the compression a tokenizer actually
+    buys).
+
+    Scale shape: the merge table is one map-side-combinable pair rollup
+    collected at vocabulary scale ({BPE_MERGES} rows — never corpus
+    rows); encoding runs over DISTINCT words only (Zipf: the vocabulary
+    is orders smaller than the corpus) as an Arrow-batched UDF whose
+    per-word loop is O(len^2) on <=word-length symbols; the corpus then
+    re-joins the encoded vocabulary by word (AQE picks broadcast for the
+    vocab side) and rolls up per doc_id — one shuffle each for the pair
+    rollup, the distinct, and the final aggregation.  At 100 TB the
+    vocab table persists bucketed by word and the probe join stays
+    exchange-free on the vocab side, the q_dedup_incremental pattern.
+
+    The oracle spells the SAME leftmost-min-rank loop as a recursive CTE
+    (symbols list per word, min-rank pair index via list_position, one
+    merge per recursion step) — both engines must agree on every merge
+    decision, table tie-break, and termination for the per-doc BIGINT
+    sums to hash-match.
+    """
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    toks = d.select("doc_id", F.explode(tokens()).alias("w"))
+    pair_arr = F.expr(
+        "CASE WHEN length(w) < 2 THEN array() "
+        "ELSE transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) END"
+    )
+    merge_rows = (
+        toks.select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_MERGES)
+        .collect()  # merge table: BPE_MERGES rows — vocabulary-scale
+    )
+    rank_of = {r["pair"]: i + 1 for i, r in enumerate(merge_rows)}
+
+    @F.pandas_udf("int")
+    def bpe_len(ws: pd.Series) -> pd.Series:
+        return pd.Series([bpe_encode_len(w, rank_of) for w in ws], dtype="int32")
+
+    vocab = toks.select("w").distinct().withColumn("n_tok", bpe_len(F.col("w")))
+    return (
+        toks.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum("n_tok").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
     )

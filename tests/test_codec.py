@@ -767,3 +767,25 @@ class TestRecursionThroughCollections:
         # two extra unroll levels must not double the plan (pre-r6 the
         # nullif/With inlining made this exponential)
         assert sizes[1] < sizes[0] * 1.9, sizes
+
+
+class TestBpeEncode:
+    """Unit semantics of the leftmost-min-rank BPE apply (q_bpe_encode)."""
+
+    def test_encode_len_basics(self):
+        from anglerfish_spark.operators.lm import bpe_encode_len
+
+        ranks = {"lo": 1, "er": 2, "low": 3, "we": 4}
+        assert bpe_encode_len("lower", ranks) == 2   # [low, er]
+        assert bpe_encode_len("low", ranks) == 1     # [low]
+        assert bpe_encode_len("newer", ranks) == 4   # [n, e, w, er]
+        assert bpe_encode_len("x", ranks) == 1
+        assert bpe_encode_len("zz", {}) == 2         # nothing to merge
+
+    def test_leftmost_tie(self):
+        from anglerfish_spark.operators.lm import bpe_encode_len
+
+        # 'abab': 'ab' at positions 0 and 2, same rank — leftmost first:
+        # [ab, a, b] -> then 'ab' again at position 1? syms = [ab, a, b];
+        # pairs 'aba' (no), 'ab' (yes, rank 1) -> [ab, ab] -> pair 'abab' no
+        assert bpe_encode_len("abab", {"ab": 1}) == 2
