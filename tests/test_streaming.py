@@ -513,3 +513,26 @@ class TestPatternChunkOrder:
         (out,) = list(_match_pattern((7,), iter([]), state))
         assert out["n_matches"][0] == 0
         assert state.get[0] == "click"  # state untouched by an empty batch
+
+
+class TestPatternSmallArrowChunks:
+    """E2E regression for ADVICE r5 (medium): run the REAL q_stream_pattern
+    job with arrow.maxRecordsPerBatch=2 so every user's micro-batch spans
+    many Arrow chunks — per-chunk sorting would corrupt the automaton's
+    input order; the result must still match the batch oracle."""
+
+    def test_stream_pattern_with_tiny_chunks(self, spark, sf_dir):
+        from anglerfish_spark.registry import all_queries
+
+        from .oracle_harness import compare, duckdb_conn
+
+        qs = all_queries()
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        try:
+            df = qs["q_stream_pattern"].fn(spark, sf_dir)
+            con = duckdb_conn(sf_dir)
+            ok, msg = compare(df, con, qs["q_stream_pattern"].oracle)
+            assert ok, msg
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
