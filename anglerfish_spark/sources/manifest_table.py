@@ -110,6 +110,7 @@ def commit(
     txn_id: str | None = None,
     schema: str | None = None,
     filesets: list[dict] | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Commit ``files`` as snapshot ``expected_version + 1``.
 
@@ -135,6 +136,9 @@ def commit(
             "txn_id": txn_id,
             "schema": schema,
             "filesets": filesets,
+            # per-file footer stats (sources/skipping.py): {rel_path →
+            # {"n_rows", "cols": {col → {"min","max","nulls"} | None}}}
+            "stats": stats,
         }
     )
     path = _manifest_path(table, new_version)
