@@ -245,3 +245,108 @@ def q_watermark_late(spark, sf_dir):
         aggs=(F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("sum_value")),
     )
     return out.drop("window_end").orderBy("window_start")
+
+
+@query(
+    "q_stream_session",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
+),
+s AS (
+  SELECT user_id, event_id, t, value,
+         CASE WHEN LAG(t) OVER w IS NULL
+                OR t - LAG(t) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+g AS (
+  SELECT user_id, t, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       CAST(FLOOR(epoch(MIN(t))) AS BIGINT) AS session_start,
+       COUNT(*) AS cnt, {dsum_sql('value')} AS sum_value
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+    group="streaming",
+)
+def q_stream_session(spark, sf_dir):
+    """Session windows as a REAL Structured Streaming job: the same
+    30-minute-gap sessionization as ``q_session``, but run with
+    ``F.session_window`` + watermark in APPEND mode over chronological
+    micro-batch segments (`streaming/segments.py`) — a session is
+    emitted exactly once, when the watermark passes its end, so sessions
+    SPANNING a micro-batch boundary are only correct if Spark's
+    session-merging state genuinely carries across batches.  A sentinel
+    event 40 minutes past the data's horizon (on a fake key, filtered
+    out) pushes the final watermark beyond every real session's end so
+    the availableNow run flushes them all.  Results must equal the batch
+    gaps-and-islands oracle exactly, down to the decimal-accumulated
+    ``sum_value``.
+
+    Scale shape: session windows shuffle once on the grouping key; state
+    per key is bounded by OPEN sessions only (append mode evicts a
+    session at emission), expired by the watermark (RocksDB-backed on a
+    real cluster).  The segment harness stands in for a Kafka topic with
+    per-key time order (SURVEY §2.2 streaming; the reference's streaming
+    roadmap, /root/reference/README.md:21-27, was never implemented).
+    """
+    prepare(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    return stream_sessionize(spark, ev, sink=f"stream_sess_{abs(hash(sf_dir)) % 10**8}")
+
+
+def stream_sessionize(
+    spark,
+    ev: DataFrame,
+    gap: str = "30 minutes",
+    n_segments: int = 4,
+    sink: str = "stream_sessions",
+) -> DataFrame:
+    """Run the streaming session pipeline over a batch ``(user_id, ts_us,
+    value)`` DataFrame: chronological segments → ``session_window`` in
+    append mode → final sessions (see ``q_stream_session``).  The gap
+    length in the sentinel offset is 30 minutes — keep ``gap`` ≤ that."""
+    from ..localdata import local_df
+    from .segments import chronological_segments
+    from .stateful import await_or_fail
+
+    hi = ev.agg(F.max("ts_us")).first()[0]
+    sentinel = local_df(spark, [(-1, hi + 40 * 60 * 1_000_000, 0.0)], ev.schema)
+    with chronological_segments(spark, ev.unionByName(sentinel), n=n_segments) as stream:
+        evs = stream.select(
+            "user_id", F.timestamp_micros("ts_us").alias("ts"), "value"
+        ).withWatermark("ts", "1 second")
+        sess = (
+            evs.groupBy(F.session_window("ts", gap), "user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                dsum(F.col("value")).alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").cast("long").alias("session_start"),
+                "cnt",
+                "sum_value",
+            )
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_fail(q)
+    return (
+        spark.sql(f"SELECT * FROM {sink}")
+        .where(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )

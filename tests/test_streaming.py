@@ -536,3 +536,39 @@ class TestPatternSmallArrowChunks:
             assert ok, msg
         finally:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+class TestStreamSessionize:
+    """q_stream_session's pipeline on synthetic keys whose sessions are
+    engineered to SPAN micro-batch segment boundaries: append-mode
+    session_window only gets these right if session state merges across
+    batches, and each closed session must be emitted exactly once."""
+
+    def _run(self, spark, rows, **kw):
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.streaming.windows import stream_sessionize
+
+        ev = local_df(spark, rows, "user_id long, ts_us long, value double")
+        return stream_sessionize(spark, ev, sink="t_sess_unit", **kw).collect()
+
+    def test_session_spans_all_segments(self, spark):
+        # user 1: events every 20 min over 2h -> ONE session across all
+        # 4 segments; user 2: a 40-min gap -> exactly two sessions
+        m = 60 * 1_000_000
+        rows = [(1, i * 20 * m, 1.0) for i in range(7)]
+        rows += [(2, 0, 5.0), (2, 10 * m, 5.0), (2, 50 * m, 7.0)]
+        out = self._run(spark, rows)
+        got = [(r.user_id, r.session_start, r.cnt, r.sum_value) for r in out]
+        assert got == [
+            (1, 0, 7, 7.0),
+            (2, 0, 2, 10.0),
+            (2, 50 * 60, 1, 7.0),
+        ]
+
+    def test_each_session_emitted_exactly_once(self, spark):
+        m = 60 * 1_000_000
+        rows = [(u, (u * 7 + i * 45) * m, 1.0) for u in range(5) for i in range(4)]
+        out = self._run(spark, rows)
+        keys = [(r.user_id, r.session_start) for r in out]
+        assert len(keys) == len(set(keys))  # append mode: no dup emissions
+        assert sum(r.cnt for r in out) == len(rows)
