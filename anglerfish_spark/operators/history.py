@@ -349,3 +349,102 @@ def q_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+from .common import dsum_sql  # noqa: E402
+
+
+@query(
+    "q_mv_incremental",
+    oracle=f"""
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 500.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 4 IN (0, 2, 3)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('p')} AS total
+FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    group="relational",
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a CDC changelog
+    into a stored aggregate WITHOUT rescanning the base facts — the
+    standard retraction-delta algorithm (each change contributes a
+    signed delta: INSERT (+1, +new), DELETE (−1, −old), UPDATE
+    (0, new−old); deltas roll up per group and add onto the stored MV).
+    The harness synthesizes both sides from ``orders``: the MV covers
+    keys %4 ∈ {{0,1,2}}, the changelog inserts %4 == 3, deletes %4 == 1,
+    and updates %8 == 0 (price +500) — so every op kind must apply, and
+    the result must equal a full recompute over the final state (the
+    oracle) bit-for-bit, which only holds if the decimal-accumulated
+    totals cancel the retracted contributions exactly.
+
+    Scale shape: this is THE pattern that turns an O(100 TB) nightly
+    rebuild into an O(daily-delta) merge — the stored MV is
+    group-cardinality (checkpointed here to pin 'no base rescan'; a
+    plan test asserts the merge's MV side is the checkpoint, not a
+    parquet scan), the changelog is scanned once, and the merge is a
+    group-key full-outer join both sides of which are tiny.  Groups
+    whose count reaches zero are dropped, completing delete semantics.
+    """
+    prepare(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+
+    def dec(c):
+        return c.cast("decimal(38,10)")
+
+    # the "stored" MV over yesterday's base (group-cardinality, pinned)
+    mv = (
+        orders.where(k % 4 != 3)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec(F.col("o_totalprice"))).alias("tot"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # the changelog, synthesized in ONE pass (in production: the input)
+    p = F.col("o_totalprice")
+    op = (
+        F.when(k % 4 == 3, F.lit("I"))
+        .when(k % 4 == 1, F.lit("D"))
+        .when(k % 8 == 0, F.lit("U"))
+    )
+    chg = orders.withColumn("op", op).where(F.col("op").isNotNull())
+    delta = (
+        chg.select(
+            "o_orderpriority",
+            F.when(F.col("op") == "I", 1)
+            .when(F.col("op") == "D", -1)
+            .otherwise(0)
+            .alias("d_cnt"),
+            F.when(F.col("op") == "I", dec(p))
+            .when(F.col("op") == "D", -dec(p))
+            .otherwise(dec(p + F.lit(500.0)) - dec(p))
+            .alias("d_tot"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("d_cnt").alias("d_cnt"), F.sum("d_tot").alias("d_tot"))
+    )
+    zero = F.lit(0).cast("decimal(38,10)")
+    return (
+        mv.join(delta, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("d_cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (F.coalesce(F.col("tot"), zero) + F.coalesce(F.col("d_tot"), zero))
+            .cast("double")
+            .alias("total"),
+        )
+        .where(F.col("n_orders") > 0)
+        .orderBy("o_orderpriority")
+    )

@@ -284,3 +284,15 @@ def test_bloom_probe_stage_has_no_benchmark_join(spark, sf_dir):
     ops = re.findall(r"\(\d+\) (\w+)", plan)
     joins = [o for o in ops if "Join" in o]
     assert joins == ["BroadcastHashJoin"], plan
+
+
+def test_mv_incremental_merge_side_is_checkpoint_not_rescan(spark, sf_dir):
+    """The stored-MV side of the maintenance merge must come from the
+    checkpoint barrier, NOT a second scan of the base facts: exactly the
+    changelog-derivation scan of orders may appear in the plan."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_mv_incremental")
+    assert "Scan ExistingRDD" in plan, plan  # the checkpointed MV
+    # exactly one parquet scan node (the numbered detail entries)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
