@@ -622,3 +622,88 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: the conjunctive search the registered query runs over the index
+_SEARCH_TERMS = ("vector", "stream", "merge")
+
+
+def build_inverted_index(d: DataFrame) -> DataFrame:
+    """Posting-list inverted index over the engine tokenizer: one row per
+    term with its document frequency and the sorted ``(doc_id, tf)``
+    postings array.
+
+    Scale shape: the (term, doc_id, tf) roll-up is a map-side-combinable
+    hash aggregation; the postings assembly is one more shuffle keyed by
+    term.  Stopword-grade terms make single rows with corpus-sized
+    arrays — at 100 TB the index table is bucketed by term and hot terms
+    are sharded into (term, shard) posting segments (same layout the
+    dedup index tables use, operators/dedup.dedup_index_tables); the
+    probe below never materializes a full postings row for terms it
+    doesn't query."""
+    pairs = (
+        d.select("doc_id", F.explode(tokens()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("postings"),
+    )
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+),
+hits AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS tf_total
+FROM hits GROUP BY doc_id
+HAVING COUNT(DISTINCT term) = {len(_SEARCH_TERMS)}
+ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search THROUGH a posting-list inverted index:
+    build the index (term → df + sorted (doc_id, tf) postings), probe it
+    for the query terms, and intersect the postings — a document matches
+    only if every query term's postings contain it; ``tf_total`` sums the
+    matched term frequencies.  The oracle recomputes the same search by
+    scanning the corpus directly, so the result only matches if the index
+    faithfully preserves the (term, doc, tf) relation.
+
+    Scale shape: the probe filters the index to |query| rows BEFORE
+    exploding postings (predicate on the bucketed term key → partition-
+    pruned index scan at 100 TB), so search cost is ∝ the query terms'
+    posting sizes, never the corpus; the intersection is a doc_id-keyed
+    hash aggregation counting distinct matched terms.  This is the
+    corpus-filtering primitive an LLM-data pipeline uses to slice
+    training data by keyword predicates without a full-text rescan.
+    """
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(d)
+    probed = (
+        idx.where(F.col("term").isin(*_SEARCH_TERMS))
+        .select("term", F.explode("postings").alias("p"))
+        .select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.count_distinct(F.col("term")).alias("n_terms"),
+        )
+        .where(F.col("n_terms") == len(_SEARCH_TERMS))
+        .select("doc_id", "tf_total")
+        .orderBy("doc_id")
+    )
