@@ -44,6 +44,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..errors import AnglerfishError
 from ..registry import query
@@ -84,11 +85,24 @@ def read_manifest(table: str, version: int | None = None) -> dict:
 def snapshot(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
     """Read the table AS OF a committed snapshot (latest by default).
     Reading an empty table raises — the caller knows the schema, we
-    don't (mirrors the real formats' behavior on a nonexistent table)."""
+    don't (mirrors the real formats' behavior on a nonexistent table).
+
+    Merge-on-read: if the manifest carries equality-delete files
+    (``deletes`` + ``delete_key``, see :func:`delete_keys`), they are
+    applied here as one anti-join against the union of the delete files
+    — a broadcast-sized side at any realistic delete rate, so reads stay
+    a single scan + map-side filter until compaction folds the deletes
+    in physically."""
     m = read_manifest(table, version)
     if not m["files"]:
         raise FileNotFoundError(f"manifest table {table!r} has no committed snapshot")
-    return spark.read.parquet(*[os.path.join(table, f) for f in m["files"]])
+    df = spark.read.parquet(*[os.path.join(table, f) for f in m["files"]])
+    if m.get("deletes"):
+        dels = spark.read.parquet(*[os.path.join(table, f) for f in m["deletes"]])
+        df = df.join(
+            F.broadcast(dels.dropDuplicates()), [m["delete_key"]], "left_anti"
+        )
+    return df
 
 
 def stage_files(df: DataFrame, table: str) -> list[str]:
@@ -111,6 +125,8 @@ def commit(
     schema: str | None = None,
     filesets: list[dict] | None = None,
     stats: dict | None = None,
+    deletes: list[str] | None = None,
+    delete_key: str | None = None,
 ) -> int:
     """Commit ``files`` as snapshot ``expected_version + 1``.
 
@@ -139,6 +155,10 @@ def commit(
             # per-file footer stats (sources/skipping.py): {rel_path →
             # {"n_rows", "cols": {col → {"min","max","nulls"} | None}}}
             "stats": stats,
+            # merge-on-read equality deletes: parquet files of delete_key
+            # values excluded at read time (snapshot / delete_keys)
+            "deletes": deletes,
+            "delete_key": delete_key,
         }
     )
     path = _manifest_path(table, new_version)
@@ -209,7 +229,9 @@ def vacuum(table: str) -> list[str]:
         path = _manifest_path(table, v)
         if os.path.exists(path):
             with open(path) as f:
-                referenced.update(json.load(f)["files"])
+                m = json.load(f)
+            referenced.update(m["files"])
+            referenced.update(m.get("deletes") or [])
     removed: list[str] = []
     data_root = os.path.join(table, _DATA_DIR)
     for dirpath, _dirs, names in os.walk(data_root):
@@ -435,6 +457,10 @@ def append_evolved(
         txn_id=txn_id,
         schema=reader_schema,
         filesets=filesets,
+        # active merge-on-read deletes carry forward with the retained
+        # filesets — dropping them would resurrect deleted rows
+        deletes=m.get("deletes"),
+        delete_key=m.get("delete_key"),
     )
 
 
@@ -597,3 +623,138 @@ def q_table_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("total")).alias("amount"),
     )
     return by_status.unionByName(v1).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read equality deletes (the Iceberg v2 delete-file design in
+# miniature): a delete costs O(|deleted keys|), never a table rewrite
+# ---------------------------------------------------------------------------
+
+
+def delete_keys(
+    spark: SparkSession,
+    table: str,
+    key_col: str,
+    keys: DataFrame,
+    txn_id: str | None = None,
+) -> int:
+    """Transactional DELETE by key, merge-on-read: stage ``keys`` (a
+    one-column DataFrame of ``key_col`` values) as an equality-delete
+    file and commit a manifest whose DATA files are untouched — readers
+    apply the delete as an anti-join (:func:`snapshot`), and
+    :func:`compact_table` later folds it in physically (copy-on-write),
+    clearing the delete list.
+
+    This is the at-scale delete path: a GDPR-style erasure over a 100 TB
+    table writes kilobytes (the keys) instead of rewriting every file
+    that contains one matching row.  Repeated deletes accumulate files;
+    mixed delete keys on one table are rejected (one ``delete_key`` per
+    table lifetime between compactions, as equality-delete schemas are
+    per-file in the real format).  Time travel is preserved: prior
+    manifests don't reference the new delete file, so pre-delete
+    versions still read the rows."""
+    v = current_version(table)
+    if txn_id is not None and _txn_committed(table, v, txn_id):
+        return v
+    m = read_manifest(table, v)
+    if not m["files"]:
+        raise FileNotFoundError(f"manifest table {table!r} has no committed snapshot")
+    if m.get("deletes") and m.get("delete_key") != key_col:
+        raise ValueError(
+            f"table {table!r} already carries deletes on {m['delete_key']!r}; "
+            f"compact before deleting on {key_col!r}"
+        )
+    dfiles = stage_files(keys.select(key_col).dropDuplicates(), table)
+    return commit(
+        table,
+        m["files"],
+        expected_version=v,
+        txn_id=txn_id,
+        schema=m.get("schema"),
+        filesets=m.get("filesets"),
+        stats=m.get("stats"),
+        deletes=(m.get("deletes") or []) + dfiles,
+        delete_key=key_col,
+    )
+
+
+_DELETE_TABLES: dict[str, str] = {}
+
+
+def _deletes_table(spark: SparkSession, sf_dir: str) -> str:
+    """Three-snapshot delete demo over ``orders`` (once per process per
+    sf_dir): v1 inserts keys %3 ∈ {0, 1}; v2 equality-deletes the
+    %6 == 1 keys (merge-on-read: data files untouched — asserted in
+    tests); v3 compacts (copy-on-write: deletes folded in, delete list
+    cleared)."""
+    t = _DELETE_TABLES.get(sf_dir)
+    if t and os.path.isdir(os.path.join(t, _MANIFEST_DIR)):
+        return t
+    import tempfile
+
+    from ..sources.registry import load_table
+
+    t = tempfile.mkdtemp(prefix="anglerfish_mor_")
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.where(k % 3 < 2).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    upsert(spark, t, base, ["o_orderkey"], txn_id="mor-v1")
+    doomed = orders.where(k % 6 == 1).select("o_orderkey")
+    delete_keys(spark, t, "o_orderkey", doomed, txn_id="mor-v2")
+    compact_table(spark, t)
+    _DELETE_TABLES[sf_dir] = t
+    return t
+
+
+_MOR_DSUM = "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+@query(
+    "q_table_deletes",
+    oracle=f"""
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, {_MOR_DSUM} AS total
+FROM orders WHERE o_orderkey % 3 < 2
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), {_MOR_DSUM}
+FROM orders WHERE o_orderkey % 3 < 2 AND o_orderkey % 6 <> 1
+UNION ALL
+SELECT 3, CAST(COUNT(*) AS BIGINT), {_MOR_DSUM}
+FROM orders WHERE o_orderkey % 3 < 2 AND o_orderkey % 6 <> 1
+ORDER BY version
+""",
+    group="sources",
+)
+def q_table_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE through the manifest table: v2 removes a
+    third of v1's keys via an equality-delete file (data files
+    byte-identical to v1's — the delete costs O(keys)); v3 is the
+    copy-on-write compaction that folds the delete in physically.  The
+    v2 and v3 reads must agree with each other AND with the oracle's
+    recomputation, while time travel to v1 still sees the deleted rows —
+    so a reader that ignores delete files (v2 too big), applies them to
+    history (v1 too small), or loses rows in compaction (v3 wrong)
+    cannot pass.
+
+    Scale rationale in :func:`delete_keys`; the read-side cost model in
+    :func:`snapshot` (broadcast anti-join until compaction).
+    """
+    prepare(spark)
+    from ..operators.common import dsum
+
+    t = _deletes_table(spark, sf_dir)
+
+    def summarize(version: int) -> DataFrame:
+        return snapshot(spark, t, version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+
+    return (
+        summarize(1)
+        .unionByName(summarize(2))
+        .unionByName(summarize(3))
+        .orderBy("version")
+    )

@@ -9,6 +9,7 @@ import os
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from anglerfish_spark.sources.manifest_table import (
     ConcurrentCommitError,
@@ -311,3 +312,76 @@ class TestSchemaEvolution:
                 spark.createDataFrame([(2, 1.0)], ["k", "total"]),
                 narrowed, reader_schema=narrowed,
             )
+
+
+class TestMergeOnReadDeletes:
+    """Equality-delete files: O(keys) deletes, anti-join reads, time
+    travel intact, copy-on-write compaction folds them in."""
+
+    def _table(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import delete_keys
+
+        t = str(tmp_path / "t")
+        df = spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        upsert(spark, t, df, ["k"], txn_id="v1")
+        doomed = spark.range(0, 10, 2).select(F.col("id").alias("k"))
+        delete_keys(spark, t, "k", doomed, txn_id="v2")
+        return t
+
+    def test_delete_is_o_keys_not_a_rewrite(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        m1, m2 = read_manifest(t, 1), read_manifest(t, 2)
+        assert m2["files"] == m1["files"]  # data untouched
+        assert m2["deletes"] and m2["delete_key"] == "k"
+
+    def test_read_applies_deletes_history_does_not(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        assert sorted(r.k for r in snapshot(spark, t).collect()) == [1, 3, 5, 7, 9]
+        assert len(snapshot(spark, t, 1).collect()) == 10  # time travel
+
+    def test_compaction_folds_deletes_physically(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import compact_table
+
+        t = self._table(spark, tmp_path)
+        compact_table(spark, t)
+        m3 = read_manifest(t, 3)
+        assert not m3.get("deletes")
+        assert sorted(r.k for r in snapshot(spark, t, 3).collect()) == [1, 3, 5, 7, 9]
+
+    def test_mixed_delete_key_rejected(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import delete_keys
+
+        t = self._table(spark, tmp_path)
+        with pytest.raises(ValueError, match="compact before"):
+            delete_keys(spark, t, "v", spark.range(1).select(F.col("id").alias("v")))
+
+    def test_repeated_deletes_accumulate(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import delete_keys
+
+        t = self._table(spark, tmp_path)
+        delete_keys(spark, t, "k", spark.range(1, 2).select(F.col("id").alias("k")))
+        assert sorted(r.k for r in snapshot(spark, t).collect()) == [3, 5, 7, 9]
+        assert len(read_manifest(t)["deletes"]) >= 2
+
+    def test_vacuum_keeps_delete_files(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        removed = vacuum(t)
+        assert removed == []
+        assert sorted(r.k for r in snapshot(spark, t).collect()) == [1, 3, 5, 7, 9]
+
+    def test_delete_replay_is_noop(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import delete_keys
+
+        t = self._table(spark, tmp_path)
+        v = current_version(t)
+        doomed = spark.range(0, 10, 2).select(F.col("id").alias("k"))
+        assert delete_keys(spark, t, "k", doomed, txn_id="v2") == v  # replay
+
+    def test_upsert_after_delete_does_not_resurrect(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        batch = spark.range(100, 101).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+        upsert(spark, t, batch, ["k"])
+        assert sorted(r.k for r in snapshot(spark, t).collect()) == [1, 3, 5, 7, 9, 100]
+        assert not read_manifest(t).get("deletes")  # physical rewrite cleared them
