@@ -395,44 +395,64 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    k = F.col("o_orderkey")
-
-    def dec(c):
-        return c.cast("decimal(38,10)")
-
     # the "stored" MV over yesterday's base (group-cardinality, pinned)
-    mv = (
-        orders.where(k % 4 != 3)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(dec(F.col("o_totalprice"))).alias("tot"),
-        )
-        .localCheckpoint(eager=False)
+    mv = mv_build(orders.where(F.col("o_orderkey") % 4 != 3)).localCheckpoint(
+        eager=False
     )
     # the changelog, synthesized in ONE pass (in production: the input)
-    p = F.col("o_totalprice")
+    delta = changelog_deltas(orders_changelog(orders))
+    return mv_finalize(mv_merge(mv, delta))
+
+
+def _dec(c):
+    return c.cast("decimal(38,10)")
+
+
+def mv_build(base: DataFrame) -> DataFrame:
+    """The stored MV shape: per-priority count + exact decimal total."""
+    return base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec(F.col("o_totalprice"))).alias("tot"),
+    )
+
+
+def orders_changelog(orders: DataFrame) -> DataFrame:
+    """The synthetic CDC changelog over ``orders``: inserts %4 == 3,
+    deletes %4 == 1, updates %8 == 0 (price +500) — one scan."""
+    k = F.col("o_orderkey")
     op = (
         F.when(k % 4 == 3, F.lit("I"))
         .when(k % 4 == 1, F.lit("D"))
         .when(k % 8 == 0, F.lit("U"))
     )
-    chg = orders.withColumn("op", op).where(F.col("op").isNotNull())
-    delta = (
+    return orders.withColumn("op", op).where(F.col("op").isNotNull())
+
+
+def changelog_deltas(chg: DataFrame) -> DataFrame:
+    """Signed retraction deltas per group: INSERT (+1, +new), DELETE
+    (−1, −old), UPDATE (0, new−old) — decimal-exact so retracted
+    contributions cancel bit-for-bit."""
+    p = F.col("o_totalprice")
+    return (
         chg.select(
             "o_orderpriority",
             F.when(F.col("op") == "I", 1)
             .when(F.col("op") == "D", -1)
             .otherwise(0)
             .alias("d_cnt"),
-            F.when(F.col("op") == "I", dec(p))
-            .when(F.col("op") == "D", -dec(p))
-            .otherwise(dec(p + F.lit(500.0)) - dec(p))
+            F.when(F.col("op") == "I", _dec(p))
+            .when(F.col("op") == "D", -_dec(p))
+            .otherwise(_dec(p + F.lit(500.0)) - _dec(p))
             .alias("d_tot"),
         )
         .groupBy("o_orderpriority")
         .agg(F.sum("d_cnt").alias("d_cnt"), F.sum("d_tot").alias("d_tot"))
     )
+
+
+def mv_merge(mv: DataFrame, delta: DataFrame) -> DataFrame:
+    """Apply grouped deltas onto the stored MV (same shape out, so the
+    merge composes across micro-batches); zero-count groups drop."""
     zero = F.lit(0).cast("decimal(38,10)")
     return (
         mv.join(delta, "o_orderpriority", "full_outer")
@@ -440,11 +460,19 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("d_cnt"), F.lit(0)))
             .cast("bigint")
-            .alias("n_orders"),
+            .alias("cnt"),
             (F.coalesce(F.col("tot"), zero) + F.coalesce(F.col("d_tot"), zero))
-            .cast("double")
-            .alias("total"),
+            .cast("decimal(38,10)")
+            .alias("tot"),
         )
-        .where(F.col("n_orders") > 0)
-        .orderBy("o_orderpriority")
+        .where(F.col("cnt") > 0)
     )
+
+
+def mv_finalize(mv: DataFrame) -> DataFrame:
+    """Stored MV shape → the query's output contract."""
+    return mv.select(
+        "o_orderpriority",
+        F.col("cnt").cast("bigint").alias("n_orders"),
+        F.col("tot").cast("double").alias("total"),
+    ).orderBy("o_orderpriority")
