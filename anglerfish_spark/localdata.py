@@ -38,7 +38,17 @@ def local_df(
     """
     try:
         if isinstance(schema, (list, tuple)):
-            pdf = pd.DataFrame.from_records(list(rows), columns=list(schema))
+            # object dtype per column: pandas must NOT coerce (an int
+            # column containing None silently becomes float64, inferring
+            # DOUBLE where createDataFrame(rows) inferred BIGINT — ADVICE
+            # r6).  Arrow then infers each type from the VALUES, matching
+            # the pickle path's row-based inference for null-bearing ints.
+            rows = list(rows)
+            cols = {
+                c: pd.Series([r[i] for r in rows], dtype="object")
+                for i, c in enumerate(schema)
+            }
+            pdf = pd.DataFrame(cols, columns=list(schema))
             df = spark.createDataFrame(pdf)
         else:
             df = spark.createDataFrame(

@@ -29,6 +29,11 @@ def chronological_segments(
     micros — JSON-safe).  The temporary segment files live for the body
     of the ``with`` block; run the streaming query inside it."""
     lo, hi = df.agg(F.min(ts_col), F.max(ts_col)).first()
+    if lo is None or hi is None:
+        raise ValueError(
+            f"chronological_segments: input has no rows (or {ts_col!r} is "
+            "all-null) — a streaming test over zero segments is vacuous"
+        )
     span = max(hi - lo + 1, 1)
     seg = F.least(F.lit(n - 1), ((F.col(ts_col) - F.lit(lo)) * n / span).cast("int"))
     with tempfile.TemporaryDirectory(prefix="anglerfish_seg_") as d:
@@ -37,9 +42,14 @@ def chronological_segments(
         for s in range(n):
             part = os.path.join(d, f"part{s}")
             df.where(seg == s).coalesce(1).write.json(part)
-            (jf,) = [f for f in os.listdir(part) if f.endswith(".json")]
+            jfs = [f for f in os.listdir(part) if f.endswith(".json")]
             dst = os.path.join(src, f"seg{s}.json")
-            os.rename(os.path.join(part, jf), dst)
+            # a zero-row segment (skewed ts distribution) may write no
+            # part file — deliver an empty micro-batch, not a crash
+            with open(dst, "wb") as out:
+                for jf in jfs:
+                    with open(os.path.join(part, jf), "rb") as src_f:
+                        out.write(src_f.read())
             os.utime(dst, (1_000_000 + s, 1_000_000 + s))
         yield (
             spark.readStream.schema(df.schema)
