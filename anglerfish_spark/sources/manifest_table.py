@@ -82,26 +82,32 @@ def read_manifest(table: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def delete_groups(m: dict) -> list[dict]:
+    """Normalize a manifest's equality-delete state to
+    ``[{"key": col, "files": [rel, ...]}, ...]`` — one group per delete
+    key (the modern ``delete_groups`` field, or the legacy single-key
+    ``deletes`` + ``delete_key`` pair from pre-r7 manifests)."""
+    if m.get("delete_groups"):
+        return m["delete_groups"]
+    if m.get("deletes"):
+        return [{"key": m["delete_key"], "files": m["deletes"]}]
+    return []
+
+
 def snapshot(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
     """Read the table AS OF a committed snapshot (latest by default).
     Reading an empty table raises — the caller knows the schema, we
     don't (mirrors the real formats' behavior on a nonexistent table).
 
-    Merge-on-read: if the manifest carries equality-delete files
-    (``deletes`` + ``delete_key``, see :func:`delete_keys`), they are
-    applied here as one anti-join against the union of the delete files
-    — a broadcast-sized side at any realistic delete rate, so reads stay
+    Delegates to the composed read path (:mod:`read_path`), so schema
+    evolution, merge-on-read equality deletes, and their interactions
+    are applied uniformly — each delete group is one broadcast anti-join
+    (a broadcast-sized side at any realistic delete rate), so reads stay
     a single scan + map-side filter until compaction folds the deletes
     in physically."""
-    m = read_manifest(table, version)
-    if not m["files"]:
-        raise FileNotFoundError(f"manifest table {table!r} has no committed snapshot")
-    df = spark.read.parquet(*[os.path.join(table, f) for f in m["files"]])
-    if m.get("deletes"):
-        dels = spark.read.parquet(*[os.path.join(table, f) for f in m["deletes"]])
-        df = df.join(
-            F.broadcast(dels.dropDuplicates()), [m["delete_key"]], "left_anti"
-        )
+    from .read_path import read_table
+
+    df, _report = read_table(spark, table, version)
     return df
 
 
@@ -125,8 +131,7 @@ def commit(
     schema: str | None = None,
     filesets: list[dict] | None = None,
     stats: dict | None = None,
-    deletes: list[str] | None = None,
-    delete_key: str | None = None,
+    delete_groups: list[dict] | None = None,
 ) -> int:
     """Commit ``files`` as snapshot ``expected_version + 1``.
 
@@ -144,6 +149,7 @@ def commit(
     before."""
     new_version = expected_version + 1
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    one = delete_groups[0] if delete_groups and len(delete_groups) == 1 else None
     payload = json.dumps(
         {
             "version": new_version,
@@ -155,10 +161,13 @@ def commit(
             # per-file footer stats (sources/skipping.py): {rel_path →
             # {"n_rows", "cols": {col → {"min","max","nulls"} | None}}}
             "stats": stats,
-            # merge-on-read equality deletes: parquet files of delete_key
-            # values excluded at read time (snapshot / delete_keys)
-            "deletes": deletes,
-            "delete_key": delete_key,
+            # merge-on-read equality deletes, one group per delete key:
+            # [{"key": col, "files": [...]}] — excluded at read time
+            # (read_path.read_table).  The legacy single-key mirror
+            # fields are kept for pre-r7 manifest readers.
+            "delete_groups": delete_groups,
+            "deletes": one["files"] if one else None,
+            "delete_key": one["key"] if one else None,
         }
     )
     path = _manifest_path(table, new_version)
@@ -201,7 +210,19 @@ def upsert(
     else:
         merged = batch
     files = stage_files(merged, table)
-    return commit(table, files, expected_version=v, txn_id=txn_id)
+    # the rewrite resolved every fileset into the reader schema and folded
+    # deletes in physically — commit ONE fileset under that schema (an
+    # evolved table that merely committed files/version would silently
+    # lose its reader schema, ADVICE r6)
+    schema = read_manifest(table, v).get("schema") if v else None
+    return commit(
+        table,
+        files,
+        expected_version=v,
+        txn_id=txn_id,
+        schema=schema,
+        filesets=[{"files": files, "schema": schema}] if schema else None,
+    )
 
 
 def _txn_committed(table: str, latest: int, txn_id: str) -> bool:
@@ -231,7 +252,8 @@ def vacuum(table: str) -> list[str]:
             with open(path) as f:
                 m = json.load(f)
             referenced.update(m["files"])
-            referenced.update(m.get("deletes") or [])
+            for g in delete_groups(m):
+                referenced.update(g["files"])
     removed: list[str] = []
     data_root = os.path.join(table, _DATA_DIR)
     for dirpath, _dirs, names in os.walk(data_root):
@@ -391,7 +413,16 @@ def compact_table(
     the O_EXCL manifest commit, concurrent writers conflict on the
     version and retry, and time travel still resolves the pre-compaction
     manifests (whose files remain referenced, so ``vacuum`` keeps them
-    while history is retained).  Returns the committed version."""
+    while history is retained).  Returns the committed version.
+
+    Reads through the composed path, so compacting a schema-EVOLVED
+    table resolves every fileset into the reader schema (the rewrite is
+    physical evolution: the committed snapshot is one fileset under the
+    reader schema, not a mixed-schema mergeSchema-less read — ADVICE
+    r6), and active merge-on-read deletes fold in physically (the new
+    manifest carries none).  Per-file stats are NOT carried over (they
+    describe the old files); re-stat with ``zorder_compact`` or
+    ``commit_with_stats`` when pruning matters."""
     v = current_version(table)
     snap = snapshot(spark, table, v)
     m = read_manifest(table, v)
@@ -402,7 +433,15 @@ def compact_table(
     )
     n_files = max(1, -(-total_bytes // target_file_bytes))
     files = stage_files(snap.coalesce(n_files), table)
-    return commit(table, files, expected_version=v, txn_id=f"compact-v{v}")
+    schema = m.get("schema")
+    return commit(
+        table,
+        files,
+        expected_version=v,
+        txn_id=f"compact-v{v}",
+        schema=schema,
+        filesets=[{"files": files, "schema": schema}] if schema else None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -419,6 +458,7 @@ def append_evolved(
     writer_schema: str,
     reader_schema: str | None = None,
     txn_id: str | None = None,
+    stat_cols: list[str] | None = None,
 ) -> int:
     """Append ``batch`` (written under ``writer_schema``) WITHOUT
     rewriting existing data, committing ``reader_schema`` (default: the
@@ -429,7 +469,12 @@ def append_evolved(
 
     The new reader schema must be able to read EVERY retained fileset's
     writer schema (checked via the engine's ``can_read``); an
-    incompatible evolution fails the commit, not some later read."""
+    incompatible evolution fails the commit, not some later read.
+
+    ``stat_cols`` (writer-schema column names) records footer stats for
+    the NEW files; prior files' stats carry forward under their own
+    writer-era names — the composed read path re-keys predicates per
+    fileset (read_path._writer_predicates), so pruning survives renames."""
     from ..errors import SchemaEvolutionError
     from ..sources.schema_registry import can_read
 
@@ -448,6 +493,11 @@ def append_evolved(
                 f"new reader schema cannot read retained fileset: {reasons}"
             )
     files = stage_files(batch, table)
+    stats = m.get("stats")
+    if stat_cols:
+        from .skipping import collect_file_stats
+
+        stats = {**(stats or {}), **collect_file_stats(table, files, stat_cols)}
     filesets = prior + [{"files": files, "schema": writer_schema}]
     all_files = [f for fs in filesets for f in fs["files"]]
     return commit(
@@ -457,10 +507,10 @@ def append_evolved(
         txn_id=txn_id,
         schema=reader_schema,
         filesets=filesets,
+        stats=stats,
         # active merge-on-read deletes carry forward with the retained
         # filesets — dropping them would resurrect deleted rows
-        deletes=m.get("deletes"),
-        delete_key=m.get("delete_key"),
+        delete_groups=delete_groups(m) or None,
     )
 
 
@@ -480,32 +530,15 @@ def snapshot_evolved(
 
     The per-fileset scan stays an ordinary parquet scan (pushdown and
     pruning intact); the projection is a zero-shuffle column map, so
-    evolution costs nothing at read time beyond the union."""
-    from pyspark.sql import functions as F
+    evolution costs nothing at read time beyond the union.
 
-    from ..codec.evolve import evolve_struct
-    from ..schema.parser import parse_schema
+    Delegates to the composed read path, so active merge-on-read deletes
+    apply too (pre-r7 this read path skipped them — ADVICE r6: the two
+    read paths disagreed on the same version)."""
+    from .read_path import read_table
 
-    m = read_manifest(table, version)
-    if not m["files"]:
-        raise FileNotFoundError(f"manifest table {table!r} has no committed snapshot")
-    reader = reader_schema or m.get("schema")
-    filesets = m.get("filesets") or [{"files": m["files"], "schema": m.get("schema")}]
-    if reader is None:  # schema-less table: plain read
-        return spark.read.parquet(*[os.path.join(table, f) for f in m["files"]])
-    parts = []
-    for fs in filesets:
-        df = spark.read.parquet(*[os.path.join(table, f) for f in fs["files"]])
-        writer = fs["schema"] or reader
-        wnames = [f.name for f in parse_schema(writer).root.fields]
-        packed = F.struct(*[F.col(c) for c in wnames])
-        parts.append(
-            df.select(evolve_struct(packed, writer, reader).alias("_r")).select("_r.*")
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    df, _report = read_table(spark, table, version, reader_schema=reader_schema)
+    return df
 
 
 _EVOLVED_TABLES: dict[str, str] = {}
@@ -647,24 +680,25 @@ def delete_keys(
 
     This is the at-scale delete path: a GDPR-style erasure over a 100 TB
     table writes kilobytes (the keys) instead of rewriting every file
-    that contains one matching row.  Repeated deletes accumulate files;
-    mixed delete keys on one table are rejected (one ``delete_key`` per
-    table lifetime between compactions, as equality-delete schemas are
-    per-file in the real format).  Time travel is preserved: prior
-    manifests don't reference the new delete file, so pre-delete
-    versions still read the rows."""
+    that contains one matching row.  Repeated deletes accumulate files,
+    grouped per delete key (equality-delete schemas are per-file in the
+    real format — since r7 a table carries any number of keys, one
+    anti-join per key at read time, VERDICT r6 #7).  Time travel is
+    preserved: prior manifests don't reference the new delete file, so
+    pre-delete versions still read the rows."""
     v = current_version(table)
     if txn_id is not None and _txn_committed(table, v, txn_id):
         return v
     m = read_manifest(table, v)
     if not m["files"]:
         raise FileNotFoundError(f"manifest table {table!r} has no committed snapshot")
-    if m.get("deletes") and m.get("delete_key") != key_col:
-        raise ValueError(
-            f"table {table!r} already carries deletes on {m['delete_key']!r}; "
-            f"compact before deleting on {key_col!r}"
-        )
     dfiles = stage_files(keys.select(key_col).dropDuplicates(), table)
+    groups = [dict(g) for g in delete_groups(m)]
+    mine = next((g for g in groups if g["key"] == key_col), None)
+    if mine is None:
+        groups.append({"key": key_col, "files": dfiles})
+    else:
+        mine["files"] = list(mine["files"]) + dfiles
     return commit(
         table,
         m["files"],
@@ -673,8 +707,7 @@ def delete_keys(
         schema=m.get("schema"),
         filesets=m.get("filesets"),
         stats=m.get("stats"),
-        deletes=(m.get("deletes") or []) + dfiles,
-        delete_key=key_col,
+        delete_groups=groups,
     )
 
 

@@ -1,0 +1,297 @@
+"""THE composed read path for the manifest table: schema evolution,
+merge-on-read equality deletes, and stats-based file skipping applied
+together, in the only order that is correct for all three.
+
+Round 6 shipped the three features as separate read functions
+(``snapshot`` applied deletes but not evolution; ``snapshot_evolved``
+applied evolution but not deletes; ``scan_pruned`` applied stats pruning
+but neither of the others) — each correct alone, silently wrong in
+combination (VERDICT r6 #1 / ADVICE r6).  :func:`read_table` is the one
+path they all delegate to now:
+
+1. **Prune per fileset, under the fileset's WRITER column names.**  File
+   stats are parquet-footer stats, so they are keyed by the physical
+   (writer-era) column names; a predicate arrives in READER names and is
+   translated through the reader fields' aliases before the min/max
+   intersection test.  A rename evolution therefore re-keys the
+   predicate, not the stats (v1 files keep pruning on their v1 names);
+   a column the writer lacks entirely (reader default fills it) has no
+   stats and conservatively keeps the file — the residual filter then
+   evaluates the default.
+2. **Scan kept files under their writer schema, project into the reader
+   schema** via the engine's own Avro resolution (rename-by-alias,
+   defaulted new columns, numeric promotions — ``codec/evolve
+   .evolve_struct``, the reference's ResolvingDecoder rules applied
+   column-wise; AvroJsonFAlgebras.scala schema-resolution semantics).
+3. **Apply equality-delete anti-joins AFTER evolution**, with each
+   delete group's key name mapped through the reader aliases — a delete
+   committed against a column that was later renamed still removes the
+   rows (the delete file stores delete-time names; the evolved rows
+   carry reader names).
+4. **Apply the residual row filter last** (file granularity
+   over-approximates), so the result equals an unpruned filtered scan
+   by construction — pruning stays a pure optimization.
+
+Scale shape: planning is O(files) manifest metadata on the driver, the
+per-fileset scans are ordinary parquet scans (pushdown/pruning intact),
+the evolution projection is a zero-shuffle column map, and each delete
+group is one broadcast anti-join (delete files are O(deleted keys), not
+table-sized, until compaction folds them in).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .manifest_table import delete_groups, read_manifest
+from .skipping import _file_may_match
+
+
+def _reader_fields(schema: str):
+    from ..schema.parser import parse_schema
+
+    return parse_schema(schema).root.fields
+
+
+def _writer_predicates(
+    predicates: dict[str, tuple], rfields, writer: str
+) -> dict[str, tuple]:
+    """Translate reader-name predicates into this fileset's writer column
+    names (identity, or reader-field alias present in the writer).  A
+    predicate that names no reader field, or a field the writer lacks,
+    yields no pruning key — the file is conservatively kept and the
+    residual filter decides."""
+    wnames = {f.name for f in _reader_fields(writer)}
+    out: dict[str, tuple] = {}
+    for rname, bounds in predicates.items():
+        rf = next((f for f in rfields if f.name == rname), None)
+        if rf is None:
+            continue
+        if rf.name in wnames:
+            out[rf.name] = bounds
+        else:
+            for a in rf.aliases:
+                if a in wnames:
+                    out[a] = bounds
+                    break
+    return out
+
+
+def _apply_delete_groups(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    groups: list[dict],
+    colmap: dict[str, str] | None = None,
+) -> DataFrame:
+    """One broadcast anti-join per delete group; ``colmap`` maps
+    delete-time key names to the reader's current names (rename
+    evolution after a delete)."""
+    for g in groups:
+        dels = spark.read.parquet(*[os.path.join(table, f) for f in g["files"]])
+        key = g["key"]
+        target = (colmap or {}).get(key, key)
+        if target not in df.columns:
+            raise ValueError(
+                f"delete group keyed on {key!r} cannot apply: column "
+                f"{target!r} absent from the read schema {df.columns}"
+            )
+        if target != key:
+            dels = dels.withColumnRenamed(key, target)
+        df = df.join(F.broadcast(dels.dropDuplicates()), [target], "left_anti")
+    return df
+
+
+def read_table(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    reader_schema: str | None = None,
+    predicates: dict[str, tuple] | None = None,
+) -> tuple[DataFrame, dict]:
+    """Read a snapshot with evolution + deletes + skipping composed (see
+    module docstring for the order and why).  ``predicates`` maps READER
+    column name → inclusive ``(lo, hi)`` (either side ``None`` =
+    unbounded); returns ``(df, {"files_kept": k, "files_total": n})``.
+    """
+    from ..codec.evolve import evolve_struct
+
+    m = read_manifest(table, version)
+    if not m["files"]:
+        raise FileNotFoundError(f"manifest table {table!r} has no committed snapshot")
+    reader = reader_schema or m.get("schema")
+    filesets = m.get("filesets") or [{"files": m["files"], "schema": m.get("schema")}]
+    stats = m.get("stats") or {}
+    predicates = dict(predicates or {})
+    rfields = _reader_fields(reader) if reader else None
+
+    parts: list[DataFrame] = []
+    kept_n = total_n = 0
+    for fs in filesets:
+        writer = fs.get("schema") or reader
+        pred_w = (
+            _writer_predicates(predicates, rfields, writer)
+            if reader and writer
+            else predicates
+        )
+        kept = [f for f in fs["files"] if _file_may_match(stats.get(f), pred_w)]
+        kept_n += len(kept)
+        total_n += len(fs["files"])
+        # a fully-pruned fileset still contributes its schema (footer-only
+        # read: limit(0) touches no data pages)
+        scan = kept or fs["files"][:1]
+        df = spark.read.parquet(*[os.path.join(table, f) for f in scan])
+        if not kept:
+            df = df.limit(0)
+        if reader and writer:
+            wnames = [f.name for f in _reader_fields(writer)]
+            packed = F.struct(*[F.col(c) for c in wnames])
+            df = df.select(
+                evolve_struct(packed, writer, reader).alias("_r")
+            ).select("_r.*")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+
+    colmap = (
+        {a: rf.name for rf in rfields for a in rf.aliases} if rfields else {}
+    )
+    out = _apply_delete_groups(spark, table, out, delete_groups(m), colmap)
+
+    for c, (lo, hi) in predicates.items():
+        if lo is not None:
+            out = out.where(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            out = out.where(F.col(c) <= F.lit(hi))
+    return out, {"files_kept": kept_n, "files_total": total_n}
+
+
+# ---------------------------------------------------------------------------
+# registered query: all three table features composed under the oracle gate
+# ---------------------------------------------------------------------------
+
+_COMPOSED_TABLES: dict[str, str] = {}
+
+#: the price window both engines filter on (absolute bounds — the
+#: o_totalprice domain is sf-independent in TPC-H-ish data)
+_PRICE_LO, _PRICE_HI = 1000.0, 50000.0
+
+
+def _composed_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) a table exercising ALL THREE
+    features at once: v1 appends o_orderkey % 4 == 0 rows under the v1
+    schema (``total``, range-clustered + footer stats); v2 appends
+    % 4 == 1 rows under the v2 schema (``total``→``price`` rename via
+    alias, defaulted ``status``, clustered + stats); v3 equality-deletes
+    every o_orderkey % 5 == 0 key, merge-on-read."""
+    from .manifest_table import (
+        _MANIFEST_DIR,
+        _ORDERS_V1_SCHEMA,
+        _ORDERS_V2_SCHEMA,
+        append_evolved,
+        delete_keys,
+    )
+    from .registry import load_table
+
+    t = _COMPOSED_TABLES.get(sf_dir)
+    if t and os.path.isdir(os.path.join(t, _MANIFEST_DIR)):
+        return t
+    import tempfile
+
+    t = tempfile.mkdtemp(prefix="anglerfish_composed_")
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v1 = orders.where(k % 4 == 0).select(
+        k.cast("long").alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("total"),
+    ).repartitionByRange(8, "total")
+    append_evolved(
+        spark, t, v1, _ORDERS_V1_SCHEMA, txn_id="composed-v1",
+        stat_cols=["o_orderkey", "total"],
+    )
+    v2 = orders.where(k % 4 == 1).select(
+        k.cast("long").alias("o_orderkey"),
+        (F.col("o_totalprice") + 500.0).cast("double").alias("price"),
+        F.lit("live").alias("status"),
+    ).repartitionByRange(4, "price")
+    append_evolved(
+        spark, t, v2, _ORDERS_V2_SCHEMA, reader_schema=_ORDERS_V2_SCHEMA,
+        txn_id="composed-v2", stat_cols=["o_orderkey", "price"],
+    )
+    doomed = orders.where((k % 4 < 2) & (k % 5 == 0)).select(
+        k.cast("long").alias("o_orderkey")
+    )
+    delete_keys(spark, t, "o_orderkey", doomed, txn_id="composed-v3")
+    _COMPOSED_TABLES[sf_dir] = t
+    return t
+
+
+_DSUM = "CAST(CAST(SUM(CAST(price AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+from ..registry import query  # noqa: E402
+from ..session import prepare  # noqa: E402
+
+
+@query(
+    "q_table_composed",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price, 'legacy' AS status
+  FROM orders WHERE o_orderkey % 4 = 0
+  UNION ALL
+  SELECT o_orderkey, CAST(o_totalprice + 500.0 AS DOUBLE), 'live'
+  FROM orders WHERE o_orderkey % 4 = 1
+)
+SELECT status AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_DSUM} AS amount,
+       CAST(MIN(price) AS DOUBLE) AS min_price,
+       CAST(MAX(price) AS DOUBLE) AS max_price
+FROM t
+WHERE o_orderkey % 5 <> 0 AND price BETWEEN {_PRICE_LO} AND {_PRICE_HI}
+GROUP BY status
+ORDER BY bucket
+""",
+    group="sources",
+)
+def q_table_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution AND merge-on-read deletes AND stats pruning in ONE
+    read (VERDICT r6 #1): the v1 fileset resolves through a rename-by-
+    alias + defaulted-column projection, the delete commit anti-joins a
+    fifth of the keys out, and the price-window predicate prunes files
+    through stats that are keyed by each fileset's OWN writer-era names
+    (v1 stats say ``total``; the reader predicate says ``price``).
+
+    The oracle recomputes the whole pipeline from ``orders`` directly, so
+    the result only matches if all three features compose: ignoring
+    evolution mis-names/mis-fills columns, ignoring deletes inflates
+    'legacy' and 'live' by the %5 keys, and pruning on the wrong stat
+    key either drops files (lost rows) or is silently useless.
+
+    Scale shape: evolution is a manifest write + per-fileset zero-shuffle
+    projection; the delete is O(keys) staged + one broadcast anti-join;
+    planning is O(files) driver metadata — the three features cost the
+    same composed as they do alone (read_path module docstring).
+    """
+    prepare(spark)
+    from ..operators.common import dsum
+
+    t = _composed_table(spark, sf_dir)
+    df, _report = read_table(
+        spark, t, predicates={"price": (_PRICE_LO, _PRICE_HI)}
+    )
+    return (
+        df.groupBy(F.col("status").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("price")).alias("amount"),
+            F.min("price").cast("double").alias("min_price"),
+            F.max("price").cast("double").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )

@@ -123,10 +123,21 @@ def commit_with_stats(
     stat_cols: list[str],
     expected_version: int,
     txn_id: str | None = None,
+    schema: str | None = None,
 ) -> int:
-    """Commit ``files`` with footer stats recorded in the manifest."""
+    """Commit ``files`` with footer stats recorded in the manifest.
+    ``schema`` preserves an evolved table's reader schema across the
+    rewrite (one fileset under that schema)."""
     stats = collect_file_stats(table, files, stat_cols)
-    return commit(table, files, expected_version, txn_id=txn_id, stats=stats)
+    return commit(
+        table,
+        files,
+        expected_version,
+        txn_id=txn_id,
+        stats=stats,
+        schema=schema,
+        filesets=[{"files": files, "schema": schema}] if schema else None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -155,7 +166,10 @@ def _file_may_match(fstats: dict | None, predicates: dict[str, tuple]) -> bool:
 def prune_files(
     table: str, predicates: dict[str, tuple], version: int | None = None
 ) -> tuple[list[str], int]:
-    """Manifest-side file pruning: (kept relative paths, total files)."""
+    """Manifest-side file pruning: (kept relative paths, total files).
+    Predicate names are stats-key (writer/physical) names; evolved
+    tables go through ``read_path.read_table``, which re-keys reader
+    names per fileset before calling :func:`_file_may_match`."""
     m = read_manifest(table, version)
     stats = m.get("stats") or {}
     kept = [f for f in m["files"] if _file_may_match(stats.get(f), predicates)]
@@ -174,19 +188,14 @@ def scan_pruned(
     filter is ALWAYS applied (file granularity over-approximates), so the
     result equals an unpruned filtered scan by construction.  Returns
     ``(df, report)`` with ``report = {"files_kept": k, "files_total": n}``.
-    """
-    kept, total = prune_files(table, predicates, version)
-    report = {"files_kept": len(kept), "files_total": total}
-    if kept:
-        df = spark.read.parquet(*[os.path.join(table, f) for f in kept])
-    else:  # provably empty: schema from the snapshot, zero files scanned
-        df = snapshot(spark, table, version).limit(0)
-    for c, (lo, hi) in predicates.items():
-        if lo is not None:
-            df = df.where(F.col(c) >= F.lit(lo))
-        if hi is not None:
-            df = df.where(F.col(c) <= F.lit(hi))
-    return df, report
+
+    Delegates to the composed read path (read_path.read_table), so a
+    pruned scan over a table carrying schema evolution or merge-on-read
+    deletes stays correct (pre-r7 this path read ``m['files']`` raw and
+    would have resurrected deleted rows — ADVICE r6)."""
+    from .read_path import read_table
+
+    return read_table(spark, table, version, predicates=predicates)
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +276,9 @@ def zorder_compact(
         stat_cols or zorder_by,
         expected_version=v,
         txn_id=f"zorder-v{v}",
+        # rewrite resolves evolution + folds deletes in (snapshot reads
+        # the composed path) — preserve the reader schema, drop deletes
+        schema=read_manifest(table, v).get("schema"),
     )
 
 

@@ -350,12 +350,18 @@ class TestMergeOnReadDeletes:
         assert not m3.get("deletes")
         assert sorted(r.k for r in snapshot(spark, t, 3).collect()) == [1, 3, 5, 7, 9]
 
-    def test_mixed_delete_key_rejected(self, spark, tmp_path):
-        from anglerfish_spark.sources.manifest_table import delete_keys
+    def test_mixed_delete_keys_compose(self, spark, tmp_path):
+        """VERDICT r6 #7: a table may carry delete groups on MULTIPLE keys
+        (one anti-join per key at read time); time travel preserved."""
+        from anglerfish_spark.sources.manifest_table import delete_groups, delete_keys
 
-        t = self._table(spark, tmp_path)
-        with pytest.raises(ValueError, match="compact before"):
-            delete_keys(spark, t, "v", spark.range(1).select(F.col("id").alias("v")))
+        t = self._table(spark, tmp_path)  # evens already deleted on k
+        delete_keys(spark, t, "v", spark.createDataFrame([(30,)], "v long"))
+        assert sorted(r.k for r in snapshot(spark, t).collect()) == [1, 5, 7, 9]
+        groups = delete_groups(read_manifest(t))
+        assert sorted(g["key"] for g in groups) == ["k", "v"]
+        # pre-delete versions still read everything
+        assert len(snapshot(spark, t, 1).collect()) == 10
 
     def test_repeated_deletes_accumulate(self, spark, tmp_path):
         from anglerfish_spark.sources.manifest_table import delete_keys

@@ -1,0 +1,200 @@
+"""The composed table read path (VERDICT r6 #1 / ADVICE r6): schema
+evolution × merge-on-read deletes × stats pruning must read correctly in
+EVERY pairwise combination and all together — round 6 shipped them as
+three separate read functions that silently mis-read when combined
+(snapshot_evolved resurrected deleted rows; scan_pruned ignored both
+evolution and deletes; compact_table mixed writer schemas in one read).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import anglerfish_spark.sources.manifest_table as mt
+from anglerfish_spark.sources.read_path import read_table
+from anglerfish_spark.sources.skipping import scan_pruned, zorder_compact
+
+V1 = """
+{"type":"record","name":"t","fields":[
+  {"name":"k","type":"long"},
+  {"name":"total","type":"double"}
+]}
+"""
+V2 = """
+{"type":"record","name":"t","fields":[
+  {"name":"k","type":"long"},
+  {"name":"price","type":"double","aliases":["total"]},
+  {"name":"status","type":"string","default":"legacy"}
+]}
+"""
+
+
+def _mk_evolved(spark, tmp_path, stat_cols=False):
+    """v1 fileset: k 0..7, total = k*10 (4 range-clustered files);
+    v2 fileset: k 8..11, price = k*10 + 5, status='live' (2 files)."""
+    t = str(tmp_path / "t")
+    v1 = (
+        spark.range(0, 8)
+        .select(F.col("id").alias("k"), (F.col("id") * 10.0).alias("total"))
+        .repartitionByRange(4, "total")
+    )
+    mt.append_evolved(
+        spark, t, v1, V1, stat_cols=["k", "total"] if stat_cols else None
+    )
+    v2 = spark.range(8, 12).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10.0 + 5).alias("price"),
+        F.lit("live").alias("status"),
+    ).repartitionByRange(2, "price")
+    mt.append_evolved(
+        spark, t, v2, V2, reader_schema=V2,
+        stat_cols=["k", "price"] if stat_cols else None,
+    )
+    return t
+
+
+class TestEvolutionPlusDeletes:
+    def test_evolved_read_applies_deletes(self, spark, tmp_path):
+        """ADVICE r6 medium #1: snapshot_evolved must apply deletes."""
+        t = _mk_evolved(spark, tmp_path)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,), (9,)], "k long"))
+        got = sorted(r.k for r in mt.snapshot_evolved(spark, t).collect())
+        assert got == [0, 1, 3, 4, 5, 6, 7, 8, 10, 11]
+        # the two read paths agree on the same version
+        assert got == sorted(r.k for r in mt.snapshot(spark, t).collect())
+
+    def test_delete_key_survives_rename_evolution(self, spark, tmp_path):
+        """A delete committed on `total` BEFORE the rename must still
+        remove rows after the reader schema calls the column `price`."""
+        t = str(tmp_path / "t")
+        v1 = spark.range(0, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10.0).alias("total")
+        )
+        mt.append_evolved(spark, t, v1, V1)
+        mt.delete_keys(
+            spark, t, "total", spark.createDataFrame([(30.0,)], "total double")
+        )
+        v2 = spark.range(8, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10.0 + 5).alias("price"),
+            F.lit("live").alias("status"),
+        )
+        mt.append_evolved(spark, t, v2, V2, reader_schema=V2)
+        rows = {r.k: r.price for r in mt.snapshot_evolved(spark, t).collect()}
+        assert 3 not in rows  # total=30.0 deleted, applied through the rename
+        assert rows[4] == 40.0 and rows[8] == 85.0
+
+    def test_deletes_on_multiple_keys_with_evolution(self, spark, tmp_path):
+        t = _mk_evolved(spark, tmp_path)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,)], "k long"))
+        mt.delete_keys(
+            spark, t, "price", spark.createDataFrame([(85.0,)], "price double")
+        )
+        got = sorted(r.k for r in mt.snapshot_evolved(spark, t).collect())
+        assert got == [0, 1, 3, 4, 5, 6, 7, 9, 10, 11]  # k=2 and price=85 (k=8)
+
+
+class TestPruningPlusDeletes:
+    def test_scan_pruned_applies_deletes(self, spark, tmp_path):
+        """ADVICE r6 medium #2: a pruned scan must not resurrect rows."""
+        from anglerfish_spark.sources.skipping import commit_with_stats
+
+        t = str(tmp_path / "t")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).repartitionByRange(4, "k")
+        files = mt.stage_files(df, t)
+        commit_with_stats(spark, t, files, ["k"], expected_version=0)
+        mt.delete_keys(
+            spark, t, "k", spark.range(0, 100, 10).select(F.col("id").alias("k"))
+        )
+        pruned, report = scan_pruned(spark, t, {"k": (0, 49)})
+        got = sorted(r.k for r in pruned.collect())
+        assert got == [k for k in range(50) if k % 10 != 0]
+        assert report["files_kept"] < report["files_total"]  # still prunes
+
+
+class TestEvolutionPlusPruning:
+    def test_predicate_rekeyed_through_rename(self, spark, tmp_path):
+        """Stats of v1 files are keyed by v1 names ('total'); a predicate
+        on the READER name ('price') must re-key per fileset — pruning
+        v1 files correctly instead of keeping (or worse, dropping) all."""
+        t = _mk_evolved(spark, tmp_path, stat_cols=True)
+        df, report = read_table(spark, t, predicates={"price": (0.0, 35.0)})
+        assert sorted(r.k for r in df.collect()) == [0, 1, 2, 3]
+        # v1 contributes 4 range-clustered files on total∈[0,70]; the
+        # window [0,35] keeps ~2; both v2 files (price>=85) are pruned
+        assert report["files_kept"] < report["files_total"]
+
+    def test_predicate_on_defaulted_column_keeps_files(self, spark, tmp_path):
+        """v1's writer schema lacks `status` entirely — no stats, files
+        conservatively kept, the residual filter evaluates the default."""
+        t = _mk_evolved(spark, tmp_path, stat_cols=True)
+        df, _ = read_table(spark, t, predicates={"status": ("legacy", "legacy")})
+        assert sorted(r.k for r in df.collect()) == list(range(8))
+
+
+class TestAllThreeComposed:
+    def test_evolution_deletes_pruning_together(self, spark, tmp_path):
+        t = _mk_evolved(spark, tmp_path, stat_cols=True)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,), (9,)], "k long"))
+        mt.delete_keys(
+            spark, t, "price", spark.createDataFrame([(30.0,)], "price double")
+        )
+        df, report = read_table(spark, t, predicates={"price": (0.0, 75.0)})
+        assert sorted((r.k, r.price, r.status) for r in df.collect()) == [
+            (0, 0.0, "legacy"), (1, 10.0, "legacy"), (4, 40.0, "legacy"),
+            (5, 50.0, "legacy"), (6, 60.0, "legacy"), (7, 70.0, "legacy"),
+        ]
+        assert report["files_kept"] < report["files_total"]
+        # time travel to the pre-delete version still sees everything
+        assert len(mt.snapshot_evolved(spark, t, version=2).collect()) == 12
+
+
+class TestRewritesPreserveSchema:
+    def test_compact_evolved_table(self, spark, tmp_path):
+        """ADVICE r6 low: compaction must resolve filesets through the
+        reader schema and re-commit it — not mix writer schemas in one
+        read and drop the schema from the manifest."""
+        t = _mk_evolved(spark, tmp_path)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,)], "k long"))
+        before = sorted(tuple(r) for r in mt.snapshot_evolved(spark, t).collect())
+        v = mt.compact_table(spark, t)
+        m = mt.read_manifest(t, v)
+        assert m["schema"] is not None and len(m["filesets"]) == 1
+        assert not mt.delete_groups(m)  # folded in physically
+        after = sorted(tuple(r) for r in mt.snapshot_evolved(spark, t).collect())
+        assert after == before
+
+    def test_upsert_evolved_table_keeps_schema(self, spark, tmp_path):
+        t = _mk_evolved(spark, tmp_path)
+        batch = spark.createDataFrame([(100, 1.0, "live")], "k long, price double, status string")
+        mt.upsert(spark, t, batch, ["k"])
+        m = mt.read_manifest(t)
+        assert m["schema"] is not None
+        rows = {r.k: r.status for r in mt.snapshot_evolved(spark, t).collect()}
+        assert rows[100] == "live" and rows[0] == "legacy"
+
+    def test_zorder_evolved_table_keeps_schema(self, spark, tmp_path):
+        t = _mk_evolved(spark, tmp_path)
+        v = zorder_compact(spark, t, ["k", "price"], n_files=2)
+        m = mt.read_manifest(t, v)
+        assert m["schema"] is not None
+        df, report = read_table(spark, t, predicates={"price": (0.0, 35.0)})
+        assert sorted(r.k for r in df.collect()) == [0, 1, 2, 3]
+
+
+class TestDeleteKeyDropped:
+    def test_reader_without_delete_key_raises(self, spark, tmp_path):
+        """A caller-supplied reader schema that drops the delete-key
+        column cannot apply the delete — loud error, not silent rows."""
+        t = _mk_evolved(spark, tmp_path)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,)], "k long"))
+        no_k = """
+        {"type":"record","name":"t","fields":[
+          {"name":"price","type":"double","aliases":["total"]}
+        ]}
+        """
+        with pytest.raises(ValueError, match="delete group"):
+            read_table(spark, t, reader_schema=no_k)[0].collect()
