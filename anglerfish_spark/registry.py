@@ -73,6 +73,7 @@ def all_queries() -> dict[str, QueryDef]:
     from .operators import text as _text  # noqa: F401
     from .operators import tpch as _tpch  # noqa: F401
     from .streaming import decode as _sdecode  # noqa: F401
+    from .streaming import deletes as _sdeletes  # noqa: F401
     from .streaming import mv as _smv  # noqa: F401
     from .streaming import joins as _sjoins  # noqa: F401
     from .streaming import stateful as _stateful  # noqa: F401

@@ -631,3 +631,67 @@ class TestStreamMV:
         after_first = sorted(tuple(r) for r in snapshot(spark, t).collect())
         assert merge(0) is False  # replay: guard refuses the double-apply
         assert sorted(tuple(r) for r in snapshot(spark, t).collect()) == after_first
+
+
+class TestStreamCdcDeletes:
+    """Streaming CDC with DELETE tombstones (VERDICT r6 #6): tombstones
+    become O(keys) merge-on-read delete commits; the upsert/delete pair
+    is exactly-once per epoch INDEPENDENTLY, so a half-applied crash
+    point resumes correctly."""
+
+    def test_replayed_batch_is_noop(self, spark):
+        import tempfile
+
+        from anglerfish_spark.sources.manifest_table import commit, snapshot, stage_files
+        from anglerfish_spark.streaming.deletes import apply_cdc_batch
+
+        t = tempfile.mkdtemp(prefix="cdc_replay_")
+        base = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        commit(t, stage_files(base, t), expected_version=0, txn_id="init")
+        batch = spark.createDataFrame(
+            [(100, 0, "I"), (2, 0, "D"), (4, 0, "D")], "k long, v long, op string"
+        ).localCheckpoint(eager=False)
+
+        apply_cdc_batch(batch, 0, t, "k")
+        after = sorted(r.k for r in snapshot(spark, t).collect())
+        assert after == [0, 1, 3, 5, 6, 7, 8, 9, 100]
+        # at-least-once redelivery of the same epoch: both commits skipped
+        from anglerfish_spark.sources.manifest_table import current_version
+
+        v = current_version(t)
+        apply_cdc_batch(batch, 0, t, "k")
+        assert current_version(t) == v
+        assert sorted(r.k for r in snapshot(spark, t).collect()) == after
+
+    def test_half_applied_epoch_resumes(self, spark, monkeypatch):
+        """Crash between the upsert commit and the delete commit: the
+        replay must skip the upsert (txn found) and apply the delete."""
+        import tempfile
+
+        import anglerfish_spark.streaming.deletes as sd
+        from anglerfish_spark.sources.manifest_table import commit, snapshot, stage_files
+
+        t = tempfile.mkdtemp(prefix="cdc_half_")
+        base = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        commit(t, stage_files(base, t), expected_version=0, txn_id="init")
+        batch = spark.createDataFrame(
+            [(100, 0, "I"), (2, 0, "D")], "k long, v long, op string"
+        ).localCheckpoint(eager=False)
+
+        real_delete = sd.delete_keys
+
+        def crashing_delete(*a, **kw):
+            raise RuntimeError("simulated crash before the delete commit")
+
+        monkeypatch.setattr(sd, "delete_keys", crashing_delete)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            sd.apply_cdc_batch(batch, 0, t, "k")
+        assert 100 in {r.k for r in snapshot(spark, t).collect()}  # upsert landed
+        assert 2 in {r.k for r in snapshot(spark, t).collect()}  # delete did not
+
+        monkeypatch.setattr(sd, "delete_keys", real_delete)
+        sd.apply_cdc_batch(batch, 0, t, "k")  # redelivery
+        got = sorted(r.k for r in snapshot(spark, t).collect())
+        assert got == [0, 1, 3, 4, 5, 6, 7, 8, 9, 100]
