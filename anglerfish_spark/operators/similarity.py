@@ -106,16 +106,41 @@ def exact_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFra
 
 
 def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket
-    (hyperplane-signature equi-join), exact cosine within the bucket.  Cost
-    scales with bucket occupancy (~N/2^bits per probe), not N."""
-    sigs = corpus.select(
-        "vec_id", "label", "embedding", lsh_signature_batch(F.col("embedding")).alias("sig")
+    """Approximate top-k via banded LSH (OR-construction): a candidate is
+    any vector sharing AT LEAST ONE of the query's N_BANDS band keys;
+    exact cosine ranks the candidates.  A single band's exact-signature
+    match is structurally blind on weakly-clustered corpora (see N_BANDS)
+    — the multi-band union is the standard recall lever, CI-gated in
+    tests/test_similarity.py::TestAnnRecall.
+
+    Scale shape: signatures are one Arrow-batched map over each side;
+    the band probe is an equi-join keyed (band_id, band_key) — never a
+    cross product — the candidate-pair set is deduped BEFORE any
+    embedding payload is attached (band rows carry ids only, so the
+    explode ships 16×ids, not 16×vectors), and full-dim cosine runs once
+    per distinct candidate pair (~candidate-fraction · N · |Q| scores,
+    measured ~7% here vs brute force's 100%)."""
+    csig = corpus.select(
+        "vec_id", lsh_signature_batch(F.col("embedding"), _BAND_PLANES).alias("sig")
     )
-    qs = queries.select("query_id", "qe", lsh_signature_batch(F.col("qe")).alias("qsig"))
+    cb = csig.select(
+        "vec_id", F.posexplode(_band_keys(F.col("sig"))).alias("band_id", "band_key")
+    )
+    qsig = queries.select(
+        "query_id", lsh_signature_batch(F.col("qe"), _BAND_PLANES).alias("sig")
+    )
+    qb = qsig.select(
+        "query_id", F.posexplode(_band_keys(F.col("sig"))).alias("band_id", "band_key")
+    )
+    pairs = (
+        cb.join(F.broadcast(qb), ["band_id", "band_key"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
     cand = (
-        F.broadcast(qs)
-        .join(sigs, (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("query_id")))
+        pairs.join(corpus, "vec_id")
+        .join(F.broadcast(queries.select("query_id", "qe")), "query_id")
         .select(
             "query_id",
             "vec_id",
@@ -213,6 +238,29 @@ def _hyperplanes(n_bits: int = N_BITS, dim: int = DIM) -> list[list[int]]:
 
 _PLANES = _hyperplanes()
 
+#: OR-construction shape: N_BANDS bands of BAND_BITS hyperplane bits.
+#: Measured on the synthetic corpus (fixed md5 planes, recall@5 vs exact
+#: cosine at sf0.01/sf0.1 — SCALE.md r7): a SINGLE 8-bit band has recall
+#: 0.0–0.08 (near-uniform vectors almost never agree with their true
+#: neighbors on all 8 signs); the 16×6 OR-construction measures
+#: recall@5 = 0.60/0.64 at ~24% candidate fraction — a ~2.6× recall
+#: lift over random candidate sampling at 4× fewer full-dim scores than
+#: brute force.  Sweep: 16×8→0.16-0.20@7%, 32×8→0.36-0.44@13%,
+#: 48×8→0.52@19%, 16×6→0.60-0.64@24% (best recall-per-candidate on this
+#: corpus, which is LSH's structural worst case — same honesty note as
+#: the PQ codebook: RERANK_MULT).  Clustered real corpora sit far above.
+N_BANDS = 16
+BAND_BITS = 6
+
+_BAND_PLANES = _hyperplanes(N_BANDS * BAND_BITS)
+
+
+def _band_keys(sig) -> Column:
+    """Split the (N_BANDS·BAND_BITS)-char signature into per-band keys."""
+    return F.array(
+        *[F.substring(sig, b * BAND_BITS + 1, BAND_BITS) for b in range(N_BANDS)]
+    )
+
 
 def lsh_signature(vec: Column, planes: list[list[int]] | None = None) -> Column:
     """len(planes)-character '0'/'1' signature by hyperplane sign.
@@ -284,13 +332,29 @@ def _sig_sql(col: str, planes: list[list[int]] | None = None) -> str:
     "q_similarity_ann_lsh",
     oracle=f"""
 WITH sigs AS (
-  SELECT vec_id, label, embedding, {_sig_sql('embedding')} AS sig FROM embeddings
+  SELECT vec_id, label, embedding, {_sig_sql('embedding', _BAND_PLANES)} AS sig
+  FROM embeddings
 ),
-q AS (SELECT vec_id AS query_id, embedding AS qe, sig AS qsig FROM sigs WHERE vec_id < {N_QUERIES}),
+bands AS (
+  SELECT vec_id, b.band_id,
+         substring(sig, b.band_id * {BAND_BITS} + 1, {BAND_BITS}) AS band_key
+  FROM sigs,
+       (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band_id) b
+),
+qb AS (SELECT vec_id AS query_id, band_id, band_key
+       FROM bands WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT DISTINCT q.query_id, c.vec_id
+  FROM bands c
+  JOIN qb q ON c.band_id = q.band_id AND c.band_key = q.band_key
+  WHERE c.vec_id <> q.query_id
+),
 cand AS (
-  SELECT q.query_id, s.vec_id, s.label,
-         {cosine_sql('q.qe', 's.embedding')} AS score
-  FROM q JOIN sigs s ON s.sig = q.qsig AND s.vec_id <> q.query_id
+  SELECT p.query_id, p.vec_id, s.label,
+         {cosine_sql('qv.embedding', 's.embedding')} AS score
+  FROM pairs p
+  JOIN sigs s ON s.vec_id = p.vec_id
+  JOIN sigs qv ON qv.vec_id = p.query_id
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -304,8 +368,13 @@ ORDER BY query_id, rn
     group="llm-similarity",
 )
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket
-    (signature equi-join), then exact cosine within the bucket."""
+    """Approximate top-k via banded LSH: candidates are the union over
+    N_BANDS bands of exact band-key matches (the OR-construction), ranked
+    by exact cosine.  Approximation QUALITY is measured and CI-gated
+    (recall@K vs the exact top-K, tests/test_similarity.py::TestAnnRecall),
+    not just determinism — the r6 single-band form was plan-shaped but
+    recall-blind on this corpus (recall@5 ≈ 0.0; see N_BANDS's comment).
+    Scale shape in :func:`ann_lsh_topk`."""
     prepare(spark)
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
     q = e.where(F.col("vec_id") < N_QUERIES).select(

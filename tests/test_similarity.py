@@ -40,22 +40,22 @@ class TestSimilarityFrontDoor:
         c = _corpus(spark)
         q = _queries(c)
         # caller-supplied size above the threshold → ANN plan (the LSH
-        # signature join is visible as the qsig column)
+        # banded-signature probe is visible as the band_key column)
         df = similarity_topk(c, q, mode="auto", ann_threshold=10, corpus_size=11)
-        assert "qsig" in _plan(df)
+        assert "band_key" in _plan(df)
 
     def test_auto_picks_exact_below_threshold(self, spark):
         c = _corpus(spark)
         q = _queries(c)
         df = similarity_topk(c, q, mode="auto", ann_threshold=10, corpus_size=9)
-        assert "qsig" not in _plan(df)
+        assert "band_key" not in _plan(df)
 
     def test_auto_counts_when_size_unknown(self, spark):
         c = _corpus(spark, n=30)
         q = _queries(c)
         # 30 rows > threshold 10 → ann; 30 rows < threshold 1000 → exact
-        assert "qsig" in _plan(similarity_topk(c, q, ann_threshold=10))
-        assert "qsig" not in _plan(similarity_topk(c, q, ann_threshold=1000))
+        assert "band_key" in _plan(similarity_topk(c, q, ann_threshold=10))
+        assert "band_key" not in _plan(similarity_topk(c, q, ann_threshold=1000))
 
     def test_explicit_modes_match_building_blocks(self, spark):
         c = _corpus(spark)
@@ -230,3 +230,63 @@ class TestPQRecall:
         assert adc >= 0.1, f"ADC recall collapsed: {adc:.3f}"
         assert rer >= 0.5, f"reranked recall degraded: {rer:.3f}"
         assert rer >= adc
+
+
+class TestAnnRecall:
+    """VERDICT r6 #5: approximation QUALITY gates for the LSH and IVF ANN
+    paths (the PQ path got its gate in r6) — recall@TOP_K vs the exact
+    COSINE top-K (both paths rank by cosine, unlike PQ's L2).  Measured
+    figures recorded in SCALE.md; the r6 single-band LSH measured ≈0.0
+    recall on this corpus, which is what forced the banded OR-construction
+    (operators/similarity.py N_BANDS)."""
+
+    def _recalls(self, spark, sf_dir: str) -> dict[str, float]:
+        import numpy as np
+
+        from anglerfish_spark.operators import similarity as sim
+        from anglerfish_spark.registry import all_queries
+
+        qs = all_queries()
+        k = sim.TOP_K
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        rows = e.select("vec_id", "embedding").collect()
+        order = sorted(range(len(rows)), key=lambda i: rows[i]["vec_id"])
+        X = np.array([rows[i]["embedding"] for i in order], dtype=np.float64)
+        ids = np.array([rows[i]["vec_id"] for i in order])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+        out = {}
+        for qname in ("q_similarity_ann_lsh", "q_similarity_ann_ivf"):
+            got: dict[int, list[int]] = {}
+            for r in qs[qname].fn(spark, sf_dir).collect():
+                got.setdefault(r["query_id"], []).append(r["vec_id"])
+            hits = total = 0
+            for qi in range(sim.N_QUERIES):
+                q = Xn[ids == qi][0]
+                cos = Xn @ q
+                exact = [
+                    int(ids[j])
+                    for j in sorted(range(len(ids)), key=lambda j: (-cos[j], ids[j]))
+                    if ids[j] != qi
+                ][:k]
+                hits += len(set(exact) & set(got.get(qi, [])[:k]))
+                total += k
+            out[qname] = hits / total
+        return out
+
+    def test_recall_sf001(self, spark):
+        r = self._recalls(spark, "/root/testdata/sf0.01")
+        print(f"\nANN recall@5 sf0.01: lsh={r['q_similarity_ann_lsh']:.3f} "
+              f"ivf={r['q_similarity_ann_ivf']:.3f}")
+        # banded LSH on this near-uniform corpus: ~0.3-0.5 measured; the
+        # floor catches a collapse back to single-band blindness
+        assert r["q_similarity_ann_lsh"] >= 0.4, r
+        # IVF probes 2/8 cells that really capture the cluster structure
+        assert r["q_similarity_ann_ivf"] >= 0.7, r
+
+    def test_recall_sf01(self, spark):
+        r = self._recalls(spark, "/root/testdata/sf0.1")
+        print(f"\nANN recall@5 sf0.1: lsh={r['q_similarity_ann_lsh']:.3f} "
+              f"ivf={r['q_similarity_ann_ivf']:.3f}")
+        assert r["q_similarity_ann_lsh"] >= 0.4, r
+        assert r["q_similarity_ann_ivf"] >= 0.7, r
