@@ -768,6 +768,28 @@ class TestRecursionThroughCollections:
         # nullif/With inlining made this exponential)
         assert sizes[1] < sizes[0] * 1.9, sizes
 
+    def test_tree_plan_under_hard_budget(self, spark):
+        """VERDICT r6 #8: an ABSOLUTE optimized-plan ceiling per unroll
+        level, so a future Spark upgrade reintroducing a rewrite
+        pathology (e.g. RewriteWithExpression inlining defs into lambdas,
+        SCALE.md #23: 484k chars / 2,558 CASE WHENs at depth 5) fails CI
+        instead of silently costing 3x plan time.  Measured r7 baseline:
+        ~8k + ~1.3k chars and ~9 CASE WHENs per level — the budget is ~2x
+        that, far below any exponential blowup."""
+        from anglerfish_spark.codec.decoder import decode_json
+        from anglerfish_spark.localdata import local_df
+
+        df = local_df(spark, [(1, '{"v": 1}')], ["id", "j"], single_partition=True)
+        for depth in (3, 8):
+            out = decode_json(df, "j", self.TREE, mode="strict", max_depth=depth)
+            plan = out._jdf.queryExecution().optimizedPlan().toString()
+            char_budget = 16_000 + 3_000 * depth
+            case_budget = 40 + 20 * depth
+            assert len(plan) <= char_budget, (depth, len(plan))
+            assert plan.count("CASE WHEN") <= case_budget, (
+                depth, plan.count("CASE WHEN"),
+            )
+
 
 class TestBpeEncode:
     """Unit semantics of the leftmost-min-rank BPE apply (q_bpe_encode)."""
