@@ -59,6 +59,18 @@ _DOT_SQL = (
 
 
 def dot_sql(a: str, b: str, n: int = DIM) -> str:
+    """Ordered left-to-right double dot product in DuckDB SQL.
+
+    Full-length dots compile to ``list_inner_product`` — a native
+    sequential accumulate, measured BIT-IDENTICAL to the interpreted
+    comprehension on the corpus (0/2000 mismatches, r7) and ~140×
+    faster (the comprehension runs one interpreter dispatch per
+    element; the 96-plane banded-LSH oracle was ~37 s at sf0.01 on it).
+    A custom ``n`` (prefix dot) keeps the comprehension form."""
+    if n == DIM:
+        return (
+            f"list_inner_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        )
     return _DOT_SQL.format(a=a, b=b, n=n)
 
 
@@ -317,12 +329,14 @@ def lsh_signature_batch(vec: Column, planes: list[list[int]] | None = None) -> C
 
 
 def _sig_sql(col: str, planes: list[list[int]] | None = None) -> str:
+    """Hyperplane signature in DuckDB SQL — ``list_inner_product`` per
+    plane (bit-identical to the ordered fold, see :func:`dot_sql`)."""
     parts = []
     for plane in planes if planes is not None else _PLANES:
         lits = "[" + ", ".join(str(float(x)) for x in plane) + "]"
         proj = (
-            f"list_sum([CAST({col}[i] AS DOUBLE) * ({lits})[i] "
-            f"for i in generate_series(1, {DIM})])"
+            f"list_inner_product(CAST({col} AS DOUBLE[]), "
+            f"CAST({lits} AS DOUBLE[]))"
         )
         parts.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
     return " || ".join(parts)
@@ -331,11 +345,13 @@ def _sig_sql(col: str, planes: list[list[int]] | None = None) -> str:
 @query(
     "q_similarity_ann_lsh",
     oracle=f"""
-WITH sigs AS (
-  SELECT vec_id, label, embedding, {_sig_sql('embedding', _BAND_PLANES)} AS sig
+WITH sigs AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+  -- reference, and the 96-plane signature is ~99% of this oracle's cost
+  SELECT vec_id, {_sig_sql('embedding', _BAND_PLANES)} AS sig
   FROM embeddings
 ),
-bands AS (
+bands AS MATERIALIZED (
   SELECT vec_id, b.band_id,
          substring(sig, b.band_id * {BAND_BITS} + 1, {BAND_BITS}) AS band_key
   FROM sigs,
@@ -353,8 +369,8 @@ cand AS (
   SELECT p.query_id, p.vec_id, s.label,
          {cosine_sql('qv.embedding', 's.embedding')} AS score
   FROM pairs p
-  JOIN sigs s ON s.vec_id = p.vec_id
-  JOIN sigs qv ON qv.vec_id = p.query_id
+  JOIN embeddings s ON s.vec_id = p.vec_id
+  JOIN embeddings qv ON qv.vec_id = p.query_id
 ),
 ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

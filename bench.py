@@ -55,6 +55,13 @@ HEADLINE = [
     "q_importance_resampling",
     "q_bloom_decontaminate",
     "q_pq_topk",
+    # r7 widening: the composed table read (evolution+deletes+pruning),
+    # the persisted-index keyword search, and the banded-LSH ANN (now
+    # recall-gated).  One-time table/index builds are absorbed by the
+    # first pass; min-of-5 reflects the steady state.
+    "q_table_composed",
+    "q_inverted_search_persisted",
+    "q_similarity_ann_lsh",
 ]
 
 
