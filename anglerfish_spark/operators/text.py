@@ -748,6 +748,79 @@ def inverted_index_table(spark: SparkSession, sf_dir: str) -> str:
     return name
 
 
+def inverted_index_append(spark: SparkSession, name: str, new_docs: DataFrame) -> None:
+    """Incremental ingest into a persisted inverted index: build posting
+    fragments for the NEW documents only and append them into the same
+    bucket layout (mode=append keeps the bucketBy spec).  A term then
+    owns one postings row PER INGEST — the LSM-style fragment shape —
+    and the probe needs no change: it explodes the (term-filtered)
+    fragments and the doc-level aggregation merges them, so search
+    results equal a from-scratch rebuild (tested) while ingest cost is
+    O(new docs), never a corpus re-tokenize."""
+    (
+        build_inverted_index(new_docs)
+        .write.mode("append")
+        .bucketBy(INVIDX_BUCKETS, "term")
+        .sortBy("term")
+        .saveAsTable(name)
+    )
+
+
+def _probe_boolean(idx: DataFrame) -> DataFrame:
+    """The ((t0 AND t1) OR t2) boolean search over an index DataFrame —
+    shared by the one-shot and incremental persisted-index queries."""
+    t0, t1, t2 = _SEARCH_TERMS
+    probed = (
+        idx.where(F.col("term").isin(t0, t1, t2))
+        .select("term", F.explode("postings").alias("p"))
+        .select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+    )
+    n_and = F.count_distinct(F.when(F.col("term").isin(t0, t1), F.col("term")))
+    n_or = F.count_distinct(F.when(F.col("term") == t2, F.col("term")))
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            n_and.alias("_n_and"),
+            n_or.alias("_n_or"),
+        )
+        .where((F.col("_n_and") == 2) | (F.col("_n_or") >= 1))
+        .select("doc_id", "tf_total")
+        .orderBy("doc_id")
+    )
+
+
+_INVIDX_INCR_BUILT: set[str] = set()
+
+
+def _incremental_index(spark: SparkSession, sf_dir: str) -> str:
+    """Two-ingest index (once per process per sf_dir): 90% of the corpus
+    at 'initial load', the doc_id % 10 == 0 batch appended after."""
+    name = f"ang_invidx_incr_{abs(hash(sf_dir)) % 10**8}"
+    if name in _INVIDX_INCR_BUILT and spark.catalog.tableExists(name):
+        return name
+    import os
+    import tempfile
+
+    global _INVIDX_DIR
+    if _INVIDX_DIR is None:
+        _INVIDX_DIR = tempfile.mkdtemp(prefix="anglerfish_invidx_")
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    if not spark.catalog.tableExists(name):
+        (
+            build_inverted_index(d.where(~is_new))
+            .write.mode("overwrite")
+            .option("path", os.path.join(_INVIDX_DIR, name))
+            .bucketBy(INVIDX_BUCKETS, "term")
+            .sortBy("term")
+            .saveAsTable(name)
+        )
+        inverted_index_append(spark, name, d.where(is_new))
+    _INVIDX_INCR_BUILT.add(name)
+    return name
+
+
 @query(
     "q_inverted_search_persisted",
     oracle=f"""
@@ -787,25 +860,46 @@ def q_inverted_search_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned after ingest.
     """
     prepare(spark)
-    t0, t1, t2 = _SEARCH_TERMS
-    idx = spark.table(inverted_index_table(spark, sf_dir))
-    probed = (
-        idx.where(F.col("term").isin(t0, t1, t2))
-        .select("term", F.explode("postings").alias("p"))
-        .select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
-    )
-    n_and = F.count_distinct(
-        F.when(F.col("term").isin(t0, t1), F.col("term"))
-    )
-    n_or = F.count_distinct(F.when(F.col("term") == t2, F.col("term")))
-    return (
-        probed.groupBy("doc_id")
-        .agg(
-            F.sum("tf").cast("bigint").alias("tf_total"),
-            n_and.alias("_n_and"),
-            n_or.alias("_n_or"),
-        )
-        .where((F.col("_n_and") == 2) | (F.col("_n_or") >= 1))
-        .select("doc_id", "tf_total")
-        .orderBy("doc_id")
-    )
+    return _probe_boolean(spark.table(inverted_index_table(spark, sf_dir)))
+
+
+_INVIDX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+),
+hits AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS tf_total
+FROM hits GROUP BY doc_id
+HAVING COUNT(DISTINCT CASE WHEN term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}')
+                           THEN term END) = 2
+    OR COUNT(DISTINCT CASE WHEN term = '{_SEARCH_TERMS[2]}' THEN term END) = 1
+ORDER BY doc_id
+"""
+
+
+@query("q_inverted_search_incremental", oracle=_INVIDX_ORACLE, group="llm-text")
+def q_inverted_search_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted inverted index under INCREMENTAL ingest: 90% of the
+    corpus indexed at initial load, the rest appended later as posting
+    FRAGMENTS into the same bucket layout (``inverted_index_append`` —
+    a term owns one postings row per ingest, the LSM shape).  The same
+    boolean search runs unchanged over the fragmented index, and the
+    oracle recomputes it over the FULL corpus — so the result only
+    matches if appends are lossless and the probe's doc-level
+    aggregation merges fragments correctly.
+
+    Scale shape: ingest cost is O(new docs) tokenization + one
+    bucket-layout shuffle of the new postings; no corpus re-tokenize, no
+    index rewrite.  Fragment counts grow with ingest frequency until a
+    compaction rewrites hot terms — the same bucketed probe keeps
+    working throughout (search cost gains only the extra fragment rows
+    of the queried terms).
+    """
+    prepare(spark)
+    return _probe_boolean(spark.table(_incremental_index(spark, sf_dir)))

@@ -240,6 +240,32 @@ def _txn_committed(table: str, latest: int, txn_id: str) -> bool:
     return False
 
 
+def expire_snapshots(table: str, keep_last: int = 1) -> list[int]:
+    """Retention: delete manifests older than the newest ``keep_last``
+    versions (the Iceberg expire-snapshots / Delta VACUUM-retention
+    story).  Data files only those manifests referenced become orphans —
+    a following :func:`vacuum` reclaims them, since it unions references
+    over the manifests that still EXIST.  Time travel to expired
+    versions then fails loudly (missing manifest).
+
+    Caveat carried over from the real formats: the per-application txn
+    history lives in the manifests, so retention must exceed any
+    streaming source's replay window — expiring a snapshot whose txn_id
+    a replayed batch would present makes that replay re-apply
+    (:func:`_txn_committed` scans only retained manifests).  Returns the
+    expired version numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current snapshot stays)")
+    v = current_version(table)
+    expired = []
+    for u in range(1, max(v - keep_last + 1, 1)):
+        path = _manifest_path(table, u)
+        if os.path.exists(path):
+            os.remove(path)
+            expired.append(u)
+    return expired
+
+
 def vacuum(table: str) -> list[str]:
     """Delete data files no manifest references (crashed writers' staged
     orphans, superseded snapshots' files if old manifests are pruned —

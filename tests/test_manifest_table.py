@@ -391,3 +391,35 @@ class TestMergeOnReadDeletes:
         upsert(spark, t, batch, ["k"])
         assert sorted(r.k for r in snapshot(spark, t).collect()) == [1, 3, 5, 7, 9, 100]
         assert not read_manifest(t).get("deletes")  # physical rewrite cleared them
+
+
+class TestExpireSnapshots:
+    """Retention: expired manifests make their exclusive data files
+    vacuum-able; the retained window still reads; expired versions fail
+    loudly."""
+
+    def test_expire_then_vacuum_reclaims(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import expire_snapshots
+
+        t = str(tmp_path / "t")
+        upsert(spark, t, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+        upsert(spark, t, spark.createDataFrame([(2, "b")], ["k", "v"]), ["k"])
+        upsert(spark, t, spark.createDataFrame([(3, "c")], ["k", "v"]), ["k"])
+        assert vacuum(t) == []  # full history retained: nothing orphaned
+        assert expire_snapshots(t, keep_last=1) == [1, 2]
+        removed = vacuum(t)
+        assert removed  # v1/v2-only files reclaimed
+        # the current snapshot is untouched
+        assert sorted(r.k for r in snapshot(spark, t).collect()) == [1, 2, 3]
+        # expired versions fail loudly, not silently-empty
+        with pytest.raises(FileNotFoundError):
+            read_manifest(t, 1)
+
+    def test_keep_last_validated(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import expire_snapshots
+
+        t = str(tmp_path / "t")
+        upsert(spark, t, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+        with pytest.raises(ValueError):
+            expire_snapshots(t, keep_last=0)
+        assert expire_snapshots(t, keep_last=3) == []  # window > history: no-op

@@ -202,3 +202,31 @@ class TestInvertedIndexPersisted:
             for r in per.where((F.col("nand") == 2) | (F.col("ortf") > 0)).collect()
         }
         assert got == expected
+
+
+class TestInvertedIndexIncremental:
+    def test_fragmented_index_equals_rebuild(self, spark, sf_dir):
+        """Appending posting fragments must be search-lossless: the
+        incremental query's results equal the one-shot persisted query's
+        (same corpus, same boolean search)."""
+        from anglerfish_spark.registry import all_queries
+
+        qs = all_queries()
+        a = _rows(qs["q_inverted_search_persisted"].fn(spark, sf_dir))
+        b = _rows(qs["q_inverted_search_incremental"].fn(spark, sf_dir))
+        assert a == b
+
+    def test_fragments_exist_and_probe_stays_bucketed(self, spark, sf_dir):
+        from anglerfish_spark.operators.text import _SEARCH_TERMS, _incremental_index
+
+        name = _incremental_index(spark, sf_dir)
+        idx = spark.table(name)
+        # at least one term really is fragmented across ingests
+        frag = (
+            idx.groupBy("term").count().where(F.col("count") > 1).limit(1).count()
+        )
+        assert frag == 1, "no term has multiple posting fragments"
+        probe = idx.where(F.col("term").isin(*_SEARCH_TERMS)).select("term", "df")
+        plan = _executed(probe)
+        assert "Bucketed: true" in plan
+        assert "SelectedBucketsCount" in plan
