@@ -131,6 +131,8 @@ def read_table(
     parts: list[DataFrame] = []
     kept_n = total_n = 0
     for fs in filesets:
+        if not fs["files"]:  # an empty-batch append leaves a zero-file set
+            continue
         writer = fs.get("schema") or reader
         pred_w = (
             _writer_predicates(predicates, rfields, writer)
