@@ -132,6 +132,7 @@ def commit(
     filesets: list[dict] | None = None,
     stats: dict | None = None,
     delete_groups: list[dict] | None = None,
+    pos_deletes: list[str] | None = None,
 ) -> int:
     """Commit ``files`` as snapshot ``expected_version + 1``.
 
@@ -168,6 +169,10 @@ def commit(
             "delete_groups": delete_groups,
             "deletes": one["files"] if one else None,
             "delete_key": one["key"] if one else None,
+            # positional deletes (Iceberg-v2's second delete-file kind):
+            # parquet files of (file: rel path, pos: row index) excluded
+            # at read time (read_path.read_table / delete_where)
+            "pos_deletes": pos_deletes,
         }
     )
     path = _manifest_path(table, new_version)
@@ -280,6 +285,7 @@ def vacuum(table: str) -> list[str]:
             referenced.update(m["files"])
             for g in delete_groups(m):
                 referenced.update(g["files"])
+            referenced.update(m.get("pos_deletes") or [])
     removed: list[str] = []
     data_root = os.path.join(table, _DATA_DIR)
     for dirpath, _dirs, names in os.walk(data_root):
@@ -537,6 +543,7 @@ def append_evolved(
         # active merge-on-read deletes carry forward with the retained
         # filesets — dropping them would resurrect deleted rows
         delete_groups=delete_groups(m) or None,
+        pos_deletes=m.get("pos_deletes"),
     )
 
 
@@ -734,7 +741,134 @@ def delete_keys(
         filesets=m.get("filesets"),
         stats=m.get("stats"),
         delete_groups=groups,
+        pos_deletes=m.get("pos_deletes"),
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    txn_id: str | None = None,
+) -> int:
+    """Predicate-based merge-on-read DELETE via POSITIONAL delete files —
+    the second delete-file kind of the Iceberg v2 design (equality
+    deletes key whole values; positional deletes pin (file, row_index)
+    pairs).  The predicate is evaluated against the fully-resolved
+    current snapshot (evolution + active deletes applied — you delete
+    from what you can read), the matching rows' physical positions come
+    from Spark's ``_metadata.row_index``, and the commit records them as
+    a parquet file of ``(file, pos)`` — data files untouched.
+
+    This is the shape a DELETE FROM … WHERE … compiles to at 100 TB:
+    one scan to find positions (prunable/pushed-down like any filtered
+    scan), a delete file proportional to the MATCHED rows, zero
+    rewrites.  Readers anti-join on (file, pos) — broadcast-sized until
+    compaction folds the delete in physically."""
+    from pyspark.sql import functions as F
+
+    from .read_path import read_table
+
+    v = current_version(table)
+    if txn_id is not None and _txn_committed(table, v, txn_id):
+        return v
+    m = read_manifest(table, v)
+    if not m["files"]:
+        raise FileNotFoundError(f"manifest table {table!r} has no committed snapshot")
+    df, _report = read_table(spark, table, v, with_positions=True)
+    hits = df.where(predicate).select(
+        F.col("_fp").alias("file"), F.col("_ri").alias("pos")
+    )
+    dfiles = stage_files(hits, table)
+    return commit(
+        table,
+        m["files"],
+        expected_version=v,
+        txn_id=txn_id,
+        schema=m.get("schema"),
+        filesets=m.get("filesets"),
+        stats=m.get("stats"),
+        delete_groups=delete_groups(m) or None,
+        pos_deletes=(m.get("pos_deletes") or []) + dfiles,
+    )
+
+
+_POSDEL_TABLES: dict[str, str] = {}
+
+#: the predicate threshold both engines apply (absolute: the TPC-H-ish
+#: o_totalprice domain is sf-independent)
+_POSDEL_PRICE = 200_000.0
+
+_POSDEL_DSUM = (
+    "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+)
+
+
+def _posdel_table(spark: SparkSession, sf_dir: str) -> str:
+    """Two-snapshot positional-delete demo over ``orders`` (once per
+    process per sf_dir): v1 inserts the %3==0 keys; v2 runs
+    ``delete_where(o_totalprice > _POSDEL_PRICE)`` — a predicate DELETE
+    recorded as (file, row_index) pairs, data files untouched."""
+    t = _POSDEL_TABLES.get(sf_dir)
+    if t and os.path.isdir(os.path.join(t, _MANIFEST_DIR)):
+        return t
+    import tempfile
+
+    from ..sources.registry import load_table
+
+    t = tempfile.mkdtemp(prefix="anglerfish_posdel_")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    upsert(spark, t, base, ["o_orderkey"], txn_id="posdel-v1")
+    delete_where(
+        spark, t, F.col("o_totalprice") > _POSDEL_PRICE, txn_id="posdel-v2"
+    )
+    _POSDEL_TABLES[sf_dir] = t
+    return t
+
+
+@query(
+    "q_table_delete_where",
+    oracle=f"""
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, {_POSDEL_DSUM} AS total
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), {_POSDEL_DSUM}
+FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice <= {_POSDEL_PRICE}
+ORDER BY version
+""",
+    group="sources",
+)
+def q_table_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE via POSITIONAL delete files (the Iceberg-v2
+    second delete kind; :func:`delete_where`): v2 removes every row
+    with ``o_totalprice > {_POSDEL_PRICE:,.0f}`` by recording (file,
+    row_index) pairs from ``_metadata.row_index`` — the data files stay
+    byte-identical (asserted in tests), time travel to v1 still reads
+    the full set, and the v2 read anti-joins positions out.  The oracle
+    recomputes both versions from ``orders``, so a reader that ignores
+    position files (v2 too big), misaligns row indexes (wrong rows
+    vanish), or rewrites history (v1 too small) cannot pass.
+
+    Scale shape in :func:`delete_where`: one prunable scan finds the
+    positions, the commit is O(matched rows), readers pay one broadcast
+    anti-join until compaction folds it in.
+    """
+    prepare(spark)
+    from ..operators.common import dsum
+
+    t = _posdel_table(spark, sf_dir)
+
+    def summarize(version: int) -> DataFrame:
+        return snapshot(spark, t, version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+
+    return summarize(1).unionByName(summarize(2)).orderBy("version")
 
 
 _DELETE_TABLES: dict[str, str] = {}

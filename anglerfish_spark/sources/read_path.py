@@ -111,11 +111,19 @@ def read_table(
     version: int | None = None,
     reader_schema: str | None = None,
     predicates: dict[str, tuple] | None = None,
+    with_positions: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Read a snapshot with evolution + deletes + skipping composed (see
     module docstring for the order and why).  ``predicates`` maps READER
     column name → inclusive ``(lo, hi)`` (either side ``None`` =
     unbounded); returns ``(df, {"files_kept": k, "files_total": n})``.
+
+    ``with_positions=True`` keeps each row's physical identity as two
+    extra columns ``_fp`` (manifest-relative file path) and ``_ri``
+    (``_metadata.row_index``) — what :func:`manifest_table.delete_where`
+    records as positional deletes.  Positional-delete files in the
+    manifest (``pos_deletes``) are applied here as one broadcast
+    anti-join on ``(_fp, _ri)``.
     """
     from ..codec.evolve import evolve_struct
 
@@ -127,6 +135,8 @@ def read_table(
     stats = m.get("stats") or {}
     predicates = dict(predicates or {})
     rfields = _reader_fields(reader) if reader else None
+    need_pos = with_positions or bool(m.get("pos_deletes"))
+    table_prefix = os.path.abspath(table) + "/"
 
     parts: list[DataFrame] = []
     kept_n = total_n = 0
@@ -146,23 +156,41 @@ def read_table(
         # read: limit(0) touches no data pages)
         scan = kept or fs["files"][:1]
         df = spark.read.parquet(*[os.path.join(table, f) for f in scan])
+        if need_pos:
+            df = df.withColumns(
+                {
+                    "_fp": F.substring_index(
+                        F.col("_metadata.file_path"), table_prefix, -1
+                    ),
+                    "_ri": F.col("_metadata.row_index"),
+                }
+            )
         if not kept:
             df = df.limit(0)
         if reader and writer:
             wnames = [f.name for f in _reader_fields(writer)]
             packed = F.struct(*[F.col(c) for c in wnames])
+            keep = ["_r.*"] + (["_fp", "_ri"] if need_pos else [])
             df = df.select(
-                evolve_struct(packed, writer, reader).alias("_r")
-            ).select("_r.*")
+                evolve_struct(packed, writer, reader).alias("_r"),
+                *(["_fp", "_ri"] if need_pos else []),
+            ).select(*keep)
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
 
+    if m.get("pos_deletes"):
+        pd_df = spark.read.parquet(
+            *[os.path.join(table, f) for f in m["pos_deletes"]]
+        ).selectExpr("file AS _fp", "pos AS _ri")
+        out = out.join(F.broadcast(pd_df.dropDuplicates()), ["_fp", "_ri"], "left_anti")
     colmap = (
         {a: rf.name for rf in rfields for a in rf.aliases} if rfields else {}
     )
     out = _apply_delete_groups(spark, table, out, delete_groups(m), colmap)
+    if need_pos and not with_positions:
+        out = out.drop("_fp", "_ri")
 
     for c, (lo, hi) in predicates.items():
         if lo is not None:

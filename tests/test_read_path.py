@@ -198,3 +198,62 @@ class TestDeleteKeyDropped:
         """
         with pytest.raises(ValueError, match="delete group"):
             read_table(spark, t, reader_schema=no_k)[0].collect()
+
+
+class TestPositionalDeletes:
+    """delete_where: predicate DELETE via (file, row_index) positional
+    delete files — data untouched, time travel intact, composes with
+    equality deletes + evolution, compaction folds everything."""
+
+    def test_positions_not_rewrite(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 10.0).alias("v"))
+        mt.upsert(spark, t, df, ["k"], txn_id="v1")
+        v = mt.delete_where(spark, t, F.col("v") > 120.0, txn_id="v2")
+        m = mt.read_manifest(t, v)
+        assert m["files"] == mt.read_manifest(t, 1)["files"]  # untouched
+        assert m["pos_deletes"]
+        assert sorted(r.k for r in mt.snapshot(spark, t).collect()) == list(range(13))
+        assert len(mt.snapshot(spark, t, 1).collect()) == 20  # time travel
+        # replay is a no-op
+        assert mt.delete_where(spark, t, F.col("v") > 120.0, txn_id="v2") == v
+
+    def test_composes_with_equality_deletes_and_compaction(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 10.0).alias("v"))
+        mt.upsert(spark, t, df, ["k"])
+        mt.delete_where(spark, t, F.col("v") > 120.0)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(5,)], "k long"))
+        expect = [k for k in range(13) if k != 5]
+        assert sorted(r.k for r in mt.snapshot(spark, t).collect()) == expect
+        mt.compact_table(spark, t)
+        m = mt.read_manifest(t)
+        assert not m.get("pos_deletes") and not mt.delete_groups(m)
+        assert sorted(r.k for r in mt.snapshot(spark, t).collect()) == expect
+        assert mt.vacuum(t) == []  # delete files stay referenced by history
+
+    def test_delete_where_on_evolved_table(self, spark, tmp_path):
+        """The predicate evaluates on the RESOLVED rows (reader names),
+        while the positions pin physical (file, row) in writer-era files
+        — both filesets must honor the delete."""
+        t = _mk_evolved(spark, tmp_path)
+        mt.delete_where(spark, t, F.col("price") > 50.0)  # v1 rows 6,7; all v2
+        got = sorted(r.k for r in mt.snapshot_evolved(spark, t).collect())
+        assert got == [0, 1, 2, 3, 4, 5]
+        assert len(mt.snapshot_evolved(spark, t, version=2).collect()) == 12
+
+    def test_pruned_scan_applies_positions(self, spark, tmp_path):
+        from anglerfish_spark.sources.skipping import commit_with_stats
+
+        t = str(tmp_path / "t")
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        ).repartitionByRange(4, "k")
+        files = mt.stage_files(df, t)
+        commit_with_stats(spark, t, files, ["k"], expected_version=0)
+        mt.delete_where(spark, t, F.col("k") % 10 == 0)
+        pruned, report = scan_pruned(spark, t, {"k": (0, 49)})
+        assert sorted(r.k for r in pruned.collect()) == [
+            k for k in range(50) if k % 10 != 0
+        ]
+        assert report["files_kept"] < report["files_total"]
