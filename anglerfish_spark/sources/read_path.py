@@ -46,6 +46,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..registry import query
+from ..session import prepare
 from .manifest_table import delete_groups, read_manifest
 from .skipping import _file_may_match
 
@@ -200,6 +202,131 @@ def read_table(
     return out, {"files_kept": kept_n, "files_total": total_n}
 
 
+def table_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> tuple[DataFrame, str]:
+    """Change feed between two snapshots (the Delta CDF / Iceberg
+    incremental-read shape): returns ``(df, mode)`` where ``df`` is the
+    snapshot's columns plus ``_change_type`` ∈ {'insert', 'delete'} —
+    an update appears as delete-of-old-image + insert-of-new-image.
+
+    Two physical strategies, picked from the MANIFESTS (no data read):
+
+    * ``mode='incremental'`` — ``to`` is an append-only descendant of
+      ``from`` (file superset, identical delete state): the feed is a
+      scan of ONLY the appended files, resolved under their writer
+      schemas — O(new data), the entire point of a change feed at
+      100 TB (consumers never rescan the table).
+    * ``mode='diff'`` — anything else (upsert rewrites, new deletes,
+      compaction): both snapshots resolve under ``to``'s reader schema
+      and ``exceptAll`` computes the multiset difference each way.
+      O(both snapshots) — the honest fallback cost when history wasn't
+      recorded append-only (real formats pay a rewrite-proportional
+      cost here too: they log change files at commit time).
+    """
+    from ..codec.evolve import evolve_struct
+
+    vb = to_version if to_version is not None else None
+    ma = read_manifest(table, from_version)
+    mb = read_manifest(table, vb)
+    same_deletes = delete_groups(ma) == delete_groups(mb) and (
+        ma.get("pos_deletes") or []
+    ) == (mb.get("pos_deletes") or [])
+    a_files = set(ma["files"])
+    pure_append = same_deletes and a_files <= set(mb["files"])
+
+    if pure_append:
+        reader = mb.get("schema")
+        filesets = mb.get("filesets") or [{"files": mb["files"], "schema": reader}]
+        parts = []
+        for fs in filesets:
+            new_files = [f for f in fs["files"] if f not in a_files]
+            if not new_files:
+                continue
+            df = spark.read.parquet(*[os.path.join(table, f) for f in new_files])
+            writer = fs.get("schema") or reader
+            if reader and writer:
+                wnames = [f.name for f in _reader_fields(writer)]
+                packed = F.struct(*[F.col(c) for c in wnames])
+                df = df.select(
+                    evolve_struct(packed, writer, reader).alias("_r")
+                ).select("_r.*")
+            parts.append(df)
+        if not parts:  # no-op commit (e.g. stats refresh): empty feed
+            base, _ = read_table(spark, table, vb)
+            out = base.limit(0)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        return out.withColumn("_change_type", F.lit("insert")), "incremental"
+
+    reader = mb.get("schema")
+    a, _ = read_table(spark, table, from_version, reader_schema=reader)
+    b, _ = read_table(spark, table, vb)
+    ins = b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
+    dels = a.exceptAll(b).withColumn("_change_type", F.lit("delete"))
+    return ins.unionByName(dels), "diff"
+
+
+_DSUM_P = "CAST(CAST(SUM(CAST(p AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+@query(
+    "q_table_changes",
+    oracle=f"""
+WITH feed AS (
+  SELECT 'delete' AS change_type, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT 'insert',
+         CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END
+  FROM orders WHERE o_orderkey % 3 = 1 OR o_orderkey % 6 = 0
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_DSUM_P} AS total
+FROM feed GROUP BY change_type ORDER BY change_type
+""",
+    group="sources",
+)
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed PRODUCER over the manifest table (the other half of
+    the CDC story — q_cdc_apply/q_stream_deletes consume changelogs;
+    this emits one from table history): the v1→v2 feed of the upsert
+    demo table, where v2 inserted the %3==1 keys and value-updated the
+    %6==0 keys (+1000).  Updates must appear as delete-of-old-image +
+    insert-of-new-image, so the oracle's recomputation only matches if
+    the multiset diff is exact both ways — ignoring value changes
+    (missed updates), echoing unchanged rows, or losing the old images
+    all fail the hash.
+
+    Mode note: this table's v2 is a keyed-upsert REWRITE, so the feed
+    costs a two-snapshot ``exceptAll`` diff; append-only history takes
+    the O(new files) incremental path instead — both modes and the
+    compaction-is-a-no-op property are pinned in
+    tests/test_read_path.py::TestTableChanges (scale shape in
+    :func:`table_changes`)."""
+    prepare(spark)
+    from ..operators.common import dsum
+    from .manifest_table import _asof_table
+
+    t = _asof_table(spark, sf_dir)
+    feed, _mode = table_changes(spark, t, from_version=1, to_version=2)
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .orderBy("change_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registered query: all three table features composed under the oracle gate
 # ---------------------------------------------------------------------------
@@ -261,10 +388,6 @@ def _composed_table(spark: SparkSession, sf_dir: str) -> str:
 
 
 _DSUM = "CAST(CAST(SUM(CAST(price AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
-
-
-from ..registry import query  # noqa: E402
-from ..session import prepare  # noqa: E402
 
 
 @query(

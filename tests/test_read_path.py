@@ -257,3 +257,52 @@ class TestPositionalDeletes:
             k for k in range(50) if k % 10 != 0
         ]
         assert report["files_kept"] < report["files_total"]
+
+
+class TestTableChanges:
+    """Change-feed producer: incremental path for append-only history,
+    exceptAll diff otherwise, compaction emits an empty feed."""
+
+    def test_append_only_takes_incremental_path(self, spark, tmp_path):
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = _mk_evolved(spark, tmp_path)  # v2 is an append_evolved commit
+        feed, mode = table_changes(spark, t, from_version=1, to_version=2)
+        assert mode == "incremental"
+        rows = sorted((r.k, r.price, r.status, r._change_type) for r in feed.collect())
+        assert rows == [
+            (8, 85.0, "live", "insert"), (9, 95.0, "live", "insert"),
+            (10, 105.0, "live", "insert"), (11, 115.0, "live", "insert"),
+        ]
+
+    def test_upsert_rewrite_takes_diff_path(self, spark, tmp_path):
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = str(tmp_path / "t")
+        mt.upsert(spark, t, spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k long, v double"), ["k"])
+        mt.upsert(spark, t, spark.createDataFrame(
+            [(2, 99.0), (3, 30.0)], "k long, v double"), ["k"])
+        feed, mode = table_changes(spark, t, from_version=1)
+        assert mode == "diff"
+        rows = sorted((r.k, r.v, r._change_type) for r in feed.collect())
+        # update of k=2 = delete old image + insert new; k=3 inserted
+        assert rows == [
+            (2, 20.0, "delete"), (2, 99.0, "insert"), (3, 30.0, "insert"),
+        ]
+
+    def test_delete_commit_feed_and_compaction_noop(self, spark, tmp_path):
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = str(tmp_path / "t")
+        df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        mt.upsert(spark, t, df, ["k"])
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(4,), (7,)], "k long"))
+        feed, mode = table_changes(spark, t, from_version=1, to_version=2)
+        assert mode == "diff"
+        assert sorted((r.k, r._change_type) for r in feed.collect()) == [
+            (4, "delete"), (7, "delete"),
+        ]
+        mt.compact_table(spark, t)  # v3: logically a no-op
+        feed, _ = table_changes(spark, t, from_version=2, to_version=3)
+        assert feed.count() == 0
