@@ -43,9 +43,17 @@ def local_df(
             # DOUBLE where createDataFrame(rows) inferred BIGINT — ADVICE
             # r6).  Arrow then infers each type from the VALUES, matching
             # the pickle path's row-based inference for null-bearing ints.
+            # Rows may be positional sequences OR mappings/Rows keyed by
+            # column name (ADVICE r7: positional indexing alone silently
+            # narrowed the accepted contract).
+            from collections.abc import Mapping
+
             rows = list(rows)
             cols = {
-                c: pd.Series([r[i] for r in rows], dtype="object")
+                c: pd.Series(
+                    [r[c] if isinstance(r, Mapping) else r[i] for r in rows],
+                    dtype="object",
+                )
                 for i, c in enumerate(schema)
             }
             pdf = pd.DataFrame(cols, columns=list(schema))

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,8 +56,24 @@ class ConcurrentCommitError(AnglerfishError):
     """Another writer committed this version first; re-read and retry."""
 
 
+class CommitConflictError(AnglerfishError):
+    """A rebase over a concurrent commit is semantically invalid (e.g. a
+    positional delete whose files a concurrent compaction rewrote) — the
+    operation must be recomputed against the current snapshot, not
+    blindly retried."""
+
+
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_TAGS_DIR = "_tags"
+
+#: Highest manifest format this reader understands.  A manifest writes
+#: ``min_reader_format: 2`` whenever its delete state cannot be mirrored
+#: into the legacy single-group ``deletes``/``delete_key`` fields (>1
+#: equality-delete group) — a pre-r7 reader then fails loudly on
+#: :func:`read_manifest` instead of silently resurrecting every deleted
+#: row (ADVICE r7 low #3; the Delta protocol-version pattern).
+_FORMAT = 2
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -79,7 +96,13 @@ def read_manifest(table: str, version: int | None = None) -> dict:
     if v == 0:
         return {"version": 0, "files": [], "txn_id": None}
     with open(_manifest_path(table, v)) as f:
-        return json.load(f)
+        m = json.load(f)
+    if m.get("min_reader_format", 1) > _FORMAT:
+        raise AnglerfishError(
+            f"manifest v{v} of {table!r} requires reader format "
+            f"{m['min_reader_format']} (this engine supports {_FORMAT})"
+        )
+    return m
 
 
 def delete_groups(m: dict) -> list[dict]:
@@ -94,10 +117,19 @@ def delete_groups(m: dict) -> list[dict]:
     return []
 
 
-def snapshot(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
-    """Read the table AS OF a committed snapshot (latest by default).
-    Reading an empty table raises — the caller knows the schema, we
-    don't (mirrors the real formats' behavior on a nonexistent table).
+def snapshot(
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    as_of_ts: int | None = None,
+    tag: str | None = None,
+) -> DataFrame:
+    """Read the table AS OF a committed snapshot (latest by default;
+    addressable by integer ``version``, commit-timestamp ``as_of_ts``
+    (ms — resolves the newest version committed at or before it), or a
+    named ``tag`` — at most one of the three).  Reading an empty table
+    raises — the caller knows the schema, we don't (mirrors the real
+    formats' behavior on a nonexistent table).
 
     Delegates to the composed read path (:mod:`read_path`), so schema
     evolution, merge-on-read equality deletes, and their interactions
@@ -107,7 +139,7 @@ def snapshot(spark: SparkSession, table: str, version: int | None = None) -> Dat
     in physically."""
     from .read_path import read_table
 
-    df, _report = read_table(spark, table, version)
+    df, _report = read_table(spark, table, version, as_of_ts=as_of_ts, tag=tag)
     return df
 
 
@@ -123,6 +155,22 @@ def stage_files(df: DataFrame, table: str) -> list[str]:
     ]
 
 
+def _next_committed_at(table: str, expected_version: int) -> int:
+    """Wall-clock commit time in ms, forced strictly monotonic over the
+    version chain — so ``AS OF TIMESTAMP`` resolution ("newest version
+    committed at or before ts") is total and deterministic even when two
+    commits land within one clock tick (or under clock skew)."""
+    now = int(time.time() * 1000)
+    if expected_version > 0:
+        path = _manifest_path(table, expected_version)
+        if os.path.exists(path):
+            with open(path) as f:
+                parent = json.load(f).get("committed_at_ms")
+            if parent is not None:
+                now = max(now, parent + 1)
+    return now
+
+
 def commit(
     table: str,
     files: list[str],
@@ -133,6 +181,7 @@ def commit(
     stats: dict | None = None,
     delete_groups: list[dict] | None = None,
     pos_deletes: list[str] | None = None,
+    changes: dict | None = None,
 ) -> int:
     """Commit ``files`` as snapshot ``expected_version + 1``.
 
@@ -147,7 +196,24 @@ def commit(
     keeps prior filesets verbatim — exactly how Iceberg/Delta manifests
     carry per-file schema ids so old files are never rewritten on an
     ADD COLUMN / RENAME).  Both optional: schema-less tables behave as
-    before."""
+    before.
+
+    Sequencing (ADVICE r7 medium #2, the Iceberg v2 sequence-number
+    rule): each fileset and each equality-delete group carries a
+    ``seq`` — the version whose commit introduced it — and the read
+    path applies a delete group only to filesets with STRICTLY OLDER
+    seq.  Re-inserting a previously-deleted key via a later append is
+    therefore visible, matching Iceberg semantics; entries without a
+    ``seq`` (legacy manifests) are treated as oldest (filesets) /
+    applying everywhere (groups), preserving their old read results.
+
+    ``changes`` is the commit-time change log (VERDICT r7 #1, the Delta
+    CDF shape): ``{"inserted": [{"files": [...], "schema": ...}],
+    "deleted": [...]}`` — full row images of what this commit added and
+    removed, staged like any data file.  When every commit in a range
+    carries one, ``read_path.table_changes`` serves the feed in
+    O(changed rows) for ANY commit kind; ``None`` means "not recorded"
+    and the feed falls back to incremental/diff."""
     new_version = expected_version + 1
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
     one = delete_groups[0] if delete_groups and len(delete_groups) == 1 else None
@@ -157,15 +223,18 @@ def commit(
             "parent": expected_version,
             "files": sorted(files),
             "txn_id": txn_id,
+            "committed_at_ms": _next_committed_at(table, expected_version),
             "schema": schema,
             "filesets": filesets,
             # per-file footer stats (sources/skipping.py): {rel_path →
             # {"n_rows", "cols": {col → {"min","max","nulls"} | None}}}
             "stats": stats,
-            # merge-on-read equality deletes, one group per delete key:
-            # [{"key": col, "files": [...]}] — excluded at read time
-            # (read_path.read_table).  The legacy single-key mirror
-            # fields are kept for pre-r7 manifest readers.
+            # merge-on-read equality deletes, one group per delete key
+            # per commit: [{"key": col, "files": [...], "seq": v}] —
+            # excluded at read time (read_path.read_table).  The legacy
+            # single-key mirror fields are kept for pre-r7 manifest
+            # readers; when >1 group makes that mirror lossy, the
+            # min_reader_format bump below rejects those readers loudly.
             "delete_groups": delete_groups,
             "deletes": one["files"] if one else None,
             "delete_key": one["key"] if one else None,
@@ -173,6 +242,8 @@ def commit(
             # parquet files of (file: rel path, pos: row index) excluded
             # at read time (read_path.read_table / delete_where)
             "pos_deletes": pos_deletes,
+            "changes": changes,
+            "min_reader_format": 2 if delete_groups and len(delete_groups) > 1 else 1,
         }
     )
     path = _manifest_path(table, new_version)
@@ -212,21 +283,171 @@ def upsert(
         merged = existing.join(batch.select(*key_cols), key_cols, "left_anti").unionByName(
             batch
         )
+        # commit-time change log (VERDICT r7 #1): the commit's exact row
+        # deltas are batch-bounded — old images of the replaced keys vs
+        # the incoming rows, with no-op replacements (identical old/new
+        # image) cancelled by the multiset difference.  O(|batch| +
+        # |matched|) work at commit so every later change-feed read is
+        # O(changed rows), never a table diff.  Both sides are
+        # localCheckpoint'ed (batch-bounded rows): breaks the shared
+        # evolved-snapshot lineage exceptAll's attribute dedup chokes on,
+        # and keeps the matched-image scan to ONE table pass.
+        aligned = batch.select(*existing.columns).localCheckpoint(eager=True)
+        old_matched = (
+            snapshot(spark, table, v)
+            .join(F.broadcast(aligned.select(*key_cols)), key_cols, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        del_images = old_matched.exceptAll(aligned)
+        ins_images = aligned.exceptAll(old_matched)
     else:
         merged = batch
+        del_images = ins_images = None
     files = stage_files(merged, table)
     # the rewrite resolved every fileset into the reader schema and folded
     # deletes in physically — commit ONE fileset under that schema (an
     # evolved table that merely committed files/version would silently
     # lose its reader schema, ADVICE r6)
     schema = read_manifest(table, v).get("schema") if v else None
+    if del_images is None:
+        # initial load: every row is an insert and the data files ARE the
+        # change log — reference them, write nothing extra
+        changes = {"inserted": [{"files": files, "schema": schema}], "deleted": []}
+    else:
+        changes = {
+            "inserted": [{"files": stage_files(ins_images, table), "schema": schema}],
+            "deleted": [{"files": stage_files(del_images, table), "schema": schema}],
+        }
     return commit(
         table,
         files,
         expected_version=v,
         txn_id=txn_id,
         schema=schema,
-        filesets=[{"files": files, "schema": schema}] if schema else None,
+        filesets=[{"files": files, "schema": schema, "seq": v + 1}] if schema else None,
+        changes=changes,
+    )
+
+
+def commit_rebased(
+    table: str,
+    base_version: int,
+    kind: str,
+    *,
+    files: list[str] | None = None,
+    writer_schema: str | None = None,
+    delete_group: dict | None = None,
+    pos_delete_files: list[str] | None = None,
+    txn_id: str | None = None,
+) -> int:
+    """Semantic rebase after losing the version CAS (VERDICT r7 #7, the
+    Iceberg commit-validation model): instead of blindly re-running
+    :func:`commit` with a bumped ``expected_version`` — which replays a
+    commit PREPARED against ``base_version`` onto a snapshot it never
+    saw — validate whether the prepared work is still meaningful on the
+    CURRENT version and merge it in, or raise
+    :class:`CommitConflictError` telling the writer to recompute.
+
+    The allowed/blocked matrix (Iceberg's, tested in
+    tests/test_manifest_table.py::TestCommitValidation):
+
+    * ``kind='append'`` (``files`` + ``writer_schema``): always merges —
+      onto a concurrent append (both land), onto a concurrent delete
+      (the delete's older seq does not apply to the new fileset), onto
+      a concurrent compaction (the new files are unaffected by the
+      rewrite).
+    * ``kind='equality_delete'`` (``delete_group`` = {"key", "files"}):
+      always merges, stamped with the NEW commit's seq — like Iceberg,
+      a retried equality delete therefore also suppresses matching rows
+      appended concurrently (documented semantics, not an anomaly).
+    * ``kind='pos_delete'`` (``pos_delete_files``): merges ONLY if every
+      data file the positions name still exists in the current
+      manifest; a concurrent compaction/upsert that rewrote any of them
+      raises ``CommitConflictError`` — silently committing would attach
+      row indexes to superseded files and delete NOTHING (or, after a
+      path reuse, the wrong rows).  The caller must re-derive positions
+      against the current snapshot (re-run ``delete_where``).
+
+    The rebase itself re-reads the current manifest and commits on top
+    of it (one more CAS; on another race, retry ``commit_rebased`` with
+    the same arguments — it is idempotent against its inputs)."""
+    if kind not in ("append", "equality_delete", "pos_delete"):
+        raise ValueError(f"unknown rebase kind {kind!r}")
+    v = current_version(table)
+    if v == base_version:
+        raise ValueError(
+            f"nothing to rebase: {table!r} is still at version {base_version}"
+        )
+    m = read_manifest(table, v)
+    prior = m.get("filesets") or (
+        [{"files": m["files"], "schema": m.get("schema")}] if m["files"] else []
+    )
+    schema = m.get("schema")
+    if kind == "append":
+        filesets = prior + [{"files": files, "schema": writer_schema or schema, "seq": v + 1}]
+        return commit(
+            table,
+            [f for fs in filesets for f in fs["files"]],
+            expected_version=v,
+            txn_id=txn_id,
+            schema=schema or writer_schema,
+            filesets=filesets,
+            stats=m.get("stats"),
+            delete_groups=delete_groups(m) or None,
+            pos_deletes=m.get("pos_deletes"),
+            changes={
+                "inserted": [{"files": files, "schema": writer_schema or schema}],
+                "deleted": [],
+            },
+        )
+    if kind == "equality_delete":
+        groups = [dict(g) for g in delete_groups(m)]
+        groups.append({**delete_group, "seq": v + 1})
+        return commit(
+            table,
+            m["files"],
+            expected_version=v,
+            txn_id=txn_id,
+            schema=schema,
+            filesets=m.get("filesets"),
+            stats=m.get("stats"),
+            delete_groups=groups,
+            pos_deletes=m.get("pos_deletes"),
+            # images were derived at base_version; over a concurrent
+            # commit they may be stale — record no change log (feed
+            # falls back to diff for this step) rather than a wrong one
+            changes=None,
+        )
+    current_files = set(m["files"])
+    named = set()
+    for f in pos_delete_files:
+        # metadata-scale read, driver-side by design (no Spark job for a
+        # conflict check): each pos-delete file is O(deleted positions)
+        import pyarrow.parquet as pq
+
+        named |= set(
+            pq.read_table(os.path.join(table, f), columns=["file"])
+            .column("file")
+            .to_pylist()
+        )
+    missing = sorted(named - current_files)
+    if missing:
+        raise CommitConflictError(
+            f"positional delete prepared at v{base_version} of {table!r} names "
+            f"{len(missing)} data file(s) a concurrent commit rewrote "
+            f"(e.g. {missing[0]!r}); re-derive positions against v{v}"
+        )
+    return commit(
+        table,
+        m["files"],
+        expected_version=v,
+        txn_id=txn_id,
+        schema=schema,
+        filesets=m.get("filesets"),
+        stats=m.get("stats"),
+        delete_groups=delete_groups(m) or None,
+        pos_deletes=(m.get("pos_deletes") or []) + pos_delete_files,
+        changes=None,
     )
 
 
@@ -258,17 +479,118 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[int]:
     streaming source's replay window — expiring a snapshot whose txn_id
     a replayed batch would present makes that replay re-apply
     (:func:`_txn_committed` scans only retained manifests).  Returns the
-    expired version numbers."""
+    expired version numbers.
+
+    TAGGED versions are retained regardless of age (the Iceberg rule:
+    tags pin snapshots against expiration) — drop the tag first
+    (:func:`delete_tag`) to let retention reclaim them."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the current snapshot stays)")
     v = current_version(table)
+    pinned = set(tags(table).values())
     expired = []
     for u in range(1, max(v - keep_last + 1, 1)):
+        if u in pinned:
+            continue
         path = _manifest_path(table, u)
         if os.path.exists(path):
             os.remove(path)
             expired.append(u)
     return expired
+
+
+# ---------------------------------------------------------------------------
+# snapshot addressing beyond integer versions (VERDICT r7 #4): commit
+# timestamps and named tags — the forms users actually write (`AS OF
+# TIMESTAMP`, write-audit-publish tags)
+# ---------------------------------------------------------------------------
+
+
+def resolve_as_of(table: str, ts_ms: int) -> int:
+    """Newest retained version committed at or before ``ts_ms``.  Commit
+    times are strictly monotonic over the version chain
+    (:func:`_next_committed_at`), so the answer is total; a timestamp
+    older than every retained commit raises (the history before it was
+    either never written or has been expired)."""
+    best = 0
+    for v in range(1, current_version(table) + 1):
+        path = _manifest_path(table, v)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            at = json.load(f).get("committed_at_ms")
+        if at is not None and at <= ts_ms:
+            best = max(best, v)
+    if best == 0:
+        raise AnglerfishError(
+            f"no retained snapshot of {table!r} at or before ts={ts_ms}"
+        )
+    return best
+
+
+def tag(table: str, name: str, version: int | None = None) -> int:
+    """Name a snapshot (Iceberg tags / the write-audit-publish pattern):
+    ``tag(t, "v-gold", 3)`` pins version 3 under a stable name readers
+    resolve with ``snapshot(..., tag="v-gold")``.  Tagging a version
+    whose manifest is missing (never committed, or already expired)
+    fails loudly; tags are create-once (O_EXCL) — re-pointing a name is
+    an explicit ``delete_tag`` + ``tag``.  Tagged versions are exempt
+    from :func:`expire_snapshots`."""
+    v = current_version(table) if version is None else version
+    if not os.path.exists(_manifest_path(table, v)):
+        raise AnglerfishError(
+            f"cannot tag version {v} of {table!r}: no retained manifest "
+            "(never committed, or expired)"
+        )
+    os.makedirs(os.path.join(table, _TAGS_DIR), exist_ok=True)
+    path = os.path.join(table, _TAGS_DIR, f"{name}.json")
+    payload = json.dumps({"name": name, "version": v, "created_at_ms": int(time.time() * 1000)})
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as ex:
+        raise AnglerfishError(f"tag {name!r} already exists on {table!r}") from ex
+    try:
+        os.write(fd, payload.encode())
+    finally:
+        os.close(fd)
+    return v
+
+
+def tags(table: str) -> dict[str, int]:
+    """All tags: name → pinned version."""
+    tdir = os.path.join(table, _TAGS_DIR)
+    if not os.path.isdir(tdir):
+        return {}
+    out: dict[str, int] = {}
+    for f in os.listdir(tdir):
+        if f.endswith(".json"):
+            with open(os.path.join(tdir, f)) as fh:
+                t = json.load(fh)
+            out[t["name"]] = t["version"]
+    return out
+
+
+def delete_tag(table: str, name: str) -> None:
+    path = os.path.join(table, _TAGS_DIR, f"{name}.json")
+    if not os.path.exists(path):
+        raise AnglerfishError(f"tag {name!r} does not exist on {table!r}")
+    os.remove(path)
+
+
+def resolve_tag(table: str, name: str) -> int:
+    """Version a tag pins; raises if the tag is unknown or its manifest
+    has been expired out from under it (should not happen while
+    :func:`expire_snapshots` honors tags, but a hand-deleted manifest
+    must fail the read, not silently resolve elsewhere)."""
+    t = tags(table)
+    if name not in t:
+        raise AnglerfishError(f"tag {name!r} does not exist on {table!r}")
+    v = t[name]
+    if not os.path.exists(_manifest_path(table, v)):
+        raise AnglerfishError(
+            f"tag {name!r} pins version {v} of {table!r}, whose manifest is gone"
+        )
+    return v
 
 
 def vacuum(table: str) -> list[str]:
@@ -286,6 +608,9 @@ def vacuum(table: str) -> list[str]:
             for g in delete_groups(m):
                 referenced.update(g["files"])
             referenced.update(m.get("pos_deletes") or [])
+            for side in ("inserted", "deleted"):
+                for e in (m.get("changes") or {}).get(side) or []:
+                    referenced.update(e["files"])
     removed: list[str] = []
     data_root = os.path.join(table, _DATA_DIR)
     for dirpath, _dirs, names in os.walk(data_root):
@@ -472,8 +797,128 @@ def compact_table(
         expected_version=v,
         txn_id=f"compact-v{v}",
         schema=schema,
-        filesets=[{"files": files, "schema": schema}] if schema else None,
+        filesets=[{"files": files, "schema": schema, "seq": v + 1}] if schema else None,
+        # logically a no-op: record an explicitly EMPTY change log so the
+        # change feed over this commit is empty in O(0), not a diff
+        changes={"inserted": [], "deleted": []},
     )
+
+
+def compact_deletes(spark: SparkSession, table: str) -> tuple[int, dict]:
+    """Targeted (minor) delete compaction (VERDICT r7 #2): rewrite ONLY
+    the data files the current delete state actually touches, commit
+    every other file VERBATIM (byte-identical — tests compare the file
+    lists), and clear the folded delete entries.
+
+    Which files are "touched" is decided from metadata + O(matched)
+    scans, never a table rewrite:
+
+    * positional deletes name their data files explicitly (the
+      ``file`` column of each ``pos_deletes`` parquet);
+    * each equality-delete group is located with ONE stats-restricted
+      probe: the group's key range prunes candidate files via footer
+      stats, a broadcast semi-join against the delete keys finds the
+      distinct ``_fp`` values that actually contain hits — restricted
+      to the filesets the group applies to under the sequence rule
+      (``read_path._group_applies``), so a re-appended key does NOT
+      mark its (newer) file for rewrite.
+
+    The rewrite itself reads ONLY the touched files through the composed
+    path (deletes applied), so evolution/rename interactions hold; the
+    new fileset lands under the reader schema at seq = new version.
+    At 100 TB a table with one positional delete rewrites one file —
+    :func:`compact_table`'s full rewrite remains for bin-packing.
+
+    Logically a no-op (same rows; empty change log).  Returns ``(version,
+    report)`` where report = ``{"rewritten": [...], "kept": n}``; with
+    nothing to fold, returns the current version unchanged."""
+    from .read_path import _group_applies, _reader_fields, read_table
+
+    v = current_version(table)
+    m = read_manifest(table, v)
+    groups = delete_groups(m)
+    pos = m.get("pos_deletes") or []
+    if not groups and not pos:
+        return v, {"rewritten": [], "kept": len(m["files"])}
+    filesets = m.get("filesets") or [{"files": m["files"], "schema": m.get("schema")}]
+    reader = m.get("schema")
+    rfields = _reader_fields(reader) if reader else None
+    colmap = {a: rf.name for rf in rfields for a in rf.aliases} if rfields else {}
+
+    touched: set[str] = set()
+    if pos:
+        pd_df = spark.read.parquet(*[os.path.join(table, f) for f in pos])
+        touched |= {
+            r.f for r in pd_df.select(F.col("file").alias("f")).distinct().collect()
+        }
+    for g in groups:
+        keys = spark.read.parquet(
+            *[os.path.join(table, f) for f in g["files"]]
+        ).dropDuplicates()
+        target = colmap.get(g["key"], g["key"])
+        if target != g["key"]:
+            keys = keys.withColumnRenamed(g["key"], target)
+        lo, hi = keys.agg(F.min(target), F.max(target)).first()
+        applicable = {
+            f for fs in filesets if _group_applies(g, fs) for f in fs["files"]
+        }
+        if not applicable:
+            continue
+        pre, _ = read_table(
+            spark,
+            table,
+            v,
+            predicates={target: (lo, hi)},
+            with_positions=True,
+            apply_deletes=False,
+            only_files=applicable,
+        )
+        touched |= {
+            r._fp
+            for r in pre.join(F.broadcast(keys), [target], "left_semi")
+            .select("_fp")
+            .distinct()
+            .collect()
+        }
+
+    new_sets = []
+    for fs in filesets:
+        keep = [f for f in fs["files"] if f not in touched]
+        if keep:
+            new_sets.append(
+                {"files": keep, "schema": fs.get("schema"), "seq": fs.get("seq")}
+            )
+    all_files = [f for fs in new_sets for f in fs["files"]]
+    new_files: list[str] = []
+    if touched:
+        survivors, _ = read_table(spark, table, v, only_files=touched)
+        new_files = stage_files(survivors, table)
+        new_sets.append({"files": new_files, "schema": reader, "seq": v + 1})
+        all_files += new_files
+
+    stats = None
+    if m.get("stats"):
+        stats = {f: s for f, s in m["stats"].items() if f not in touched}
+        stat_cols = sorted({c for s in m["stats"].values() for c in (s.get("cols") or {})})
+        if new_files and stat_cols:
+            from .skipping import collect_file_stats
+
+            cols = [c for c in stat_cols if rfields is None or c in {rf.name for rf in rfields}]
+            if cols:
+                stats.update(collect_file_stats(table, new_files, cols))
+        stats = stats or None
+
+    nv = commit(
+        table,
+        all_files,
+        expected_version=v,
+        txn_id=f"compact-deletes-v{v}",
+        schema=reader,
+        filesets=new_sets if reader else None,
+        stats=stats,
+        changes={"inserted": [], "deleted": []},
+    )
+    return nv, {"rewritten": sorted(touched), "kept": len(all_files) - len(new_files)}
 
 
 # ---------------------------------------------------------------------------
@@ -530,7 +975,11 @@ def append_evolved(
         from .skipping import collect_file_stats
 
         stats = {**(stats or {}), **collect_file_stats(table, files, stat_cols)}
-    filesets = prior + [{"files": files, "schema": writer_schema}]
+    # the new fileset's seq is this commit's version: carried-forward
+    # delete groups (older seq) do NOT apply to it, so appending a
+    # previously-deleted key makes the new row visible (Iceberg's
+    # sequence rule — ADVICE r7 medium #2)
+    filesets = prior + [{"files": files, "schema": writer_schema, "seq": v + 1}]
     all_files = [f for fs in filesets for f in fs["files"]]
     return commit(
         table,
@@ -544,6 +993,11 @@ def append_evolved(
         # filesets — dropping them would resurrect deleted rows
         delete_groups=delete_groups(m) or None,
         pos_deletes=m.get("pos_deletes"),
+        # an append's change log IS its new files (no extra write)
+        changes={
+            "inserted": [{"files": files, "schema": writer_schema}],
+            "deleted": [],
+        },
     )
 
 
@@ -725,13 +1179,21 @@ def delete_keys(
     m = read_manifest(table, v)
     if not m["files"]:
         raise FileNotFoundError(f"manifest table {table!r} has no committed snapshot")
-    dfiles = stage_files(keys.select(key_col).dropDuplicates(), table)
+    keys = keys.select(key_col).dropDuplicates()
+    dfiles = stage_files(keys, table)
+    # one NEW group per delete commit, stamped with its seq — groups with
+    # the same key at different seqs apply to different fileset ranges,
+    # so they cannot be merged (Iceberg sequence rule)
     groups = [dict(g) for g in delete_groups(m)]
-    mine = next((g for g in groups if g["key"] == key_col), None)
-    if mine is None:
-        groups.append({"key": key_col, "files": dfiles})
-    else:
-        mine["files"] = list(mine["files"]) + dfiles
+    groups.append({"key": key_col, "files": dfiles, "seq": v + 1})
+    # commit-time change log: the feed of a delete-only commit is the
+    # deleted rows' full images — one semi-join scan at commit time (the
+    # output is O(matched rows)), so consumers never pay a table diff
+    images = snapshot(spark, table, v).join(F.broadcast(keys), key_col, "left_semi")
+    changes = {
+        "inserted": [],
+        "deleted": [{"files": stage_files(images, table), "schema": m.get("schema")}],
+    }
     return commit(
         table,
         m["files"],
@@ -742,6 +1204,7 @@ def delete_keys(
         stats=m.get("stats"),
         delete_groups=groups,
         pos_deletes=m.get("pos_deletes"),
+        changes=changes,
     )
 
 
@@ -776,10 +1239,33 @@ def delete_where(
     if not m["files"]:
         raise FileNotFoundError(f"manifest table {table!r} has no committed snapshot")
     df, _report = read_table(spark, table, v, with_positions=True)
-    hits = df.where(predicate).select(
-        F.col("_fp").alias("file"), F.col("_ri").alias("pos")
-    )
+    # materialize the matched rows once (localCheckpoint: O(matched) rows
+    # held on executors) — they feed the position file, the change-log
+    # images, AND the path-sanity check below without re-running the scan
+    matched = df.where(predicate).localCheckpoint(eager=True)
+    hits = matched.select(F.col("_fp").alias("file"), F.col("_ri").alias("pos"))
+    # guard against _fp derivation drift (ADVICE r7 low #4): every
+    # recorded path must be a member of the manifest's file list — a
+    # symlinked/URI-normalized path that didn't strip to a manifest-
+    # relative name would otherwise anti-join NOTHING and silently
+    # resurrect the "deleted" rows on every read
+    known = set(m["files"])
+    bad = [
+        r.f
+        for r in hits.select(F.col("file").alias("f")).distinct().collect()
+        if r.f not in known
+    ]
+    if bad:
+        raise AnglerfishError(
+            f"positional delete derived file paths not in the manifest "
+            f"(path normalization drift?): {bad[:3]}"
+        )
     dfiles = stage_files(hits, table)
+    images = matched.drop("_fp", "_ri")
+    changes = {
+        "inserted": [],
+        "deleted": [{"files": stage_files(images, table), "schema": m.get("schema")}],
+    }
     return commit(
         table,
         m["files"],
@@ -790,6 +1276,7 @@ def delete_where(
         stats=m.get("stats"),
         delete_groups=delete_groups(m) or None,
         pos_deletes=(m.get("pos_deletes") or []) + dfiles,
+        changes=changes,
     )
 
 
@@ -950,4 +1437,158 @@ def q_table_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(2))
         .unionByName(summarize(3))
         .orderBy("version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries r8: timestamp time travel + targeted delete
+# compaction (VERDICT r7 #4 / #2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_table_asof_ts",
+    oracle=f"""
+SELECT 1 AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {{dsum}} AS total_price
+FROM (SELECT o_totalprice AS p FROM orders WHERE o_orderkey % 3 = 0)
+UNION ALL
+SELECT 2,
+       CAST(COUNT(*) AS BIGINT),
+       {{dsum}}
+FROM (SELECT o_totalprice AS p FROM orders WHERE o_orderkey % 3 = 0)
+UNION ALL
+SELECT 3,
+       CAST(COUNT(*) AS BIGINT),
+       {{dsum}}
+FROM (
+  SELECT CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+)
+ORDER BY version
+""".format(dsum="CAST(CAST(SUM(CAST(p AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"),
+    group="sources",
+)
+def q_table_asof_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AS OF TIMESTAMP`` time travel (VERDICT r7 #4): the same
+    two-snapshot table as ``q_table_asof``, addressed by COMMIT TIME
+    instead of version number — three reads: at v1's exact commit
+    timestamp, at one tick before v2's (both must resolve v1: "newest
+    version committed at or before ts"), and far in the future (resolves
+    v2).  Commit times are forced strictly monotonic at commit
+    (:func:`_next_committed_at`), so resolution is total even when two
+    commits land in one clock tick.  A reader that resolves "nearest"
+    instead of "at-or-before", or reads the current snapshot regardless,
+    produces different row counts/sums and fails the oracle.
+
+    Scale: resolution is a driver-side scan of O(retained versions)
+    manifest headers — no data read, no listing of the lake."""
+    prepare(spark)
+    from ..operators.common import dsum
+
+    t = _asof_table(spark, sf_dir)
+    a1 = read_manifest(t, 1)["committed_at_ms"]
+    a2 = read_manifest(t, 2)["committed_at_ms"]
+
+    def summarize(label: int, ts: int) -> DataFrame:
+        return snapshot(spark, t, as_of_ts=ts).agg(
+            F.lit(label).alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+
+    return (
+        summarize(1, a1)                      # exact commit instant -> v1
+        .unionByName(summarize(2, a2 - 1))    # one tick before v2 -> still v1
+        .unionByName(summarize(3, a2 + 60_000))  # future -> current (v2)
+        .orderBy("version")
+    )
+
+
+_CDEL_TABLES: dict[str, str] = {}
+
+
+def _cdel_table(spark: SparkSession, sf_dir: str) -> str:
+    """Four-snapshot targeted-compaction demo over ``orders`` (once per
+    process per sf_dir): v1 inserts the %3==0 keys range-clustered into
+    4 files; v2 equality-deletes the %15==0 keys; v3 positionally
+    deletes ``o_totalprice > _POSDEL_PRICE``; v4 runs
+    :func:`compact_deletes` — only the files the two delete kinds touch
+    are rewritten, the rest are committed verbatim."""
+    t = _CDEL_TABLES.get(sf_dir)
+    if t and os.path.isdir(os.path.join(t, _MANIFEST_DIR)):
+        return t
+    import tempfile
+
+    from ..sources.registry import load_table
+
+    t = tempfile.mkdtemp(prefix="anglerfish_cdel_")
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = (
+        orders.where(k % 3 == 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .repartitionByRange(4, "o_orderkey")
+    )
+    upsert(spark, t, base, ["o_orderkey"], txn_id="cdel-v1")
+    doomed = orders.where(k % 15 == 0).select("o_orderkey")
+    delete_keys(spark, t, "o_orderkey", doomed, txn_id="cdel-v2")
+    delete_where(spark, t, F.col("o_totalprice") > _POSDEL_PRICE, txn_id="cdel-v3")
+    compact_deletes(spark, t)
+    _CDEL_TABLES[sf_dir] = t
+    return t
+
+
+_CDEL_PRED = (
+    f"o_orderkey % 3 = 0 AND o_orderkey % 15 <> 0 AND o_totalprice <= {_POSDEL_PRICE}"
+)
+
+
+@query(
+    "q_table_compact_deletes",
+    oracle=f"""
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, {_POSDEL_DSUM} AS total
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 3, CAST(COUNT(*) AS BIGINT), {_POSDEL_DSUM}
+FROM orders WHERE {_CDEL_PRED}
+UNION ALL
+SELECT 4, CAST(COUNT(*) AS BIGINT), {_POSDEL_DSUM}
+FROM orders WHERE {_CDEL_PRED}
+ORDER BY version
+""",
+    group="sources",
+)
+def q_table_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted (minor) delete compaction (:func:`compact_deletes`,
+    VERDICT r7 #2): v2 equality-deletes a key set, v3 positionally
+    deletes a price band, v4 rewrites ONLY the files those deletes touch
+    and clears the delete state — the untouched files are committed
+    byte-identical (unit-asserted in tests/test_manifest_table.py).
+    The query summarizes v1 (pre-delete), v3 (merge-on-read: both delete
+    kinds applied via anti-joins), and v4 (post-compaction: same rows,
+    zero read-time delete work) — v3 == v4 is the compaction-correctness
+    gate, v1 intact is the time-travel gate, and the oracle recomputes
+    all three from ``orders``.
+
+    Scale: the 100 TB story this exists for — folding one positional
+    delete costs O(files-it-names), not a full-table rewrite
+    (:func:`compact_table`); equality hits are located with one
+    stats-pruned semi-join per group (SCALE.md r8)."""
+    prepare(spark)
+    from ..operators.common import dsum
+
+    t = _cdel_table(spark, sf_dir)
+
+    def summarize(version: int) -> DataFrame:
+        return snapshot(spark, t, version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+
+    return (
+        summarize(1).unionByName(summarize(3)).unionByName(summarize(4)).orderBy("version")
     )

@@ -124,10 +124,12 @@ def commit_with_stats(
     expected_version: int,
     txn_id: str | None = None,
     schema: str | None = None,
+    changes: dict | None = None,
 ) -> int:
     """Commit ``files`` with footer stats recorded in the manifest.
     ``schema`` preserves an evolved table's reader schema across the
-    rewrite (one fileset under that schema)."""
+    rewrite (one fileset under that schema); ``changes`` passes the
+    commit-time change log through (see ``manifest_table.commit``)."""
     stats = collect_file_stats(table, files, stat_cols)
     return commit(
         table,
@@ -136,7 +138,12 @@ def commit_with_stats(
         txn_id=txn_id,
         stats=stats,
         schema=schema,
-        filesets=[{"files": files, "schema": schema}] if schema else None,
+        filesets=(
+            [{"files": files, "schema": schema, "seq": expected_version + 1}]
+            if schema
+            else None
+        ),
+        changes=changes,
     )
 
 
@@ -279,6 +286,8 @@ def zorder_compact(
         # rewrite resolves evolution + folds deletes in (snapshot reads
         # the composed path) — preserve the reader schema, drop deletes
         schema=read_manifest(table, v).get("schema"),
+        # logically a no-op → explicitly empty change log
+        changes={"inserted": [], "deleted": []},
     )
 
 

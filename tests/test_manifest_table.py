@@ -369,7 +369,14 @@ class TestMergeOnReadDeletes:
         t = self._table(spark, tmp_path)
         delete_keys(spark, t, "k", spark.range(1, 2).select(F.col("id").alias("k")))
         assert sorted(r.k for r in snapshot(spark, t).collect()) == [3, 5, 7, 9]
-        assert len(read_manifest(t)["deletes"]) >= 2
+        # since r8, each delete commit is its OWN group (it carries its
+        # sequence number); the lossy single-group legacy mirror is
+        # withheld and the format version fences legacy readers out
+        from anglerfish_spark.sources.manifest_table import delete_groups
+
+        m = read_manifest(t)
+        assert len([g for g in delete_groups(m) if g["key"] == "k"]) == 2
+        assert m["deletes"] is None and m["min_reader_format"] == 2
 
     def test_vacuum_keeps_delete_files(self, spark, tmp_path):
         t = self._table(spark, tmp_path)
@@ -423,3 +430,243 @@ class TestExpireSnapshots:
         with pytest.raises(ValueError):
             expire_snapshots(t, keep_last=0)
         assert expire_snapshots(t, keep_last=3) == []  # window > history: no-op
+
+
+class TestTimeTravelAddressing:
+    """VERDICT r7 #4: snapshots addressable by commit TIMESTAMP and by
+    named TAG, not just integer version — the forms users write
+    (`AS OF TIMESTAMP`, write-audit-publish)."""
+
+    def _table(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        for i in range(1, 4):
+            upsert(spark, t, spark.createDataFrame([(i, i * 10)], ["k", "v"]), ["k"])
+        return t
+
+    def test_commit_times_strictly_monotonic(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        ats = [read_manifest(t, v)["committed_at_ms"] for v in (1, 2, 3)]
+        assert ats[0] < ats[1] < ats[2]
+
+    def test_as_of_ts_resolves_newest_at_or_before(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import resolve_as_of
+
+        t = self._table(spark, tmp_path)
+        a1, a2, a3 = (read_manifest(t, v)["committed_at_ms"] for v in (1, 2, 3))
+        assert resolve_as_of(t, a1) == 1            # exact hit
+        assert resolve_as_of(t, a2 - 1) == 1        # between commits -> older
+        assert resolve_as_of(t, a3 + 10_000) == 3   # after everything -> latest
+        assert sorted(r.k for r in snapshot(spark, t, as_of_ts=a2).collect()) == [1, 2]
+        from anglerfish_spark.errors import AnglerfishError
+
+        with pytest.raises(AnglerfishError):
+            resolve_as_of(t, a1 - 1)  # before all retained history
+
+    def test_addressings_mutually_exclusive(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        with pytest.raises(ValueError):
+            snapshot(spark, t, version=1, as_of_ts=0)
+
+    def test_tags_pin_and_resolve(self, spark, tmp_path):
+        from anglerfish_spark.errors import AnglerfishError
+        from anglerfish_spark.sources.manifest_table import delete_tag, tag, tags
+
+        t = self._table(spark, tmp_path)
+        assert tag(t, "gold", 2) == 2
+        assert tags(t) == {"gold": 2}
+        assert sorted(r.k for r in snapshot(spark, t, tag="gold").collect()) == [1, 2]
+        with pytest.raises(AnglerfishError):
+            tag(t, "gold", 3)  # create-once: re-pointing is delete + tag
+        with pytest.raises(AnglerfishError):
+            tag(t, "nope", 9)  # no such manifest
+        delete_tag(t, "gold")
+        with pytest.raises(AnglerfishError):
+            snapshot(spark, t, tag="gold")
+
+    def test_tag_pins_against_expiration(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            delete_tag,
+            expire_snapshots,
+            tag,
+        )
+
+        t = self._table(spark, tmp_path)
+        tag(t, "audit", 1)
+        assert expire_snapshots(t, keep_last=1) == [2]  # v1 pinned, v2 goes
+        assert sorted(r.k for r in snapshot(spark, t, tag="audit").collect()) == [1]
+        delete_tag(t, "audit")
+        assert expire_snapshots(t, keep_last=1) == [1]  # unpinned -> reclaimed
+
+
+class TestCompactDeletes:
+    """VERDICT r7 #2: targeted (minor) delete compaction — rewrite ONLY
+    the files the delete state touches, keep everything else verbatim,
+    clear the folded delete entries."""
+
+    def _sizes(self, t, files):
+        return {f: os.path.getsize(os.path.join(t, f)) for f in files}
+
+    def test_pos_delete_rewrites_only_named_files(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            compact_deletes,
+            delete_where,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).repartitionByRange(4, "k")
+        upsert(spark, t, df, ["k"])
+        before = _rows(snapshot(spark, t))
+        delete_where(spark, t, F.col("k") >= 35)  # hits only the top-range file
+        m2 = read_manifest(t)
+        expect = _rows(snapshot(spark, t))
+        untouched = None
+        sizes_before = self._sizes(t, m2["files"])
+        v3, report = compact_deletes(spark, t)
+        assert v3 == 3 and report["rewritten"]
+        # only a strict subset of files was rewritten; the rest are the
+        # SAME paths with the SAME bytes on disk (never rewritten)
+        untouched = [f for f in m2["files"] if f not in report["rewritten"]]
+        assert untouched and set(report["rewritten"]) < set(m2["files"])
+        m3 = read_manifest(t)
+        assert set(untouched) <= set(m3["files"])
+        assert self._sizes(t, untouched) == {f: sizes_before[f] for f in untouched}
+        # delete state cleared, rows identical, history intact
+        assert not m3.get("pos_deletes") and not m3.get("delete_groups")
+        assert _rows(snapshot(spark, t)) == expect
+        assert _rows(snapshot(spark, t, 1)) == before
+        # the feed over a compaction step is empty (logged no-op)
+        from anglerfish_spark.sources.read_path import table_changes
+
+        feed, mode = table_changes(spark, t, 2, 3)
+        assert mode == "logged" and feed.count() == 0
+
+    def test_equality_delete_targeted(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            compact_deletes,
+            delete_keys,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).repartitionByRange(4, "k")
+        upsert(spark, t, df, ["k"])
+        m1 = read_manifest(t)
+        delete_keys(spark, t, "k", spark.createDataFrame([(2,), (3,)], "k long"))
+        expect = _rows(snapshot(spark, t))
+        v3, report = compact_deletes(spark, t)
+        m3 = read_manifest(t)
+        # keys 2,3 live in one range file: the other three stay verbatim
+        assert len(report["rewritten"]) < len(m1["files"])
+        assert not m3.get("delete_groups") and m3.get("deletes") is None
+        assert _rows(snapshot(spark, t)) == expect
+        assert len(_rows(snapshot(spark, t, 1))) == 40
+
+    def test_nothing_to_fold_is_noop(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import compact_deletes
+
+        t = str(tmp_path / "t")
+        upsert(spark, t, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+        v, report = compact_deletes(spark, t)
+        assert v == 1 and report["rewritten"] == []
+        assert current_version(t) == 1  # no new commit
+
+
+class TestCommitValidation:
+    """VERDICT r7 #7: Iceberg-style semantic validation when a writer
+    loses the version CAS — append/equality-delete rebase cleanly,
+    positional deletes over a concurrent rewrite must FAIL, not
+    silently anti-join nothing."""
+
+    def _base(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(6).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        upsert(spark, t, df, ["k"])
+        return t
+
+    def test_append_rebases_over_append(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import commit_rebased
+
+        t = self._base(spark, tmp_path)
+        mine = stage_files(
+            spark.createDataFrame([(100, 1.0)], "k long, v double"), t
+        )
+        # concurrent writer lands v2 first
+        upsert(spark, t, spark.createDataFrame([(200, 2.0)], "k long, v double"), ["k"])
+        with pytest.raises(ConcurrentCommitError):
+            commit(t, read_manifest(t, 1)["files"] + mine, expected_version=1)
+        v = commit_rebased(t, 1, "append", files=mine)
+        assert v == 3
+        ks = sorted(r.k for r in snapshot(spark, t).collect())
+        assert 100 in ks and 200 in ks and len(ks) == 8
+
+    def test_append_rebases_over_delete_seq_rule(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            commit_rebased,
+            delete_keys,
+        )
+
+        t = self._base(spark, tmp_path)
+        mine = stage_files(spark.createDataFrame([(2, 9.0)], "k long, v double"), t)
+        delete_keys(spark, t, "k", spark.createDataFrame([(2,)], "k long"))  # v2
+        v = commit_rebased(t, 1, "append", files=mine)
+        rows = {r.k: r.v for r in snapshot(spark, t, v).collect()}
+        assert rows[2] == 9.0  # re-appended key visible: delete has older seq
+
+    def test_equality_delete_rebases_over_upsert(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import commit_rebased
+
+        t = self._base(spark, tmp_path)
+        kf = stage_files(spark.createDataFrame([(4,)], "k long"), t)
+        upsert(spark, t, spark.createDataFrame([(4, 44.0), (7, 7.0)], "k long, v double"), ["k"])
+        v = commit_rebased(t, 1, "equality_delete", delete_group={"key": "k", "files": kf})
+        ks = sorted(r.k for r in snapshot(spark, t, v).collect())
+        # like Iceberg: the retried delete's NEW seq suppresses even the
+        # concurrently upserted image of k=4
+        assert ks == [0, 1, 2, 3, 5, 7]
+
+    def test_pos_delete_conflicts_with_compaction(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            CommitConflictError,
+            commit_rebased,
+            compact_table,
+        )
+        from anglerfish_spark.sources.read_path import read_table
+
+        t = self._base(spark, tmp_path)
+        pre, _ = read_table(spark, t, 1, with_positions=True)
+        hits = pre.where(F.col("k") >= 4).select(
+            F.col("_fp").alias("file"), F.col("_ri").alias("pos")
+        )
+        pfiles = stage_files(hits, t)
+        compact_table(spark, t)  # concurrent rewrite supersedes the files
+        with pytest.raises(CommitConflictError, match="re-derive"):
+            commit_rebased(t, 1, "pos_delete", pos_delete_files=pfiles)
+
+    def test_pos_delete_rebases_over_pure_append(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            commit_rebased,
+        )
+        from anglerfish_spark.sources.read_path import read_table
+
+        t = self._base(spark, tmp_path)
+        pre, _ = read_table(spark, t, 1, with_positions=True)
+        hits = pre.where(F.col("k") >= 4).select(
+            F.col("_fp").alias("file"), F.col("_ri").alias("pos")
+        )
+        pfiles = stage_files(hits, t)
+        # concurrent APPEND keeps the named files intact -> rebase lands
+        mine = stage_files(spark.createDataFrame([(9, 9.0)], "k long, v double"), t)
+        commit(t, read_manifest(t, 1)["files"] + mine, expected_version=1)
+        v = commit_rebased(t, 1, "pos_delete", pos_delete_files=pfiles)
+        ks = sorted(r.k for r in snapshot(spark, t, v).collect())
+        assert ks == [0, 1, 2, 3, 9]
+
+    def test_rebase_without_race_is_an_error(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import commit_rebased
+
+        t = self._base(spark, tmp_path)
+        with pytest.raises(ValueError, match="nothing to rebase"):
+            commit_rebased(t, 1, "append", files=[])

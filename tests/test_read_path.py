@@ -260,22 +260,32 @@ class TestPositionalDeletes:
 
 
 class TestTableChanges:
-    """Change-feed producer: incremental path for append-only history,
-    exceptAll diff otherwise, compaction emits an empty feed."""
+    """Change-feed producer: commit-time LOGGED path for every commit
+    kind (VERDICT r7 #1), incremental path for append-only history,
+    exceptAll diff as the legacy fallback AND the independent oracle the
+    logged path is pinned against."""
 
-    def test_append_only_takes_incremental_path(self, spark, tmp_path):
+    def test_append_history_offers_logged_and_incremental(self, spark, tmp_path):
         from anglerfish_spark.sources.read_path import table_changes
 
         t = _mk_evolved(spark, tmp_path)  # v2 is an append_evolved commit
-        feed, mode = table_changes(spark, t, from_version=1, to_version=2)
-        assert mode == "incremental"
-        rows = sorted((r.k, r.price, r.status, r._change_type) for r in feed.collect())
-        assert rows == [
+        expect = [
             (8, 85.0, "live", "insert"), (9, 95.0, "live", "insert"),
             (10, 105.0, "live", "insert"), (11, 115.0, "live", "insert"),
         ]
+        feed, mode = table_changes(spark, t, from_version=1, to_version=2)
+        assert mode == "logged"  # appends log their new files as the feed
+        assert sorted(tuple(r) for r in feed.collect()) == expect
+        feed, mode = table_changes(
+            spark, t, from_version=1, to_version=2, mode="incremental"
+        )
+        assert mode == "incremental"
+        assert sorted(tuple(r) for r in feed.collect()) == expect
 
-    def test_upsert_rewrite_takes_diff_path(self, spark, tmp_path):
+    def test_upsert_rewrite_takes_logged_path(self, spark, tmp_path):
+        """The r7 cost cliff: an upsert REWRITE previously forced an
+        O(both snapshots) diff; the commit-time log makes it O(changed
+        rows) — and the logged feed must equal the diff oracle."""
         from anglerfish_spark.sources.read_path import table_changes
 
         t = str(tmp_path / "t")
@@ -284,14 +294,36 @@ class TestTableChanges:
         mt.upsert(spark, t, spark.createDataFrame(
             [(2, 99.0), (3, 30.0)], "k long, v double"), ["k"])
         feed, mode = table_changes(spark, t, from_version=1)
-        assert mode == "diff"
+        assert mode == "logged"
         rows = sorted((r.k, r.v, r._change_type) for r in feed.collect())
         # update of k=2 = delete old image + insert new; k=3 inserted
         assert rows == [
             (2, 20.0, "delete"), (2, 99.0, "insert"), (3, 30.0, "insert"),
         ]
+        diff, mode = table_changes(spark, t, from_version=1, mode="diff")
+        assert mode == "diff"
+        assert rows == sorted((r.k, r.v, r._change_type) for r in diff.collect())
 
-    def test_delete_commit_feed_and_compaction_noop(self, spark, tmp_path):
+    def test_noop_update_not_fed(self, spark, tmp_path):
+        """Re-upserting an identical row is a physical rewrite but a
+        logical no-op — the logged feed must cancel it (like the diff)."""
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = str(tmp_path / "t")
+        mt.upsert(spark, t, spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k long, v double"), ["k"])
+        mt.upsert(spark, t, spark.createDataFrame(
+            [(1, 10.0), (2, 21.0)], "k long, v double"), ["k"])
+        feed, mode = table_changes(spark, t, from_version=1)
+        assert mode == "logged"
+        assert sorted((r.k, r.v, r._change_type) for r in feed.collect()) == [
+            (2, 20.0, "delete"), (2, 21.0, "insert"),
+        ]
+
+    def test_delete_commits_feed_and_compaction_noop(self, spark, tmp_path):
+        """Delete-only commits: the feed is the logged deleted images —
+        O(deleted rows), for both equality and positional deletes; a
+        compaction logs an explicitly empty change set."""
         from anglerfish_spark.sources.read_path import table_changes
 
         t = str(tmp_path / "t")
@@ -299,10 +331,195 @@ class TestTableChanges:
         mt.upsert(spark, t, df, ["k"])
         mt.delete_keys(spark, t, "k", spark.createDataFrame([(4,), (7,)], "k long"))
         feed, mode = table_changes(spark, t, from_version=1, to_version=2)
-        assert mode == "diff"
+        assert mode == "logged"
         assert sorted((r.k, r._change_type) for r in feed.collect()) == [
             (4, "delete"), (7, "delete"),
         ]
-        mt.compact_table(spark, t)  # v3: logically a no-op
-        feed, _ = table_changes(spark, t, from_version=2, to_version=3)
+        mt.delete_where(spark, t, F.col("v") >= 8.0)  # v3: positional
+        feed, mode = table_changes(spark, t, from_version=2, to_version=3)
+        assert mode == "logged"
+        assert sorted((r.k, r._change_type) for r in feed.collect()) == [
+            (8, "delete"), (9, "delete"),
+        ]
+        mt.compact_table(spark, t)  # v4: logically a no-op
+        feed, mode = table_changes(spark, t, from_version=3, to_version=4)
+        assert mode == "logged"
         assert feed.count() == 0
+
+    def test_logged_equals_diff_on_mixed_history(self, spark, tmp_path):
+        """Every single-step feed across a mixed history (upsert rewrite,
+        equality delete, positional delete, compaction, append) must
+        match the independent exceptAll diff oracle."""
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = str(tmp_path / "t")
+        df = spark.range(12).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        mt.upsert(spark, t, df, ["k"])                                      # v1
+        mt.upsert(spark, t, spark.createDataFrame(
+            [(3, 99.0), (20, 1.0)], "k long, v double"), ["k"])             # v2
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(5,)], "k long"))  # v3
+        mt.delete_where(spark, t, F.col("v") > 9.5)                         # v4
+        mt.compact_table(spark, t)                                          # v5
+        for u in range(1, 5):
+            logged, lm = table_changes(spark, t, u, u + 1)
+            diff, dm = table_changes(spark, t, u, u + 1, mode="diff")
+            assert lm == "logged" and dm == "diff", (u, lm, dm)
+            assert sorted(tuple(r) for r in logged.collect()) == sorted(
+                tuple(r) for r in diff.collect()
+            ), f"step {u}->{u+1}"
+
+    def test_incremental_refused_with_active_deletes_legacy(self, spark, tmp_path):
+        """ADVICE r7 medium #1: an append over ACTIVE delete groups may
+        only take the incremental path when sequence numbers prove the
+        deletes cannot suppress the appended rows; a legacy manifest
+        (seq-less groups) must fall back to diff, not feed rows the
+        snapshot excludes."""
+        import json
+
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = _mk_evolved(spark, tmp_path)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,)], "k long"))  # v3
+        # strip seqs → legacy manifest shape
+        for v in (3,):
+            p = mt._manifest_path(t, v)
+            m = json.load(open(p))
+            for g in m["delete_groups"]:
+                g.pop("seq", None)
+            m["deletes"], m["delete_key"] = m["delete_groups"][0]["files"], "k"
+            json.dump(m, open(p, "w"))
+        v4_batch = spark.range(2, 4).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10.0 + 5).alias("price"),
+            F.lit("re").alias("status"),
+        )
+        mt.append_evolved(spark, t, v4_batch, V2, reader_schema=V2)  # v4
+        # seq-less groups apply to ALL filesets: k=2 is suppressed in the
+        # snapshot, so neither the logged claim ("k=2 inserted") nor the
+        # incremental path may be offered — auto must fall back to diff
+        feed, mode = table_changes(spark, t, 3, 4)
+        assert mode == "diff"
+        assert sorted((r.k, r._change_type) for r in feed.collect()) == [
+            (3, "insert"),
+        ]
+
+    def test_incremental_refused_guard(self, spark, tmp_path):
+        """Directly: legacy seq-less delete groups + append → auto mode
+        avoids 'incremental' (logged is fine: appends log their files)."""
+        import json
+
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = _mk_evolved(spark, tmp_path)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,)], "k long"))
+        p = mt._manifest_path(t, 3)
+        m = json.load(open(p))
+        for g in m["delete_groups"]:
+            g.pop("seq", None)
+        json.dump(m, open(p, "w"))
+        v4 = spark.range(20, 22).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10.0).alias("price"),
+            F.lit("x").alias("status"),
+        )
+        mt.append_evolved(spark, t, v4, V2, reader_schema=V2)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="append-only"):
+            table_changes(spark, t, 3, 4, mode="incremental")
+
+
+class TestSequenceRule:
+    """ADVICE r7 medium #2: equality deletes apply only to filesets with
+    strictly older sequence numbers — re-inserting a deleted key via a
+    later append must be visible."""
+
+    def test_reinserted_key_visible(self, spark, tmp_path):
+        t = _mk_evolved(spark, tmp_path)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,), (9,)], "k long"))
+        assert sorted(r.k for r in mt.snapshot(spark, t).collect()) == [
+            0, 1, 3, 4, 5, 6, 7, 8, 10, 11,
+        ]
+        back = spark.createDataFrame([(2, 25.0, "back")], "k long, price double, status string")
+        mt.append_evolved(spark, t, back, V2, reader_schema=V2)
+        rows = {r.k: r.status for r in mt.snapshot(spark, t).collect()}
+        assert rows[2] == "back"  # new fileset seq > delete seq → visible
+        assert 9 not in rows      # old fileset rows stay deleted
+
+    def test_second_delete_applies_to_reinserted(self, spark, tmp_path):
+        """A LATER delete (higher seq) on the same key removes the
+        re-inserted row too."""
+        t = _mk_evolved(spark, tmp_path)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,)], "k long"))
+        back = spark.createDataFrame([(2, 25.0, "back")], "k long, price double, status string")
+        mt.append_evolved(spark, t, back, V2, reader_schema=V2)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,)], "k long"))
+        assert 2 not in {r.k for r in mt.snapshot(spark, t).collect()}
+        # multi-group manifest: the lossy legacy mirror must be fenced off
+        m = mt.read_manifest(t)
+        assert len(mt.delete_groups(m)) == 2
+        assert m["min_reader_format"] == 2 and m["deletes"] is None
+
+    def test_legacy_seqless_group_applies_everywhere(self, spark, tmp_path):
+        """Backward compat: a manifest whose delete groups carry no seq
+        (pre-r8) keeps its old read semantics — the delete suppresses
+        every fileset, including later appends."""
+        import json
+
+        t = _mk_evolved(spark, tmp_path)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,)], "k long"))
+        p = mt._manifest_path(t, 3)
+        m = json.load(open(p))
+        for g in m["delete_groups"]:
+            g.pop("seq", None)
+        json.dump(m, open(p, "w"))
+        back = spark.createDataFrame([(2, 25.0, "back")], "k long, price double, status string")
+        mt.append_evolved(spark, t, back, V2, reader_schema=V2)
+        assert 2 not in {r.k for r in mt.snapshot(spark, t).collect()}
+
+
+class TestCompactDeletesEvolved:
+    """compact_deletes × evolution × sequence rule: the re-appended
+    key's (newer) file must NOT be rewritten, and the rewrite resolves
+    mixed writer schemas into the reader schema."""
+
+    def test_targeted_with_seq_and_rename(self, spark, tmp_path):
+        t = _mk_evolved(spark, tmp_path)                                   # v1, v2
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(2,), (9,)], "k long"))  # v3
+        back = spark.createDataFrame(
+            [(2, 25.0, "back")], "k long, price double, status string"
+        )
+        mt.append_evolved(spark, t, back, V2, reader_schema=V2)            # v4
+        m4 = mt.read_manifest(t)
+        newest_files = set(m4["filesets"][-1]["files"])  # the re-append, seq 4
+        expect = sorted(tuple(r) for r in mt.snapshot(spark, t).collect())
+        v5, report = mt.compact_deletes(spark, t)
+        # the delete (seq 3) cannot apply to the seq-4 fileset: its file
+        # is untouched; only files containing k=2 (old image) / k=9 get
+        # rewritten
+        assert not (set(report["rewritten"]) & newest_files)
+        assert report["rewritten"]
+        m5 = mt.read_manifest(t)
+        assert not mt.delete_groups(m5)
+        got = sorted(tuple(r) for r in mt.snapshot(spark, t).collect())
+        assert got == expect
+        rows = {r.k: r.status for r in mt.snapshot(spark, t).collect()}
+        assert rows[2] == "back" and 9 not in rows
+
+    def test_pruned_probe_uses_stats(self, spark, tmp_path):
+        """With footer stats recorded, the equality probe's read plans
+        prune candidate files by the keys' range (files_kept < total)."""
+        t = _mk_evolved(spark, tmp_path, stat_cols=True)
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(1,)], "k long"))
+        from anglerfish_spark.sources.read_path import read_table
+
+        # the probe read compact_deletes performs: keys {1} -> lo=hi=1
+        pre, report = read_table(
+            spark, t, with_positions=True, apply_deletes=False,
+            predicates={"k": (1, 1)},
+        )
+        assert report["files_kept"] < report["files_total"]
+        v, rep = mt.compact_deletes(spark, t)
+        assert len(rep["rewritten"]) == 1  # exactly the file holding k=1
+        got = sorted(r.k for r in mt.snapshot(spark, t).collect())
+        assert got == [0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11]
