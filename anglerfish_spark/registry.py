@@ -77,6 +77,7 @@ def all_queries() -> dict[str, QueryDef]:
     from .streaming import mv as _smv  # noqa: F401
     from .streaming import joins as _sjoins  # noqa: F401
     from .streaming import stateful as _stateful  # noqa: F401
+    from .streaming import table_feed as _table_feed  # noqa: F401
     from .streaming import windows as _windows  # noqa: F401
 
     return dict(QUERIES)

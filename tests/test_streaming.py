@@ -695,3 +695,130 @@ class TestStreamCdcDeletes:
         sd.apply_cdc_batch(batch, 0, t, "k")  # redelivery
         got = sorted(r.k for r in snapshot(spark, t).collect())
         assert got == [0, 1, 3, 4, 5, 6, 7, 8, 9, 100]
+
+
+class TestManifestFeedSource:
+    """The manifest table as a Structured Streaming SOURCE (VERDICT r7
+    #3): version offsets in Spark's own checkpoint WAL, partitions =
+    change files, feed == batch table_changes, restart recovery without
+    loss or duplication."""
+
+    def _table(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import delete_keys, upsert
+
+        t = str(tmp_path / "t")
+        df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        upsert(spark, t, df, ["k"])                                          # v1
+        upsert(spark, t, spark.createDataFrame(
+            [(3, 33.0), (20, 2.0)], "k long, v double"), ["k"])              # v2
+        delete_keys(spark, t, "k", spark.createDataFrame([(5,)], "k long"))  # v3
+        return t
+
+    def _drain(self, spark, t, checkpoint, name, starting_version=0):
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import read_table_feed
+
+        q = (
+            read_table_feed(spark, t, starting_version)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_fail(q)
+        return sorted(tuple(r) for r in spark.table(name).collect())
+
+    def test_feed_equals_batch_logged_changes(self, spark, tmp_path):
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = self._table(spark, tmp_path)
+        got = self._drain(spark, t, str(tmp_path / "cp"), "feed_eq")
+        batch, mode = table_changes(spark, t, 0, 3)
+        assert mode == "logged"
+        want = sorted(
+            tuple(r)
+            for r in batch.select("k", "v", "_change_type").collect()
+        )
+        assert got == want
+
+    def _drain_files(self, spark, t, checkpoint, out):
+        """Drain through a fault-tolerant FILE sink (the memory sink
+        refuses checkpoint recovery by design) and return the sink's
+        accumulated rows."""
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import read_table_feed
+
+        q = (
+            read_table_feed(spark, t)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_fail(q)
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    def test_checkpoint_recovery_no_loss_no_dup(self, spark, tmp_path):
+        """Stop after draining v1..v3, commit v4+v5, restart on the SAME
+        checkpoint: exactly the new commits' changes are appended."""
+        from anglerfish_spark.sources.manifest_table import delete_keys, upsert
+
+        t = self._table(spark, tmp_path)
+        cp, out = str(tmp_path / "cp"), str(tmp_path / "out")
+        first = self._drain_files(spark, t, cp, out)
+        assert first  # v1..v3 drained
+        upsert(spark, t, spark.createDataFrame([(7, 77.0)], "k long, v double"), ["k"])  # v4
+        delete_keys(spark, t, "k", spark.createDataFrame([(0,)], "k long"))              # v5
+        total = self._drain_files(spark, t, cp, out)
+        # v4 = update of k=7 (delete old + insert new); v5 = delete k=0 —
+        # appended exactly once on top of the first drain (no re-delivery
+        # of v1..v3, no loss of v4/v5)
+        second = [
+            (0, 0.0, "delete"), (7, 7.0, "delete"), (7, 77.0, "insert"),
+        ]
+        assert total == sorted(first + second)
+        # a FRESH checkpoint re-delivers everything (replay-from-scratch
+        # is deterministic: same manifests, same feed)
+        replay = self._drain(spark, t, str(tmp_path / "cp2"), "feed_r3")
+        assert replay == sorted(first + second)
+
+    def test_unlogged_commit_fails_loudly(self, spark, tmp_path):
+        import json
+
+        import pytest as _pytest
+
+        from anglerfish_spark.sources import manifest_table as mt
+
+        t = self._table(spark, tmp_path)
+        p = mt._manifest_path(t, 2)
+        m = json.load(open(p))
+        m["changes"] = None
+        json.dump(m, open(p, "w"))
+        with _pytest.raises(Exception, match="no change log"):
+            self._drain(spark, t, str(tmp_path / "cp"), "feed_unlogged")
+
+    def test_evolved_entries_refused(self, spark, tmp_path):
+        """Change files logged under an OLD writer schema: the Arrow
+        stream reader refuses (batch table_changes resolves them)."""
+        import pytest as _pytest
+
+        from anglerfish_spark.sources import manifest_table as mt
+
+        V1 = """
+        {"type":"record","name":"R","fields":[
+          {"name":"k","type":"long"},{"name":"total","type":"double"}]}
+        """
+        V2 = """
+        {"type":"record","name":"R","fields":[
+          {"name":"k","type":"long"},
+          {"name":"price","type":"double","aliases":["total"]}]}
+        """
+        t = str(tmp_path / "t")
+        v1 = spark.range(4).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("total"))
+        mt.append_evolved(spark, t, v1, V1)
+        v2 = spark.range(4, 6).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("price"))
+        mt.append_evolved(spark, t, v2, V2, reader_schema=V2)
+        with _pytest.raises(Exception, match="does not resolve evolution"):
+            self._drain(spark, t, str(tmp_path / "cp"), "feed_evolved")
