@@ -117,32 +117,110 @@ def exact_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFra
     return _topk_ranked(cand, k)
 
 
-def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = TOP_K) -> DataFrame:
-    """Approximate top-k via banded LSH (OR-construction): a candidate is
-    any vector sharing AT LEAST ONE of the query's N_BANDS band keys;
-    exact cosine ranks the candidates.  A single band's exact-signature
-    match is structurally blind on weakly-clustered corpora (see N_BANDS)
-    — the multi-band union is the standard recall lever, CI-gated in
-    tests/test_similarity.py::TestAnnRecall.
+#: Multi-probe width: probe keys emitted per band on the QUERY side.
+#: 1 = plain banded LSH; the query additionally probes each band's key
+#: with its lowest-|projection| bit(s) flipped — the bits most likely
+#: to disagree with a true neighbor across the hyperplane (Lv et al.,
+#: multi-probe LSH, VLDB'07).  Probe sets in perturbation order: {},
+#: {b0}, {b1}, {b0,b1} with |proj(b0)| <= |proj(b1)|.  With the 24×8
+#: band shape, probes=4 measures recall@5 = 0.72/0.88 at ~33%
+#: candidates (full sweep table in N_BANDS's comment / SCALE.md r8),
+#: up from r7's 0.60/0.64 — CI gate raised 0.4 → 0.6
+#: (tests/test_similarity.py::TestAnnRecall).  Cost: only the
+#: broadcast-tiny query side fans out (|Q| × N_BANDS × probes key
+#: rows); the corpus side still emits exactly N_BANDS keys per vector,
+#: so the index build is unchanged.
+N_PROBES_LSH = 4
+
+
+def lsh_probe_keys_batch(
+    vec: Column, planes: list[list[int]] | None = None, n_probes: int = N_PROBES_LSH
+) -> Column:
+    """Arrow-batched multi-probe band keys: ``array<string>`` of
+    ``N_BANDS * n_probes`` keys, band-major (``band_id = pos / n_probes``
+    after ``posexplode``).  Projections accumulate with the EXACT
+    sequential arithmetic of :func:`lsh_signature_batch` (bit-identical
+    signatures); flip order is (|proj|, bit-index) ascending, matching
+    the DuckDB oracle's ``list_sort`` over ``{a: abs(proj), i: idx}``
+    structs so ties cannot diverge across engines.  Applied to the
+    QUERY side only — per-row Python over |Q| rows, not the corpus."""
+    if not 1 <= n_probes <= 4:
+        raise ValueError("n_probes must be in 1..4 ({}, {b0}, {b1}, {b0,b1})")
+    P = np.array(planes if planes is not None else _BAND_PLANES, dtype=np.float64)
+
+    @F.pandas_udf("array<string>")
+    def probe(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mask = v.notna().to_numpy()
+        out = np.full(len(v), None, dtype=object)
+        if mask.any():
+            X = np.stack(v.to_numpy()[mask]).astype(np.float64)
+            acc = np.zeros((X.shape[0], P.shape[0]), dtype=np.float64)
+            for i in range(P.shape[1]):
+                acc += X[:, i : i + 1] * P[:, i]
+            keys_per_row = []
+            for r in range(acc.shape[0]):
+                keys: list[str] = []
+                for b in range(N_BANDS):
+                    pj = acc[r, b * BAND_BITS : (b + 1) * BAND_BITS]
+                    bits = pj >= 0.0
+                    order = sorted(range(BAND_BITS), key=lambda i: (abs(pj[i]), i))
+                    b0, b1 = order[0], order[1]
+                    for flips in ((), (b0,), (b1,), (b0, b1))[:n_probes]:
+                        keys.append(
+                            "".join(
+                                "1" if (bits[i] ^ (i in flips)) else "0"
+                                for i in range(BAND_BITS)
+                            )
+                        )
+                keys_per_row.append(keys)
+            # assign list objects one-by-one: a 2-D assignment through a
+            # boolean mask would try to broadcast the key matrix
+            for mi, kr in zip(np.flatnonzero(mask), keys_per_row):
+                out[mi] = kr
+        return pd.Series(out)
+
+    return probe(vec)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_probes: int = N_PROBES_LSH,
+) -> DataFrame:
+    """Approximate top-k via MULTI-PROBE banded LSH (OR-construction):
+    a candidate is any vector sharing at least one of the query's
+    ``N_BANDS × n_probes`` probed band keys — each band contributes its
+    exact key plus its lowest-|projection| bit flips
+    (:data:`N_PROBES_LSH`); exact cosine ranks the candidates.  A single
+    band's exact-signature match is structurally blind on
+    weakly-clustered corpora (see N_BANDS) — the multi-band union is the
+    recall lever and multi-probe raises it further at fixed index cost,
+    CI-gated in tests/test_similarity.py::TestAnnRecall.
 
     Scale shape: signatures are one Arrow-batched map over each side;
     the band probe is an equi-join keyed (band_id, band_key) — never a
-    cross product — the candidate-pair set is deduped BEFORE any
-    embedding payload is attached (band rows carry ids only, so the
-    explode ships 16×ids, not 16×vectors), and full-dim cosine runs once
-    per distinct candidate pair (~candidate-fraction · N · |Q| scores,
-    measured ~7% here vs brute force's 100%)."""
+    cross product — only the broadcast-tiny QUERY side fans out by
+    n_probes, the candidate-pair set is deduped BEFORE any embedding
+    payload is attached (band rows carry ids only, so the explode ships
+    16×ids, not 16×vectors), and full-dim cosine runs once per distinct
+    candidate pair (candidate-fraction · N · |Q| scores; measured
+    fractions per probe width in SCALE.md r8)."""
     csig = corpus.select(
         "vec_id", lsh_signature_batch(F.col("embedding"), _BAND_PLANES).alias("sig")
     )
     cb = csig.select(
         "vec_id", F.posexplode(_band_keys(F.col("sig"))).alias("band_id", "band_key")
     )
-    qsig = queries.select(
-        "query_id", lsh_signature_batch(F.col("qe"), _BAND_PLANES).alias("sig")
-    )
-    qb = qsig.select(
-        "query_id", F.posexplode(_band_keys(F.col("sig"))).alias("band_id", "band_key")
+    qb = queries.select(
+        "query_id",
+        F.posexplode(
+            lsh_probe_keys_batch(F.col("qe"), _BAND_PLANES, n_probes)
+        ).alias("pos", "band_key"),
+    ).select(
+        "query_id", (F.col("pos") / n_probes).cast("int").alias("band_id"), "band_key"
     )
     pairs = (
         cb.join(F.broadcast(qb), ["band_id", "band_key"])
@@ -250,19 +328,22 @@ def _hyperplanes(n_bits: int = N_BITS, dim: int = DIM) -> list[list[int]]:
 
 _PLANES = _hyperplanes()
 
-#: OR-construction shape: N_BANDS bands of BAND_BITS hyperplane bits.
+#: OR-construction shape: N_BANDS bands of BAND_BITS hyperplane bits,
+#: probed MULTI-PROBE (:data:`N_PROBES_LSH`) on the query side.
 #: Measured on the synthetic corpus (fixed md5 planes, recall@5 vs exact
-#: cosine at sf0.01/sf0.1 — SCALE.md r7): a SINGLE 8-bit band has recall
-#: 0.0–0.08 (near-uniform vectors almost never agree with their true
-#: neighbors on all 8 signs); the 16×6 OR-construction measures
-#: recall@5 = 0.60/0.64 at ~24% candidate fraction — a ~2.6× recall
-#: lift over random candidate sampling at 4× fewer full-dim scores than
-#: brute force.  Sweep: 16×8→0.16-0.20@7%, 32×8→0.36-0.44@13%,
-#: 48×8→0.52@19%, 16×6→0.60-0.64@24% (best recall-per-candidate on this
-#: corpus, which is LSH's structural worst case — same honesty note as
-#: the PQ codebook: RERANK_MULT).  Clustered real corpora sit far above.
-N_BANDS = 16
-BAND_BITS = 6
+#: cosine at sf0.01/sf0.1 — SCALE.md r7/r8): a SINGLE 8-bit band has
+#: recall 0.0–0.08 (near-uniform vectors almost never agree with their
+#: true neighbors on all 8 signs); r7's single-probe 16×6 measured
+#: 0.60/0.64 at ~24% candidates.  The r8 multi-probe sweep (shape ×
+#: probes ∈ {1,2,4,8}, SCALE.md r8): 16×6 p2 → 0.76/0.88 @ 40-42%;
+#: 16×8 p4 → 0.64/0.84 @ 24.5%; 24×8 p4 → **0.72/0.88 @ ~33%** — the
+#: chosen point: recall ≥ 0.7 at BOTH sfs (deterministic: fixed planes,
+#: fixed corpus), ~33% candidate fraction on a corpus that is LSH's
+#: structural worst case (near-uniform angles: any recall gain is
+#: ~linear in candidates; clustered real corpora sit far above this
+#: frontier — same honesty note as the PQ codebook: RERANK_MULT).
+N_BANDS = 24
+BAND_BITS = 8
 
 _BAND_PLANES = _hyperplanes(N_BANDS * BAND_BITS)
 
@@ -339,7 +420,33 @@ def _sig_sql(col: str, planes: list[list[int]] | None = None) -> str:
             f"CAST({lits} AS DOUBLE[]))"
         )
         parts.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
-    return " || ".join(parts)
+    # flat variadic concat: chained `||` binds as a left-deep binary tree
+    # and trips DuckDB's 128-deep binder recursion limit at 192 planes
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _proj_list_sql(col: str, planes: list[list[int]]) -> str:
+    """``[proj_plane_0, ..., proj_plane_n]`` as a DuckDB DOUBLE list —
+    the per-plane projections multi-probe flip selection needs."""
+    parts = []
+    for plane in planes:
+        lits = "[" + ", ".join(str(float(x)) for x in plane) + "]"
+        parts.append(
+            f"list_inner_product(CAST({col} AS DOUBLE[]), CAST({lits} AS DOUBLE[]))"
+        )
+    return "[" + ", ".join(parts) + "]"
+
+
+def _probe_key_sql(flipcond: str) -> str:
+    """One probe key: band bits with the positions satisfying
+    ``flipcond`` (over 1-based in-band position ``i``) flipped —
+    ``(proj >= 0) != flip`` is the XOR.  References columns ``pj``
+    (full projection list) and ``base`` (band offset) of the qlo CTE."""
+    return (
+        "list_aggr([CASE WHEN (pj[base + i] >= 0) != (" + flipcond + ") "
+        "THEN '1' ELSE '0' END "
+        f"for i in generate_series(1, {BAND_BITS})], 'string_agg', '')"
+    )
 
 
 @query(
@@ -347,7 +454,8 @@ def _sig_sql(col: str, planes: list[list[int]] | None = None) -> str:
     oracle=f"""
 WITH sigs AS MATERIALIZED (
   -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
-  -- reference, and the 96-plane signature is ~99% of this oracle's cost
+  -- reference, and the {N_BANDS * BAND_BITS}-plane signature is ~99% of
+  -- this oracle's corpus-side cost
   SELECT vec_id, {_sig_sql('embedding', _BAND_PLANES)} AS sig
   FROM embeddings
 ),
@@ -357,8 +465,31 @@ bands AS MATERIALIZED (
   FROM sigs,
        (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band_id) b
 ),
-qb AS (SELECT vec_id AS query_id, band_id, band_key
-       FROM bands WHERE vec_id < {N_QUERIES}),
+qpj AS MATERIALIZED (
+  -- query-side per-plane projections (|Q| rows): multi-probe needs the
+  -- magnitudes, not just the signs
+  SELECT vec_id AS query_id, {_proj_list_sql('embedding', _BAND_PLANES)} AS pj
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+qlo AS (
+  -- per band: in-band positions sorted by (|proj|, position) ascending —
+  -- identical flip order to the engine's numpy (abs, idx) sort
+  SELECT query_id, pj, band_id, band_id * {BAND_BITS} AS base,
+         list_sort([{{'a': abs(pj[band_id * {BAND_BITS} + i]), 'i': i}}
+                    for i in generate_series(1, {BAND_BITS})]) AS lo
+  FROM qpj, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band_id) b
+),
+qb AS (
+  -- perturbation sequence {{}}, {{b0}}, {{b1}}, {{b0,b1}} (multi-probe,
+  -- N_PROBES_LSH = {N_PROBES_LSH})
+  SELECT query_id, band_id, unnest([
+    {_probe_key_sql('false')},
+    {_probe_key_sql('i = lo[1].i')},
+    {_probe_key_sql('i = lo[2].i')},
+    {_probe_key_sql('i = lo[1].i OR i = lo[2].i')}
+  ]) AS band_key
+  FROM qlo
+),
 pairs AS (
   SELECT DISTINCT q.query_id, c.vec_id
   FROM bands c
@@ -384,13 +515,19 @@ ORDER BY query_id, rn
     group="llm-similarity",
 )
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via banded LSH: candidates are the union over
-    N_BANDS bands of exact band-key matches (the OR-construction), ranked
-    by exact cosine.  Approximation QUALITY is measured and CI-gated
-    (recall@K vs the exact top-K, tests/test_similarity.py::TestAnnRecall),
-    not just determinism — the r6 single-band form was plan-shaped but
-    recall-blind on this corpus (recall@5 ≈ 0.0; see N_BANDS's comment).
-    Scale shape in :func:`ann_lsh_topk`."""
+    """Approximate top-k via MULTI-PROBE banded LSH: candidates are the
+    union over N_BANDS bands of the query's probed keys — each band's
+    exact key plus its lowest-|projection| bit flips (perturbation sets
+    {}, {b0}, {b1}, {b0,b1}) — ranked by exact cosine.  Approximation
+    QUALITY is measured and CI-gated (recall@K vs the exact top-K,
+    tests/test_similarity.py::TestAnnRecall; 0.72/0.88 measured, floor
+    0.6), not just determinism — the r6 single-band form was plan-shaped
+    but recall-blind on this corpus (recall@5 ≈ 0.0), and r7's
+    single-probe 16×6 sat at 0.60/0.64 (see N_BANDS's sweep table).
+    The oracle replicates the probe construction in SQL: per-band
+    ``list_sort`` over (|proj|, position) structs picks the same flip
+    bits, so the candidate SETS must match exactly, not just the final
+    ranking.  Scale shape in :func:`ann_lsh_topk`."""
     prepare(spark)
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
     q = e.where(F.col("vec_id") < N_QUERIES).select(

@@ -278,9 +278,12 @@ class TestAnnRecall:
         r = self._recalls(spark, "/root/testdata/sf0.01")
         print(f"\nANN recall@5 sf0.01: lsh={r['q_similarity_ann_lsh']:.3f} "
               f"ivf={r['q_similarity_ann_ivf']:.3f}")
-        # banded LSH on this near-uniform corpus: ~0.3-0.5 measured; the
-        # floor catches a collapse back to single-band blindness
-        assert r["q_similarity_ann_lsh"] >= 0.4, r
+        # multi-probe banded LSH (24x8, probes=4): 0.72/0.88 measured
+        # deterministically (fixed planes, fixed corpus) — r8 raised the
+        # floor from 0.4 (r7 single-probe measured 0.60/0.64); margin
+        # below the measured 0.72 guards only against testdata
+        # regeneration, not run-to-run noise (there is none)
+        assert r["q_similarity_ann_lsh"] >= 0.6, r
         # IVF probes 2/8 cells that really capture the cluster structure
         assert r["q_similarity_ann_ivf"] >= 0.7, r
 
@@ -288,5 +291,5 @@ class TestAnnRecall:
         r = self._recalls(spark, "/root/testdata/sf0.1")
         print(f"\nANN recall@5 sf0.1: lsh={r['q_similarity_ann_lsh']:.3f} "
               f"ivf={r['q_similarity_ann_ivf']:.3f}")
-        assert r["q_similarity_ann_lsh"] >= 0.4, r
+        assert r["q_similarity_ann_lsh"] >= 0.6, r
         assert r["q_similarity_ann_ivf"] >= 0.7, r
