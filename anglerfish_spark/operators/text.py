@@ -14,6 +14,7 @@ are md5 hex (identical in both engines).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -735,9 +736,12 @@ def inverted_index_table(spark: SparkSession, sf_dir: str) -> str:
     global _INVIDX_DIR
     if _INVIDX_DIR is None:
         _INVIDX_DIR = tempfile.mkdtemp(prefix="anglerfish_invidx_")
-    name = f"ang_invidx_{abs(hash(sf_dir)) % 10**8}"
+    name = f"ang_invidx_p2_{abs(hash(sf_dir)) % 10**8}"
     if not spark.catalog.tableExists(name):
-        idx = build_inverted_index(load_table(spark, sf_dir, "documents"))
+        # positional postings (r8): strictly more information in the same
+        # bucket layout — tf probes read p.doc_id/p.tf as before, phrase
+        # probes additionally read p.positions, both bucket-pruned
+        idx = build_positional_index(load_table(spark, sf_dir, "documents"))
         (
             idx.write.mode("overwrite")
             .option("path", os.path.join(_INVIDX_DIR, name))
@@ -758,7 +762,7 @@ def inverted_index_append(spark: SparkSession, name: str, new_docs: DataFrame) -
     results equal a from-scratch rebuild (tested) while ingest cost is
     O(new docs), never a corpus re-tokenize."""
     (
-        build_inverted_index(new_docs)
+        build_positional_index(new_docs)
         .write.mode("append")
         .bucketBy(INVIDX_BUCKETS, "term")
         .sortBy("term")
@@ -796,7 +800,7 @@ _INVIDX_INCR_BUILT: set[str] = set()
 def _incremental_index(spark: SparkSession, sf_dir: str) -> str:
     """Two-ingest index (once per process per sf_dir): 90% of the corpus
     at 'initial load', the doc_id % 10 == 0 batch appended after."""
-    name = f"ang_invidx_incr_{abs(hash(sf_dir)) % 10**8}"
+    name = f"ang_invidx_incr_p2_{abs(hash(sf_dir)) % 10**8}"
     if name in _INVIDX_INCR_BUILT and spark.catalog.tableExists(name):
         return name
     import os
@@ -809,7 +813,7 @@ def _incremental_index(spark: SparkSession, sf_dir: str) -> str:
     is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
     if not spark.catalog.tableExists(name):
         (
-            build_inverted_index(d.where(~is_new))
+            build_positional_index(d.where(~is_new))
             .write.mode("overwrite")
             .option("path", os.path.join(_INVIDX_DIR, name))
             .bucketBy(INVIDX_BUCKETS, "term")
@@ -903,3 +907,267 @@ def q_inverted_search_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     prepare(spark)
     return _probe_boolean(spark.table(_incremental_index(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# positional postings: phrase search + quantized-BM25 ranking (VERDICT r7
+# #6 — the two features separating a demo index from a usable one)
+# ---------------------------------------------------------------------------
+
+
+def build_positional_index(d: DataFrame) -> DataFrame:
+    """Inverted index WITH within-doc token positions: one row per term
+    with df and sorted postings ``array<struct<doc_id, tf,
+    positions: array<int>>>`` (0-based token offsets in document order).
+
+    Scale shape: identical to :func:`build_inverted_index` — the
+    positions ride the posting rows (one ``posexplode`` instead of
+    ``explode``, one combinable roll-up, one term-keyed assembly
+    shuffle), so bucket-pruned probes and LSM-style incremental
+    fragments work unchanged; postings grow by one int per token
+    occurrence, the classic positional-index size trade."""
+    pairs = (
+        d.select("doc_id", F.posexplode(tokens()).alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf", "positions"))).alias(
+            "postings"
+        ),
+    )
+
+
+def phrase_search(idx: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact phrase query over a positional index: ``(doc_id, n_occ)``
+    for documents containing ``phrase`` as ADJACENT tokens, n_occ = the
+    number of distinct start positions.
+
+    The probe is conjunctive-then-positional: filter the index to the
+    phrase's distinct terms (bucket-prunable predicate), intersect
+    postings per doc (every term present), then check adjacency on the
+    position arrays — ``p`` starts an occurrence iff term_j's positions
+    contain ``p + j`` for every slot j.  Cost ∝ the phrase terms'
+    posting sizes; the corpus is never rescanned and no token-level
+    relation is re-materialized.
+
+    Works over LSM-fragmented persisted indexes too
+    (:func:`inverted_index_append`): incremental ingest appends NEW
+    documents only, so a (term, doc) pair's positions live complete in
+    exactly one fragment — the per-doc merge counts DISTINCT terms and
+    takes each term's (single) position array."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    uniq = sorted(set(phrase))
+    slot = {t: f"pos_{i}" for i, t in enumerate(uniq)}
+    probed = (
+        idx.where(F.col("term").isin(uniq))
+        .select("term", F.explode("postings").alias("p"))
+        .select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.positions").alias("positions"))
+    )
+    perdoc = (
+        probed.groupBy("doc_id")
+        .agg(
+            *[
+                F.first(F.when(F.col("term") == t, F.col("positions")), ignorenulls=True).alias(c)
+                for t, c in slot.items()
+            ],
+            F.count_distinct(F.col("term")).alias("n_terms"),
+        )
+        .where(F.col("n_terms") == len(uniq))
+    )
+
+    def _starts(p):
+        cond = F.lit(True)
+        for j in range(1, len(phrase)):
+            cond = cond & F.array_contains(F.col(slot[phrase[j]]), p + F.lit(j))
+        return cond
+
+    occ = F.size(F.filter(F.col(slot[phrase[0]]), _starts))
+    return (
+        perdoc.select("doc_id", occ.cast("bigint").alias("n_occ"))
+        .where(F.col("n_occ") > 0)
+    )
+
+
+#: BM25 quantization scale: per-term contributions are computed as ONE
+#: exact integer division (milli-ish units of idf-bits), so Spark and
+#: DuckDB agree bit-for-bit and the per-doc sum is order-independent —
+#: the same engine-parity trick as the surprisal/TF-IDF whole-bit
+#: quantizations (operators/lm.py module docstring).
+BM25_SCALE = 1024
+#: Okapi parameters chosen RATIONAL so the saturation term clears
+#: denominators exactly: k1 = 2, b = 3/4 →
+#:   tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+#: = 6·tf·L / (2·L·tf + L + 3·N·dl)      with avgdl = L/N
+#: — a single integer-over-integer division after scaling by BM25_SCALE
+#: and the whole-bit idf floor(log2(N/df)).  (At 100 TB the BIGINT
+#: products need DECIMAL(38) or a pre-reduced L/N fraction; documented,
+#: not hit at these scales.)
+BM25_K1 = 2
+BM25_B = 0.75
+
+
+def bm25_search(
+    probed: DataFrame, doclen: DataFrame, consts: DataFrame, k: int = 10
+) -> DataFrame:
+    """Quantized-BM25 disjunctive ranking: ``probed`` is the term-filtered
+    index explode (term, df, doc_id, tf), ``doclen`` the (doc_id, dl)
+    relation, ``consts`` a 1-row (n_docs, total_len) broadcast.  Returns
+    the global top-``k`` (rank, doc_id, score).
+
+    Scale: probed is posting-sized (broadcast side), ``doclen`` is the
+    corpus-scale side of the join — broadcast flows the right way; the
+    sum is a combinable integer aggregation and the top-k is
+    TakeOrdered, no global sort."""
+    scored = (
+        doclen.join(F.broadcast(probed), "doc_id")
+        .join(F.broadcast(consts))
+        .select(
+            "doc_id",
+            # idf = floor(log2(n_docs/df)) whole bits (length(bin(x))-1,
+            # the lm._bits trick); one exact integer division per term
+            F.expr(
+                f"CAST(({BM25_SCALE} * (length(bin(n_docs div df)) - 1) * 6 * tf * total_len) "
+                f"div (2 * total_len * tf + total_len + 3 * n_docs * dl) AS BIGINT)"
+            ).alias("contrib"),
+        )
+    )
+    top = (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "doc_id", "score"
+    )
+
+
+_PHRASE_2 = ("table", "scan")
+_PHRASE_3 = ("stream", "table", "hash")
+
+
+def _phrase_oracle(phrase: tuple[str, ...]) -> str:
+    """DuckDB recomputation of one phrase's per-doc occurrence counts
+    straight from the corpus: positions via a 1-based comprehension over
+    the token list, adjacency by direct indexing."""
+    n = len(phrase)
+    cond = " AND ".join(f"toks[i+{j}] = '{phrase[j]}'" for j in range(n))
+    label = " ".join(phrase)
+    return f"""
+SELECT '{label}' AS phrase, doc_id, n_occ FROM (
+  SELECT doc_id,
+         CAST(len([i for i in generate_series(1, greatest(len(toks) - {n - 1}, 0))
+                   if {cond}]) AS BIGINT) AS n_occ
+  FROM tl
+) WHERE n_occ > 0"""
+
+
+@query(
+    "q_inverted_phrase",
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+{_phrase_oracle(_PHRASE_2)}
+UNION ALL
+{_phrase_oracle(_PHRASE_3)}
+ORDER BY phrase, doc_id
+""",
+    group="llm-text",
+)
+def q_inverted_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search through the positional inverted index
+    (VERDICT r7 #6): per-doc occurrence counts for a 2-token and a
+    3-token phrase, answered purely from term-filtered postings —
+    conjunctive intersection, then adjacency on the position arrays
+    (term_j's positions must contain start + j for every slot).  The
+    oracle recomputes both phrases from the corpus text by direct
+    position indexing, so an index that loses/reorders positions,
+    double-counts overlaps, or intersects wrongly cannot pass.
+
+    Scale shape in :func:`phrase_search`: cost ∝ the phrase terms'
+    posting sizes (the probe predicate bucket-prunes on the persisted
+    layout exactly like q_inverted_search_persisted); the corpus is
+    never rescanned."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    idx = build_positional_index(d)
+
+    def one(phrase: tuple[str, ...]) -> DataFrame:
+        return phrase_search(idx, list(phrase)).select(
+            F.lit(" ".join(phrase)).alias("phrase"), "doc_id", "n_occ"
+        )
+
+    return one(_PHRASE_2).unionByName(one(_PHRASE_3)).orderBy("phrase", "doc_id")
+
+
+BM25_TOP_K = 10
+
+
+@query(
+    "q_inverted_bm25",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents),
+consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(tok)) AS BIGINT) AS total_len FROM t),
+dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM t),
+tfc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tok) AS term FROM t)
+  WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         CAST(({BM25_SCALE} * (length(bin(n_docs // df)) - 1) * 6 * tf * total_len)
+              // (2 * total_len * tf + total_len + 3 * n_docs * dl) AS BIGINT) AS contrib
+  FROM tfc JOIN df USING (term) JOIN dl USING (doc_id), consts
+),
+top AS (
+  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, score
+FROM top ORDER BY rank
+""",
+    group="llm-text",
+)
+def q_inverted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-RANKED disjunctive search through the inverted index
+    (VERDICT r7 #6): global top-{BM25_TOP_K} documents for the three
+    standing search terms, scored by quantized Okapi BM25 —
+    whole-bit idf (floor(log2(N/df))) × a rational saturation term
+    (k1=2, b=3/4 clear denominators exactly), each per-term contribution
+    ONE exact integer division scaled by {BM25_SCALE} (see
+    :data:`BM25_K1`).  Integer quantization is what makes the ranking
+    engine-portable: the oracle recomputes the identical integer
+    arithmetic, so scores (not just the ranking) must match exactly —
+    the same cross-engine determinism contract as the surprisal and
+    TF-IDF bit quantizations (operators/lm.py).
+
+    Scale shape in :func:`bm25_search`: posting-sized probe broadcasts
+    into the corpus-scale doc-length relation, combinable integer sum,
+    TakeOrdered top-k — no global sort, no corpus rescan beyond the
+    doc-length join."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents")
+    idx = build_inverted_index(d)
+    probed = (
+        idx.where(F.col("term").isin(*_SEARCH_TERMS))
+        .select("term", "df", F.explode("postings").alias("p"))
+        .select("term", "df", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+    )
+    doclen = d.select("doc_id", F.size(tokens()).cast("bigint").alias("dl"))
+    consts = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens())).cast("bigint").alias("total_len"),
+    )
+    return bm25_search(probed, doclen, consts, BM25_TOP_K)

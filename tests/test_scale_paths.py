@@ -230,3 +230,61 @@ class TestInvertedIndexIncremental:
         plan = _executed(probe)
         assert "Bucketed: true" in plan
         assert "SelectedBucketsCount" in plan
+
+
+class TestPhraseAndBm25Persisted:
+    """r8 positional postings: phrase search runs against the PERSISTED
+    positional index with bucket pruning intact, and fragmented ingest
+    stays phrase-lossless."""
+
+    def test_phrase_over_persisted_index_prunes_buckets(self, spark, sf_dir):
+        from anglerfish_spark.operators.text import (
+            _PHRASE_2,
+            inverted_index_table,
+            phrase_search,
+        )
+
+        idx = spark.table(inverted_index_table(spark, sf_dir))
+        res = phrase_search(idx, list(_PHRASE_2))
+        plan = _executed(res)
+        assert "Bucketed: true" in plan
+        assert "SelectedBucketsCount" in plan
+        assert "documents" not in plan, f"corpus scan in phrase plan:\n{plan}"
+        # and the persisted answer equals the rebuild-per-run registered
+        # query's rows for the same phrase
+        from anglerfish_spark.operators.text import build_positional_index
+        from anglerfish_spark.sources.registry import load_table
+
+        fresh = phrase_search(
+            build_positional_index(load_table(spark, sf_dir, "documents")),
+            list(_PHRASE_2),
+        )
+        assert _rows(res) == _rows(fresh)
+
+    def test_phrase_over_fragmented_index_equals_rebuild(self, spark, sf_dir):
+        from anglerfish_spark.operators.text import (
+            _PHRASE_2,
+            _incremental_index,
+            phrase_search,
+        )
+
+        name = _incremental_index(spark, sf_dir)
+        frag = phrase_search(spark.table(name), list(_PHRASE_2))
+        from anglerfish_spark.operators.text import build_positional_index
+        from anglerfish_spark.sources.registry import load_table
+
+        fresh = phrase_search(
+            build_positional_index(load_table(spark, sf_dir, "documents")),
+            list(_PHRASE_2),
+        )
+        assert _rows(frag) == _rows(fresh)
+
+    def test_bm25_scores_are_integers_and_ranked(self, spark, sf_dir):
+        from anglerfish_spark.registry import all_queries
+
+        rows = all_queries()["q_inverted_bm25"].fn(spark, sf_dir).collect()
+        assert rows, "bm25 returned nothing"
+        scores = [r.score for r in rows]
+        assert all(isinstance(s, int) for s in scores)
+        assert scores == sorted(scores, reverse=True)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
