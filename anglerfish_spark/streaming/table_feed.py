@@ -66,7 +66,13 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from ..errors import AnglerfishError
 from ..registry import query
@@ -109,10 +115,12 @@ def _data_schema(table: str) -> StructType:
 
 
 class _ChangePartition(InputPartition):
-    def __init__(self, table: str, file: str, ctype: str):
+    def __init__(self, table: str, file: str, ctype: str, version: int, ts_ms: int | None):
         self.table = table
         self.file = file
         self.ctype = ctype
+        self.version = version
+        self.ts_ms = ts_ms
 
 
 class ManifestFeedStreamReader(DataSourceStreamReader):
@@ -153,7 +161,10 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                             "read this range with batch table_changes"
                         )
                     parts.extend(
-                        _ChangePartition(self._table, f, ctype) for f in e["files"]
+                        _ChangePartition(
+                            self._table, f, ctype, v, m.get("committed_at_ms")
+                        )
+                        for f in e["files"]
                     )
         return parts
 
@@ -163,8 +174,19 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
 
         path = os.path.join(partition.table, partition.file)
         for batch in pq.ParquetFile(path).iter_batches():
+            n = batch.num_rows
+            batch = batch.append_column(
+                "_change_type", pa.array([partition.ctype] * n)
+            )
+            batch = batch.append_column(
+                "_commit_version", pa.array([partition.version] * n, pa.int64())
+            )
+            us = None if partition.ts_ms is None else partition.ts_ms * 1000
+            # Spark's TimestampType maps to arrow timestamp(us, UTC);
+            # a bare ms unit is rejected by the arrow-batch ingest
             yield batch.append_column(
-                "_change_type", pa.array([partition.ctype] * batch.num_rows)
+                "_commit_timestamp",
+                pa.array([us] * n, pa.timestamp("us", tz="UTC")),
             )
 
     def commit(self, end: dict) -> None:
@@ -185,7 +207,14 @@ class ManifestFeedDataSource(DataSource):
             raise AnglerfishError("manifest_feed requires .option('table', <path>)")
         return StructType(
             list(_data_schema(table).fields)
-            + [StructField("_change_type", StringType(), False)]
+            + [
+                StructField("_change_type", StringType(), False),
+                # the Delta-CDF metadata triple: change kind, commit
+                # version (the stream's offset unit), commit wall time —
+                # what a CDC consumer needs to order multi-commit batches
+                StructField("_commit_version", LongType(), False),
+                StructField("_commit_timestamp", TimestampType(), True),
+            ]
         )
 
     def streamReader(self, schema: StructType) -> ManifestFeedStreamReader:
@@ -203,9 +232,12 @@ def read_table_feed(
 ) -> DataFrame:
     """Streaming DataFrame of the table's change feed from
     ``starting_version`` (exclusive) onward: the table's columns plus
-    ``_change_type``.  Pair with ``.writeStream`` + a checkpoint for an
-    exactly-once-planned consumer; ``trigger(availableNow=True)``
-    backfills the full logged history and stops."""
+    the Delta-CDF metadata triple ``_change_type`` / ``_commit_version``
+    / ``_commit_timestamp`` (version = the stream's offset unit, so
+    multi-commit micro-batches stay orderable).  Pair with
+    ``.writeStream`` + a checkpoint for an exactly-once-planned
+    consumer; ``trigger(availableNow=True)`` backfills the full logged
+    history and stops."""
     register_manifest_feed(spark)
     return (
         spark.readStream.format(FORMAT_NAME)
@@ -282,4 +314,126 @@ def q_stream_table_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice")).alias("total"),
         )
         .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# the consumer half: CDC-apply a table's feed into a downstream MIRROR
+# manifest table (streaming replication over the engine's own format)
+# ---------------------------------------------------------------------------
+
+
+def apply_feed_batch(
+    batch: DataFrame, epoch: int, mirror: str, key_cols: list[str]
+) -> None:
+    """Apply one feed micro-batch to ``mirror`` with last-writer-wins
+    key resolution: a micro-batch may span several source commits
+    (availableNow backfill collapses them), so per key only the events
+    of that key's NEWEST ``_commit_version`` decide — an insert image
+    there upserts it, delete-only events there delete it.  Within one
+    commit an update is delete-of-old + insert-of-new, which resolves
+    to the insert.
+
+    Exactly-once under foreachBatch's at-least-once replay: the upsert
+    and delete land as two independently-idempotent manifest commits
+    (``txn_id=feed-up/del-{epoch}``), the same guard the CDC sink uses
+    (streaming/deletes.py module docstring)."""
+    from ..sources.manifest_table import current_version, delete_keys, upsert
+
+    spark = batch.sparkSession
+    last = batch.groupBy(*key_cols).agg(
+        F.max("_commit_version").alias("_commit_version")
+    )
+    win = batch.join(F.broadcast(last), [*key_cols, "_commit_version"])
+    images = win.drop("_commit_version", "_commit_timestamp")
+    ins = images.where(F.col("_change_type") == "insert").drop("_change_type")
+    if ins.limit(1).count():
+        upsert(spark, mirror, ins, key_cols, txn_id=f"feed-up-{epoch}")
+    ins_keys = ins.select(*key_cols)
+    dels = (
+        win.where(F.col("_change_type") == "delete")
+        .select(*key_cols)
+        .join(ins_keys, key_cols, "left_anti")
+        .dropDuplicates()
+    )
+    if dels.limit(1).count() and current_version(mirror) > 0:
+        delete_keys(spark, mirror, key_cols[0], dels, txn_id=f"feed-del-{epoch}")
+
+
+def start_feed_apply(
+    spark: SparkSession,
+    source_table: str,
+    mirror: str,
+    key_cols: list[str],
+    checkpoint: str | None = None,
+):
+    """Streaming replication: consume ``source_table``'s manifest_feed
+    and maintain ``mirror`` as a keyed copy.  Returns the
+    StreamingQuery (availableNow trigger: drain-and-stop)."""
+
+    def _apply(batch: DataFrame, epoch: int) -> None:
+        apply_feed_batch(batch, epoch, mirror, key_cols)
+
+    w = (
+        read_table_feed(spark, source_table)
+        .writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
+
+
+@query(
+    "q_stream_feed_apply",
+    oracle=f"""
+WITH final AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_DSUM} AS total
+FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    group="streaming",
+)
+def q_stream_feed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming REPLICATION over the engine's own table
+    format: the source table's history (initial load + keyed-upsert
+    rewrite) is consumed through the ``manifest_feed`` streaming source
+    and CDC-applied into a fresh downstream MIRROR manifest table
+    (last-writer-wins per key via ``_commit_version``, exactly-once via
+    per-epoch txn ids) — then the MIRROR is summarized and must equal
+    the oracle's recomputation of the source's final state.  This is
+    the producer→log→source→apply loop every real CDC pipeline runs
+    (Delta CDF → MERGE INTO); a consumer that misorders multi-commit
+    batches, re-applies a replayed epoch, or loses delete images
+    diverges the mirror and fails the hash.
+
+    Scale shape: per trigger the mirror pays O(changed rows) apply work
+    (upsert + delete_keys are keyed commits, never rewrites of the
+    untouched remainder beyond the upsert's merge); the source is never
+    rescanned (module docstring)."""
+    prepare(spark)
+    import tempfile
+
+    from ..operators.common import dsum
+    from ..sources.manifest_table import _asof_table, snapshot
+    from .stateful import await_or_fail
+
+    src = _asof_table(spark, sf_dir)
+    mirror = tempfile.mkdtemp(prefix="anglerfish_mirror_")
+    q = start_feed_apply(spark, src, mirror, ["o_orderkey"])
+    await_or_fail(q)
+    return (
+        snapshot(spark, mirror)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .orderBy("o_orderpriority")
     )

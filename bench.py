@@ -62,6 +62,12 @@ HEADLINE = [
     "q_table_composed",
     "q_inverted_search_persisted",
     "q_similarity_ann_lsh",
+    # r8 widening: the logged change feed over an upsert-rewrite history
+    # (O(changed rows), previously a two-snapshot diff), the streaming
+    # manifest_feed source drain, and the BM25-ranked index search
+    "q_table_changes",
+    "q_stream_table_feed",
+    "q_inverted_bm25",
 ]
 
 

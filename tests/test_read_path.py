@@ -523,3 +523,30 @@ class TestCompactDeletesEvolved:
         assert len(rep["rewritten"]) == 1  # exactly the file holding k=1
         got = sorted(r.k for r in mt.snapshot(spark, t).collect())
         assert got == [0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11]
+
+
+class TestFeedRetentionInterplay:
+    """Change feed × expire_snapshots: expiring an INTERMEDIATE manifest
+    removes its change log, so the logged path is unavailable — the feed
+    must degrade to the endpoint diff (still correct), never fail or
+    serve a partial log."""
+
+    def test_expired_intermediate_falls_back_to_diff(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import expire_snapshots
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = str(tmp_path / "t")
+        mt.upsert(spark, t, spark.range(6).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")), ["k"])   # v1
+        mt.upsert(spark, t, spark.createDataFrame(
+            [(2, 22.0)], "k long, v double"), ["k"])                          # v2
+        mt.upsert(spark, t, spark.createDataFrame(
+            [(7, 70.0)], "k long, v double"), ["k"])                          # v3
+        before, _ = table_changes(spark, t, 1, 3, mode="diff")
+        want = sorted(tuple(r) for r in before.collect())
+        # keep v1 pinned via tag so the diff endpoints survive retention
+        mt.tag(t, "from", 1)
+        assert expire_snapshots(t, keep_last=1) == [2]
+        feed, mode = table_changes(spark, t, 1, 3)
+        assert mode == "diff"  # v2's log is gone; logged path must refuse
+        assert sorted(tuple(r) for r in feed.collect()) == want

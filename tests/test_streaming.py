@@ -727,7 +727,10 @@ class TestManifestFeedSource:
             .start()
         )
         await_or_fail(q)
-        return sorted(tuple(r) for r in spark.table(name).collect())
+        return sorted(
+            tuple(r)
+            for r in spark.table(name).select("k", "v", "_change_type").collect()
+        )
 
     def test_feed_equals_batch_logged_changes(self, spark, tmp_path):
         from anglerfish_spark.sources.read_path import table_changes
@@ -758,7 +761,10 @@ class TestManifestFeedSource:
             .start()
         )
         await_or_fail(q)
-        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(out).select("k", "v", "_change_type").collect()
+        )
 
     def test_checkpoint_recovery_no_loss_no_dup(self, spark, tmp_path):
         """Stop after draining v1..v3, commit v4+v5, restart on the SAME
@@ -822,3 +828,68 @@ class TestManifestFeedSource:
         mt.append_evolved(spark, t, v2, V2, reader_schema=V2)
         with _pytest.raises(Exception, match="does not resolve evolution"):
             self._drain(spark, t, str(tmp_path / "cp"), "feed_evolved")
+
+
+class TestFeedApply:
+    """CDC replication through the manifest_feed source: the mirror
+    converges to the source snapshot, _commit_version orders
+    multi-commit batches, and epoch replay is idempotent."""
+
+    def _source(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import delete_keys, upsert
+
+        t = str(tmp_path / "src")
+        upsert(spark, t, spark.range(8).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")), ["k"])  # v1
+        upsert(spark, t, spark.createDataFrame(
+            [(2, 22.0), (9, 90.0)], "k long, v double"), ["k"])              # v2
+        delete_keys(spark, t, "k", spark.createDataFrame([(4,), (9,)], "k long"))  # v3
+        return t
+
+    def test_mirror_converges_across_commits(self, spark, tmp_path):
+        """One availableNow batch spans all three commits: k=9 is
+        inserted in v2 and deleted in v3 — only _commit_version ordering
+        resolves it correctly (event counts alone would tie)."""
+        from anglerfish_spark.sources.manifest_table import snapshot
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import start_feed_apply
+
+        t = self._source(spark, tmp_path)
+        mirror = str(tmp_path / "mirror")
+        q = start_feed_apply(spark, t, mirror, ["k"], str(tmp_path / "cp"))
+        await_or_fail(q)
+        want = sorted(tuple(r) for r in snapshot(spark, t).collect())
+        got = sorted(tuple(r) for r in snapshot(spark, mirror).collect())
+        assert got == want
+        assert 9 not in {r[0] for r in got}  # v3's delete beat v2's insert
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            current_version,
+            snapshot,
+        )
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import (
+            apply_feed_batch,
+            read_table_feed,
+            start_feed_apply,
+        )
+
+        t = self._source(spark, tmp_path)
+        mirror = str(tmp_path / "mirror")
+        q = start_feed_apply(spark, t, mirror, ["k"], str(tmp_path / "cp"))
+        await_or_fail(q)
+        v = current_version(mirror)
+        want = sorted(tuple(r) for r in snapshot(spark, mirror).collect())
+        # at-least-once delivery: re-apply epoch 0's batch wholesale —
+        # the txn guard must skip both commits, not double-apply.
+        # Rebuild the batch the stream delivered (the full logged feed):
+        from anglerfish_spark.sources.read_path import table_changes
+
+        logged, _ = table_changes(spark, t, 0, None, mode="logged")
+        replay = logged.withColumn("_commit_version", F.lit(3).cast("long"))
+        # (version constant is fine: replay idempotency is decided by the
+        # txn ids, before any per-key resolution matters)
+        apply_feed_batch(replay, 0, mirror, ["k"])
+        assert current_version(mirror) == v  # no new commits
+        assert sorted(tuple(r) for r in snapshot(spark, mirror).collect()) == want
