@@ -298,7 +298,12 @@ def q_stream_table_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _asof_table(spark, sf_dir)
     feed = read_table_feed(spark, t)
+    # fixed per-table sink, previous run's view dropped first: memory
+    # sinks hold their rows on the JVM heap for the life of the view, so
+    # repeated invocations (bench min-of-5) would otherwise stack
+    # table-scale row sets until OOM
     sink = f"feed_{abs(hash((t, sf_dir))) % 10**9}"
+    spark.catalog.dropTempView(sink)
     q = (
         feed.writeStream.format("memory")
         .queryName(sink)
