@@ -286,12 +286,36 @@ def _resolve_files(
     return df
 
 
+def _net_fold(df: DataFrame) -> DataFrame:
+    """Fold a per-commit change feed to endpoint-NET multiset semantics:
+    +1 per insert image, −1 per delete image, grouped by the full row;
+    survivors re-expand with |net| multiplicity.  One hash aggregation
+    over the (already changed-rows-sized) feed — net-logged equals the
+    two-snapshot diff exactly, at logged-path cost."""
+    data_cols = [c for c in df.columns if c != "_change_type"]
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    folded = (
+        df.groupBy(*data_cols)
+        .agg(F.sum(sign).cast("int").alias("_n"))
+        .where(F.col("_n") != 0)
+    )
+    return (
+        folded.select(
+            *data_cols,
+            F.when(F.col("_n") > 0, "insert").otherwise("delete").alias("_change_type"),
+            F.explode(F.array_repeat(F.lit(1), F.abs(F.col("_n")))).alias("_x"),
+        )
+        .drop("_x")
+    )
+
+
 def table_changes(
     spark: SparkSession,
     table: str,
     from_version: int,
     to_version: int | None = None,
     mode: str = "auto",
+    net: bool = False,
 ) -> tuple[DataFrame, str]:
     """Change feed between two snapshots (the Delta CDF / Iceberg
     incremental-read shape): returns ``(df, mode)`` where ``df`` is the
@@ -323,8 +347,12 @@ def table_changes(
     Multi-commit ranges: the logged feed is the PER-COMMIT concatenation
     (Delta CDF semantics — a row inserted in v2 and deleted in v3 shows
     both events), while the diff fallback is the endpoint NET change
-    (those events cancel).  Equal for single-step ranges; consumers that
-    need net semantics over a range fold the feed by full-row image.
+    (those events cancel).  Equal for single-step ranges; pass
+    ``net=True`` to fold any feed to endpoint-net semantics (multiset:
+    +1 per insert image, −1 per delete image, survivors re-expanded
+    with their net multiplicity) — net-logged == diff EXACTLY, whatever
+    the history (pinned in tests), which is what a consumer
+    materializing "state since version a" wants.
     """
     if mode not in ("auto", "logged", "incremental", "diff"):
         raise ValueError(f"unknown mode {mode!r} (auto|logged|incremental|diff)")
@@ -365,7 +393,7 @@ def table_changes(
                 out = parts[0]
                 for p in parts[1:]:
                     out = out.unionByName(p)
-            return out, "logged"
+            return (_net_fold(out) if net else out), "logged"
         if mode == "logged":
             raise ValueError(
                 f"versions ({from_version}, {vb}] of {table!r} do not all "
@@ -413,7 +441,8 @@ def table_changes(
                 out = parts[0]
                 for p in parts[1:]:
                     out = out.unionByName(p)
-            return out.withColumn("_change_type", F.lit("insert")), "incremental"
+            out = out.withColumn("_change_type", F.lit("insert"))
+            return (_net_fold(out) if net else out), "incremental"
         if mode == "incremental":
             raise ValueError(
                 f"versions ({from_version}, {vb}] of {table!r} are not an "
@@ -424,7 +453,10 @@ def table_changes(
     b, _ = read_table(spark, table, vb)
     ins = b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
     dels = a.exceptAll(b).withColumn("_change_type", F.lit("delete"))
-    return ins.unionByName(dels), "diff"
+    out = ins.unionByName(dels)
+    # the diff is already endpoint-net by construction; folding is a no-op
+    # semantically but normalizes row multiplicities identically
+    return (_net_fold(out) if net else out), "diff"
 
 
 _DSUM_P = "CAST(CAST(SUM(CAST(p AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"

@@ -42,12 +42,15 @@ Requirements (checked up front, loud errors):
 * every commit in the consumed range must carry a commit-time change
   log — the r8 writers all do; legacy histories without logs need the
   batch ``table_changes`` diff instead;
-* change entries must be recorded under the table's reader schema (or a
-  schema-less table's raw layout).  Schema-EVOLVED histories whose old
-  change files predate a schema change are a batch-read concern
-  (``table_changes`` resolves writer→reader via the codec); wiring the
-  codec's resolution into the Arrow reader is future work and refusing
-  loudly beats silently mis-reading.
+* schema-EVOLVED change entries (logged under an older writer schema)
+  resolve in the Arrow reader for the flat-record subset the table
+  layer actually writes: rename-by-alias, Avro numeric promotions, and
+  defaulted new fields — planned once per entry on the driver
+  (:func:`_resolution_spec`, the engine's parsed schema model) and
+  applied as Arrow selects/casts per partition.  Anything beyond that
+  subset (non-option unions, nested records, enums, logical types)
+  refuses loudly — the batch path's full codec resolution covers it,
+  and refusing beats silently mis-reading.
 
 Scale: at 100 TB the stream's steady-state cost per trigger is
 O(changed rows since last trigger) + O(new manifest headers) — the
@@ -114,13 +117,97 @@ def _data_schema(table: str) -> StructType:
     )
 
 
+#: Avro primitive kind → (pyarrow type factory name, python caster for
+#: default values).  The subset the STREAM reader resolves; everything
+#: else (unions beyond [null, prim], records, enums, fixed, logical
+#: types) stays a batch-read concern and refuses loudly.
+_ARROW_PRIM = {
+    "boolean": "bool_",
+    "int": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "bytes": "binary",
+}
+
+#: legal writer→reader primitive promotions (Avro spec numeric rules)
+_PROMOTIONS = {
+    ("int", "long"), ("int", "float"), ("int", "double"),
+    ("long", "float"), ("long", "double"), ("float", "double"),
+}
+
+
+def _prim_kind(t) -> str | None:
+    """The primitive kind of an Avro type, unwrapping a [null, prim]
+    option union; None when the type is outside the stream-resolvable
+    subset."""
+    from ..schema.model import AvroPrimitive, AvroUnion
+
+    if isinstance(t, AvroPrimitive) and t.logical is None:
+        return t.kind.value
+    if isinstance(t, AvroUnion):
+        non_null = [m for m in t.members if not (
+            isinstance(m, AvroPrimitive) and m.kind.value == "null")]
+        if len(non_null) == 1 and len(t.members) <= 2:
+            return _prim_kind(non_null[0])
+    return None
+
+
+def _resolution_spec(writer_str: str, reader_str: str) -> list[tuple]:
+    """Per-reader-field Arrow resolution plan for a change entry logged
+    under ``writer_str``: ``(reader_name, source_writer_name | None,
+    arrow_type, default | None)`` — identity, rename-by-alias, numeric
+    promotion, and defaulted new fields; raises for anything beyond
+    that subset (the batch path's full codec resolution covers it)."""
+    from ..schema.parser import parse_schema
+
+    wfields = {f.name: f for f in parse_schema(writer_str).root.fields}
+    spec: list[tuple] = []
+    for rf in parse_schema(reader_str).root.fields:
+        rkind = _prim_kind(rf.type)
+        if rkind is None or rkind not in _ARROW_PRIM:
+            raise AnglerfishError(
+                f"streaming source cannot resolve reader field {rf.name!r} "
+                "(non-primitive type); read this range with batch table_changes"
+            )
+        src = rf.name if rf.name in wfields else next(
+            (a for a in rf.aliases if a in wfields), None
+        )
+        if src is None:
+            if not rf.has_default:
+                raise AnglerfishError(
+                    f"streaming source cannot resolve reader field {rf.name!r}: "
+                    "absent from the writer schema and no default"
+                )
+            spec.append((rf.name, None, _ARROW_PRIM[rkind], rf.default))
+            continue
+        wkind = _prim_kind(wfields[src].type)
+        if wkind is None or (wkind != rkind and (wkind, rkind) not in _PROMOTIONS):
+            raise AnglerfishError(
+                f"streaming source cannot resolve {src!r} ({wkind}) -> "
+                f"{rf.name!r} ({rkind}); read this range with batch table_changes"
+            )
+        spec.append((rf.name, src, _ARROW_PRIM[rkind], None))
+    return spec
+
+
 class _ChangePartition(InputPartition):
-    def __init__(self, table: str, file: str, ctype: str, version: int, ts_ms: int | None):
+    def __init__(
+        self,
+        table: str,
+        file: str,
+        ctype: str,
+        version: int,
+        ts_ms: int | None,
+        spec: list[tuple] | None,
+    ):
         self.table = table
         self.file = file
         self.ctype = ctype
         self.version = version
         self.ts_ms = ts_ms
+        self.spec = spec  # None = entry already under the reader schema
 
 
 class ManifestFeedStreamReader(DataSourceStreamReader):
@@ -153,16 +240,24 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                 )
             for side, ctype in (("inserted", "insert"), ("deleted", "delete")):
                 for e in changes.get(side) or []:
-                    if (e.get("schema") or None) != (self._reader_schema_str or None):
+                    entry_schema = e.get("schema") or None
+                    reader = self._reader_schema_str or None
+                    if entry_schema == reader:
+                        spec = None
+                    elif entry_schema is None or reader is None:
                         raise AnglerfishError(
-                            f"commit v{v} logged change files under a schema "
-                            "differing from the current reader schema; the "
-                            "streaming source does not resolve evolution — "
-                            "read this range with batch table_changes"
+                            f"commit v{v} logged change files with "
+                            "mismatched schema presence vs the reader; read "
+                            "this range with batch table_changes"
                         )
+                    else:
+                        # rename / promotion / default resolution planned
+                        # here (driver), applied as Arrow ops per
+                        # partition; unsupported shapes raise
+                        spec = _resolution_spec(entry_schema, reader)
                     parts.extend(
                         _ChangePartition(
-                            self._table, f, ctype, v, m.get("committed_at_ms")
+                            self._table, f, ctype, v, m.get("committed_at_ms"), spec
                         )
                         for f in e["files"]
                     )
@@ -170,11 +265,25 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _ChangePartition) -> Iterator:
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         path = os.path.join(partition.table, partition.file)
         for batch in pq.ParquetFile(path).iter_batches():
             n = batch.num_rows
+            if partition.spec is not None:
+                cols, names = [], []
+                for rname, src, pa_type_name, default in partition.spec:
+                    target = getattr(pa, pa_type_name)()
+                    if src is None:
+                        col = pa.array([default] * n, target)
+                    else:
+                        col = batch.column(src)
+                        if col.type != target:
+                            col = pc.cast(col, target)
+                    cols.append(col)
+                    names.append(rname)
+                batch = pa.RecordBatch.from_arrays(cols, names)
             batch = batch.append_column(
                 "_change_type", pa.array([partition.ctype] * n)
             )

@@ -550,3 +550,33 @@ class TestFeedRetentionInterplay:
         feed, mode = table_changes(spark, t, 1, 3)
         assert mode == "diff"  # v2's log is gone; logged path must refuse
         assert sorted(tuple(r) for r in feed.collect()) == want
+
+
+class TestNetFold:
+    """table_changes(net=True): endpoint-net folding of the per-commit
+    logged feed must equal the two-snapshot diff EXACTLY on a history
+    where intermediate events cancel."""
+
+    def test_net_logged_equals_diff(self, spark, tmp_path):
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = str(tmp_path / "t")
+        mt.upsert(spark, t, spark.range(6).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")), ["k"])      # v1
+        mt.upsert(spark, t, spark.createDataFrame(
+            [(9, 90.0)], "k long, v double"), ["k"])                             # v2: insert 9
+        mt.delete_keys(spark, t, "k", spark.createDataFrame([(9,), (2,)], "k long"))  # v3: delete it again + 2
+        mt.upsert(spark, t, spark.createDataFrame(
+            [(2, 2.0)], "k long, v double"), ["k"])                              # v4: 2 back at its ORIGINAL image
+        per_commit, m1 = table_changes(spark, t, 1, 4)
+        net, m2 = table_changes(spark, t, 1, 4, net=True)
+        diff, m3 = table_changes(spark, t, 1, 4, mode="diff")
+        assert m1 == m2 == "logged" and m3 == "diff"
+        # per-commit: k=9's insert+delete and k=2's delete+reinsert all visible
+        pc = sorted(tuple(r) for r in per_commit.collect())
+        assert (9, 90.0, "insert") in pc and (9, 90.0, "delete") in pc
+        assert (2, 2.0, "delete") in pc and (2, 2.0, "insert") in pc
+        # net: they cancel — and equal the endpoint diff exactly (empty here)
+        n = sorted(tuple(r) for r in net.collect())
+        d = sorted(tuple(r) for r in diff.collect())
+        assert n == d == []

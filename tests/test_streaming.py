@@ -805,9 +805,54 @@ class TestManifestFeedSource:
         with _pytest.raises(Exception, match="no change log"):
             self._drain(spark, t, str(tmp_path / "cp"), "feed_unlogged")
 
-    def test_evolved_entries_refused(self, spark, tmp_path):
-        """Change files logged under an OLD writer schema: the Arrow
-        stream reader refuses (batch table_changes resolves them)."""
+    def test_evolved_entries_resolved_in_stream(self, spark, tmp_path):
+        """Change files logged under an OLD writer schema resolve in the
+        Arrow reader: rename-by-alias + promotion + defaulted field —
+        the stream delivers every entry under the CURRENT reader."""
+        from anglerfish_spark.sources import manifest_table as mt
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import read_table_feed
+
+        V1 = """
+        {"type":"record","name":"R","fields":[
+          {"name":"k","type":"long"},{"name":"total","type":"long"}]}
+        """
+        V2 = """
+        {"type":"record","name":"R","fields":[
+          {"name":"k","type":"long"},
+          {"name":"price","type":"double","aliases":["total"]},
+          {"name":"status","type":"string","default":"old"}]}
+        """
+        t = str(tmp_path / "t")
+        v1 = spark.range(4).select(F.col("id").alias("k"), (F.col("id") * 10).alias("total"))
+        mt.append_evolved(spark, t, v1, V1)
+        v2 = spark.range(4, 6).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("price"),
+            F.lit("new").alias("status"),
+        )
+        mt.append_evolved(spark, t, v2, V2, reader_schema=V2)
+        q = (
+            read_table_feed(spark, t)
+            .writeStream.format("memory")
+            .queryName("feed_evolved")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_fail(q)
+        rows = sorted(
+            (r.k, r.price, r.status, r._change_type, r._commit_version)
+            for r in spark.table("feed_evolved").collect()
+        )
+        assert rows == [
+            (0, 0.0, "old", "insert", 1), (1, 10.0, "old", "insert", 1),
+            (2, 20.0, "old", "insert", 1), (3, 30.0, "old", "insert", 1),
+            (4, 4.0, "new", "insert", 2), (5, 5.0, "new", "insert", 2),
+        ]
+
+    def test_unresolvable_evolution_refused(self, spark, tmp_path):
+        """A reader field with no writer source and no default is beyond
+        the stream's resolution subset: loud refusal, not a misread."""
         import pytest as _pytest
 
         from anglerfish_spark.sources import manifest_table as mt
@@ -826,8 +871,18 @@ class TestManifestFeedSource:
         mt.append_evolved(spark, t, v1, V1)
         v2 = spark.range(4, 6).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("price"))
         mt.append_evolved(spark, t, v2, V2, reader_schema=V2)
-        with _pytest.raises(Exception, match="does not resolve evolution"):
-            self._drain(spark, t, str(tmp_path / "cp"), "feed_evolved")
+        # sabotage the reader into a narrowing the spec must refuse:
+        # double -> long is not an Avro promotion
+        import json
+
+        p = mt._manifest_path(t, 2)
+        m = json.load(open(p))
+        m["schema"] = m["schema"].replace(
+            '"name":"price","type":"double"', '"name":"price","type":"long"'
+        )
+        json.dump(m, open(p, "w"))
+        with _pytest.raises(Exception, match="cannot resolve"):
+            self._drain(spark, t, str(tmp_path / "cp"), "feed_bad_evo")
 
 
 class TestFeedApply:
