@@ -216,6 +216,21 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         if not self._table:
             raise AnglerfishError("manifest_feed requires .option('table', <path>)")
         self._start = int(options.get("startingversion", 0))
+        if "maxversionspertrigger" in {k.lower() for k in options}:
+            # deliberately unsupported: admission control needs
+            # latestOffset(startOffset, readLimit) (the JVM
+            # SupportsAdmissionControl contract) so the cap is relative
+            # to the CHECKPOINTED offset.  The Python stream-reader
+            # protocol passes latestOffset() no start, so any
+            # reader-side cap regresses offsets after a restart and
+            # re-delivers rows (measured: duplicate inserts) — refusing
+            # beats a silent exactly-once violation.
+            raise AnglerfishError(
+                "maxVersionsPerTrigger is not supported: the Python data "
+                "source API cannot cap offsets relative to the checkpoint "
+                "(no latestOffset(start, limit)); consume unthrottled or "
+                "poll batch table_changes in bounded version windows"
+            )
         self._schema = schema
         self._reader_schema_str = _manifest(
             self._table, _current_version(self._table)

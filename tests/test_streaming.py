@@ -948,3 +948,98 @@ class TestFeedApply:
         apply_feed_batch(replay, 0, mirror, ["k"])
         assert current_version(mirror) == v  # no new commits
         assert sorted(tuple(r) for r in snapshot(spark, mirror).collect()) == want
+
+
+class TestFeedEvolutionDifferential:
+    """The stream reader's Arrow resolution (rename/promote/default) must
+    be row-identical to the batch logged feed, which resolves through
+    the codec's evolve_struct — differential over the evolution shapes
+    the table layer writes."""
+
+    CASES = [
+        # (writer fields, reader fields, v1 spark rows builder)
+        ("identity", '{"name":"a","type":"long"}', '{"name":"a","type":"long"}'),
+        ("rename", '{"name":"a","type":"long"}',
+         '{"name":"b","type":"long","aliases":["a"]}'),
+        ("promote_int_double", '{"name":"a","type":"int"}',
+         '{"name":"a","type":"double"}'),
+        ("promote_long_float", '{"name":"a","type":"long"}',
+         '{"name":"a","type":"float"}'),
+        ("rename_and_promote", '{"name":"a","type":"int"}',
+         '{"name":"b","type":"double","aliases":["a"]}'),
+        ("default_string", '{"name":"a","type":"long"}',
+         '{"name":"a","type":"long"},{"name":"s","type":"string","default":"x"}'),
+        ("default_bool", '{"name":"a","type":"long"}',
+         '{"name":"a","type":"long"},{"name":"f","type":"boolean","default":true}'),
+        ("nullable_option", '{"name":"a","type":["null","long"]}',
+         '{"name":"a","type":["null","double"]}'),
+    ]
+
+    def test_stream_matches_batch_logged(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from anglerfish_spark.sources import manifest_table as mt
+        from anglerfish_spark.sources.read_path import table_changes
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import read_table_feed
+
+        spark_types = {"long": "long", "int": "int"}
+        for i, (label, wf, rf) in enumerate(self.CASES):
+            W = f'{{"type":"record","name":"R","fields":[{wf}]}}'
+            R = f'{{"type":"record","name":"R","fields":[{rf}]}}'
+            t = str(tmp_path / f"t{i}")
+            wtype = "int" if '"int"' in wf else "long"
+            v1 = spark.range(3).select(F.col("id").cast(wtype).alias("a"))
+            mt.append_evolved(spark, t, v1, W)
+            # second commit under the reader itself, so both spec=None
+            # and spec-resolved partitions appear in one drain
+            mt.append_evolved(
+                spark, t,
+                mt.snapshot(spark, t).limit(0),
+                W, reader_schema=R,
+            )
+            batch, mode = table_changes(spark, t, 0, None, mode="logged")
+            want = sorted(str(tuple(r)) for r in batch.drop("_change_type").collect())
+            q = (
+                read_table_feed(spark, t)
+                .writeStream.format("memory")
+                .queryName(f"diffevo_{i}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            await_or_fail(q)
+            got = sorted(
+                str(tuple(r))
+                for r in spark.table(f"diffevo_{i}")
+                .drop("_change_type", "_commit_version", "_commit_timestamp")
+                .collect()
+            )
+            assert got == want, f"case {label}: {got} != {want}"
+
+
+def test_feed_rate_limit_option_refused(spark, tmp_path):
+    """maxVersionsPerTrigger must refuse loudly: the Python data source
+    API cannot cap offsets relative to the checkpoint, and a reader-side
+    cap was MEASURED to re-deliver rows after restart."""
+    import pytest as _pytest
+
+    from anglerfish_spark.sources import manifest_table as mt
+    from anglerfish_spark.streaming.table_feed import register_manifest_feed
+
+    t = str(tmp_path / "t")
+    mt.upsert(spark, t, spark.createDataFrame([(1, 1.0)], "k long, v double"), ["k"])
+    register_manifest_feed(spark)
+    stream = (
+        spark.readStream.format("manifest_feed")
+        .option("table", t)
+        .option("maxVersionsPerTrigger", "2")
+        .load()
+    )
+    with _pytest.raises(Exception, match="maxVersionsPerTrigger"):
+        q = stream.writeStream.format("memory").queryName("rl_refused").trigger(
+            availableNow=True
+        ).start()
+        try:
+            q.awaitTermination(60)
+        finally:
+            q.stop()
