@@ -469,6 +469,13 @@ def apply_feed_batch(
     (streaming/deletes.py module docstring)."""
     from ..sources.manifest_table import current_version, delete_keys, upsert
 
+    if len(key_cols) != 1:
+        # delete_keys is single-column equality-delete; silently using
+        # key_cols[0] would over-delete every row sharing that prefix
+        raise AnglerfishError(
+            "apply_feed_batch supports a single-column key (delete_keys "
+            f"is per-column equality-delete); got {key_cols!r}"
+        )
     spark = batch.sparkSession
     last = batch.groupBy(*key_cols).agg(
         F.max("_commit_version").alias("_commit_version")

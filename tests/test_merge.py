@@ -1,0 +1,161 @@
+"""MERGE INTO semantics (sources/merge.py): clause precedence,
+change-log exactness (logged == diff, no-op cancellation), ambiguity
+detection, empty-table init, and time-travel preservation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anglerfish_spark.errors import AnglerfishError
+from anglerfish_spark.localdata import local_df
+from anglerfish_spark.sources.manifest_table import current_version, snapshot, upsert
+from anglerfish_spark.sources.merge import AmbiguousMergeError, merge_into
+from anglerfish_spark.sources.read_path import table_changes
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _base(spark, tmp_path):
+    t = str(tmp_path / "t")
+    target = local_df(
+        spark,
+        [(1, 10.0, "keep"), (2, 20.0, "upd"), (3, 30.0, "del"), (4, 40.0, "keep")],
+        ["k", "v", "tag"],
+    )
+    upsert(spark, t, target, ["k"], txn_id="init")
+    return t
+
+
+class TestMergeSemantics:
+    def test_three_clause_merge(self, spark, tmp_path):
+        t = _base(spark, tmp_path)
+        src = local_df(
+            spark,
+            [(2, 99.0, "src"), (3, 0.0, "src"), (5, 50.0, "new")],
+            ["k", "v", "tag"],
+        )
+        merge_into(
+            spark,
+            t,
+            src,
+            ["k"],
+            when_matched_update={"v": "s.v"},
+            when_matched_delete="t.tag = 'del'",
+            insert_not_matched=True,
+        )
+        # k=1,4 untouched; k=2 updated to 99 (tag stays target's); k=3
+        # deleted (delete precedes update); k=5 inserted with source image
+        assert _rows(snapshot(spark, t)) == [
+            (1, 10.0, "keep"),
+            (2, 99.0, "upd"),
+            (4, 40.0, "keep"),
+            (5, 50.0, "new"),
+        ]
+
+    def test_update_expressions_see_both_sides(self, spark, tmp_path):
+        t = _base(spark, tmp_path)
+        src = local_df(spark, [(2, 5.0, "x")], ["k", "v", "tag"])
+        merge_into(
+            spark,
+            t,
+            src,
+            ["k"],
+            when_matched_update={"v": "t.v + s.v", "tag": "concat(t.tag, '+', s.tag)"},
+            insert_not_matched=False,
+        )
+        got = {r["k"]: (r["v"], r["tag"]) for r in snapshot(spark, t).collect()}
+        assert got[2] == (25.0, "upd+x")
+        assert got[1] == (10.0, "keep")
+
+    def test_insert_only_merge_skips_matched(self, spark, tmp_path):
+        t = _base(spark, tmp_path)
+        src = local_df(spark, [(2, 99.0, "x"), (6, 60.0, "new")], ["k", "v", "tag"])
+        merge_into(spark, t, src, ["k"], insert_not_matched=True)
+        got = _rows(snapshot(spark, t))
+        assert (2, 20.0, "upd") in got  # matched row untouched
+        assert (6, 60.0, "new") in got
+
+    def test_delete_only_merge(self, spark, tmp_path):
+        t = _base(spark, tmp_path)
+        src = local_df(spark, [(3, 0.0, "x"), (4, 0.0, "x")], ["k", "v", "tag"])
+        merge_into(
+            spark,
+            t,
+            src,
+            ["k"],
+            when_matched_delete="true",
+            insert_not_matched=False,
+        )
+        assert [r["k"] for r in snapshot(spark, t).orderBy("k").collect()] == [1, 2]
+
+    def test_duplicate_source_keys_raise(self, spark, tmp_path):
+        t = _base(spark, tmp_path)
+        src = local_df(spark, [(2, 1.0, "a"), (2, 2.0, "b")], ["k", "v", "tag"])
+        with pytest.raises(AmbiguousMergeError):
+            merge_into(spark, t, src, ["k"], when_matched_update={"v": "s.v"})
+
+    def test_merge_into_empty_table_inserts_all(self, spark, tmp_path):
+        t = str(tmp_path / "empty")
+        src = local_df(spark, [(1, 1.0, "a")], ["k", "v", "tag"])
+        merge_into(spark, t, src, ["k"])
+        assert _rows(snapshot(spark, t)) == [(1, 1.0, "a")]
+        with pytest.raises(FileNotFoundError):
+            merge_into(
+                spark,
+                str(tmp_path / "empty2"),
+                src,
+                ["k"],
+                when_matched_delete="true",
+                insert_not_matched=False,
+            )
+
+    def test_missing_insert_columns_raise(self, spark, tmp_path):
+        t = _base(spark, tmp_path)
+        src = local_df(spark, [(9, 1.0)], ["k", "v"])
+        with pytest.raises(AnglerfishError, match="missing"):
+            merge_into(spark, t, src, ["k"], insert_not_matched=True)
+
+    def test_txn_replay_is_noop(self, spark, tmp_path):
+        t = _base(spark, tmp_path)
+        src = local_df(spark, [(5, 50.0, "new")], ["k", "v", "tag"])
+        v1 = merge_into(spark, t, src, ["k"], txn_id="m1")
+        v2 = merge_into(spark, t, src, ["k"], txn_id="m1")
+        assert v1 == v2 == current_version(t)
+        assert sum(r["k"] == 5 for r in snapshot(spark, t).collect()) == 1
+
+    def test_time_travel_preserved(self, spark, tmp_path):
+        t = _base(spark, tmp_path)
+        src = local_df(spark, [(3, 0.0, "x")], ["k", "v", "tag"])
+        merge_into(spark, t, src, ["k"], when_matched_delete="true",
+                   insert_not_matched=False)
+        assert len(_rows(snapshot(spark, t, 1))) == 4  # pre-merge snapshot intact
+        assert len(_rows(snapshot(spark, t, 2))) == 3
+
+
+class TestMergeChangeLog:
+    def test_logged_feed_equals_diff_and_cancels_noops(self, spark, tmp_path):
+        t = _base(spark, tmp_path)
+        src = local_df(
+            spark,
+            # k=1: NO-OP update (same image) — must not appear in the feed
+            # k=2: real update; k=3: delete; k=5: insert
+            [(1, 10.0, "keep"), (2, 99.0, "upd"), (3, 0.0, "x"), (5, 50.0, "new")],
+            ["k", "v", "tag"],
+        )
+        merge_into(
+            spark,
+            t,
+            src,
+            ["k"],
+            when_matched_update={"v": "s.v"},
+            when_matched_delete="t.tag = 'del'",
+        )
+        logged, mode = table_changes(spark, t, 1, 2, mode="logged")
+        assert mode == "logged"
+        diff, _ = table_changes(spark, t, 1, 2, mode="diff")
+        assert _rows(logged) == _rows(diff)
+        evs = {(r["k"], r["_change_type"]) for r in logged.collect()}
+        assert evs == {(2, "delete"), (2, "insert"), (3, "delete"), (5, "insert")}
