@@ -597,8 +597,14 @@ def vacuum(table: str) -> list[str]:
     """Delete data files no manifest references (crashed writers' staged
     orphans, superseded snapshots' files if old manifests are pruned —
     here every manifest is retained, so 'referenced' = union over ALL
-    versions, preserving time travel).  Returns what was removed."""
+    versions, preserving time travel).  Live WAP staged refs
+    (``wap.stage_append``) count as references: a candidate batch under
+    audit is never garbage-collected.  Returns what was removed."""
+    from .wap import staged_refs
+
     referenced: set[str] = set()
+    for ref in staged_refs(table).values():
+        referenced.update(ref["files"])
     for v in range(1, current_version(table) + 1):
         path = _manifest_path(table, v)
         if os.path.exists(path):
