@@ -449,6 +449,18 @@ def _probe_key_sql(flipcond: str) -> str:
     )
 
 
+#: the full perturbation sequence {}, {b0}, {b1}, {b0,b1}; the oracle's
+#: probe list below is SLICED to N_PROBES_LSH so engine and oracle track
+#: the constant together (ADVICE r8 low #5 — a hardcoded four-probe qb
+#: CTE silently desynchronized the candidate sets if the constant moved)
+_PROBE_KEY_EXPRS = [
+    _probe_key_sql("false"),
+    _probe_key_sql("i = lo[1].i"),
+    _probe_key_sql("i = lo[2].i"),
+    _probe_key_sql("i = lo[1].i OR i = lo[2].i"),
+]
+
+
 @query(
     "q_similarity_ann_lsh",
     oracle=f"""
@@ -480,13 +492,10 @@ qlo AS (
   FROM qpj, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band_id) b
 ),
 qb AS (
-  -- perturbation sequence {{}}, {{b0}}, {{b1}}, {{b0,b1}} (multi-probe,
-  -- N_PROBES_LSH = {N_PROBES_LSH})
+  -- perturbation sequence sliced to N_PROBES_LSH = {N_PROBES_LSH}
+  -- (generated from the same constant the engine probes with)
   SELECT query_id, band_id, unnest([
-    {_probe_key_sql('false')},
-    {_probe_key_sql('i = lo[1].i')},
-    {_probe_key_sql('i = lo[2].i')},
-    {_probe_key_sql('i = lo[1].i OR i = lo[2].i')}
+    {", ".join(_PROBE_KEY_EXPRS[:N_PROBES_LSH])}
   ]) AS band_key
   FROM qlo
 ),

@@ -339,6 +339,7 @@ def commit_rebased(
     delete_group: dict | None = None,
     pos_delete_files: list[str] | None = None,
     txn_id: str | None = None,
+    spark: SparkSession | None = None,
 ) -> int:
     """Semantic rebase after losing the version CAS (VERDICT r7 #7, the
     Iceberg commit-validation model): instead of blindly re-running
@@ -370,7 +371,15 @@ def commit_rebased(
 
     The rebase itself re-reads the current manifest and commits on top
     of it (one more CAS; on another race, retry ``commit_rebased`` with
-    the same arguments — it is idempotent against its inputs)."""
+    the same arguments — it is idempotent against its inputs).
+
+    Change logging (ADVICE r8 low #2): with ``spark`` passed, a rebased
+    delete derives its EXACT row images against the CURRENT snapshot
+    (one semi-join, the ``delete_keys``/``delete_where`` pattern) so the
+    commit stays ``manifest_feed``-streamable; without it the commit
+    records ``changes=None`` and any feed consuming the table fails
+    loudly at that version (batch ``table_changes`` diff still works).
+    Appends always log their files — no session needed."""
     if kind not in ("append", "equality_delete", "pos_delete"):
         raise ValueError(f"unknown rebase kind {kind!r}")
     v = current_version(table)
@@ -403,6 +412,32 @@ def commit_rebased(
     if kind == "equality_delete":
         groups = [dict(g) for g in delete_groups(m)]
         groups.append({**delete_group, "seq": v + 1})
+        changes = None
+        if spark is not None:
+            # exact images against the CURRENT snapshot (any images the
+            # caller derived at base_version may be stale over the
+            # concurrent commit): one broadcast semi-join, O(matched)
+            keys = spark.read.parquet(
+                *[os.path.join(table, f) for f in delete_group["files"]]
+            ).dropDuplicates()
+            key = delete_group["key"]
+            target_col = key
+            if schema:
+                from .read_path import _reader_fields
+
+                colmap = {
+                    a: rf.name for rf in _reader_fields(schema) for a in rf.aliases
+                }
+                target_col = colmap.get(key, key)
+                if target_col != key:
+                    keys = keys.withColumnRenamed(key, target_col)
+            images = snapshot(spark, table, v).join(
+                F.broadcast(keys), target_col, "left_semi"
+            )
+            changes = {
+                "inserted": [],
+                "deleted": [{"files": stage_files(images, table), "schema": schema}],
+            }
         return commit(
             table,
             m["files"],
@@ -413,10 +448,7 @@ def commit_rebased(
             stats=m.get("stats"),
             delete_groups=groups,
             pos_deletes=m.get("pos_deletes"),
-            # images were derived at base_version; over a concurrent
-            # commit they may be stale — record no change log (feed
-            # falls back to diff for this step) rather than a wrong one
-            changes=None,
+            changes=changes,
         )
     current_files = set(m["files"])
     named = set()
@@ -437,6 +469,23 @@ def commit_rebased(
             f"{len(missing)} data file(s) a concurrent commit rewrote "
             f"(e.g. {missing[0]!r}); re-derive positions against v{v}"
         )
+    changes = None
+    if spark is not None:
+        # exact images: the currently-visible rows at the named positions
+        # (one broadcast semi-join on (file, pos) — ADVICE r8 low #2)
+        from .read_path import read_table
+
+        cur, _ = read_table(spark, table, v, with_positions=True)
+        pd_df = spark.read.parquet(
+            *[os.path.join(table, f) for f in pos_delete_files]
+        ).selectExpr("file AS _fp", "pos AS _ri")
+        images = cur.join(
+            F.broadcast(pd_df.dropDuplicates()), ["_fp", "_ri"], "left_semi"
+        ).drop("_fp", "_ri")
+        changes = {
+            "inserted": [],
+            "deleted": [{"files": stage_files(images, table), "schema": schema}],
+        }
     return commit(
         table,
         m["files"],
@@ -447,7 +496,7 @@ def commit_rebased(
         stats=m.get("stats"),
         delete_groups=delete_groups(m) or None,
         pos_deletes=(m.get("pos_deletes") or []) + pos_delete_files,
-        changes=None,
+        changes=changes,
     )
 
 
@@ -551,22 +600,38 @@ def tag(table: str, name: str, version: int | None = None) -> int:
         raise AnglerfishError(f"tag {name!r} already exists on {table!r}") from ex
     try:
         os.write(fd, payload.encode())
+        # fsync like commit() does (ADVICE r8 low #4): a crash must not
+        # leave a zero-byte/partial tag file that breaks tags() forever
+        os.fsync(fd)
     finally:
         os.close(fd)
     return v
 
 
 def tags(table: str) -> dict[str, int]:
-    """All tags: name → pinned version."""
+    """All tags: name → pinned version.  A torn/unparseable tag file
+    (pre-r9 writer crash mid-write) is warned about and skipped instead
+    of breaking every tags() caller — expire_snapshots then treats the
+    broken tag as absent, which is the conservative failure only in the
+    direction of retaining less, never of mis-resolving a read (resolving
+    a torn tag would be guessing a version)."""
+    import warnings
+
     tdir = os.path.join(table, _TAGS_DIR)
     if not os.path.isdir(tdir):
         return {}
     out: dict[str, int] = {}
     for f in os.listdir(tdir):
         if f.endswith(".json"):
-            with open(os.path.join(tdir, f)) as fh:
-                t = json.load(fh)
-            out[t["name"]] = t["version"]
+            try:
+                with open(os.path.join(tdir, f)) as fh:
+                    t = json.load(fh)
+                out[t["name"]] = t["version"]
+            except (json.JSONDecodeError, KeyError) as ex:
+                warnings.warn(
+                    f"skipping unparseable tag file {f!r} on {table!r}: {ex}",
+                    stacklevel=2,
+                )
     return out
 
 
@@ -593,15 +658,29 @@ def resolve_tag(table: str, name: str) -> int:
     return v
 
 
-def vacuum(table: str) -> list[str]:
+#: Default vacuum retention: files younger than this are never reclaimed
+#: even when unreferenced — an in-flight writer between ``stage_files``
+#: and its ``commit``/ref creation would otherwise lose its batch to a
+#: concurrent vacuum (ADVICE r8 low #3; Delta's VACUUM retention check,
+#: default 7 days there — an hour is generous for this local mock's
+#: stage→commit window).
+DEFAULT_VACUUM_GRACE_MS = 60 * 60 * 1000
+
+
+def vacuum(table: str, min_age_ms: int = DEFAULT_VACUUM_GRACE_MS) -> list[str]:
     """Delete data files no manifest references (crashed writers' staged
     orphans, superseded snapshots' files if old manifests are pruned —
     here every manifest is retained, so 'referenced' = union over ALL
     versions, preserving time travel).  Live WAP staged refs
     (``wap.stage_append``) count as references: a candidate batch under
-    audit is never garbage-collected.  Returns what was removed."""
+    audit is never garbage-collected.  Files whose mtime is younger than
+    ``min_age_ms`` are skipped (they may belong to a writer that staged
+    but has not yet committed / created its ref — the Delta VACUUM
+    retention pattern); pass ``min_age_ms=0`` only when no writer can be
+    in flight.  Returns what was removed."""
     from .wap import staged_refs
 
+    cutoff = time.time() - min_age_ms / 1000.0
     referenced: set[str] = set()
     for ref in staged_refs(table).values():
         referenced.update(ref["files"])
@@ -623,7 +702,11 @@ def vacuum(table: str) -> list[str]:
         for name in names:
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, table)
-            if name.endswith(".parquet") and rel not in referenced:
+            if (
+                name.endswith(".parquet")
+                and rel not in referenced
+                and os.path.getmtime(full) <= cutoff
+            ):
                 os.remove(full)
                 removed.append(rel)
     return removed

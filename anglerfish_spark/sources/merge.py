@@ -60,10 +60,12 @@ from .manifest_table import (
 
 
 class AmbiguousMergeError(AnglerfishError):
-    """The merge source carries duplicate key rows: a matched target row
-    would be updated by more than one source row, so the result depends
-    on evaluation order.  Delta raises the same way
-    (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW)."""
+    """A TARGET row is matched by more than one source row, so its
+    post-merge image depends on evaluation order.  Delta raises the same
+    way (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW) — and, like
+    Delta, duplicate source keys that match NO target row are legal: an
+    insert-only merge may insert several rows per key (ADVICE r8 low #1;
+    the pre-r9 guard refused those too)."""
 
 
 def merge_into(
@@ -107,19 +109,6 @@ def merge_into(
     v = current_version(table)
     if txn_id is not None and _txn_committed(table, v, txn_id):
         return v
-
-    dup = (
-        source.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise AmbiguousMergeError(
-            f"merge source has duplicate rows for key {key_cols!r}; "
-            "aggregate the source to one row per key first"
-        )
 
     if v == 0:
         if not insert_not_matched:
@@ -176,6 +165,28 @@ def merge_into(
         )
         .localCheckpoint(eager=True)
     )
+    # ambiguity guard (Delta semantics, ADVICE r8 low #1): ambiguous iff
+    # a DUPLICATED source key matches at least one target row — duplicate
+    # unmatched keys are a legal insert-only merge.  dup_src is one agg
+    # over the batch-bounded source; the probe reuses the materialized
+    # matched checkpoint, so the target is not rescanned.
+    dup_src = (
+        source.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .drop("_n")
+    )
+    dup = (
+        matched.select(*[F.col(f"_old_{k}").alias(k) for k in key_cols])
+        .join(F.broadcast(dup_src), key_cols, "left_semi")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise AmbiguousMergeError(
+            f"merge source matches at least one target row more than once "
+            f"on key {key_cols!r}; aggregate the source to one row per key"
+        )
     old_of = lambda df: df.select(*[F.col(f"_old_{c}").alias(c) for c in cols])  # noqa: E731
     survivors = matched.where(F.col("_act") != "delete").select(*cols)
     del_old = old_of(matched.where(F.col("_act") == "delete"))

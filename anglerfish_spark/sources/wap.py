@@ -109,16 +109,28 @@ def stage_append(spark: SparkSession, table: str, batch: DataFrame, name: str) -
 
 
 def staged_refs(table: str) -> dict[str, dict]:
-    """All live staged refs on ``table`` (name → ref payload)."""
+    """All live staged refs on ``table`` (name → ref payload).  A torn/
+    unparseable ref file is warned about and skipped (ADVICE r8 low #4):
+    its file list is unrecoverable so the candidate can never be
+    published anyway — its staged data ages into vacuum-able orphans
+    (``vacuum``'s mtime grace keeps any in-flight writer safe)."""
+    import warnings
+
     mdir = os.path.join(table, _MANIFEST_DIR)
     out: dict[str, dict] = {}
     if not os.path.isdir(mdir):
         return out
     for f in os.listdir(mdir):
         if f.startswith(_STAGED_PREFIX) and f.endswith(".json"):
-            with open(os.path.join(mdir, f)) as fh:
-                ref = json.load(fh)
-            out[ref["name"]] = ref
+            try:
+                with open(os.path.join(mdir, f)) as fh:
+                    ref = json.load(fh)
+                out[ref["name"]] = ref
+            except (json.JSONDecodeError, KeyError) as ex:
+                warnings.warn(
+                    f"skipping unparseable staged ref {f!r} on {table!r}: {ex}",
+                    stacklevel=2,
+                )
     return out
 
 

@@ -92,7 +92,8 @@ class TestCommitProtocol:
         committed = stage_files(df, t)
         commit(t, committed, expected_version=0)
         orphans = stage_files(df, t)  # a crashed writer's leftovers
-        removed = vacuum(t)
+        assert vacuum(t) == []  # default grace: young files never reclaimed
+        removed = vacuum(t, min_age_ms=0)
         assert sorted(removed) == sorted(orphans)
         assert _rows(snapshot(spark, t)) == [(1, "a")]  # snapshot intact
 
@@ -414,7 +415,7 @@ class TestExpireSnapshots:
         upsert(spark, t, spark.createDataFrame([(3, "c")], ["k", "v"]), ["k"])
         assert vacuum(t) == []  # full history retained: nothing orphaned
         assert expire_snapshots(t, keep_last=1) == [1, 2]
-        removed = vacuum(t)
+        removed = vacuum(t, min_age_ms=0)
         assert removed  # v1/v2-only files reclaimed
         # the current snapshot is untouched
         assert sorted(r.k for r in snapshot(spark, t).collect()) == [1, 2, 3]
@@ -670,3 +671,118 @@ class TestCommitValidation:
         t = self._base(spark, tmp_path)
         with pytest.raises(ValueError, match="nothing to rebase"):
             commit_rebased(t, 1, "append", files=[])
+
+
+class TestRebasedChangeLogging:
+    """ADVICE r8 low #2: rebased deletes with a session derive exact
+    change images against the CURRENT snapshot, so the history stays
+    manifest_feed-streamable; without a session they record None."""
+
+    def _base(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.range(6).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        upsert(spark, t, df, ["k"])
+        return t
+
+    def test_rebased_equality_delete_logs_exact_images(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import commit_rebased
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = self._base(spark, tmp_path)
+        kf = stage_files(spark.createDataFrame([(4,)], "k long"), t)
+        # concurrent upsert lands v2 first (updates k=4 to 44.0)
+        upsert(spark, t, spark.createDataFrame([(4, 44.0)], "k long, v double"), ["k"])
+        v = commit_rebased(
+            t, 1, "equality_delete", delete_group={"key": "k", "files": kf}, spark=spark
+        )
+        m = read_manifest(t, v)
+        assert m["changes"] is not None
+        # images must be the CURRENT (v2) image of k=4, not the stale v1 one
+        logged, mode = table_changes(spark, t, v - 1, v, mode="logged")
+        assert mode == "logged"
+        evs = sorted(tuple(r) for r in logged.collect())
+        assert evs == [(4, 44.0, "delete")]
+        # and logged equals the independent diff
+        diff, _ = table_changes(spark, t, v - 1, v, mode="diff")
+        assert evs == sorted(tuple(r) for r in diff.collect())
+
+    def test_rebased_pos_delete_logs_exact_images(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import commit_rebased
+        from anglerfish_spark.sources.read_path import read_table, table_changes
+
+        t = self._base(spark, tmp_path)
+        pre, _ = read_table(spark, t, 1, with_positions=True)
+        hits = pre.where(F.col("k") >= 4).select(
+            F.col("_fp").alias("file"), F.col("_ri").alias("pos")
+        )
+        pfiles = stage_files(hits, t)
+        mine = stage_files(spark.createDataFrame([(9, 9.0)], "k long, v double"), t)
+        commit(
+            t,
+            read_manifest(t, 1)["files"] + mine,
+            expected_version=1,
+            changes={"inserted": [{"files": mine, "schema": None}], "deleted": []},
+        )
+        v = commit_rebased(t, 1, "pos_delete", pos_delete_files=pfiles, spark=spark)
+        logged, mode = table_changes(spark, t, v - 1, v, mode="logged")
+        assert mode == "logged"
+        evs = sorted(tuple(r) for r in logged.collect())
+        assert evs == [(4.0, 4.0, "delete"), (5.0, 5.0, "delete")] or evs == [
+            (4, 4.0, "delete"),
+            (5, 5.0, "delete"),
+        ]
+        diff, _ = table_changes(spark, t, v - 1, v, mode="diff")
+        assert evs == sorted(tuple(r) for r in diff.collect())
+
+    def test_rebased_delete_without_session_records_none(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import commit_rebased
+
+        t = self._base(spark, tmp_path)
+        kf = stage_files(spark.createDataFrame([(4,)], "k long"), t)
+        upsert(spark, t, spark.createDataFrame([(0, 0.5)], "k long, v double"), ["k"])
+        v = commit_rebased(t, 1, "equality_delete", delete_group={"key": "k", "files": kf})
+        assert read_manifest(t, v)["changes"] is None
+
+
+class TestTornRefTolerance:
+    """ADVICE r8 low #4: a torn tag / staged-ref file is skipped with a
+    warning instead of breaking tags()/vacuum/expire for the table."""
+
+    def test_torn_tag_file_is_skipped(self, spark, tmp_path):
+        import warnings as _w
+
+        from anglerfish_spark.sources.manifest_table import (
+            _TAGS_DIR,
+            expire_snapshots,
+            tag,
+            tags,
+        )
+
+        t = str(tmp_path / "t")
+        upsert(spark, t, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+        tag(t, "good")
+        # simulate a crash mid-write: a zero-byte tag file
+        open(os.path.join(t, _TAGS_DIR, "torn.json"), "w").close()
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            got = tags(t)
+        assert got == {"good": 1}
+        assert any("torn" in str(w.message) for w in rec)
+        assert expire_snapshots(t, keep_last=1) == []  # does not raise
+
+    def test_torn_staged_ref_is_skipped(self, spark, tmp_path):
+        import warnings as _w
+
+        from anglerfish_spark.sources.manifest_table import _MANIFEST_DIR
+        from anglerfish_spark.sources.wap import stage_append, staged_refs
+
+        t = str(tmp_path / "t")
+        upsert(spark, t, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+        stage_append(spark, t, spark.createDataFrame([(2, "b")], ["k", "v"]), "ok")
+        open(os.path.join(t, _MANIFEST_DIR, "staged-torn.json"), "w").close()
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            refs = staged_refs(t)
+        assert set(refs) == {"ok"}
+        assert any("torn" in str(w.message) for w in rec)
+        assert vacuum(t) == []  # the live ref's files stay referenced

@@ -97,6 +97,30 @@ class TestMergeSemantics:
         with pytest.raises(AmbiguousMergeError):
             merge_into(spark, t, src, ["k"], when_matched_update={"v": "s.v"})
 
+    def test_duplicate_unmatched_keys_are_legal_inserts(self, spark, tmp_path):
+        """Delta semantics (ADVICE r8 low #1): duplicate source keys that
+        match NO target row are a legal insert-only merge — both rows
+        insert; only a duplicated MATCHED key is ambiguous."""
+        t = _base(spark, tmp_path)
+        src = local_df(
+            spark, [(7, 1.0, "a"), (7, 2.0, "b"), (2, 99.0, "s")], ["k", "v", "tag"]
+        )
+        merge_into(spark, t, src, ["k"], when_matched_update={"v": "s.v"})
+        got = _rows(snapshot(spark, t))
+        assert (7, 1.0, "a") in got and (7, 2.0, "b") in got
+        assert (2, 99.0, "upd") in got
+
+    def test_duplicate_null_keys_never_match(self, spark, tmp_path):
+        """Multiple null-key source rows match nothing (SQL equality) and
+        must not trip the ambiguity guard."""
+        t = _base(spark, tmp_path)
+        src = local_df(
+            spark, [(None, 1.0, "n1"), (None, 2.0, "n2")], ["k", "v", "tag"]
+        ).selectExpr("CAST(k AS BIGINT) AS k", "v", "tag")
+        merge_into(spark, t, src, ["k"])
+        ks = [r["k"] for r in snapshot(spark, t).collect()]
+        assert ks.count(None) == 2 and len(ks) == 6
+
     def test_merge_into_empty_table_inserts_all(self, spark, tmp_path):
         t = str(tmp_path / "empty")
         src = local_df(spark, [(1, 1.0, "a")], ["k", "v", "tag"])
