@@ -24,13 +24,16 @@ mechanisms the steady state needs:
    the commit is a no-op — effectively-once without relying on the
    merge being semantically idempotent.
 
-The mock keeps MERGE as a full-snapshot rewrite (read snapshot →
-anti-join → union → new files → commit).  A production format rewrites
-only the files whose key ranges collide (file-level min/max pruning) —
-the same protocol, a smaller rewrite set; the incremental-dedup index
-(`operators/dedup.dedup_index_tables`) would layer its bucket layout on
-such a table so the probe join stays exchange-free AND the ingest is
-transactional.
+Row-level writes are FILE-TARGETED copy-on-write (r9): a stats-pruned
+probe (:func:`_probe_touched_files`) finds the data files whose visible
+rows contain the batch's keys, only those are rewritten, and every
+other fileset commits verbatim — exactly the production formats'
+min/max-pruned rewrite set, so a keyed write is O(touched files), not
+O(table).  ``merge_into(mode="mor")`` goes further and rewrites nothing
+(positional deletes + an appended fileset).  The incremental-dedup
+index (`operators/dedup.dedup_index_tables`) would layer its bucket
+layout on such a table so the probe join stays exchange-free AND the
+ingest is transactional.
 
 Local filesystem only (os.rename / O_EXCL are atomic on POSIX); on an
 object store the create-exclusive step is the piece you delegate to a
@@ -261,6 +264,85 @@ def commit(
     return new_version
 
 
+def _probe_touched_files(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    keys: DataFrame,
+    key_cols: list[str],
+) -> set[str]:
+    """Which data files of snapshot ``version`` contain a VISIBLE row
+    whose key is in ``keys`` — the file-targeting probe every row-level
+    write shares (VERDICT r8 #1; the ``compact_deletes`` pattern at the
+    key level).  Cost shape: the keys' per-column min/max box prunes
+    candidate files via footer stats (``read_table`` predicates), the
+    survivors take ONE key-column-pruned scan + broadcast semi-join, and
+    only the distinct ``_fp`` values (file paths, metadata-scale) are
+    collected.  Never a table rewrite; with stats present it never even
+    reads files outside the keys' range."""
+    from .read_path import read_table
+
+    bounds = keys.agg(
+        *[m for k in key_cols for m in (F.min(k).alias(f"_lo_{k}"), F.max(k).alias(f"_hi_{k}"))]
+    ).first()
+    predicates = {
+        k: (bounds[f"_lo_{k}"], bounds[f"_hi_{k}"]) for k in key_cols
+    }
+    pre, _ = read_table(spark, table, version, predicates=predicates, with_positions=True)
+    return {
+        r._fp
+        for r in pre.join(F.broadcast(keys), key_cols, "left_semi")
+        .select("_fp")
+        .distinct()
+        .collect()
+    }
+
+
+def _carry_filesets(
+    m: dict, touched: set[str]
+) -> tuple[list[dict], list[str], dict | None]:
+    """Split snapshot ``m``'s filesets around a rewrite of ``touched``:
+    returns ``(kept_filesets, kept_files, kept_stats)`` — every file NOT
+    in ``touched`` carried VERBATIM (same bytes, same seq, same writer
+    schema, same footer stats), which is what makes a keyed write
+    O(touched), not O(table)."""
+    filesets = m.get("filesets") or [
+        {"files": m["files"], "schema": m.get("schema")}
+    ]
+    kept_sets = []
+    for fs in filesets:
+        keep = [f for f in fs["files"] if f not in touched]
+        if keep:
+            kept_sets.append(
+                {"files": keep, "schema": fs.get("schema"), "seq": fs.get("seq")}
+            )
+    kept_files = [f for fs in kept_sets for f in fs["files"]]
+    stats = None
+    if m.get("stats"):
+        stats = {f: s for f, s in m["stats"].items() if f not in touched} or None
+    return kept_sets, kept_files, stats
+
+
+def _restat(
+    table: str, m: dict, new_files: list[str], reader: str | None
+) -> dict | None:
+    """Footer stats for ``new_files`` over the columns the snapshot
+    already tracked (pruning keeps working across keyed writes); returns
+    ``None`` when the table never carried stats."""
+    if not (m.get("stats") and new_files):
+        return None
+    from .read_path import _reader_fields
+    from .skipping import collect_file_stats
+
+    stat_cols = sorted({c for s in m["stats"].values() for c in (s.get("cols") or {})})
+    if reader:
+        rnames = {rf.name for rf in _reader_fields(reader)}
+        stat_cols = [c for c in stat_cols if c in rnames]
+    if not stat_cols:
+        return None
+    return collect_file_stats(table, new_files, stat_cols)
+
+
 def upsert(
     spark: SparkSession,
     table: str,
@@ -273,58 +355,97 @@ def upsert(
     ``streaming/sinks.upsert_batch``.  With ``txn_id`` set, a replay of
     an already-committed transaction is a no-op (foreachBatch's
     at-least-once becomes effectively-once).  Returns the table version
-    after the call."""
+    after the call.
+
+    **File-targeted copy-on-write (VERDICT r8 #1).**  Pre-r9 this staged
+    the FULL merged table every commit — 100% write amplification, so a
+    1-row upsert into a 100 TB table rewrote 100 TB.  Now the write is
+    O(touched): :func:`_probe_touched_files` finds the data files whose
+    visible rows actually contain the batch's keys (footer-stats box
+    prune + one broadcast semi-join), ONLY those files are rewritten
+    (read through the composed path, so evolution + carried deletes
+    resolve), and every other fileset is committed VERBATIM — same
+    bytes, same seq, same stats.  The new fileset lands at seq = new
+    version, so carried equality-delete groups (strictly-older rule)
+    cannot suppress rows this upsert re-inserts; carried positional
+    deletes referencing a rewritten file simply stop matching.  On a
+    key-clustered table the steady-state rewrite is the few files the
+    batch's key range overlaps — the Iceberg/Delta COW shape."""
     v = current_version(table)
     if txn_id is not None and _txn_committed(table, v, txn_id):
         return v  # replayed commit: already applied (possibly not latest)
     batch = batch.dropDuplicates(key_cols)
-    if v > 0:
-        existing = snapshot(spark, table, v)
-        merged = existing.join(batch.select(*key_cols), key_cols, "left_anti").unionByName(
-            batch
-        )
-        # commit-time change log (VERDICT r7 #1): the commit's exact row
-        # deltas are batch-bounded — old images of the replaced keys vs
-        # the incoming rows, with no-op replacements (identical old/new
-        # image) cancelled by the multiset difference.  O(|batch| +
-        # |matched|) work at commit so every later change-feed read is
-        # O(changed rows), never a table diff.  Both sides are
-        # localCheckpoint'ed (batch-bounded rows): breaks the shared
-        # evolved-snapshot lineage exceptAll's attribute dedup chokes on,
-        # and keeps the matched-image scan to ONE table pass.
-        aligned = batch.select(*existing.columns).localCheckpoint(eager=True)
-        old_matched = (
-            snapshot(spark, table, v)
-            .join(F.broadcast(aligned.select(*key_cols)), key_cols, "left_semi")
-            .localCheckpoint(eager=True)
-        )
-        del_images = old_matched.exceptAll(aligned)
-        ins_images = aligned.exceptAll(old_matched)
-    else:
-        merged = batch
-        del_images = ins_images = None
-    files = stage_files(merged, table)
-    # the rewrite resolved every fileset into the reader schema and folded
-    # deletes in physically — commit ONE fileset under that schema (an
-    # evolved table that merely committed files/version would silently
-    # lose its reader schema, ADVICE r6)
-    schema = read_manifest(table, v).get("schema") if v else None
-    if del_images is None:
+    if v == 0:
+        files = stage_files(batch, table)
         # initial load: every row is an insert and the data files ARE the
         # change log — reference them, write nothing extra
-        changes = {"inserted": [{"files": files, "schema": schema}], "deleted": []}
+        return commit(
+            table,
+            files,
+            expected_version=0,
+            txn_id=txn_id,
+            changes={"inserted": [{"files": files, "schema": None}], "deleted": []},
+        )
+    from .read_path import read_table
+
+    m = read_manifest(table, v)
+    schema = m.get("schema")
+    snap_cols = snapshot(spark, table, v).columns
+    aligned = batch.select(*snap_cols).localCheckpoint(eager=True)
+    keys = aligned.select(*key_cols).dropDuplicates()
+    touched = _probe_touched_files(spark, table, v, keys, key_cols)
+    if touched:
+        # the rewrite reads ONLY the touched files (deletes + evolution
+        # composed); matched old images live in them by construction, so
+        # the change log needs no second table pass either
+        tpart, _ = read_table(spark, table, v, only_files=touched)
+        old_matched = tpart.join(F.broadcast(keys), key_cols, "left_semi").localCheckpoint(
+            eager=True
+        )
+        rewritten = tpart.join(F.broadcast(keys), key_cols, "left_anti").unionByName(
+            aligned
+        )
+    else:
+        old_matched = None
+        rewritten = aligned
+    new_files = stage_files(rewritten, table)
+    kept_sets, kept_files, kept_stats = _carry_filesets(m, touched)
+    new_sets = kept_sets + [{"files": new_files, "schema": schema, "seq": v + 1}]
+    new_stats = _restat(table, m, new_files, schema)
+    if new_stats:
+        kept_stats = {**(kept_stats or {}), **new_stats}
+    # commit-time change log (VERDICT r7 #1): exact batch-bounded deltas —
+    # old images of replaced keys vs incoming rows, no-op replacements
+    # cancelled by the multiset difference (both sides checkpoint'ed:
+    # batch-bounded rows, and exceptAll's attribute dedup chokes on a
+    # shared evolved-snapshot lineage)
+    if old_matched is None:
+        changes = {
+            "inserted": [{"files": new_files, "schema": schema}],
+            "deleted": [],
+        }
     else:
         changes = {
-            "inserted": [{"files": stage_files(ins_images, table), "schema": schema}],
-            "deleted": [{"files": stage_files(del_images, table), "schema": schema}],
+            "inserted": [
+                {"files": stage_files(aligned.exceptAll(old_matched), table), "schema": schema}
+            ],
+            "deleted": [
+                {"files": stage_files(old_matched.exceptAll(aligned), table), "schema": schema}
+            ],
         }
     return commit(
         table,
-        files,
+        kept_files + new_files,
         expected_version=v,
         txn_id=txn_id,
         schema=schema,
-        filesets=[{"files": files, "schema": schema, "seq": v + 1}] if schema else None,
+        # filesets ALWAYS committed now (even schema-less): the new
+        # fileset's seq is what keeps carried delete groups off the rows
+        # this upsert (re-)inserts
+        filesets=new_sets,
+        stats=kept_stats,
+        delete_groups=delete_groups(m) or None,
+        pos_deletes=m.get("pos_deletes"),
         changes=changes,
     )
 
@@ -1003,7 +1124,11 @@ def compact_deletes(spark: SparkSession, table: str) -> tuple[int, dict]:
         expected_version=v,
         txn_id=f"compact-deletes-v{v}",
         schema=reader,
-        filesets=new_sets if reader else None,
+        # filesets ALWAYS (even schema-less): carried filesets may differ
+        # in physical parquet types (e.g. int32 vs int64 from different
+        # writers) — per-fileset scans + union coercion read them; one
+        # flat file list would put mixed physical schemas in one scan
+        filesets=new_sets,
         stats=stats,
         changes={"inserted": [], "deleted": []},
     )

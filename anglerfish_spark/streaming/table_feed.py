@@ -453,7 +453,8 @@ def q_stream_table_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def apply_feed_batch(
-    batch: DataFrame, epoch: int, mirror: str, key_cols: list[str]
+    batch: DataFrame, epoch: int, mirror: str, key_cols: list[str],
+    mode: str = "cow",
 ) -> None:
     """Apply one feed micro-batch to ``mirror`` with last-writer-wins
     key resolution: a micro-batch may span several source commits
@@ -466,9 +467,21 @@ def apply_feed_batch(
     Exactly-once under foreachBatch's at-least-once replay: the upsert
     and delete land as two independently-idempotent manifest commits
     (``txn_id=feed-up/del-{epoch}``), the same guard the CDC sink uses
-    (streaming/deletes.py module docstring)."""
-    from ..sources.manifest_table import current_version, delete_keys, upsert
+    (streaming/deletes.py module docstring).
 
+    Write cost per epoch (VERDICT r8 #2): deletes are equality-delete
+    groups (O(batch), no rewrite) in either mode; inserts/updates are
+    ``mode="cow"`` — the file-targeted upsert, O(touched files) — or
+    ``mode="mor"`` — MERGE merge-on-read, O(changed rows) exactly: no
+    mirror file is ever rewritten, updates emit positional deletes + an
+    appended fileset.  A long-running MoR mirror should fold its
+    accumulated delete state periodically (``compact_deletes``, itself
+    touched-file-targeted)."""
+    from ..sources.manifest_table import current_version, delete_keys, snapshot, upsert
+    from ..sources.merge import merge_into
+
+    if mode not in ("cow", "mor"):
+        raise AnglerfishError(f"apply_feed_batch mode must be 'cow' or 'mor', got {mode!r}")
     if len(key_cols) != 1:
         # delete_keys is single-column equality-delete; silently using
         # key_cols[0] would over-delete every row sharing that prefix
@@ -484,7 +497,20 @@ def apply_feed_batch(
     images = win.drop("_commit_version", "_commit_timestamp")
     ins = images.where(F.col("_change_type") == "insert").drop("_change_type")
     if ins.limit(1).count():
-        upsert(spark, mirror, ins, key_cols, txn_id=f"feed-up-{epoch}")
+        if mode == "mor" and current_version(mirror) > 0:
+            cols = snapshot(spark, mirror).columns
+            merge_into(
+                spark,
+                mirror,
+                ins,
+                key_cols,
+                when_matched_update={c: f"s.{c}" for c in cols if c not in key_cols},
+                insert_not_matched=True,
+                txn_id=f"feed-up-{epoch}",
+                mode="mor",
+            )
+        else:
+            upsert(spark, mirror, ins, key_cols, txn_id=f"feed-up-{epoch}")
     ins_keys = ins.select(*key_cols)
     dels = (
         win.where(F.col("_change_type") == "delete")
@@ -502,13 +528,15 @@ def start_feed_apply(
     mirror: str,
     key_cols: list[str],
     checkpoint: str | None = None,
+    mode: str = "cow",
 ):
     """Streaming replication: consume ``source_table``'s manifest_feed
     and maintain ``mirror`` as a keyed copy.  Returns the
-    StreamingQuery (availableNow trigger: drain-and-stop)."""
+    StreamingQuery (availableNow trigger: drain-and-stop).  ``mode``
+    picks the mirror's write strategy (see :func:`apply_feed_batch`)."""
 
     def _apply(batch: DataFrame, epoch: int) -> None:
-        apply_feed_batch(batch, epoch, mirror, key_cols)
+        apply_feed_batch(batch, epoch, mirror, key_cols, mode=mode)
 
     w = (
         read_table_feed(spark, source_table)

