@@ -722,6 +722,37 @@ INVIDX_BUCKETS = 8
 _INVIDX_DIR: str | None = None
 
 
+def _invidx_side_names(name: str) -> tuple[str, str]:
+    """``(doclen_table, consts_table)`` for a persisted index ``name``."""
+    return f"{name}_dl", f"{name}_cs"
+
+
+def _write_index_side_tables(
+    spark: SparkSession, name: str, docs: DataFrame, mode: str
+) -> None:
+    """Persist the ranking side tables AT BUILD TIME (VERDICT r8 #3 —
+    pre-r9, BM25 re-tokenized the whole corpus per query to derive doc
+    lengths): ``{name}_dl`` holds ``(doc_id, dl)``, ``{name}_cs`` holds
+    ONE ``(n_docs, total_len)`` row PER INGEST (the LSM shape — readers
+    SUM the rows, so incremental appends never rewrite the consts)."""
+    import os
+
+    dl = docs.select("doc_id", F.size(tokens()).cast("bigint").alias("dl"))
+    dl_name, cs_name = _invidx_side_names(name)
+    w = dl.write.mode(mode)
+    if mode == "overwrite":
+        w = w.option("path", os.path.join(_INVIDX_DIR, dl_name))
+    w.saveAsTable(dl_name)
+    consts = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    w = consts.write.mode(mode)
+    if mode == "overwrite":
+        w = w.option("path", os.path.join(_INVIDX_DIR, cs_name))
+    w.saveAsTable(cs_name)
+
+
 def inverted_index_table(spark: SparkSession, sf_dir: str) -> str:
     """Persist :func:`build_inverted_index`'s output bucketed+sorted by
     ``term`` (write-time contract, once per process per sf_dir) — probes
@@ -729,19 +760,22 @@ def inverted_index_table(spark: SparkSession, sf_dir: str) -> str:
     ``SelectedBucketsCount`` in the plan, asserted in
     tests/test_scale_paths.py) and never touch the corpus.  This is the
     same ingest-once/probe-many layout ``dedup_index_tables`` gives the
-    LSH index (operators/dedup.py:1040)."""
+    LSH index (operators/dedup.py:1040).  The build also persists the
+    BM25 side tables (:func:`_write_index_side_tables`), so ranked
+    search is served entirely from index-time artifacts."""
     import os
     import tempfile
 
     global _INVIDX_DIR
     if _INVIDX_DIR is None:
         _INVIDX_DIR = tempfile.mkdtemp(prefix="anglerfish_invidx_")
-    name = f"ang_invidx_p2_{abs(hash(sf_dir)) % 10**8}"
+    name = f"ang_invidx_p3_{abs(hash(sf_dir)) % 10**8}"
     if not spark.catalog.tableExists(name):
         # positional postings (r8): strictly more information in the same
         # bucket layout — tf probes read p.doc_id/p.tf as before, phrase
         # probes additionally read p.positions, both bucket-pruned
-        idx = build_positional_index(load_table(spark, sf_dir, "documents"))
+        d = load_table(spark, sf_dir, "documents")
+        idx = build_positional_index(d)
         (
             idx.write.mode("overwrite")
             .option("path", os.path.join(_INVIDX_DIR, name))
@@ -749,6 +783,7 @@ def inverted_index_table(spark: SparkSession, sf_dir: str) -> str:
             .sortBy("term")
             .saveAsTable(name)
         )
+        _write_index_side_tables(spark, name, d, "overwrite")
     return name
 
 
@@ -760,7 +795,9 @@ def inverted_index_append(spark: SparkSession, name: str, new_docs: DataFrame) -
     and the probe needs no change: it explodes the (term-filtered)
     fragments and the doc-level aggregation merges them, so search
     results equal a from-scratch rebuild (tested) while ingest cost is
-    O(new docs), never a corpus re-tokenize."""
+    O(new docs), never a corpus re-tokenize.  The BM25 side tables gain
+    the new docs' ``(doc_id, dl)`` rows and one more consts row the
+    same way (readers SUM consts rows)."""
     (
         build_positional_index(new_docs)
         .write.mode("append")
@@ -768,6 +805,7 @@ def inverted_index_append(spark: SparkSession, name: str, new_docs: DataFrame) -
         .sortBy("term")
         .saveAsTable(name)
     )
+    _write_index_side_tables(spark, name, new_docs, "append")
 
 
 def _probe_boolean(idx: DataFrame) -> DataFrame:
@@ -800,7 +838,7 @@ _INVIDX_INCR_BUILT: set[str] = set()
 def _incremental_index(spark: SparkSession, sf_dir: str) -> str:
     """Two-ingest index (once per process per sf_dir): 90% of the corpus
     at 'initial load', the doc_id % 10 == 0 batch appended after."""
-    name = f"ang_invidx_incr_p2_{abs(hash(sf_dir)) % 10**8}"
+    name = f"ang_invidx_incr_p3_{abs(hash(sf_dir)) % 10**8}"
     if name in _INVIDX_INCR_BUILT and spark.catalog.tableExists(name):
         return name
     import os
@@ -820,6 +858,7 @@ def _incremental_index(spark: SparkSession, sf_dir: str) -> str:
             .sortBy("term")
             .saveAsTable(name)
         )
+        _write_index_side_tables(spark, name, d.where(~is_new), "overwrite")
         inverted_index_append(spark, name, d.where(is_new))
     _INVIDX_INCR_BUILT.add(name)
     return name
@@ -1171,3 +1210,114 @@ def q_inverted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(tokens())).cast("bigint").alias("total_len"),
     )
     return bm25_search(probed, doclen, consts, BM25_TOP_K)
+
+
+def _bm25_from_persisted(spark: SparkSession, name: str) -> DataFrame:
+    """BM25 served ENTIRELY from index-time artifacts (VERDICT r8 #3):
+    term-filtered bucket-pruned postings + the persisted ``(doc_id,
+    dl)`` relation + the summed consts rows — per-query cost ∝ the
+    queried terms' posting sizes plus one doc-count-sized side-table
+    scan; the ``documents`` corpus is NEVER read (plan-asserted in
+    tests/test_scale_paths.py).
+
+    Fragment-safe: an LSM-fragmented index (``inverted_index_append``)
+    holds one row per (term, ingest), so per-term ``df`` is summed over
+    fragments before scoring; a (term, doc) pair's tf lives complete in
+    exactly one fragment (appends index NEW docs only), and consts rows
+    sum to the collection totals."""
+    dl_name, cs_name = _invidx_side_names(name)
+    dl = spark.table(dl_name)
+    consts = spark.table(cs_name).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_len").cast("bigint").alias("total_len"),
+    )
+    filtered = spark.table(name).where(F.col("term").isin(*_SEARCH_TERMS))
+    dfs = filtered.groupBy("term").agg(F.sum("df").cast("bigint").alias("df"))
+    probed = (
+        filtered.select("term", F.explode("postings").alias("p"))
+        .select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
+        .join(F.broadcast(dfs), "term")
+    )
+    return bm25_search(probed, dl, consts, BM25_TOP_K)
+
+
+_BM25_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents),
+consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(tok)) AS BIGINT) AS total_len FROM t),
+dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM t),
+tfc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tok) AS term FROM t)
+  WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         CAST(({BM25_SCALE} * (length(bin(n_docs // df)) - 1) * 6 * tf * total_len)
+              // (2 * total_len * tf + total_len + 3 * n_docs * dl) AS BIGINT) AS contrib
+  FROM tfc JOIN df USING (term) JOIN dl USING (doc_id), consts
+),
+top AS (
+  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, score
+FROM top ORDER BY rank
+"""
+
+
+@query("q_inverted_bm25_persisted", oracle=_BM25_ORACLE, group="llm-text")
+def q_inverted_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOP_K} served from the PERSISTED index + its
+    build-time side tables (VERDICT r8 #3): postings bucket-pruned by
+    term, doc lengths from the persisted ``(doc_id, dl)`` table,
+    collection constants from the summed consts rows — identical
+    integer scores to ``q_inverted_bm25`` (same oracle), but the
+    per-query cost is O(postings probed + |docs| side rows), never a
+    corpus re-tokenize (the r8 soak's 2.04x-at-5x-data offender).  The
+    optimized plan contains NO scan of ``documents``
+    (tests/test_scale_paths.py asserts it)."""
+    prepare(spark)
+    return _bm25_from_persisted(spark, inverted_index_table(spark, sf_dir))
+
+
+@query("q_inverted_bm25_incremental", oracle=_BM25_ORACLE, group="llm-text")
+def q_inverted_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same persisted BM25 over the LSM-FRAGMENTED index (90% initial
+    ingest + 10% appended): per-term df summed across fragments, doc
+    lengths unioned across ingests, consts rows summed — the oracle
+    recomputes over the FULL corpus, so ranked search stays exact under
+    incremental ingest of the index AND its ranking side tables."""
+    prepare(spark)
+    return _bm25_from_persisted(spark, _incremental_index(spark, sf_dir))
+
+
+@query(
+    "q_inverted_phrase_persisted",
+    oracle=f"""
+WITH tl AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+{_phrase_oracle(_PHRASE_2)}
+UNION ALL
+{_phrase_oracle(_PHRASE_3)}
+ORDER BY phrase, doc_id
+""",
+    group="llm-text",
+)
+def q_inverted_phrase_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over the PERSISTED positional index (VERDICT
+    r8 #3): both standing phrases answered from bucket-pruned postings
+    of the saved table — no per-query index build (``q_inverted_phrase``
+    keeps that cost honest), no corpus scan in the optimized plan."""
+    prepare(spark)
+    idx = spark.table(inverted_index_table(spark, sf_dir))
+
+    def one(phrase: tuple[str, ...]) -> DataFrame:
+        return phrase_search(idx, list(phrase)).select(
+            F.lit(" ".join(phrase)).alias("phrase"), "doc_id", "n_occ"
+        )
+
+    return one(_PHRASE_2).unionByName(one(_PHRASE_3)).orderBy("phrase", "doc_id")

@@ -68,6 +68,11 @@ HEADLINE = [
     "q_table_changes",
     "q_stream_table_feed",
     "q_inverted_bm25",
+    # r9 widening: ranked search served purely from the persisted index +
+    # its build-time side tables (no corpus re-tokenize per query), and
+    # MERGE INTO under file-targeted copy-on-write
+    "q_inverted_bm25_persisted",
+    "q_table_merge",
 ]
 
 
