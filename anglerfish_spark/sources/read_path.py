@@ -316,6 +316,7 @@ def table_changes(
     to_version: int | None = None,
     mode: str = "auto",
     net: bool = False,
+    with_metadata: bool = False,
 ) -> tuple[DataFrame, str]:
     """Change feed between two snapshots (the Delta CDF / Iceberg
     incremental-read shape): returns ``(df, mode)`` where ``df`` is the
@@ -353,9 +354,20 @@ def table_changes(
     with their net multiplicity) — net-logged == diff EXACTLY, whatever
     the history (pinned in tests), which is what a consumer
     materializing "state since version a" wants.
+
+    ``with_metadata=True`` (logged mode only — the other strategies
+    cannot attribute rows to individual commits) appends the stream
+    source's Delta-CDF metadata pair ``_commit_version`` /
+    ``_commit_timestamp`` per event row, so a batch consumer can order
+    multi-commit windows exactly like the ``manifest_feed`` stream
+    (``streaming.table_feed.backfill_feed`` is the consumer).
     """
     if mode not in ("auto", "logged", "incremental", "diff"):
         raise ValueError(f"unknown mode {mode!r} (auto|logged|incremental|diff)")
+    if with_metadata and mode != "logged":
+        raise ValueError("with_metadata requires mode='logged'")
+    if with_metadata and net:
+        raise ValueError("with_metadata cannot combine with net folding")
     from .manifest_table import current_version
 
     vb = to_version if to_version is not None else current_version(table)
@@ -375,6 +387,21 @@ def table_changes(
         if steps is not None and steps and seqs_sound and all(
             s.get("changes") is not None for s in steps
         ):
+            def _meta(df: DataFrame, s: dict) -> DataFrame:
+                if not with_metadata:
+                    return df
+                ms = s.get("committed_at_ms")
+                return df.withColumns(
+                    {
+                        "_commit_version": F.lit(s["version"]).cast("long"),
+                        "_commit_timestamp": (
+                            F.timestamp_millis(F.lit(ms))
+                            if ms is not None
+                            else F.lit(None).cast("timestamp")
+                        ),
+                    }
+                )
+
             parts: list[DataFrame] = []
             for s in steps:
                 for side, ctype in (("inserted", "insert"), ("deleted", "delete")):
@@ -382,13 +409,18 @@ def table_changes(
                         if not e["files"]:
                             continue
                         parts.append(
-                            _resolve_files(
-                                spark, table, e["files"], e.get("schema"), reader
-                            ).withColumn("_change_type", F.lit(ctype))
+                            _meta(
+                                _resolve_files(
+                                    spark, table, e["files"], e.get("schema"), reader
+                                ).withColumn("_change_type", F.lit(ctype)),
+                                s,
+                            )
                         )
             if not parts:
                 base, _ = read_table(spark, table, vb)
                 out = base.limit(0).withColumn("_change_type", F.lit("insert"))
+                if with_metadata:
+                    out = _meta(out, mb)
             else:
                 out = parts[0]
                 for p in parts[1:]:

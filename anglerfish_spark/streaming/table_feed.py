@@ -529,17 +529,20 @@ def start_feed_apply(
     key_cols: list[str],
     checkpoint: str | None = None,
     mode: str = "cow",
+    starting_version: int = 0,
 ):
     """Streaming replication: consume ``source_table``'s manifest_feed
     and maintain ``mirror`` as a keyed copy.  Returns the
     StreamingQuery (availableNow trigger: drain-and-stop).  ``mode``
-    picks the mirror's write strategy (see :func:`apply_feed_batch`)."""
+    picks the mirror's write strategy (see :func:`apply_feed_batch`);
+    ``starting_version`` is where the stream takes over — e.g. the
+    version :func:`backfill_feed_apply` returned."""
 
     def _apply(batch: DataFrame, epoch: int) -> None:
         apply_feed_batch(batch, epoch, mirror, key_cols, mode=mode)
 
     w = (
-        read_table_feed(spark, source_table)
+        read_table_feed(spark, source_table, starting_version)
         .writeStream.foreachBatch(_apply)
         .trigger(availableNow=True)
     )
@@ -592,6 +595,136 @@ def q_stream_feed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror = tempfile.mkdtemp(prefix="anglerfish_mirror_")
     q = start_feed_apply(spark, src, mirror, ["o_orderkey"])
     await_or_fail(q)
+    return (
+        snapshot(spark, mirror)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# bounded backfill (VERDICT r8 #4): drain a long backlog through batch
+# table_changes in bounded version windows, then hand off to the live
+# stream from the last drained version
+# ---------------------------------------------------------------------------
+
+
+def backfill_feed(
+    spark: SparkSession,
+    table: str,
+    apply_fn,
+    window: int = 10,
+    starting_version: int = 0,
+    end_version: int | None = None,
+) -> int:
+    """Consume ``(starting_version, end]`` of ``table``'s logged change
+    feed in bounded version windows — the admission control the live
+    ``manifest_feed`` source deliberately refuses (the Python DataSource
+    API's ``latestOffset()`` takes no start offset, so a reader-side cap
+    would regress checkpoints; see ``ManifestFeedStreamReader``).  Each
+    window ``(lo, hi]`` arrives as ONE batch DataFrame with the stream's
+    metadata columns (``table_changes(mode='logged',
+    with_metadata=True)``) and a deterministic window id ``"bf-lo-hi"``;
+    ``apply_fn(batch_df, window_id)`` must be idempotent per window id
+    (manifest-table txn ids give that for free).  Returns the last
+    drained version — hand off with ``read_table_feed(spark, table,
+    starting_version=<returned>)``.
+
+    Crash recovery needs no extra state: window boundaries live on the
+    fixed grid ``starting_version + k*window``, so a re-invocation
+    replays the same windows and the per-window txn guards no-op the
+    already-applied ones.  If the backlog GREW since a partial final
+    window was applied, that window re-applies as a SUPERSET range with
+    a fresh id — safe for CDC apply because per-key last-writer-wins
+    over a superset window converges to the same (newer) state; events
+    are never applied out of order because windows advance strictly
+    forward on the grid."""
+    from ..sources.manifest_table import current_version
+    from ..sources.read_path import table_changes
+
+    if window < 1:
+        raise AnglerfishError(f"backfill window must be >= 1, got {window}")
+    b = current_version(table) if end_version is None else end_version
+    lo = starting_version
+    while lo < b:
+        hi = min(lo + window, b)
+        batch, _ = table_changes(
+            spark, table, lo, hi, mode="logged", with_metadata=True
+        )
+        apply_fn(batch, f"bf-{lo}-{hi}")
+        lo += window
+    return b
+
+
+def backfill_feed_apply(
+    spark: SparkSession,
+    table: str,
+    mirror: str,
+    key_cols: list[str],
+    window: int = 10,
+    starting_version: int = 0,
+    end_version: int | None = None,
+    mode: str = "cow",
+) -> int:
+    """Bounded-window CDC backfill of ``table`` into ``mirror`` — the
+    batch twin of :func:`start_feed_apply`, sharing its per-batch apply
+    (last-writer-wins by ``_commit_version``, idempotent txn-guarded
+    commits).  Typical shape for a consumer facing a long backlog::
+
+        drained = backfill_feed_apply(spark, src, mirror, ["k"], window=100)
+        start_feed_apply(spark, src, mirror, ["k"], starting_version=drained)
+
+    Returns the last drained version."""
+
+    def _apply(batch: DataFrame, wid: str) -> None:
+        apply_feed_batch(batch, wid, mirror, key_cols, mode=mode)
+
+    return backfill_feed(
+        spark, table, _apply, window, starting_version, end_version
+    )
+
+
+@query(
+    "q_stream_feed_backfill",
+    oracle=f"""
+WITH final AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_DSUM} AS total
+FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    group="streaming",
+)
+def q_stream_feed_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window BACKFILL of a table's change feed into a mirror
+    (VERDICT r8 #4): the source history drains through batch
+    ``table_changes(mode='logged', with_metadata=True)`` in one-version
+    windows — the admission control the live stream source cannot offer
+    (documented refusal at :class:`ManifestFeedStreamReader`) — with
+    idempotent per-window txn ids, then the mirror is summarized.  Same
+    oracle as ``q_stream_feed_apply``: the backfilled mirror must equal
+    the stream-drained one, i.e. the source's exact final state.  Scale
+    shape: each window costs O(its changed rows); the consumer bounds
+    peak batch size by choosing ``window``, and a crash resumes on the
+    fixed window grid with txn guards skipping applied legs."""
+    prepare(spark)
+    import tempfile
+
+    from ..operators.common import dsum
+    from ..sources.manifest_table import _asof_table, snapshot
+
+    src = _asof_table(spark, sf_dir)
+    mirror = tempfile.mkdtemp(prefix="anglerfish_bfmirror_")
+    backfill_feed_apply(spark, src, mirror, ["o_orderkey"], window=1)
     return (
         snapshot(spark, mirror)
         .groupBy("o_orderpriority")

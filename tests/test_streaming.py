@@ -1071,3 +1071,143 @@ def test_feed_rate_limit_option_refused(spark, tmp_path):
             q.awaitTermination(60)
         finally:
             q.stop()
+
+
+class TestBackfillFeed:
+    """VERDICT r8 #4: bounded-window backfill through batch table_changes
+    — equals the stream drain, resumes across crashes without loss or
+    duplication, and hands off to the live stream."""
+
+    def _backlog(self, spark, tmp_path, n_commits=10):
+        from anglerfish_spark.sources.manifest_table import delete_keys, upsert
+
+        t = str(tmp_path / "src")
+        upsert(spark, t, spark.range(12).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")), ["k"])
+        for i in range(1, n_commits - 1):
+            upsert(spark, t, spark.createDataFrame(
+                [(i % 12, 100.0 + i), (12 + i, float(i))], "k long, v double"), ["k"])
+        delete_keys(spark, t, "k", spark.createDataFrame([(3,), (13,)], "k long"))
+        return t
+
+    def test_windowed_backfill_equals_stream_drain(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import current_version, snapshot
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import (
+            backfill_feed_apply,
+            start_feed_apply,
+        )
+
+        t = self._backlog(spark, tmp_path)
+        assert current_version(t) == 10
+        streamed = str(tmp_path / "streamed")
+        await_or_fail(start_feed_apply(spark, t, streamed, ["k"], str(tmp_path / "cp")))
+        backfilled = str(tmp_path / "backfilled")
+        drained = backfill_feed_apply(spark, t, backfilled, ["k"], window=3)
+        assert drained == 10
+        a = sorted(tuple(r) for r in snapshot(spark, streamed).collect())
+        b = sorted(tuple(r) for r in snapshot(spark, backfilled).collect())
+        assert a == b
+
+    def test_crash_between_windows_resumes_exactly_once(self, spark, tmp_path):
+        """Simulate a crash after two windows (end_version=6), then a full
+        re-invocation from scratch: replayed windows must no-op via the
+        txn guards (version count pins 'no duplication'), and the final
+        state must equal the direct drain ('no loss')."""
+        from anglerfish_spark.sources.manifest_table import (
+            current_version,
+            snapshot,
+        )
+        from anglerfish_spark.streaming.table_feed import backfill_feed_apply
+
+        t = self._backlog(spark, tmp_path)
+        mirror = str(tmp_path / "mirror")
+        backfill_feed_apply(spark, t, mirror, ["k"], window=3, end_version=6)
+        v_mid = current_version(mirror)
+        # "crash": restart from scratch with the same grid
+        drained = backfill_feed_apply(spark, t, mirror, ["k"], window=3)
+        assert drained == 10
+        # windows (0,3],(3,6] replayed as pure no-ops: every commit the
+        # resume added belongs to the NEW windows
+        direct = str(tmp_path / "direct")
+        backfill_feed_apply(spark, t, direct, ["k"], window=3)
+        a = sorted(tuple(r) for r in snapshot(spark, mirror).collect())
+        b = sorted(tuple(r) for r in snapshot(spark, direct).collect())
+        assert a == b
+        assert current_version(mirror) > v_mid  # new windows applied…
+        # …and replaying EVERYTHING once more adds zero commits
+        v_done = current_version(mirror)
+        backfill_feed_apply(spark, t, mirror, ["k"], window=3)
+        assert current_version(mirror) == v_done
+
+    def test_partial_window_superset_resume(self, spark, tmp_path):
+        """A partial final window (9,10] applied, then the backlog grows
+        and the resume window becomes the superset (9,12]: last-writer-
+        wins convergence, no stale overwrite."""
+        from anglerfish_spark.sources.manifest_table import snapshot, upsert
+        from anglerfish_spark.streaming.table_feed import backfill_feed_apply
+
+        t = self._backlog(spark, tmp_path)
+        mirror = str(tmp_path / "mirror")
+        backfill_feed_apply(spark, t, mirror, ["k"], window=3)  # drains to 10
+        upsert(spark, t, spark.createDataFrame([(0, 999.0)], "k long, v double"), ["k"])
+        upsert(spark, t, spark.createDataFrame([(1, 888.0)], "k long, v double"), ["k"])
+        backfill_feed_apply(spark, t, mirror, ["k"], window=3)  # (9,12]
+        want = sorted(tuple(r) for r in snapshot(spark, t).collect())
+        got = sorted(tuple(r) for r in snapshot(spark, mirror).collect())
+        assert got == want
+
+    def test_handoff_to_live_stream(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import snapshot, upsert
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import (
+            backfill_feed_apply,
+            start_feed_apply,
+        )
+
+        t = self._backlog(spark, tmp_path)
+        mirror = str(tmp_path / "mirror")
+        drained = backfill_feed_apply(spark, t, mirror, ["k"], window=4)
+        upsert(spark, t, spark.createDataFrame([(50, 50.0)], "k long, v double"), ["k"])
+        q = start_feed_apply(
+            spark, t, mirror, ["k"], str(tmp_path / "cp"),
+            starting_version=drained,
+        )
+        await_or_fail(q)
+        want = sorted(tuple(r) for r in snapshot(spark, t).collect())
+        got = sorted(tuple(r) for r in snapshot(spark, mirror).collect())
+        assert got == want
+
+    def test_metadata_columns_match_stream(self, spark, tmp_path):
+        """table_changes(with_metadata=True) carries the same metadata
+        triple values the manifest_feed stream emits."""
+        from anglerfish_spark.sources.read_path import table_changes
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import read_table_feed
+
+        t = self._backlog(spark, tmp_path, n_commits=4)
+        batch, mode = table_changes(spark, t, 0, None, mode="logged", with_metadata=True)
+        assert mode == "logged"
+        sink = "bf_meta_sink"
+        spark.catalog.dropTempView(sink)
+        q = (
+            read_table_feed(spark, t)
+            .writeStream.format("memory").queryName(sink)
+            .trigger(availableNow=True).start()
+        )
+        await_or_fail(q)
+        streamed = spark.table(sink)
+        cols = sorted(batch.columns)
+        assert cols == sorted(streamed.columns)
+        a = sorted(map(str, (tuple(r) for r in batch.select(*cols).collect())))
+        b = sorted(map(str, (tuple(r) for r in streamed.select(*cols).collect())))
+        assert a == b
+
+    def test_with_metadata_requires_logged(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from anglerfish_spark.sources.read_path import table_changes
+
+        t = self._backlog(spark, tmp_path, n_commits=3)
+        with _pytest.raises(ValueError, match="with_metadata"):
+            table_changes(spark, t, 0, None, mode="diff", with_metadata=True)
