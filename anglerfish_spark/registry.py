@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QueryDef]:
     from .sources import merge as _merge  # noqa: F401
     from .sources import wap as _wap  # noqa: F401
     from .sources import ocf_datasource as _ocf_ds  # noqa: F401
+    from .sources import partitioning as _partitioning  # noqa: F401
     from .sources import read_path as _read_path  # noqa: F401
     from .sources import skipping as _skipping  # noqa: F401
     from .operators import dedup as _dedup  # noqa: F401

@@ -185,6 +185,8 @@ def commit(
     delete_groups: list[dict] | None = None,
     pos_deletes: list[str] | None = None,
     changes: dict | None = None,
+    partition_spec: list[dict] | None = None,
+    partitions: dict[str, list] | None = None,
 ) -> int:
     """Commit ``files`` as snapshot ``expected_version + 1``.
 
@@ -246,6 +248,11 @@ def commit(
             # at read time (read_path.read_table / delete_where)
             "pos_deletes": pos_deletes,
             "changes": changes,
+            # hidden partitioning (sources/partitioning.py): the spec's
+            # transforms + each file's partition tuple — files without a
+            # tuple are conservatively kept at read time
+            "partition_spec": partition_spec,
+            "partitions": partitions,
             "min_reader_format": 2 if delete_groups and len(delete_groups) > 1 else 1,
         }
     )

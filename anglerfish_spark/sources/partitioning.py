@@ -1,0 +1,349 @@
+"""Hidden partitioning for the manifest table (VERDICT r8 #5): the
+Iceberg partition-spec model in miniature — the manifest records a list
+of partition TRANSFORMS, writers stamp each data file with its partition
+tuple, and the read path prunes files by partition value BEFORE footer
+stats (``skipping.py`` stays as the residual, finer-grained prune).
+
+Why transforms and not raw columns: a 100 TB time- or key-partitioned
+table must prune by *derived* values (bucket(key), truncate(date)) that
+readers never have to name — the reader writes ``WHERE o_orderkey = 42``
+and the spec, not the query, knows files are bucketed by that column
+(Iceberg's "hidden partitioning"; Hive's explicit partition columns are
+the anti-pattern this replaces).
+
+Supported transforms (the Iceberg core trio):
+
+* ``identity(col)`` — the column value itself; pruned by range
+  predicates (monotonic).
+* ``bucket(n, col)`` — ``md5(string(value)) % n``; pruned by EQUALITY
+  predicates only (a hash destroys order).  md5 rather than murmur3
+  because both the Spark write expression and the Python probe side can
+  compute it identically with nothing but built-ins.
+* ``truncate(w, col)`` — numeric ``value - (value % w)`` / string
+  ``substring(value, 1, w)``; monotonic, pruned by range predicates on
+  the truncated bounds.
+
+Physical layout: files are staged with ``partitionBy`` on the DERIVED
+``_p{i}`` columns (hive-style directories name the tuple; the original
+data columns stay IN the files because only the derived columns are
+stripped), and the parsed per-file tuples are recorded in the manifest —
+so reads never list or parse directories; pruning is a manifest-only
+decision, exactly like per-file stats.
+
+Null partition values (hive ``__HIVE_DEFAULT_PARTITION__``) are never
+pruned.  A file without a recorded tuple (e.g. staged by a spec-less
+writer) is conservatively kept.  Rename evolution composes: the spec's
+column names are frozen at write time, and the read path maps reader-
+name predicates onto them through the reader schema's aliases (same
+mechanism as stats re-keying, ``read_path._writer_predicates``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import urllib.parse
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..errors import AnglerfishError
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: spark type name → the vtype the probe-side comparisons use
+_VTYPES = {
+    "tinyint": "long", "smallint": "long", "int": "long", "bigint": "long",
+    "float": "double", "double": "double",
+    "string": "string", "date": "string",
+}
+
+
+def _vtype_of(df: DataFrame, col: str) -> str:
+    t = dict(df.dtypes).get(col)
+    if t not in _VTYPES:
+        raise AnglerfishError(
+            f"partition transform on column {col!r} of type {t!r} is not "
+            f"supported (one of {sorted(set(_VTYPES))})"
+        )
+    return _VTYPES[t]
+
+
+def _bucket_py(s: str, n: int) -> int:
+    """Python side of the bucket transform — must equal the Spark
+    expression in :func:`partition_column` (md5 of the string repr,
+    first 8 hex digits, mod n)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % n
+
+
+def partition_column(entry: dict) -> Column:
+    """The Spark expression producing one spec entry's STRING partition
+    value (what ``partitionBy`` materializes into the directory name)."""
+    c, t = entry["col"], entry["transform"]
+    if t == "identity":
+        return F.col(c).cast("string")
+    if t == "bucket":
+        if entry["vtype"] == "double":
+            raise AnglerfishError("bucket transform on floating columns is not supported")
+        return F.expr(
+            f"CAST(pmod(conv(substring(md5(CAST(`{c}` AS STRING)), 1, 8), 16, 10), "
+            f"{entry['n']}) AS STRING)"
+        )
+    if t == "truncate":
+        w = entry["w"]
+        if entry["vtype"] == "string":
+            return F.expr(f"substring(`{c}`, 1, {w})")
+        return F.expr(f"CAST(`{c}` - pmod(`{c}`, {w}) AS STRING)")
+    raise AnglerfishError(f"unknown partition transform {t!r}")
+
+
+def fill_spec(df: DataFrame, spec: list[dict]) -> list[dict]:
+    """Validate a user spec against ``df`` and freeze each entry's value
+    type (``vtype``) — the committed form."""
+    out = []
+    for e in spec:
+        t = e.get("transform")
+        if t not in ("identity", "bucket", "truncate"):
+            raise AnglerfishError(f"unknown partition transform {t!r}")
+        if t == "bucket" and not isinstance(e.get("n"), int):
+            raise AnglerfishError("bucket transform needs integer 'n'")
+        if t == "truncate" and not isinstance(e.get("w"), int):
+            raise AnglerfishError("truncate transform needs integer 'w'")
+        if e["col"] not in df.columns:
+            raise AnglerfishError(f"partition column {e['col']!r} absent from the batch")
+        out.append({**e, "vtype": _vtype_of(df, e["col"])})
+    return out
+
+
+def stage_files_partitioned(
+    spark: SparkSession, df: DataFrame, table: str, spec: list[dict]
+) -> tuple[list[str], dict[str, list], list[dict]]:
+    """Stage ``df`` under ``table`` partitioned by ``spec``'s transforms
+    (hive layout on the derived ``_p{i}`` columns; data columns all stay
+    in the files) and parse each written file's partition tuple from its
+    path.  Returns ``(files, {file: tuple}, filled_spec)`` for
+    ``manifest_table.commit(partition_spec=..., partitions=...)``."""
+    import uuid
+
+    spec = fill_spec(df, spec)
+    pcols = {f"_p{i}": partition_column(e) for i, e in enumerate(spec)}
+    rel = os.path.join("data", uuid.uuid4().hex)
+    (
+        # repartition on the tuple so each partition value is written by
+        # ONE task → one file per tuple instead of (tasks × tuples) small
+        # files; at 100 TB a hot tuple gets repartitionByRange within the
+        # tuple or a salt column added to the spec instead
+        df.withColumns(pcols)
+        .repartition(*[F.col(c) for c in pcols])
+        .write.partitionBy(*pcols)
+        .parquet(os.path.join(table, rel))
+    )
+    files: list[str] = []
+    parts: dict[str, list] = {}
+    root = os.path.join(table, rel)
+    for dirpath, _dirs, names in os.walk(root):
+        for name in names:
+            if not name.endswith(".parquet"):
+                continue
+            frel = os.path.relpath(os.path.join(dirpath, name), table)
+            comps = os.path.relpath(dirpath, root).split(os.sep)
+            tup: list = [None] * len(spec)
+            for comp in comps:
+                if "=" not in comp:
+                    continue
+                k, _, v = comp.partition("=")
+                if k.startswith("_p"):
+                    v = urllib.parse.unquote(v)
+                    tup[int(k[2:])] = None if v == _HIVE_NULL else v
+            files.append(frel)
+            parts[frel] = tup
+    return sorted(files), parts, spec
+
+
+def _typed(v: str, vtype: str):
+    if vtype == "long":
+        return int(v)
+    if vtype == "double":
+        return float(v)
+    return v
+
+
+def file_may_match_partition(
+    spec: list[dict],
+    tup: list | None,
+    predicates: dict[str, tuple],
+    colmap: dict[str, str] | None = None,
+) -> bool:
+    """Partition-value pruning decision for one file: False only when a
+    predicate PROVES no row of the file can match.  ``predicates`` are
+    reader-named inclusive ``(lo, hi)`` ranges; ``colmap`` maps writer-era
+    alias names to current reader names (the spec's column names are
+    frozen at write time), so a renamed partition source column keeps
+    pruning."""
+    if tup is None:
+        return True  # no recorded tuple: conservatively keep
+    for i, e in enumerate(spec):
+        reader_name = (colmap or {}).get(e["col"], e["col"])
+        p = predicates.get(reader_name)
+        if p is None:
+            continue
+        lo, hi = p
+        v = tup[i] if i < len(tup) else None
+        if v is None:
+            continue  # null partition value (or torn tuple): keep
+        t, vt = e["transform"], e["vtype"]
+        if t == "identity":
+            tv = _typed(v, vt)
+            if lo is not None and tv < lo:
+                return False
+            if hi is not None and tv > hi:
+                return False
+        elif t == "bucket":
+            # a hash destroys order: only an equality predicate prunes
+            if lo is not None and hi is not None and lo == hi:
+                if _bucket_py(str(lo), e["n"]) != int(v):
+                    return False
+        elif t == "truncate":
+            w = e["w"]
+            if vt == "string":
+                tlo = None if lo is None else str(lo)[:w]
+                thi = None if hi is None else str(hi)[:w]
+                tv = v
+            else:
+                tlo = None if lo is None else int(lo) - (int(lo) % w)
+                thi = None if hi is None else int(hi) - (int(hi) % w)
+                tv = _typed(v, vt)
+            if tlo is not None and tv < tlo:
+                return False
+            if thi is not None and tv > thi:
+                return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# registered query: hidden-partition pruning under the driver's oracle gate
+# ---------------------------------------------------------------------------
+
+_PART_TABLES: dict[str, str] = {}
+
+#: the bucketed point-lookup key the demo probes (any existing key works;
+#: 96 is divisible by 3 so the %3==0 load always contains it)
+_PART_PROBE_KEY = 96
+
+
+def _partitioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) an orders table partitioned by
+    ``identity(o_orderpriority) × bucket(4, o_orderkey)``: one commit of
+    the %3==0 orders staged through the hive-layout writer with per-file
+    partition tuples recorded in the manifest."""
+    import tempfile
+
+    from .manifest_table import _MANIFEST_DIR, commit
+    from .registry import load_table
+
+    t = _PART_TABLES.get(sf_dir)
+    if t and os.path.isdir(os.path.join(t, _MANIFEST_DIR)):
+        return t
+    t = tempfile.mkdtemp(prefix="anglerfish_part_")
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    files, parts, spec = stage_files_partitioned(
+        spark,
+        base,
+        t,
+        [
+            {"transform": "identity", "col": "o_orderpriority"},
+            {"transform": "bucket", "col": "o_orderkey", "n": 4},
+        ],
+    )
+    commit(
+        t,
+        files,
+        expected_version=0,
+        txn_id="part-v1",
+        partition_spec=spec,
+        partitions=parts,
+        changes={"inserted": [{"files": files, "schema": None}], "deleted": []},
+    )
+    _PART_TABLES[sf_dir] = t
+    return t
+
+
+def read_partitioned_report(
+    spark: SparkSession, sf_dir: str, predicates: dict[str, tuple]
+):
+    """(df, report) for the demo table under ``predicates`` — the test
+    hook asserting files_kept < files_total."""
+    from .read_path import read_table
+
+    return read_table(spark, _partitioned_table(spark, sf_dir), predicates=predicates)
+
+
+_PART_DSUM = "CAST(CAST(SUM(CAST(p AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+from ..registry import query  # noqa: E402
+from ..session import prepare  # noqa: E402
+from .registry import load_table  # noqa: E402,F401
+
+
+@query(
+    "q_table_partitioned",
+    oracle=f"""
+SELECT 'priority_slice' AS probe,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_PART_DSUM} AS total
+FROM (SELECT o_totalprice AS p FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'bucket_point',
+       CAST(COUNT(*) AS BIGINT),
+       {_PART_DSUM}
+FROM (SELECT o_totalprice AS p FROM orders
+      WHERE o_orderkey = {_PART_PROBE_KEY})
+ORDER BY probe
+""",
+    group="sources",
+)
+def q_table_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning end-to-end (VERDICT r8 #5): an orders table
+    committed under a ``identity(o_orderpriority) × bucket(4,
+    o_orderkey)`` partition spec is probed two ways — a priority slice
+    (identity pruning keeps ~1/5 of the files) and a key point lookup
+    (bucket pruning keeps ~1/4 within the surviving priority dirs; both
+    prune counts are asserted in tests/test_partitioning.py).  The
+    queries name only DATA columns — the spec, not the query, knows the
+    layout (Iceberg's hidden-partitioning contract) — and the oracle
+    recomputes both answers from raw ``orders``.
+
+    Scale shape: pruning is a manifest-only decision (no directory
+    listing, no footer reads for pruned files); at 100 TB an
+    identity(date) × bucket(key) table answers a day-slice point lookup
+    by reading one bucket file of one date partition, with footer stats
+    still pruning WITHIN the survivors."""
+    prepare(spark)
+    from ..operators.common import dsum
+    from .read_path import read_table
+
+    t = _partitioned_table(spark, sf_dir)
+    slice_df, _ = read_table(
+        spark, t, predicates={"o_orderpriority": ("1-URGENT", "1-URGENT")}
+    )
+    point_df, _ = read_table(
+        spark, t, predicates={"o_orderkey": (_PART_PROBE_KEY, _PART_PROBE_KEY)}
+    )
+
+    def summarize(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("probe"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        ).select("probe", "n_rows", "total")
+
+    return (
+        summarize("priority_slice", slice_df)
+        .unionByName(summarize("bucket_point", point_df))
+        .orderBy("probe")
+    )

@@ -188,6 +188,10 @@ def read_table(
     rfields = _reader_fields(reader) if reader else None
     need_pos = with_positions or (apply_deletes and bool(m.get("pos_deletes")))
     table_prefix = os.path.abspath(table) + "/"
+    pspec, pparts = m.get("partition_spec"), m.get("partitions") or {}
+    part_colmap = (
+        {a: rf.name for rf in rfields for a in rf.aliases} if rfields else {}
+    )
 
     parts: list[tuple[frozenset, DataFrame]] = []
     kept_n = total_n = 0
@@ -203,7 +207,22 @@ def read_table(
             if reader and writer
             else predicates
         )
-        kept = [f for f in fs_files if _file_may_match(stats.get(f), pred_w)]
+        kept = fs_files
+        if pspec and predicates:
+            # hidden-partition pruning FIRST (manifest-only decision,
+            # coarser than footer stats); a file without a recorded
+            # tuple is kept, and rename evolution maps through the
+            # reader aliases — sources/partitioning.py
+            from .partitioning import file_may_match_partition
+
+            kept = [
+                f
+                for f in kept
+                if file_may_match_partition(
+                    pspec, pparts.get(f), predicates, part_colmap
+                )
+            ]
+        kept = [f for f in kept if _file_may_match(stats.get(f), pred_w)]
         kept_n += len(kept)
         total_n += len(fs_files)
         # a fully-pruned fileset still contributes its schema (footer-only

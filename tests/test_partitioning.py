@@ -1,0 +1,222 @@
+"""Hidden partitioning (sources/partitioning.py): transform
+correctness (Spark write expression == Python probe), manifest-only
+file pruning before stats, rename evolution, null handling, and the
+registered demo's prune counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anglerfish_spark.errors import AnglerfishError
+from anglerfish_spark.sources.manifest_table import commit, snapshot
+from anglerfish_spark.sources.partitioning import (
+    _bucket_py,
+    fill_spec,
+    file_may_match_partition,
+    partition_column,
+    stage_files_partitioned,
+)
+from anglerfish_spark.sources.read_path import read_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, tmp_path, df, spec, name="t", schema=None):
+    t = str(tmp_path / name)
+    files, parts, filled = stage_files_partitioned(spark, df, t, spec)
+    commit(
+        t,
+        files,
+        expected_version=0,
+        schema=schema,
+        filesets=[{"files": files, "schema": schema, "seq": 1}] if schema else None,
+        partition_spec=filled,
+        partitions=parts,
+        changes={"inserted": [{"files": files, "schema": schema}], "deleted": []},
+    )
+    return t
+
+
+class TestTransforms:
+    def test_bucket_python_equals_spark(self, spark):
+        df = spark.range(200).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("s")
+        )
+        for col in ("k", "s"):
+            entry = fill_spec(df, [{"transform": "bucket", "col": col, "n": 7}])[0]
+            got = df.select(
+                F.col(col).cast("string").alias("v"),
+                partition_column(entry).alias("b"),
+            ).collect()
+            for r in got:
+                assert int(r.b) == _bucket_py(r.v, 7), (col, r.v)
+
+    def test_truncate_numeric_and_string(self, spark):
+        df = spark.createDataFrame(
+            [(17, "alpha"), (20, "alps"), (-5, "b")], "n long, s string"
+        )
+        en = fill_spec(df, [{"transform": "truncate", "col": "n", "w": 10}])[0]
+        es = fill_spec(df, [{"transform": "truncate", "col": "s", "w": 3}])[0]
+        got = df.select(
+            "n", "s",
+            partition_column(en).alias("tn"),
+            partition_column(es).alias("ts"),
+        ).collect()
+        by_n = {r.n: (r.tn, r.ts) for r in got}
+        assert by_n[17][0] == "10" and by_n[20][0] == "20"
+        assert by_n[-5][0] == str(-5 - (-5 % 10))  # pmod: -5 % 10 = 5 -> -10
+        assert by_n[17][1] == "alp" and by_n[20][1] == "alp" and by_n[-5][1] == "b"
+
+    def test_spec_validation(self, spark):
+        df = spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 0.5).alias("x"))
+        with pytest.raises(AnglerfishError, match="unknown partition transform"):
+            fill_spec(df, [{"transform": "year", "col": "k"}])
+        with pytest.raises(AnglerfishError, match="integer 'n'"):
+            fill_spec(df, [{"transform": "bucket", "col": "k"}])
+        with pytest.raises(AnglerfishError, match="absent"):
+            fill_spec(df, [{"transform": "identity", "col": "nope"}])
+        with pytest.raises(AnglerfishError, match="floating"):
+            e = fill_spec(df, [{"transform": "bucket", "col": "x", "n": 2}])[0]
+            partition_column(e)
+
+
+class TestPartitionPruning:
+    def _table(self, spark, tmp_path):
+        df = spark.range(100).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("cat"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        return _mk(
+            spark,
+            tmp_path,
+            df,
+            [
+                {"transform": "identity", "col": "cat"},
+                {"transform": "bucket", "col": "k", "n": 3},
+            ],
+        )
+
+    def test_identity_range_prunes_and_reads_right_rows(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        df, rep = read_table(spark, t, predicates={"cat": ("2", "2")})
+        assert rep["files_kept"] < rep["files_total"]
+        assert rep["files_kept"] <= rep["files_total"] // 4 + 1
+        assert sorted(r.k for r in df.collect()) == [k for k in range(100) if k % 4 == 2]
+
+    def test_bucket_equality_prunes_to_one_bucket(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        df, rep = read_table(spark, t, predicates={"k": (42, 42)})
+        # one bucket per cat dir survives: 4 files of 12
+        assert rep["files_total"] == 12 and rep["files_kept"] == 4
+        assert [tuple(r) for r in df.collect()] == [(42, "2", 42.0)]
+
+    def test_bucket_range_does_not_prune(self, spark, tmp_path):
+        """A hash destroys order: range predicates must keep every
+        bucket (correctness over eagerness)."""
+        t = self._table(spark, tmp_path)
+        df, rep = read_table(spark, t, predicates={"k": (10, 20)})
+        assert rep["files_kept"] == rep["files_total"]
+        assert sorted(r.k for r in df.collect()) == list(range(10, 21))
+
+    def test_combined_point_lookup(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        df, rep = read_table(spark, t, predicates={"cat": ("2", "2"), "k": (42, 42)})
+        assert rep["files_kept"] == 1
+        assert [tuple(r) for r in df.collect()] == [(42, "2", 42.0)]
+
+    def test_no_predicates_reads_everything(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        assert snapshot(spark, t).count() == 100
+
+    def test_null_partition_values_never_pruned(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "k long, cat string"
+        )
+        t = _mk(spark, tmp_path, df, [{"transform": "identity", "col": "cat"}])
+        out, rep = read_table(spark, t, predicates={"cat": ("a", "a")})
+        # the null-cat file is kept (cannot prove no match under SQL
+        # semantics the residual filter then applies), the 'b' file drops
+        assert rep["files_kept"] < rep["files_total"]
+        assert [r.k for r in out.collect()] == [1]
+
+    def test_unstamped_file_is_kept(self, spark, tmp_path):
+        """A file committed by a spec-less writer (no recorded tuple)
+        must survive every partition prune."""
+        spec = [{"transform": "identity", "col": "cat", "vtype": "string"}]
+        assert file_may_match_partition(spec, None, {"cat": ("x", "x")})
+
+    def test_truncate_range_pruning(self, spark, tmp_path):
+        df = spark.range(100).select(F.col("id").alias("k"), F.lit("x").alias("s"))
+        t = _mk(spark, tmp_path, df, [{"transform": "truncate", "col": "k", "w": 25}])
+        out, rep = read_table(spark, t, predicates={"k": (30, 45)})
+        assert rep["files_kept"] < rep["files_total"]
+        assert sorted(r.k for r in out.collect()) == list(range(30, 46))
+
+
+class TestRenameEvolution:
+    def test_pruning_survives_partition_column_rename(self, spark, tmp_path):
+        """The spec freezes the write-time column name; after an alias
+        rename the reader's predicates (new name) must still map onto
+        the stamped tuples."""
+        S1 = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"k","type":"long"},{"name":"v","type":"double"}]}'
+        )
+        S2 = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"key","type":"long","aliases":["k"]},'
+            '{"name":"v","type":"double"}]}'
+        )
+        df = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        t = _mk(
+            spark, tmp_path, df,
+            [{"transform": "truncate", "col": "k", "w": 10}],
+            schema=S1,
+        )
+        from anglerfish_spark.sources.manifest_table import read_manifest
+
+        m = read_manifest(t)
+        # metadata-only evolution commit: same files/partitions, new reader
+        commit(
+            t,
+            m["files"],
+            expected_version=1,
+            schema=S2,
+            filesets=m["filesets"],
+            partition_spec=m["partition_spec"],
+            partitions=m["partitions"],
+            changes={"inserted": [], "deleted": []},
+        )
+        out, rep = read_table(spark, t, predicates={"key": (15, 15)})
+        assert rep["files_kept"] < rep["files_total"]
+        assert [tuple(r) for r in out.collect()] == [(15, 15.0)]
+
+
+class TestRegisteredDemo:
+    def test_demo_prune_counts(self, spark, sf_dir):
+        from anglerfish_spark.sources.partitioning import (
+            _PART_PROBE_KEY,
+            read_partitioned_report,
+        )
+
+        _, rep = read_partitioned_report(
+            spark, sf_dir, {"o_orderpriority": ("1-URGENT", "1-URGENT")}
+        )
+        assert rep["files_kept"] * 4 <= rep["files_total"]  # 1 of 5 priorities
+        _, rep2 = read_partitioned_report(
+            spark, sf_dir, {"o_orderkey": (_PART_PROBE_KEY, _PART_PROBE_KEY)}
+        )
+        assert rep2["files_kept"] * 3 <= rep2["files_total"]  # 1 of 4 buckets
+        _, rep3 = read_partitioned_report(
+            spark,
+            sf_dir,
+            {
+                "o_orderpriority": ("1-URGENT", "1-URGENT"),
+                "o_orderkey": (_PART_PROBE_KEY, _PART_PROBE_KEY),
+            },
+        )
+        assert rep3["files_kept"] <= 2  # ~1 of 20
