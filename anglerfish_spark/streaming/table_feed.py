@@ -43,14 +43,19 @@ Requirements (checked up front, loud errors):
   log — the r8 writers all do; legacy histories without logs need the
   batch ``table_changes`` diff instead;
 * schema-EVOLVED change entries (logged under an older writer schema)
-  resolve in the Arrow reader for the flat-record subset the table
-  layer actually writes: rename-by-alias, Avro numeric promotions, and
-  defaulted new fields — planned once per entry on the driver
-  (:func:`_resolution_spec`, the engine's parsed schema model) and
-  applied as Arrow selects/casts per partition.  Anything beyond that
-  subset (non-option unions, nested records, enums, logical types)
-  refuses loudly — the batch path's full codec resolution covers it,
-  and refusing beats silently mis-reading.
+  resolve two ways.  The flat-record subset (rename-by-alias, numeric
+  promotions, defaulted new fields) compiles once per entry on the
+  driver (:func:`_resolution_spec`) into vectorized Arrow selects/casts.
+  Shapes beyond it — nested records, multi-branch unions, enums, fixed,
+  arrays/maps of any of those — route through the engine's VALUE-SPACE
+  resolution (``codec.evolve.resolve_datum``, the same rules the batch
+  path compiles to columns) per row in the Arrow reader, pre-validated
+  on the driver with the structural compat checker so illegal
+  evolutions refuse at planning time; the differential against batch
+  ``table_changes(mode='logged')`` pins row identity.  The one
+  remaining loud refusal is logical-typed evolution (parquet hands the
+  worker semantic values while value-space defaults are carrier
+  values; refusing beats silently mixing them) — batch covers it.
 
 Scale: at 100 TB the stream's steady-state cost per trigger is
 O(changed rows since last trigger) + O(new manifest headers) — the
@@ -152,6 +157,76 @@ def _prim_kind(t) -> str | None:
         if len(non_null) == 1 and len(t.members) <= 2:
             return _prim_kind(non_null[0])
     return None
+
+
+def _subtree_has_logicals(t, env: dict, _seen: frozenset = frozenset()) -> bool:
+    """True when any node of the Avro type tree carries a logical
+    annotation — the one shape the value-space stream fallback refuses
+    (parquet hands the worker SEMANTIC values while ``resolve_datum``'s
+    default decoding emits CARRIER values; mixing them silently would be
+    worse than the loud batch-path referral)."""
+    from ..schema.model import (
+        AvroArray,
+        AvroFixed,
+        AvroMap,
+        AvroPrimitive,
+        AvroRecord,
+        AvroRecursionRef,
+        AvroUnion,
+    )
+
+    if isinstance(t, AvroRecursionRef):
+        if t.fqn in _seen:
+            return False
+        return _subtree_has_logicals(env[t.fqn], env, _seen | {t.fqn})
+    if isinstance(t, (AvroPrimitive, AvroFixed)):
+        return t.logical is not None
+    if isinstance(t, AvroRecord):
+        return any(_subtree_has_logicals(f.type, env, _seen | {t.fqn}) for f in t.fields)
+    if isinstance(t, AvroArray):
+        return _subtree_has_logicals(t.items, env, _seen)
+    if isinstance(t, AvroMap):
+        return _subtree_has_logicals(t.values, env, _seen)
+    if isinstance(t, AvroUnion):
+        return any(_subtree_has_logicals(m, env, _seen) for m in t.members)
+    return False
+
+
+#: marker heading the value-space fallback spec (VERDICT r8 #6)
+_PYDATUM = "__pydatum__"
+
+
+def _fallback_spec(writer_str: str, reader_str: str, flat_err: Exception) -> tuple:
+    """When the flat Arrow plan (:func:`_resolution_spec`) refuses an
+    entry, route it through the engine's VALUE-SPACE resolution
+    (``codec.evolve.resolve_datum`` — the same rules the batch path
+    compiles to columns): nested records, multi-branch unions, enums,
+    fixed, arrays/maps all resolve per row in the Arrow reader.  Two
+    honest exclusions stay loud: logical annotations anywhere (semantic
+    vs carrier value-space mismatch, see :func:`_subtree_has_logicals`)
+    and anything ``resolve_datum`` itself rejects (surfaces at read
+    time, same as batch)."""
+    from ..schema.parser import parse_schema
+    from ..sources.schema_registry import can_read
+
+    pw, pr = parse_schema(writer_str), parse_schema(reader_str)
+    if _subtree_has_logicals(pw.root, pw.env) or _subtree_has_logicals(pr.root, pr.env):
+        raise AnglerfishError(
+            "streaming source cannot resolve logical-typed evolution "
+            "(value-space fallback excluded by design); read this range "
+            f"with batch table_changes — flat-plan refusal was: {flat_err}"
+        ) from flat_err
+    # pre-validate on the DRIVER with the engine's structural compat
+    # checker so an illegal evolution refuses at planning time (the flat
+    # plan's behavior), not per-row inside an executor
+    errs = can_read(pw, pr)
+    if errs:
+        raise AnglerfishError(
+            "streaming source cannot resolve this evolution (value-space "
+            f"check): {'; '.join(errs)}; read this range with batch "
+            "table_changes"
+        ) from flat_err
+    return (_PYDATUM, writer_str, reader_str)
 
 
 def _resolution_spec(writer_str: str, reader_str: str) -> list[tuple]:
@@ -268,8 +343,13 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                     else:
                         # rename / promotion / default resolution planned
                         # here (driver), applied as Arrow ops per
-                        # partition; unsupported shapes raise
-                        spec = _resolution_spec(entry_schema, reader)
+                        # partition; shapes beyond the flat subset route
+                        # through the value-space fallback (r9), which
+                        # itself refuses logical-typed evolution loudly
+                        try:
+                            spec = _resolution_spec(entry_schema, reader)
+                        except AnglerfishError as ex:
+                            spec = _fallback_spec(entry_schema, reader, ex)
                     parts.extend(
                         _ChangePartition(
                             self._table, f, ctype, v, m.get("committed_at_ms"), spec
@@ -283,10 +363,35 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        pydatum = (
+            isinstance(partition.spec, tuple) and partition.spec[0] == _PYDATUM
+        )
+        if pydatum:
+            # value-space resolution (r9): parse once per partition, run
+            # the batch path's resolution rules per row, rebuild the
+            # batch under the reader's Arrow schema.  Per-row Python is
+            # the honest cost, paid ONLY for exotic-evolution entries
+            # (bounded by the evolved commits' changed rows)
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            from ..codec.evolve import resolve_datum
+            from ..schema.parser import parse_schema
+            from ..schema.spark_convert import to_struct_type
+
+            pw = parse_schema(partition.spec[1])
+            pr = parse_schema(partition.spec[2])
+            target_schema = to_arrow_schema(to_struct_type(pr.root, pr.env))
+
         path = os.path.join(partition.table, partition.file)
         for batch in pq.ParquetFile(path).iter_batches():
             n = batch.num_rows
-            if partition.spec is not None:
+            if pydatum:
+                rows = [
+                    resolve_datum(r, pw.root, pr.root, pr.env, pw.env)
+                    for r in batch.to_pylist()
+                ]
+                batch = pa.RecordBatch.from_pylist(rows, schema=target_schema)
+            elif partition.spec is not None:
                 cols, names = [], []
                 for rname, src, pa_type_name, default in partition.spec:
                     target = getattr(pa, pa_type_name)()

@@ -1044,6 +1044,140 @@ class TestFeedEvolutionDifferential:
             )
             assert got == want, f"case {label}: {got} != {want}"
 
+    # --- r9 value-space fallback: shapes beyond the flat subset ---
+
+    N_REC = '{"type":"record","name":"N","fields":[{"name":"x","type":"long"}]}'
+    N_REC_EVO = (
+        '{"type":"record","name":"N","fields":['
+        '{"name":"y","type":"long","aliases":["x"]},'
+        '{"name":"z","type":"string","default":"d"}]}'
+    )
+    COMPLEX_CASES = [
+        (
+            "nested_record_rename_default",
+            f'{{"name":"n","type":{N_REC}}}',
+            f'{{"name":"n","type":{N_REC_EVO}}}',
+            lambda spark: spark.range(3).select(
+                F.struct(F.col("id").alias("x")).alias("n")
+            ),
+        ),
+        (
+            "enum_symbol_widening",
+            '{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B"]}}',
+            '{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B","C"]}}',
+            lambda spark: spark.range(3).select(
+                F.when(F.col("id") % 2 == 0, "A").otherwise("B").alias("e")
+            ),
+        ),
+        (
+            "union_branch_promotion",
+            '{"name":"u","type":["long","string"]}',
+            '{"name":"u","type":["double","string"]}',
+            lambda spark: spark.range(4).select(
+                F.when(
+                    F.col("id") % 2 == 0,
+                    F.struct(
+                        F.col("id").cast("long").alias("member_long"),
+                        F.lit(None).cast("string").alias("member_string"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.lit(None).cast("long").alias("member_long"),
+                        F.concat(F.lit("s"), F.col("id")).alias("member_string"),
+                    )
+                )
+                .alias("u")
+            ),
+        ),
+        (
+            "array_of_record_promote",
+            '{"name":"a","type":{"type":"array","items":'
+            '{"type":"record","name":"I","fields":[{"name":"x","type":"int"}]}}}',
+            '{"name":"a","type":{"type":"array","items":'
+            '{"type":"record","name":"I","fields":[{"name":"x","type":"long"}]}}}',
+            lambda spark: spark.range(3).select(
+                F.array(
+                    F.struct(F.col("id").cast("int").alias("x")),
+                    F.struct((F.col("id") + 10).cast("int").alias("x")),
+                ).alias("a")
+            ),
+        ),
+    ]
+
+    def test_value_space_fallback_matches_batch(self, spark, tmp_path):
+        """VERDICT r8 #6: evolution shapes the flat Arrow plan refuses
+        (nested records, enums, multi-branch unions, arrays of records)
+        stream through the value-space fallback and must be row-identical
+        to the batch logged feed (which resolves via evolve_struct)."""
+        from anglerfish_spark.sources import manifest_table as mt
+        from anglerfish_spark.sources.read_path import table_changes
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import read_table_feed
+
+        for i, (label, wf, rf, mk) in enumerate(self.COMPLEX_CASES):
+            W = f'{{"type":"record","name":"R","fields":[{wf}]}}'
+            R = f'{{"type":"record","name":"R","fields":[{rf}]}}'
+            t = str(tmp_path / f"vc{i}")
+            mt.append_evolved(spark, t, mk(spark), W)
+            mt.append_evolved(
+                spark, t, mt.snapshot(spark, t).limit(0), W, reader_schema=R
+            )
+            batch, mode = table_changes(spark, t, 0, None, mode="logged")
+            assert mode == "logged"
+            want = sorted(str(tuple(r)) for r in batch.drop("_change_type").collect())
+            q = (
+                read_table_feed(spark, t)
+                .writeStream.format("memory")
+                .queryName(f"vsevo_{i}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            await_or_fail(q)
+            got = sorted(
+                str(tuple(r))
+                for r in spark.table(f"vsevo_{i}")
+                .drop("_change_type", "_commit_version", "_commit_timestamp")
+                .collect()
+            )
+            assert got == want, f"case {label}: {got} != {want}"
+
+    def test_logical_typed_evolution_still_refused(self, spark, tmp_path):
+        """The value-space fallback excludes logical annotations by
+        design (semantic vs carrier mismatch): loud planning-time error."""
+        import pytest as _pytest
+
+        from anglerfish_spark.sources import manifest_table as mt
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import read_table_feed
+
+        W = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"n","type":{"type":"record","name":"N","fields":['
+            '{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}}]}}]}'
+        )
+        R = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"n","type":{"type":"record","name":"N","fields":['
+            '{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},'
+            '{"name":"z","type":"string","default":"d"}]}}]}'
+        )
+        t = str(tmp_path / "t")
+        df = spark.sql(
+            "SELECT named_struct('ts', TIMESTAMP'2024-01-01 00:00:00') AS n"
+        )
+        mt.append_evolved(spark, t, df, W)
+        mt.append_evolved(spark, t, mt.snapshot(spark, t).limit(0), W, reader_schema=R)
+        q = (
+            read_table_feed(spark, t)
+            .writeStream.format("memory")
+            .queryName("logical_refused")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with _pytest.raises(Exception, match="logical-typed evolution"):
+            await_or_fail(q)
+
 
 def test_feed_rate_limit_option_refused(spark, tmp_path):
     """maxVersionsPerTrigger must refuse loudly: the Python data source
