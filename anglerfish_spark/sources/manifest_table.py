@@ -218,9 +218,29 @@ def commit(
     removed, staged like any data file.  When every commit in a range
     carries one, ``read_path.table_changes`` serves the feed in
     O(changed rows) for ANY commit kind; ``None`` means "not recorded"
-    and the feed falls back to incremental/diff."""
+    and the feed falls back to incremental/diff.
+
+    Hidden partitioning (``sources/partitioning.py``): when
+    ``partition_spec``/``partitions`` are not given they are INHERITED
+    from the parent manifest (tuples restricted to this commit's
+    ``files``) — the spec is table-level state and per-file tuples stay
+    valid for every carried file, so a delete/compact/upsert commit
+    never silently forfeits partition pruning; files this commit staged
+    without tuples are simply never pruned (conservative)."""
     new_version = expected_version + 1
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    if (partition_spec is None or partitions is None) and expected_version > 0:
+        try:
+            parent = read_manifest(table, expected_version)
+        except FileNotFoundError:
+            parent = {}
+        if partition_spec is None:
+            partition_spec = parent.get("partition_spec")
+        if partitions is None and parent.get("partitions"):
+            fset = set(files)
+            partitions = {
+                f: t for f, t in parent["partitions"].items() if f in fset
+            } or None
     one = delete_groups[0] if delete_groups and len(delete_groups) == 1 else None
     payload = json.dumps(
         {

@@ -409,3 +409,89 @@ def q_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_MOR_DEMO_TABLES: dict[str, str] = {}
+
+
+def _merge_mor_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """The same three-clause merge history as :func:`_merge_demo_table`
+    but applied MERGE-ON-READ: v2 rewrites no data file — matched rows
+    mask via positional deletes, new images append."""
+    import os as _os
+    import tempfile
+
+    from .manifest_table import _MANIFEST_DIR, upsert
+    from .registry import load_table
+
+    t = _MOR_DEMO_TABLES.get(sf_dir)
+    if t and _os.path.isdir(_os.path.join(t, _MANIFEST_DIR)):
+        return t
+    t = tempfile.mkdtemp(prefix="anglerfish_merge_mor_")
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(*cols)
+    upsert(spark, t, base, ["o_orderkey"], txn_id="mor-v1")
+    src = orders.where(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(500.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    merge_into(
+        spark,
+        t,
+        src,
+        ["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        when_matched_delete="s.o_orderpriority = '1-URGENT'",
+        insert_not_matched=True,
+        txn_id="mor-v2",
+        mode="mor",
+    )
+    _MOR_DEMO_TABLES[sf_dir] = t
+    return t
+
+
+@query(
+    "q_table_merge_mor",
+    oracle=f"""
+WITH final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 500.0
+              ELSE o_totalprice END AS p
+  FROM orders
+  WHERE (o_orderkey % 3 = 0 OR o_orderkey % 4 = 0)
+    AND NOT (o_orderkey % 12 = 0 AND o_orderpriority = '1-URGENT')
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_DSUM} AS total
+FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    group="sources",
+)
+def q_table_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO under MERGE-ON-READ (VERDICT r8 #2): the exact
+    three-clause history of ``q_table_merge`` — matched urgent rows
+    deleted, other matched rows re-priced, unmatched source rows
+    inserted — but the write rewrites NO data file: matched old rows
+    become positional deletes at their (file, pos) identity and new
+    images append as one fileset (tests additionally pin the original
+    files byte-identical on disk).  The snapshot summary must equal the
+    same oracle as the COW variant, so both physical strategies
+    implement one logical MERGE.  Scale shape: write cost O(changed
+    rows) exactly; reads pay one broadcast anti-join until
+    ``compact_deletes`` folds the state (itself touched-file-only)."""
+    prepare(spark)
+    from ..operators.common import dsum
+
+    t = _merge_mor_demo_table(spark, sf_dir)
+    return (
+        snapshot(spark, t)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

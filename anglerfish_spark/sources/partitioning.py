@@ -220,6 +220,51 @@ def file_may_match_partition(
     return True
 
 
+def append_partitioned(
+    spark: SparkSession,
+    table: str,
+    batch: DataFrame,
+    txn_id: str | None = None,
+) -> int:
+    """Append ``batch`` under the table's CURRENT partition spec: new
+    files land in the spec's layout with their tuples stamped, prior
+    files carry verbatim with theirs (so pruning covers old AND new
+    data), and the commit logs the appended rows as inserts for the
+    change feed.  Raises when the table has no spec — a spec-less
+    append is plain ``stage_files`` + ``commit``."""
+    from .manifest_table import _txn_committed, commit, current_version, read_manifest
+
+    v = current_version(table)
+    if txn_id is not None and v and _txn_committed(table, v, txn_id):
+        return v
+    m = read_manifest(table, v)
+    spec = m.get("partition_spec")
+    if not spec:
+        raise AnglerfishError(
+            f"manifest table {table!r} has no partition spec; use plain "
+            "stage_files + commit for unpartitioned appends"
+        )
+    files, parts, _ = stage_files_partitioned(spark, batch, table, spec)
+    schema = m.get("schema")
+    filesets = m.get("filesets")
+    if filesets:
+        filesets = list(filesets) + [{"files": files, "schema": schema, "seq": v + 1}]
+    return commit(
+        table,
+        m["files"] + files,
+        expected_version=v,
+        txn_id=txn_id,
+        schema=schema,
+        filesets=filesets,
+        stats=m.get("stats"),
+        delete_groups=m.get("delete_groups"),
+        pos_deletes=m.get("pos_deletes"),
+        partition_spec=spec,
+        partitions={**(m.get("partitions") or {}), **parts},
+        changes={"inserted": [{"files": files, "schema": schema}], "deleted": []},
+    )
+
+
 # ---------------------------------------------------------------------------
 # registered query: hidden-partition pruning under the driver's oracle gate
 # ---------------------------------------------------------------------------

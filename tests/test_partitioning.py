@@ -220,3 +220,83 @@ class TestRegisteredDemo:
             },
         )
         assert rep3["files_kept"] <= 2  # ~1 of 20
+
+
+class TestSpecSurvival:
+    """Partition metadata is table-level state: unrelated commits
+    (upsert/delete/compact) inherit it, appends extend it."""
+
+    def _table(self, spark, tmp_path):
+        df = spark.range(60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("cat"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        return _mk(
+            spark, tmp_path, df,
+            [{"transform": "identity", "col": "cat"}],
+        )
+
+    def test_upsert_keeps_pruning_for_untouched_files(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import read_manifest, upsert
+
+        t = self._table(spark, tmp_path)
+        batch = spark.createDataFrame([(0, "0", 99.0), (100, "9", 1.0)], "k long, cat string, v double")
+        upsert(spark, t, batch, ["k"])
+        m = read_manifest(t)
+        assert m["partition_spec"]  # inherited, not dropped
+        out, rep = read_table(spark, t, predicates={"cat": ("1", "1")})
+        # cat=0 and cat=2 tuple files pruned; the upsert's unstamped new
+        # fileset is conservatively kept
+        assert rep["files_kept"] < rep["files_total"]
+        assert sorted(r.k for r in out.collect()) == [k for k in range(60) if k % 3 == 1]
+
+    def test_delete_keys_keeps_partitions(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import delete_keys, read_manifest
+
+        t = self._table(spark, tmp_path)
+        delete_keys(spark, t, "k", spark.createDataFrame([(5,)], "k long"))
+        m = read_manifest(t)
+        assert m["partition_spec"] and m["partitions"]
+        out, rep = read_table(spark, t, predicates={"cat": ("2", "2")})
+        assert rep["files_kept"] < rep["files_total"]
+        assert sorted(r.k for r in out.collect()) == [
+            k for k in range(60) if k % 3 == 2 and k != 5
+        ]
+
+    def test_append_partitioned_extends_tuples(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import read_manifest
+        from anglerfish_spark.sources.partitioning import append_partitioned
+
+        t = self._table(spark, tmp_path)
+        new = spark.createDataFrame(
+            [(100, "1", 1.0), (101, "7", 7.0)], "k long, cat string, v double"
+        )
+        append_partitioned(spark, t, new, txn_id="ap-1")
+        m = read_manifest(t)
+        assert len(m["partitions"]) == len(m["files"])  # every file stamped
+        out, rep = read_table(spark, t, predicates={"cat": ("1", "1")})
+        assert rep["files_kept"] < rep["files_total"]
+        assert sorted(r.k for r in out.collect()) == [
+            k for k in range(60) if k % 3 == 1
+        ] + [100]
+        # replay idempotent
+        v = m["version"]
+        assert append_partitioned(spark, t, new, txn_id="ap-1") == v
+        # change feed logged the append exactly
+        from anglerfish_spark.sources.read_path import table_changes
+
+        logged, mode = table_changes(spark, t, v - 1, v, mode="logged")
+        assert mode == "logged"
+        assert sorted(tuple(r) for r in logged.collect()) == [
+            (100, "1", 1.0, "insert"), (101, "7", 7.0, "insert"),
+        ]
+
+    def test_append_partitioned_requires_spec(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import upsert
+        from anglerfish_spark.sources.partitioning import append_partitioned
+
+        t = str(tmp_path / "plain")
+        upsert(spark, t, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
+        with pytest.raises(AnglerfishError, match="no partition spec"):
+            append_partitioned(spark, t, spark.createDataFrame([(2, "b")], ["k", "v"]))
