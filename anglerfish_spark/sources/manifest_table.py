@@ -351,23 +351,30 @@ def _carry_filesets(
 
 
 def _restat(
-    table: str, m: dict, new_files: list[str], reader: str | None
+    table: str,
+    m: dict,
+    new_files: list[str],
+    reader: str | None,
+    extra_cols: tuple | list = (),
 ) -> dict | None:
     """Footer stats for ``new_files`` over the columns the snapshot
-    already tracked (pruning keeps working across keyed writes); returns
-    ``None`` when the table never carried stats."""
-    if not (m.get("stats") and new_files):
+    already tracked PLUS ``extra_cols`` (keyed writers pass their key
+    columns, so the touched-file probe prunes on every table a keyed
+    write ever produced — at 100 TB the probe without stats is a
+    key-column scan of the whole table)."""
+    if not new_files:
         return None
     from .read_path import _reader_fields
     from .skipping import collect_file_stats
 
-    stat_cols = sorted({c for s in m["stats"].values() for c in (s.get("cols") or {})})
+    stat_cols = {c for s in (m.get("stats") or {}).values() for c in (s.get("cols") or {})}
+    stat_cols |= set(extra_cols)
     if reader:
         rnames = {rf.name for rf in _reader_fields(reader)}
-        stat_cols = [c for c in stat_cols if c in rnames]
+        stat_cols = {c for c in stat_cols if c in rnames}
     if not stat_cols:
         return None
-    return collect_file_stats(table, new_files, stat_cols)
+    return collect_file_stats(table, new_files, sorted(stat_cols))
 
 
 def upsert(
@@ -403,14 +410,19 @@ def upsert(
         return v  # replayed commit: already applied (possibly not latest)
     batch = batch.dropDuplicates(key_cols)
     if v == 0:
+        from .skipping import collect_file_stats
+
         files = stage_files(batch, table)
         # initial load: every row is an insert and the data files ARE the
-        # change log — reference them, write nothing extra
+        # change log — reference them, write nothing extra.  Key-column
+        # footer stats recorded up front so the very next keyed write's
+        # touched-file probe already prunes.
         return commit(
             table,
             files,
             expected_version=0,
             txn_id=txn_id,
+            stats=collect_file_stats(table, files, key_cols),
             changes={"inserted": [{"files": files, "schema": None}], "deleted": []},
         )
     from .read_path import read_table
@@ -438,7 +450,7 @@ def upsert(
     new_files = stage_files(rewritten, table)
     kept_sets, kept_files, kept_stats = _carry_filesets(m, touched)
     new_sets = kept_sets + [{"files": new_files, "schema": schema, "seq": v + 1}]
-    new_stats = _restat(table, m, new_files, schema)
+    new_stats = _restat(table, m, new_files, schema, extra_cols=key_cols)
     if new_stats:
         kept_stats = {**(kept_stats or {}), **new_stats}
     # commit-time change log (VERDICT r7 #1): exact batch-bounded deltas —
@@ -1026,8 +1038,37 @@ def compact_table(
         if os.path.exists(os.path.join(table, f))
     )
     n_files = max(1, -(-total_bytes // target_file_bytes))
-    files = stage_files(snap.coalesce(n_files), table)
     schema = m.get("schema")
+    if m.get("partition_spec"):
+        # a partitioned table compacts WITHIN its layout: the rewrite
+        # re-stages through the spec so every new file carries its
+        # partition tuple and pruning survives OPTIMIZE (bin-packing
+        # then happens per partition value, the Iceberg behavior)
+        from .partitioning import stage_files_partitioned
+
+        spec_in = m["partition_spec"]
+        if schema:
+            # the spec's column names are frozen at write time; a rename
+            # evolution means the snapshot carries the READER names — remap
+            # (the full rewrite restamps every tuple, so committing the
+            # renamed spec is exact)
+            from .read_path import _reader_fields
+
+            colmap = {a: rf.name for rf in _reader_fields(schema) for a in rf.aliases}
+            spec_in = [{**e, "col": colmap.get(e["col"], e["col"])} for e in spec_in]
+        files, parts, spec = stage_files_partitioned(spark, snap, table, spec_in)
+        return commit(
+            table,
+            files,
+            expected_version=v,
+            txn_id=f"compact-v{v}",
+            schema=schema,
+            filesets=[{"files": files, "schema": schema, "seq": v + 1}] if schema else None,
+            partition_spec=spec,
+            partitions=parts,
+            changes={"inserted": [], "deleted": []},
+        )
+    files = stage_files(snap.coalesce(n_files), table)
     return commit(
         table,
         files,

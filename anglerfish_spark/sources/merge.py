@@ -143,12 +143,15 @@ def merge_into(
                 f"manifest table {table!r} has no committed snapshot and "
                 "the merge has no insert clause"
             )
+        from .skipping import collect_file_stats
+
         files = stage_files(source, table)
         return commit(
             table,
             files,
             expected_version=0,
             txn_id=txn_id,
+            stats=collect_file_stats(table, files, key_cols),
             changes={"inserted": [{"files": files, "schema": None}], "deleted": []},
         )
 
@@ -274,7 +277,7 @@ def merge_into(
         appended = upd_new if inserts is None else upd_new.unionByName(inserts)
         new_files = stage_files(appended, table)
         kept_sets, kept_files, kept_stats = _carry_filesets(m, set())
-        new_stats = _restat(table, m, new_files, schema)
+        new_stats = _restat(table, m, new_files, schema, extra_cols=key_cols)
         if new_stats:
             kept_stats = {**(kept_stats or {}), **new_stats}
         return commit(
@@ -301,7 +304,7 @@ def merge_into(
         final = final.unionByName(inserts)
     new_files = stage_files(final, table)
     kept_sets, kept_files, kept_stats = _carry_filesets(m, touched)
-    new_stats = _restat(table, m, new_files, schema)
+    new_stats = _restat(table, m, new_files, schema, extra_cols=key_cols)
     if new_stats:
         kept_stats = {**(kept_stats or {}), **new_stats}
     return commit(

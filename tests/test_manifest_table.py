@@ -809,3 +809,43 @@ class TestTornRefTolerance:
         assert set(refs) == {"ok"}
         assert any("torn" in str(w.message) for w in rec)
         assert vacuum(t) == []  # the live ref's files stay referenced
+
+
+class TestKeyedWriteStats:
+    """Keyed writes self-maintain key-column footer stats, so the
+    touched-file probe prunes even on tables that never had explicit
+    stats (at 100 TB a stats-less probe is a key-column table scan)."""
+
+    def test_upsert_records_key_stats_and_prunes(self, spark, tmp_path):
+        from anglerfish_spark.sources.read_path import read_table
+
+        t = str(tmp_path / "t")
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).repartitionByRange(8, "k")
+        upsert(spark, t, df, ["k"])
+        m = read_manifest(t)
+        assert m["stats"] and all("k" in (s.get("cols") or {}) for s in m["stats"].values())
+        # probe-style read with a narrow key box prunes files
+        _, rep = read_table(spark, t, predicates={"k": (3, 5)})
+        assert rep["files_kept"] < rep["files_total"]
+        # a second upsert's NEW fileset is stat'ed too
+        upsert(spark, t, spark.createDataFrame([(3, 9.9)], "k long, v double"), ["k"])
+        m2 = read_manifest(t)
+        assert all("k" in (s.get("cols") or {}) for s in m2["stats"].values())
+
+    def test_merge_records_key_stats(self, spark, tmp_path):
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.sources.merge import merge_into
+
+        t = str(tmp_path / "t")
+        src = local_df(spark, [(1, 1.0), (2, 2.0)], ["k", "v"])
+        merge_into(spark, t, src, ["k"])
+        m = read_manifest(t)
+        assert m["stats"] and all("k" in (s.get("cols") or {}) for s in m["stats"].values())
+        merge_into(
+            spark, t, local_df(spark, [(2, 22.0), (3, 3.0)], ["k", "v"]), ["k"],
+            when_matched_update={"v": "s.v"}, mode="mor",
+        )
+        m2 = read_manifest(t)
+        assert all("k" in (s.get("cols") or {}) for s in m2["stats"].values())

@@ -300,3 +300,30 @@ class TestSpecSurvival:
         upsert(spark, t, spark.createDataFrame([(1, "a")], ["k", "v"]), ["k"])
         with pytest.raises(AnglerfishError, match="no partition spec"):
             append_partitioned(spark, t, spark.createDataFrame([(2, "b")], ["k", "v"]))
+
+
+class TestPartitionedCompaction:
+    def test_compact_restamps_tuples_and_keeps_pruning(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            compact_table,
+            read_manifest,
+            upsert,
+        )
+
+        df = spark.range(60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("cat"),
+        )
+        t = _mk(spark, tmp_path, df, [{"transform": "identity", "col": "cat"}])
+        # an upsert adds an unstamped fileset first (worst case)
+        upsert(spark, t, spark.createDataFrame([(100, "1")], "k long, cat string"), ["k"])
+        before = _rows(snapshot(spark, t))
+        compact_table(spark, t)
+        m = read_manifest(t)
+        assert m["partition_spec"] and len(m["partitions"]) == len(m["files"])
+        assert _rows(snapshot(spark, t)) == before
+        out, rep = read_table(spark, t, predicates={"cat": ("1", "1")})
+        assert rep["files_kept"] < rep["files_total"]
+        assert sorted(r.k for r in out.collect()) == [
+            k for k in range(60) if k % 3 == 1
+        ] + [100]

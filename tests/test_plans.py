@@ -296,3 +296,31 @@ def test_mv_incremental_merge_side_is_checkpoint_not_rescan(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan  # the checkpointed MV
     # exactly one parquet scan node (the numbered detail entries)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_keyed_write_probe_pushes_key_filter_and_broadcasts(spark, sf_dir, tmp_path):
+    """The file-targeted COW probe (SCALE.md #37): the candidate read's
+    key-range residual reaches the parquet scan as a pushed filter, and
+    the key semi-join is a broadcast — no shuffle of table-scale data
+    anywhere in a keyed write's read side."""
+    from pyspark.sql import functions as F
+
+    from anglerfish_spark.sources.manifest_table import upsert
+    from anglerfish_spark.sources.read_path import read_table
+
+    t = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartitionByRange(8, "k")
+    upsert(spark, t, df, ["k"])
+    # the probe's candidate read: key box predicate + positions
+    pre, rep = read_table(spark, t, predicates={"k": (100, 120)}, with_positions=True)
+    assert rep["files_kept"] < rep["files_total"]  # stats pruned files
+    keys = spark.createDataFrame([(105,), (110,)], "k long")
+    probe = pre.join(F.broadcast(keys), ["k"], "left_semi").select("_fp").distinct()
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,100), LessThanOrEqual(k,120)" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
