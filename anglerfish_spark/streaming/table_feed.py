@@ -574,26 +574,23 @@ def apply_feed_batch(
     (``txn_id=feed-up/del-{epoch}``), the same guard the CDC sink uses
     (streaming/deletes.py module docstring).
 
-    Write cost per epoch (VERDICT r8 #2): deletes are equality-delete
-    groups (O(batch), no rewrite) in either mode; inserts/updates are
-    ``mode="cow"`` — the file-targeted upsert, O(touched files) — or
-    ``mode="mor"`` — MERGE merge-on-read, O(changed rows) exactly: no
-    mirror file is ever rewritten, updates emit positional deletes + an
-    appended fileset.  A long-running MoR mirror should fold its
-    accumulated delete state periodically (``compact_deletes``, itself
-    touched-file-targeted)."""
+    Write cost per epoch (VERDICT r8 #2): single-column-key deletes are
+    equality-delete groups (O(batch), no rewrite) in either mode;
+    composite-key deletes run as a delete-only MERGE on the full key
+    tuple (a per-column group would over-delete prefix-sharing rows).
+    Inserts/updates are ``mode="cow"`` — the file-targeted upsert,
+    O(touched files) — or ``mode="mor"`` — MERGE merge-on-read,
+    O(changed rows) exactly: no mirror file is ever rewritten, updates
+    emit positional deletes + an appended fileset.  A long-running MoR
+    mirror should fold its accumulated delete state periodically
+    (``compact_deletes``, itself touched-file-targeted)."""
     from ..sources.manifest_table import current_version, delete_keys, snapshot, upsert
     from ..sources.merge import merge_into
 
     if mode not in ("cow", "mor"):
         raise AnglerfishError(f"apply_feed_batch mode must be 'cow' or 'mor', got {mode!r}")
-    if len(key_cols) != 1:
-        # delete_keys is single-column equality-delete; silently using
-        # key_cols[0] would over-delete every row sharing that prefix
-        raise AnglerfishError(
-            "apply_feed_batch supports a single-column key (delete_keys "
-            f"is per-column equality-delete); got {key_cols!r}"
-        )
+    if not key_cols:
+        raise AnglerfishError("apply_feed_batch needs at least one key column")
     spark = batch.sparkSession
     last = batch.groupBy(*key_cols).agg(
         F.max("_commit_version").alias("_commit_version")
@@ -624,7 +621,24 @@ def apply_feed_batch(
         .dropDuplicates()
     )
     if dels.limit(1).count() and current_version(mirror) > 0:
-        delete_keys(spark, mirror, key_cols[0], dels, txn_id=f"feed-del-{epoch}")
+        if len(key_cols) == 1:
+            # single-column key: one equality-delete group, no data write
+            delete_keys(spark, mirror, key_cols[0], dels, txn_id=f"feed-del-{epoch}")
+        else:
+            # composite key: delete_keys' per-column groups would
+            # over-delete every row sharing a prefix — a delete-only
+            # MERGE matches on the full key tuple instead (file-targeted
+            # or MoR per the mirror's mode)
+            merge_into(
+                spark,
+                mirror,
+                dels,
+                key_cols,
+                when_matched_delete="true",
+                insert_not_matched=False,
+                txn_id=f"feed-del-{epoch}",
+                mode=mode,
+            )
 
 
 def start_feed_apply(

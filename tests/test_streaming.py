@@ -1345,3 +1345,62 @@ class TestBackfillFeed:
         t = self._backlog(spark, tmp_path, n_commits=3)
         with _pytest.raises(ValueError, match="with_metadata"):
             table_changes(spark, t, 0, None, mode="diff", with_metadata=True)
+
+
+class TestCompositeKeyMirror:
+    """apply_feed_batch with a composite key: deletes match the full key
+    tuple via a delete-only MERGE (pre-r9 this was refused)."""
+
+    def test_composite_key_apply(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import snapshot, upsert
+        from anglerfish_spark.streaming.table_feed import apply_feed_batch
+        from anglerfish_spark.localdata import local_df
+
+        mirror = str(tmp_path / "m")
+        base = local_df(
+            spark,
+            [(1, "a", 10.0), (1, "b", 11.0), (2, "a", 20.0), (2, "b", 21.0)],
+            ["k1", "k2", "v"],
+        )
+        upsert(spark, mirror, base, ["k1", "k2"])
+        # epoch: update (1,'a'), delete (2,'b') — (1,'b') and (2,'a')
+        # share a key prefix with the changed rows and MUST survive
+        batch = local_df(
+            spark,
+            [(1, "a", 99.0, "insert", 2), (2, "b", 21.0, "delete", 2)],
+            ["k1", "k2", "v", "_change_type", "_commit_version"],
+        ).select("k1", "k2", "v", "_change_type",
+                 F.col("_commit_version").cast("long"),
+                 F.lit(None).cast("timestamp").alias("_commit_timestamp"))
+        apply_feed_batch(batch, "e1", mirror, ["k1", "k2"])
+        got = sorted(tuple(r) for r in snapshot(spark, mirror).collect())
+        assert got == [(1, "a", 99.0), (1, "b", 11.0), (2, "a", 20.0)]
+        # replay idempotent
+        apply_feed_batch(batch, "e1", mirror, ["k1", "k2"])
+        assert sorted(tuple(r) for r in snapshot(spark, mirror).collect()) == got
+
+    def test_composite_key_apply_mor(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import read_manifest, snapshot, upsert
+        from anglerfish_spark.streaming.table_feed import apply_feed_batch
+        from anglerfish_spark.localdata import local_df
+        import os as _os
+
+        mirror = str(tmp_path / "m")
+        base = local_df(
+            spark, [(1, "a", 10.0), (2, "b", 21.0)], ["k1", "k2", "v"]
+        )
+        upsert(spark, mirror, base, ["k1", "k2"])
+        m1 = read_manifest(mirror)
+        batch = local_df(
+            spark,
+            [(1, "a", 99.0, "insert", 2), (2, "b", 21.0, "delete", 2)],
+            ["k1", "k2", "v", "_change_type", "_commit_version"],
+        ).select("k1", "k2", "v", "_change_type",
+                 F.col("_commit_version").cast("long"),
+                 F.lit(None).cast("timestamp").alias("_commit_timestamp"))
+        apply_feed_batch(batch, "e1", mirror, ["k1", "k2"], mode="mor")
+        got = sorted(tuple(r) for r in snapshot(spark, mirror).collect())
+        assert got == [(1, "a", 99.0)]
+        # MoR: the original files are still referenced byte-for-byte
+        mf = read_manifest(mirror)
+        assert set(m1["files"]) <= set(mf["files"])
