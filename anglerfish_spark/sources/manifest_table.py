@@ -377,6 +377,52 @@ def _restat(
     return collect_file_stats(table, new_files, sorted(stat_cols))
 
 
+def _stage_with_layout(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    m: dict,
+    reader: str | None,
+) -> tuple[list[str], dict[str, list] | None]:
+    """Stage a keyed write's new fileset honoring the table's partition
+    spec when it has one: files land in the recorded layout with their
+    tuples stamped (so pruning stays exact under steady-state keyed
+    writes, not just until the first upsert); spec column names remap
+    through reader aliases across rename evolution.  Falls back to a
+    plain (unstamped, conservatively-kept) stage when there is no spec
+    or a spec column is absent from the rewrite."""
+    spec = m.get("partition_spec")
+    if not spec:
+        return stage_files(df, table), None
+    if reader:
+        from .read_path import _reader_fields
+
+        colmap = {a: rf.name for rf in _reader_fields(reader) for a in rf.aliases}
+        spec = [{**e, "col": colmap.get(e["col"], e["col"])} for e in spec]
+    if any(e["col"] not in df.columns for e in spec):
+        return stage_files(df, table), None
+    from .partitioning import stage_files_partitioned
+
+    files, parts, _ = stage_files_partitioned(spark, df, table, spec)
+    return files, parts
+
+
+def _merged_partitions(
+    m: dict, kept_files: list[str], new_parts: dict[str, list] | None
+) -> dict[str, list] | None:
+    """The partitions map for a targeted-write commit: kept files keep
+    their tuples, new files add theirs (``None`` = let ``commit``
+    inherit — only valid when the new files are unstamped)."""
+    if new_parts is None:
+        return None
+    kept = {
+        f: t
+        for f, t in (m.get("partitions") or {}).items()
+        if f in set(kept_files)
+    }
+    return {**kept, **new_parts}
+
+
 def upsert(
     spark: SparkSession,
     table: str,
@@ -447,7 +493,7 @@ def upsert(
     else:
         old_matched = None
         rewritten = aligned
-    new_files = stage_files(rewritten, table)
+    new_files, new_parts = _stage_with_layout(spark, rewritten, table, m, schema)
     kept_sets, kept_files, kept_stats = _carry_filesets(m, touched)
     new_sets = kept_sets + [{"files": new_files, "schema": schema, "seq": v + 1}]
     new_stats = _restat(table, m, new_files, schema, extra_cols=key_cols)
@@ -485,6 +531,7 @@ def upsert(
         stats=kept_stats,
         delete_groups=delete_groups(m) or None,
         pos_deletes=m.get("pos_deletes"),
+        partitions=_merged_partitions(m, kept_files, new_parts),
         changes=changes,
     )
 

@@ -53,8 +53,10 @@ from ..registry import query
 from ..session import prepare
 from .manifest_table import (
     _carry_filesets,
+    _merged_partitions,
     _probe_touched_files,
     _restat,
+    _stage_with_layout,
     _txn_committed,
     commit,
     current_version,
@@ -275,7 +277,7 @@ def merge_into(
         )
         pd_files = stage_files(removed, table)
         appended = upd_new if inserts is None else upd_new.unionByName(inserts)
-        new_files = stage_files(appended, table)
+        new_files, new_parts = _stage_with_layout(spark, appended, table, m, schema)
         kept_sets, kept_files, kept_stats = _carry_filesets(m, set())
         new_stats = _restat(table, m, new_files, schema, extra_cols=key_cols)
         if new_stats:
@@ -290,6 +292,7 @@ def merge_into(
             stats=kept_stats,
             delete_groups=delete_groups(m) or None,
             pos_deletes=(m.get("pos_deletes") or []) + pd_files or None,
+            partitions=_merged_partitions(m, kept_files, new_parts),
             changes=changes,
         )
 
@@ -302,7 +305,7 @@ def merge_into(
     final = kept_in_touched.unionByName(survivors)
     if inserts is not None:
         final = final.unionByName(inserts)
-    new_files = stage_files(final, table)
+    new_files, new_parts = _stage_with_layout(spark, final, table, m, schema)
     kept_sets, kept_files, kept_stats = _carry_filesets(m, touched)
     new_stats = _restat(table, m, new_files, schema, extra_cols=key_cols)
     if new_stats:
@@ -317,6 +320,7 @@ def merge_into(
         stats=kept_stats,
         delete_groups=delete_groups(m) or None,
         pos_deletes=m.get("pos_deletes"),
+        partitions=_merged_partitions(m, kept_files, new_parts),
         changes=changes,
     )
 

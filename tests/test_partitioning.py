@@ -327,3 +327,52 @@ class TestPartitionedCompaction:
         assert sorted(r.k for r in out.collect()) == [
             k for k in range(60) if k % 3 == 1
         ] + [100]
+
+
+class TestKeyedWritesStampTuples:
+    """Steady-state keyed writes on a partitioned table keep EVERY file
+    stamped: pruning stays exact, not merely conservative."""
+
+    def _table(self, spark, tmp_path):
+        df = spark.range(60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("cat"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        return _mk(spark, tmp_path, df, [{"transform": "identity", "col": "cat"}])
+
+    def test_upsert_stamps_new_fileset(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import read_manifest, upsert
+
+        t = self._table(spark, tmp_path)
+        upsert(
+            spark, t,
+            spark.createDataFrame([(0, "0", 99.0), (100, "7", 1.0)], "k long, cat string, v double"),
+            ["k"],
+        )
+        m = read_manifest(t)
+        assert len(m["partitions"]) == len(m["files"])  # every file stamped
+        out, rep = read_table(spark, t, predicates={"cat": ("7", "7")})
+        assert rep["files_kept"] == 1  # exact: only the new cat=7 file
+        assert [tuple(r) for r in out.collect()] == [(100, "7", 1.0)]
+
+    def test_merge_stamps_both_modes(self, spark, tmp_path):
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.sources.manifest_table import read_manifest
+        from anglerfish_spark.sources.merge import merge_into
+
+        for mode in ("cow", "mor"):
+            t = self._table(spark, tmp_path)
+            src = local_df(spark, [(0, "0", 5.0), (200, "9", 9.0)], ["k", "cat", "v"])
+            merge_into(
+                spark, t, src, ["k"],
+                when_matched_update={"v": "s.v"}, mode=mode,
+            )
+            m = read_manifest(t)
+            assert len(m["partitions"]) == len(m["files"]), mode
+            out, rep = read_table(spark, t, predicates={"cat": ("9", "9")})
+            assert rep["files_kept"] == 1, mode
+            assert [tuple(r) for r in out.collect()] == [(200, "9", 9.0)], mode
+            import shutil
+
+            shutil.rmtree(t)
