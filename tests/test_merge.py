@@ -333,3 +333,50 @@ class TestFileTargetedWrites:
         src = local_df(spark, [(1, 1.0, "x")], ["k", "v", "tag"])
         with pytest.raises(AnglerfishError, match="mode"):
             merge_into(spark, t, src, ["k"], mode="nope")
+
+
+class TestConcurrentMerge:
+    def test_merge_retry_after_lost_race_sequentializes(self, spark, tmp_path, monkeypatch):
+        """A merge that loses the O_EXCL commit race retries against the
+        re-read snapshot; the result must equal sequential application of
+        the concurrent upsert THEN the merge — including over the key the
+        concurrent writer updated (the retried probe/matched join must
+        see the NEW image, not the one the first attempt read)."""
+        import anglerfish_spark.sources.merge as mg
+        from anglerfish_spark.sources.manifest_table import (
+            ConcurrentCommitError,
+            current_version,
+        )
+
+        t = _base(spark, tmp_path)  # keys 1..4 at v1
+        real_commit = mg.commit
+        state = {"raced": False}
+
+        def racing_commit(table, files, expected_version, **kw):
+            if not state["raced"]:
+                state["raced"] = True
+                # a concurrent writer lands v2 first: k=2 re-priced to 77
+                upsert(
+                    spark, t,
+                    local_df(spark, [(2, 77.0, "upd")], ["k", "v", "tag"]),
+                    ["k"], txn_id="racer",
+                )
+            return real_commit(table, files, expected_version, **kw)
+
+        monkeypatch.setattr(mg, "commit", racing_commit)
+        src = local_df(spark, [(2, 99.0, "s"), (5, 50.0, "new")], ["k", "v", "tag"])
+        kw = dict(when_matched_update={"v": "s.v"}, insert_not_matched=True)
+        with pytest.raises(ConcurrentCommitError):
+            merge_into(spark, t, src, ["k"], **kw)
+        # retry: merge_into re-reads the current version internally
+        merge_into(spark, t, src, ["k"], **kw)
+        assert current_version(t) == 3
+        got = _rows(snapshot(spark, t))
+        assert (2, 99.0, "upd") in got  # merge applied OVER the racer's image
+        assert (5, 50.0, "new") in got
+        assert len(got) == 5
+        # change log of the retried merge is exact vs the racer's snapshot
+        logged, mode = table_changes(spark, t, 2, 3, mode="logged")
+        assert mode == "logged"
+        evs = sorted((r["k"], r["_change_type"]) for r in logged.collect())
+        assert evs == [(2, "delete"), (2, "insert"), (5, "insert")]
