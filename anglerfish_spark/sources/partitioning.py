@@ -220,6 +220,41 @@ def file_may_match_partition(
     return True
 
 
+def evolve_partition_spec(
+    spark: SparkSession, table: str, new_spec: list[dict]
+) -> int:
+    """Change the table's partition spec going FORWARD (one metadata
+    commit, zero data rewrites — the Iceberg spec-evolution contract).
+    Conservative variant: existing files' tuples are dropped, so they
+    are never mis-pruned under the new transforms (they read as
+    unstamped = always kept) and regain exact pruning at the next
+    rewrite that touches them (``compact_table`` restamps the whole
+    table under the new spec; keyed writes restamp the files they
+    rewrite).  Files written after this commit stamp new-spec tuples
+    immediately.  The full Iceberg model (per-file spec ids so OLD files
+    keep pruning under their OLD spec) is a recording extension of this
+    layout; the conservative form can never misread, only under-prune."""
+    from .manifest_table import commit, current_version, read_manifest, snapshot
+
+    v = current_version(table)
+    m = read_manifest(table, v)
+    filled = fill_spec(snapshot(spark, table, v), new_spec)
+    return commit(
+        table,
+        m["files"],
+        expected_version=v,
+        txn_id=f"evolve-spec-v{v}",
+        schema=m.get("schema"),
+        filesets=m.get("filesets"),
+        stats=m.get("stats"),
+        delete_groups=m.get("delete_groups"),
+        pos_deletes=m.get("pos_deletes"),
+        partition_spec=filled,
+        partitions={},  # explicit empty: old tuples belong to the OLD spec
+        changes={"inserted": [], "deleted": []},
+    )
+
+
 def append_partitioned(
     spark: SparkSession,
     table: str,

@@ -376,3 +376,50 @@ class TestKeyedWritesStampTuples:
             import shutil
 
             shutil.rmtree(t)
+
+
+class TestSpecEvolution:
+    def test_evolve_spec_never_mispunes_and_compact_restamps(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            compact_table,
+            read_manifest,
+            upsert,
+        )
+        from anglerfish_spark.sources.partitioning import evolve_partition_spec
+
+        df = spark.range(60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("cat"),
+        )
+        t = _mk(spark, tmp_path, df, [{"transform": "identity", "col": "cat"}])
+        before = _rows(snapshot(spark, t))
+        evolve_partition_spec(spark, t, [{"transform": "bucket", "col": "k", "n": 4}])
+        m = read_manifest(t)
+        assert m["partition_spec"][0]["transform"] == "bucket"
+        assert not m["partitions"]  # old tuples dropped, never misread
+        assert _rows(snapshot(spark, t)) == before  # zero data movement
+        # old-spec predicate no longer prunes (no cat entry) but reads right
+        out, rep = read_table(spark, t, predicates={"cat": ("1", "1")})
+        assert rep["files_kept"] == rep["files_total"]
+        assert sorted(r.k for r in out.collect()) == [k for k in range(60) if k % 3 == 1]
+        # a write AFTER evolution stamps new-spec tuples
+        upsert(spark, t, spark.createDataFrame([(100, "9")], "k long, cat string"), ["k"])
+        m2 = read_manifest(t)
+        assert m2["partitions"]  # the new fileset is stamped
+        # compaction restamps EVERYTHING under the new spec: exact again
+        compact_table(spark, t)
+        m3 = read_manifest(t)
+        assert len(m3["partitions"]) == len(m3["files"])
+        out, rep = read_table(spark, t, predicates={"k": (42, 42)})
+        assert rep["files_kept"] < rep["files_total"]
+        assert [r.k for r in out.collect()] == [42]
+
+    def test_evolution_change_feed_is_empty(self, spark, tmp_path):
+        from anglerfish_spark.sources.partitioning import evolve_partition_spec
+        from anglerfish_spark.sources.read_path import table_changes
+
+        df = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("cat"))
+        t = _mk(spark, tmp_path, df, [{"transform": "identity", "col": "cat"}])
+        v = evolve_partition_spec(spark, t, [{"transform": "truncate", "col": "k", "w": 5}])
+        logged, mode = table_changes(spark, t, v - 1, v, mode="logged")
+        assert mode == "logged" and logged.count() == 0
