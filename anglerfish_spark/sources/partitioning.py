@@ -427,3 +427,104 @@ def q_table_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize("bucket_point", point_df))
         .orderBy("probe")
     )
+
+
+_EVOSPEC_TABLES: dict[str, str] = {}
+
+
+def _evospec_table(spark: SparkSession, sf_dir: str) -> str:
+    """Partition-lifecycle demo (once per process per sf_dir): v1 loads
+    the %3==0 orders under ``truncate(1000, o_orderkey)``; v2
+    ``append_partitioned``s the %3==1 rows in the same layout; v3
+    evolves the spec to ``bucket(4, o_orderkey)`` (metadata only); v4
+    upserts the %5==0 subset of those rows at price+250 (stamped under
+    the NEW spec); v5 compacts, restamping everything."""
+    import tempfile
+
+    from .manifest_table import _MANIFEST_DIR, commit, compact_table, upsert
+    from .registry import load_table
+
+    t = _EVOSPEC_TABLES.get(sf_dir)
+    if t and os.path.isdir(os.path.join(t, _MANIFEST_DIR)):
+        return t
+    t = tempfile.mkdtemp(prefix="anglerfish_evospec_")
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(*cols)
+    files, parts, spec = stage_files_partitioned(
+        spark, base, t, [{"transform": "truncate", "col": "o_orderkey", "w": 1000}]
+    )
+    commit(
+        t, files, expected_version=0, txn_id="evo-v1",
+        partition_spec=spec, partitions=parts,
+        changes={"inserted": [{"files": files, "schema": None}], "deleted": []},
+    )
+    append_partitioned(
+        spark, t,
+        orders.where(F.col("o_orderkey") % 3 == 1).select(*cols),
+        txn_id="evo-v2",
+    )
+    evolve_partition_spec(spark, t, [{"transform": "bucket", "col": "o_orderkey", "n": 4}])
+    upd = (
+        orders.where((F.col("o_orderkey") % 3 < 2) & (F.col("o_orderkey") % 5 == 0))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(250.0)).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+    upsert(spark, t, upd, ["o_orderkey"], txn_id="evo-v4")
+    compact_table(spark, t)
+    _EVOSPEC_TABLES[sf_dir] = t
+    return t
+
+
+@query(
+    "q_table_spec_evolution",
+    oracle=f"""
+SELECT 'current' AS probe,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_PART_DSUM} AS total
+FROM (SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 250.0
+                  ELSE o_totalprice END AS p
+      FROM orders WHERE o_orderkey % 3 < 2)
+UNION ALL
+SELECT 'as_of_v2',
+       CAST(COUNT(*) AS BIGINT),
+       {_PART_DSUM}
+FROM (SELECT o_totalprice AS p FROM orders WHERE o_orderkey % 3 < 2)
+ORDER BY probe
+""",
+    group="sources",
+)
+def q_table_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION end-to-end: a truncate-partitioned
+    orders table takes a partitioned append, evolves its spec to
+    bucket(4, key) in one metadata commit (zero data movement — old
+    tuples drop so the new transforms can never misprune), absorbs a
+    keyed upsert stamped under the NEW spec, and compacts (restamping
+    everything).  The current snapshot AND the pre-evolution v2
+    time-travel read are summarized; the oracle recomputes both from
+    raw ``orders``.  A spec change that moved rows, double-applied the
+    upsert, broke time travel, or mispruned any probe changes the
+    sums.  Scale shape: spec evolution is one manifest write at any
+    table size; pruning exactness degrades only to conservative keeps
+    until rewrites restamp (SCALE.md #40)."""
+    prepare(spark)
+    from ..operators.common import dsum
+
+    t = _evospec_table(spark, sf_dir)
+    from .manifest_table import snapshot as snap
+
+    def summarize(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("probe"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        ).select("probe", "n_rows", "total")
+
+    return (
+        summarize("current", snap(spark, t))
+        .unionByName(summarize("as_of_v2", snap(spark, t, 2)))
+        .orderBy("probe")
+    )
