@@ -484,11 +484,20 @@ def upsert(
         # composed); matched old images live in them by construction, so
         # the change log needs no second table pass either
         tpart, _ = read_table(spark, table, v, only_files=touched)
-        old_matched = tpart.join(F.broadcast(keys), key_cols, "left_semi").localCheckpoint(
-            eager=True
+        # .select(*snap_cols) after each key join: joining ON a column
+        # list reorders the keys first, and both the positional exceptAll
+        # below and the staged change-image files must keep the
+        # snapshot's column order (a non-leading key column otherwise
+        # raises — or silently diffs wrong columns when types align)
+        old_matched = (
+            tpart.join(F.broadcast(keys), key_cols, "left_semi")
+            .select(*snap_cols)
+            .localCheckpoint(eager=True)
         )
-        rewritten = tpart.join(F.broadcast(keys), key_cols, "left_anti").unionByName(
-            aligned
+        rewritten = (
+            tpart.join(F.broadcast(keys), key_cols, "left_anti")
+            .select(*snap_cols)
+            .unionByName(aligned)
         )
     else:
         old_matched = None
@@ -638,9 +647,12 @@ def commit_rebased(
                 target_col = colmap.get(key, key)
                 if target_col != key:
                     keys = keys.withColumnRenamed(key, target_col)
-            images = snapshot(spark, table, v).join(
+            snap = snapshot(spark, table, v)
+            # keep snapshot column order: the key join reorders keys
+            # first and these images are staged as feed-consumed files
+            images = snap.join(
                 F.broadcast(keys), target_col, "left_semi"
-            )
+            ).select(*snap.columns)
             changes = {
                 "inserted": [],
                 "deleted": [{"files": stage_files(images, table), "schema": schema}],
@@ -743,6 +755,17 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[int]:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the current snapshot stays)")
     v = current_version(table)
+    torn = _torn_tag_files(table)
+    if torn:
+        # ADVICE r9 medium #3: for READS a torn tag is safely skippable
+        # (resolving it would be guessing a version), but for RETENTION
+        # skipping is the unsafe direction — the pin the user explicitly
+        # created would silently stop protecting its snapshot.  Refuse
+        # until an operator deletes the torn file explicitly.
+        raise AnglerfishError(
+            f"cannot expire snapshots of {table!r}: unparseable tag file(s) "
+            f"{torn} may pin versions; delete them explicitly first"
+        )
     pinned = set(tags(table).values())
     expired = []
     for u in range(1, max(v - keep_last + 1, 1)):
@@ -813,6 +836,27 @@ def tag(table: str, name: str, version: int | None = None) -> int:
     finally:
         os.close(fd)
     return v
+
+
+def _torn_tag_files(table: str) -> list[str]:
+    """Tag files that do not parse to a ``{name, version}`` record — a
+    crash between the O_EXCL create and the fsync can still leave one.
+    Read paths skip them (:func:`tags`); retention refuses on them
+    (:func:`expire_snapshots`)."""
+    tdir = os.path.join(table, _TAGS_DIR)
+    if not os.path.isdir(tdir):
+        return []
+    out: list[str] = []
+    for f in os.listdir(tdir):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(tdir, f)) as fh:
+                t = json.load(fh)
+            t["name"], t["version"]
+        except (json.JSONDecodeError, KeyError):
+            out.append(f)
+    return sorted(out)
 
 
 def tags(table: str) -> dict[str, int]:
@@ -1518,7 +1562,10 @@ def delete_keys(
     # commit-time change log: the feed of a delete-only commit is the
     # deleted rows' full images — one semi-join scan at commit time (the
     # output is O(matched rows)), so consumers never pay a table diff
-    images = snapshot(spark, table, v).join(F.broadcast(keys), key_col, "left_semi")
+    snap = snapshot(spark, table, v)
+    # keep snapshot column order (the key join reorders keys first; the
+    # staged images feed positional consumers — see upsert's note)
+    images = snap.join(F.broadcast(keys), key_col, "left_semi").select(*snap.columns)
     changes = {
         "inserted": [],
         "deleted": [{"files": stage_files(images, table), "schema": m.get("schema")}],

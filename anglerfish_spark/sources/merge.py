@@ -275,7 +275,13 @@ def merge_into(
         removed = matched.where(F.col("_act") != "keep").selectExpr(
             "_fp AS file", "_ri AS pos"
         )
-        pd_files = stage_files(removed, table)
+        # only stage a position file when a matched row is actually
+        # removed (ADVICE r9 low): an unconditional stage appends an
+        # EMPTY parquet to pos_deletes forever — one useless file read +
+        # broadcast anti-join on every subsequent read until
+        # compact_deletes.  matched is checkpointed, so the probe is
+        # a local count, not a rescan.
+        pd_files = stage_files(removed, table) if removed.limit(1).count() else []
         appended = upd_new if inserts is None else upd_new.unionByName(inserts)
         new_files, new_parts = _stage_with_layout(spark, appended, table, m, schema)
         kept_sets, kept_files, kept_stats = _carry_filesets(m, set())

@@ -111,7 +111,16 @@ def fill_spec(df: DataFrame, spec: list[dict]) -> list[dict]:
             raise AnglerfishError("truncate transform needs integer 'w'")
         if e["col"] not in df.columns:
             raise AnglerfishError(f"partition column {e['col']!r} absent from the batch")
-        out.append({**e, "vtype": _vtype_of(df, e["col"])})
+        vtype = _vtype_of(df, e["col"])
+        if t == "truncate" and vtype == "double":
+            # Iceberg parity (ADVICE r9 medium #1): float/double truncate
+            # invites write-vs-probe rounding drift; the real format
+            # disallows it outright
+            raise AnglerfishError(
+                "truncate transform on floating columns is not supported "
+                "(Iceberg disallows it too); bucket or identity instead"
+            )
+        out.append({**e, "vtype": vtype})
     return out
 
 
@@ -168,6 +177,22 @@ def _typed(v: str, vtype: str):
     return v
 
 
+def _string_bound(b):
+    """Normalize a predicate bound for comparison against a STRING-typed
+    partition tuple value (ADVICE r9 medium #2): dates/timestamps encode
+    to the same ISO forms the write side stamps (``CAST(col AS STRING)``
+    of a date is its ISO form; ``skipping._enc`` matches), and a bound
+    that does not normalize to a string yields ``None`` — unbounded, so
+    the file is conservatively kept instead of raising a TypeError (or
+    worse, lexically comparing a number to a string)."""
+    from .skipping import _enc
+
+    if b is None:
+        return None
+    e = _enc(b)
+    return e if isinstance(e, str) else None
+
+
 def file_may_match_partition(
     spec: list[dict],
     tup: list | None,
@@ -194,6 +219,9 @@ def file_may_match_partition(
         t, vt = e["transform"], e["vtype"]
         if t == "identity":
             tv = _typed(v, vt)
+            if vt == "string":
+                # normalize date/ts bounds to the stamped ISO string form
+                lo, hi = _string_bound(lo), _string_bound(hi)
             if lo is not None and tv < lo:
                 return False
             if hi is not None and tv > hi:
@@ -206,12 +234,19 @@ def file_may_match_partition(
         elif t == "truncate":
             w = e["w"]
             if vt == "string":
-                tlo = None if lo is None else str(lo)[:w]
-                thi = None if hi is None else str(hi)[:w]
+                slo, shi = _string_bound(lo), _string_bound(hi)
+                tlo = None if slo is None else slo[:w]
+                thi = None if shi is None else shi[:w]
                 tv = v
             else:
-                tlo = None if lo is None else int(lo) - (int(lo) % w)
-                thi = None if hi is None else int(hi) - (int(hi) % w)
+                # floor semantics matching the write side's
+                # `col - pmod(col, w)` (ADVICE r9 medium #1): Python's %
+                # is floor-based for int AND float, so a negative
+                # fractional bound truncates DOWN (-0.5 → -w), exactly
+                # like pmod — the old int() cast truncated toward zero
+                # and silently pruned matching files
+                tlo = None if lo is None else lo - (lo % w)
+                thi = None if hi is None else hi - (hi % w)
                 tv = _typed(v, vt)
             if tlo is not None and tv < tlo:
                 return False

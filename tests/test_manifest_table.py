@@ -791,7 +791,16 @@ class TestTornRefTolerance:
             got = tags(t)
         assert got == {"good": 1}
         assert any("torn" in str(w.message) for w in rec)
-        assert expire_snapshots(t, keep_last=1) == []  # does not raise
+        # ADVICE r9 medium #3: READS skip the torn tag, but RETENTION
+        # must refuse — the torn file may be a pin, and expiring past it
+        # would permanently delete a snapshot the user pinned
+        from anglerfish_spark.errors import AnglerfishError
+
+        with pytest.raises(AnglerfishError, match="unparseable tag"):
+            expire_snapshots(t, keep_last=1)
+        # operator deletes the torn file explicitly -> retention works
+        os.remove(os.path.join(t, _TAGS_DIR, "torn.json"))
+        assert expire_snapshots(t, keep_last=1) == []
 
     def test_torn_staged_ref_is_skipped(self, spark, tmp_path):
         import warnings as _w

@@ -380,3 +380,55 @@ class TestConcurrentMerge:
         assert mode == "logged"
         evs = sorted((r["k"], r["_change_type"]) for r in logged.collect())
         assert evs == [(2, "delete"), (2, "insert"), (5, "insert")]
+
+
+class TestMorNoEmptyDeleteFiles:
+    """ADVICE r9 low: an insert-only (or all-keep) MoR merge must not
+    append an empty positional-delete file — every subsequent read would
+    pay a useless file read + broadcast anti-join forever."""
+
+    def test_insert_only_mor_stages_no_pos_delete(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import read_manifest
+
+        t = str(tmp_path / "t")
+        upsert(spark, t, local_df(spark, [(1, 1.0)], ["k", "v"]), ["k"])
+        # source matches nothing: pure insert under MoR
+        merge_into(
+            spark, t, local_df(spark, [(2, 2.0)], ["k", "v"]), ["k"],
+            when_matched_update={"v": "s.v"}, mode="mor",
+        )
+        m = read_manifest(t)
+        assert not m.get("pos_deletes")
+        assert sorted(tuple(r) for r in snapshot(spark, t).collect()) == [
+            (1, 1.0), (2, 2.0),
+        ]
+
+    def test_matched_update_still_stages_pos_delete(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import read_manifest
+
+        t = str(tmp_path / "t")
+        upsert(spark, t, local_df(spark, [(1, 1.0)], ["k", "v"]), ["k"])
+        merge_into(
+            spark, t, local_df(spark, [(1, 9.0)], ["k", "v"]), ["k"],
+            when_matched_update={"v": "s.v"}, mode="mor",
+        )
+        m = read_manifest(t)
+        assert m.get("pos_deletes")
+        assert sorted(tuple(r) for r in snapshot(spark, t).collect()) == [(1, 9.0)]
+
+
+class TestNonLeadingKeyChangeLog:
+    """Column-order regression (r10): a key column that is NOT the
+    table's first column must produce correctly-ordered change images
+    (the semi-join reorders keys first; exceptAll is positional)."""
+
+    def test_upsert_on_second_column_logs_exact_feed(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        upsert(spark, t, local_df(spark, [(1.0, 10), (2.0, 20)], ["v", "k"]), ["k"])
+        upsert(spark, t, local_df(spark, [(5.0, 10), (3.0, 30)], ["v", "k"]), ["k"])
+        logged, mode = table_changes(spark, t, 1, 2, mode="logged")
+        assert mode == "logged"
+        got = sorted(tuple(r) for r in logged.collect())
+        assert got == [
+            (1.0, 10, "delete"), (3.0, 30, "insert"), (5.0, 10, "insert"),
+        ]

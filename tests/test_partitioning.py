@@ -423,3 +423,65 @@ class TestSpecEvolution:
         v = evolve_partition_spec(spark, t, [{"transform": "truncate", "col": "k", "w": 5}])
         logged, mode = table_changes(spark, t, v - 1, v, mode="logged")
         assert mode == "logged" and logged.count() == 0
+
+
+class TestProbeBoundNormalization:
+    """ADVICE r9 mediums #1/#2: probe-side bound handling must match the
+    write side exactly — floor truncation for negatives, _enc
+    normalization for date bounds on string-typed tuples."""
+
+    def test_truncate_negative_bound_floors_like_pmod(self):
+        # write side stamps value - pmod(value, w): -5 % 1000 -> tuple
+        # "-1000"; the probe for lo=-5 must compute tlo=-1000, not 0
+        spec = [{"transform": "truncate", "col": "x", "w": 1000, "vtype": "long"}]
+        assert file_may_match_partition(spec, ["-1000"], {"x": (-5, -5)})
+        # and a genuinely-out-of-range probe still prunes
+        assert not file_may_match_partition(spec, ["-1000"], {"x": (5, 10)})
+        assert not file_may_match_partition(spec, ["2000"], {"x": (-5, -5)})
+
+    def test_truncate_on_double_is_refused_at_spec_time(self, spark):
+        df = spark.range(3).select((F.col("id") * 0.5).alias("x"))
+        with pytest.raises(AnglerfishError, match="floating"):
+            fill_spec(df, [{"transform": "truncate", "col": "x", "w": 1000}])
+
+    def test_date_bound_on_identity_date_partition(self, spark, tmp_path):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(1, dt.date(2024, 1, 10)), (2, dt.date(2024, 6, 10)), (3, dt.date(2024, 12, 10))],
+            "k long, d date",
+        )
+        t = _mk(spark, tmp_path, df, [{"transform": "identity", "col": "d"}])
+        # a date-object predicate must neither raise nor misprune
+        out, rep = read_table(
+            spark, t, predicates={"d": (dt.date(2024, 6, 1), dt.date(2024, 6, 30))}
+        )
+        assert rep["files_kept"] < rep["files_total"]
+        assert [r.k for r in out.collect()] == [2]
+
+    def test_date_keyed_upsert_probe_does_not_raise(self, spark, tmp_path):
+        """The canonical identity(date) layout keyed on the date column:
+        _probe_touched_files feeds date bounds into the partition probe."""
+        import datetime as dt
+
+        from anglerfish_spark.sources.manifest_table import upsert
+
+        df = spark.createDataFrame(
+            [(1, dt.date(2024, 1, 10), 1.0), (2, dt.date(2024, 6, 10), 2.0)],
+            "k long, d date, v double",
+        )
+        t = _mk(spark, tmp_path, df, [{"transform": "identity", "col": "d"}])
+        batch = spark.createDataFrame(
+            [(2, dt.date(2024, 6, 10), 99.0)], "k long, d date, v double"
+        )
+        upsert(spark, t, batch, ["d"])
+        got = {(r.k, r.v) for r in snapshot(spark, t).collect()}
+        assert got == {(1, 1.0), (2, 99.0)}
+
+    def test_non_string_bound_on_string_tuple_keeps_file(self):
+        # a numeric bound against a string-typed tuple must keep (no
+        # lexical number-vs-string comparison, no TypeError)
+        spec = [{"transform": "identity", "col": "s", "vtype": "string"}]
+        assert file_may_match_partition(spec, ["9"], {"s": (10, 10)})
+        spec_t = [{"transform": "truncate", "col": "s", "w": 2, "vtype": "string"}]
+        assert file_may_match_partition(spec_t, ["ab"], {"s": (3, 7)})
