@@ -498,6 +498,45 @@ def _carrierize(t: AvroType, v, env: dict[str, AvroType]):
     return v  # enum symbols, plain primitives
 
 
+def semanticize(t: AvroType, v, env: dict[str, AvroType]):
+    """Carrier representation → semantic Python values (the exact inverse
+    of :func:`_carrierize`): int days → ``date``, micros → naive-UTC
+    ``datetime``, unscaled bytes → ``Decimal`` — applied through records,
+    arrays, maps, and union shapes.  The streaming feed's value-space
+    fallback uses the pair as a bridge: parquet hands workers SEMANTIC
+    values, ``resolve_datum`` runs in CARRIER space, and the rebuilt
+    Arrow batch needs semantic values again (VERDICT r9 #3)."""
+    from ..schema.model import AvroRecursionRef
+    from ..schema.spark_convert import union_field_names
+    from .logical import py_carrier_to_value
+
+    if v is None:
+        return None
+    if isinstance(t, AvroRecursionRef):
+        return semanticize(env[t.fqn], v, env)
+    if isinstance(t, (AvroPrimitive, AvroFixed)):
+        return py_carrier_to_value(t.logical, v) if t.logical is not None else v
+    if isinstance(t, AvroArray):
+        return [semanticize(t.items, x, env) for x in v]
+    if isinstance(t, AvroMap):
+        return {k: semanticize(t.values, x, env) for k, x in v.items()}
+    if isinstance(t, AvroUnion):
+        nn = t.non_null_members
+        if len(nn) == 1:
+            return semanticize(nn[0], v, env)
+        names = union_field_names(t)
+        return {n: semanticize(m, v.get(n), env) for n, m in zip(names, nn)}
+    if isinstance(t, AvroRecord):
+        return {f.name: semanticize(f.type, v.get(f.name), env) for f in t.fields}
+    return v  # enum symbols, plain primitives
+
+
+def carrierize(t: AvroType, v, env: dict[str, AvroType]):
+    """Public alias of :func:`_carrierize` (semantic → carrier), the
+    down-conversion half of the stream fallback's bridge."""
+    return _carrierize(t, v, env)
+
+
 def _resolve_datum_into(value, w: AvroType, r: AvroType, renv, wenv, max_depth, path):
     """Resolve a non-union writer value into ``r`` (union or not), emitting
     the reader union's decoded shape (bare value or tagged dict)."""

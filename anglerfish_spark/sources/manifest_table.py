@@ -35,6 +35,17 @@ index (`operators/dedup.dedup_index_tables`) would layer its bucket
 layout on such a table so the probe join stays exchange-free AND the
 ingest is transactional.
 
+The METADATA path matches since r10 (manifest format 3, VERDICT r9 #1 —
+the Iceberg manifest-list model): ``v{N}.json`` is a small LIST
+(version header, spec history, delete/change state, per-fileset segment
+pointers with column bounds), and the per-file entries (paths, footer
+stats, partition tuples) live in content-addressed SEGMENT chunks under
+``_manifests/segments/`` that carried filesets re-reference without
+rewriting — so a commit writes O(changed filesets) metadata, a
+version-scan (txn lookup, AS-OF resolution, stream planning) reads
+O(lists), and a pruned read parses only the chunks its predicates keep
+(measured in SCALE.md's metadata soak).
+
 Local filesystem only (os.rename / O_EXCL are atomic on POSIX); on an
 object store the create-exclusive step is the piece you delegate to a
 catalog / DynamoDB-style lock, exactly as the real formats document.
@@ -67,16 +78,27 @@ class CommitConflictError(AnglerfishError):
 
 
 _MANIFEST_DIR = "_manifests"
+_SEG_DIR = os.path.join(_MANIFEST_DIR, "segments")
 _DATA_DIR = "data"
 _TAGS_DIR = "_tags"
 
-#: Highest manifest format this reader understands.  A manifest writes
-#: ``min_reader_format: 2`` whenever its delete state cannot be mirrored
-#: into the legacy single-group ``deletes``/``delete_key`` fields (>1
-#: equality-delete group) — a pre-r7 reader then fails loudly on
-#: :func:`read_manifest` instead of silently resurrecting every deleted
-#: row (ADVICE r7 low #3; the Delta protocol-version pattern).
-_FORMAT = 2
+#: Highest manifest format this reader understands (the Delta
+#: protocol-version pattern — ADVICE r7 low #3).  Format 3 (r10,
+#: VERDICT r9 #1) splits each version into a small manifest LIST plus
+#: content-addressed fileset SEGMENTS carrying the per-file entries
+#: (paths, footer stats, partition tuples) — the Iceberg
+#: manifest-list/manifest-file model — so a commit writes O(changed
+#: filesets) metadata, not O(table files), and a pruned read loads only
+#: the segments its predicates keep.  A pre-r10 reader fails loudly on
+#: :func:`read_manifest` instead of reading an empty file list.
+_FORMAT = 3
+
+#: Target files per fileset segment chunk.  A fileset larger than this
+#: splits into a deterministic power-of-two number of hash-of-path
+#: buckets, so removing k files rewrites only the k buckets they hash
+#: into (Iceberg bounds manifest size the same way).  Env-overridable so
+#: the metadata soak can exercise multi-chunk tables at sandbox scale.
+_SEG_TARGET_FILES = int(os.environ.get("ANGLERFISH_SEG_TARGET_FILES", "512"))
 
 
 def _manifest_path(table: str, version: int) -> str:
@@ -94,7 +116,113 @@ def current_version(table: str) -> int:
     return max(versions, default=0)
 
 
-def read_manifest(table: str, version: int | None = None) -> dict:
+# ---------------------------------------------------------------------------
+# fileset segments (format 3): content-addressed chunks of per-file
+# metadata — {"files": [...], "stats": {f: ...}, "partitions": {f: ...}}
+# ---------------------------------------------------------------------------
+
+
+def _seg_bucket_count(n_files: int) -> int:
+    """Deterministic chunk fan-out for a fileset of ``n_files``: 1 while
+    it fits the target, else the next power of two of ``n/target`` —
+    stable under file removals (no boundary shift: membership is
+    hash-of-path), re-fanning only when the fileset crosses a power of
+    two (amortized, like a hash-table resize)."""
+    import math
+
+    if n_files <= _SEG_TARGET_FILES:
+        return 1
+    return 1 << math.ceil(math.log2(n_files / _SEG_TARGET_FILES))
+
+
+def _chunk_fileset(files: list[str]) -> list[list[str]]:
+    files = sorted(files)
+    b = _seg_bucket_count(len(files))
+    if b <= 1:
+        return [files] if files else []
+    import hashlib
+
+    groups: list[list[str]] = [[] for _ in range(b)]
+    for f in files:
+        groups[int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % b].append(f)
+    return [g for g in groups if g]
+
+
+def _write_segment(table: str, payload: dict) -> tuple[str, int]:
+    """Persist one segment chunk content-addressed (sha256 of its
+    canonical JSON): a chunk carried verbatim across commits hashes to
+    the SAME path and writes ZERO bytes — which is what makes a keyed
+    commit's metadata payload O(changed chunks).  Returns ``(rel_path,
+    bytes_written)``; a CAS-losing commit's freshly written chunks
+    become orphans that the next successful retry reuses byte-for-byte
+    (and :func:`vacuum` reclaims if abandoned)."""
+    import hashlib
+
+    blob = json.dumps(payload, sort_keys=True).encode()
+    rel = os.path.join(_SEG_DIR, f"seg-{hashlib.sha256(blob).hexdigest()[:24]}.json")
+    path = os.path.join(table, rel)
+    if os.path.exists(path):
+        return rel, 0
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)  # atomic; concurrent same-content writers converge
+    return rel, len(blob)
+
+
+#: segment chunks are immutable (content-addressed), so a tiny in-process
+#: cache makes repeated reads of the same snapshot list-only
+_SEG_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _load_segment(table: str, rel: str) -> dict:
+    key = (os.path.abspath(table), rel)
+    seg = _SEG_CACHE.get(key)
+    if seg is None:
+        with open(os.path.join(table, rel)) as f:
+            seg = json.load(f)
+        if len(_SEG_CACHE) >= 1024:
+            _SEG_CACHE.clear()
+        _SEG_CACHE[key] = seg
+    return seg
+
+
+def _chunk_bounds(chunk_stats: dict, n_files: int) -> dict | None:
+    """Per-column [min, max] over a chunk's files, recorded in the LIST
+    for segment-level skipping — only for columns EVERY file of the
+    chunk has usable stats for (a partially-covered column cannot prove
+    absence, so it is omitted and the chunk stays unskippable on it)."""
+    if not chunk_stats or len(chunk_stats) < n_files:
+        return None
+    out: dict[str, list] | None = None
+    for s in chunk_stats.values():
+        cols = s.get("cols") or {}
+        usable = {
+            c: cs for c, cs in cols.items() if cs and cs.get("min") is not None
+        }
+        if out is None:
+            out = {c: [cs["min"], cs["max"]] for c, cs in usable.items()}
+            continue
+        for c in list(out):
+            cs = usable.get(c)
+            if cs is None:
+                del out[c]
+            else:
+                out[c] = [min(out[c][0], cs["min"]), max(out[c][1], cs["max"])]
+    return out or None
+
+
+def read_manifest_light(table: str, version: int | None = None) -> dict:
+    """The manifest LIST alone — version header, schema, spec history,
+    delete/change state, and per-fileset segment POINTERS (``segsets``)
+    for format-3 manifests — without loading any segment.  O(filesets)
+    driver work at any table size; every per-version scan
+    (:func:`_txn_committed`, :func:`resolve_as_of`, the stream
+    planner's per-commit lookups) runs off this.  Legacy (≤2) manifests
+    return their full inline dict unchanged."""
     v = current_version(table) if version is None else version
     if v == 0:
         return {"version": 0, "files": [], "txn_id": None}
@@ -106,6 +234,124 @@ def read_manifest(table: str, version: int | None = None) -> dict:
             f"{m['min_reader_format']} (this engine supports {_FORMAT})"
         )
     return m
+
+
+def read_manifest(table: str, version: int | None = None) -> dict:
+    """The manifest with per-file metadata MATERIALIZED: format-3 lists
+    load their segments and reconstruct the classic inline shape
+    (``files`` / ``filesets`` / ``stats`` / ``partitions`` /
+    ``partition_spec``), so every write-path consumer keeps working
+    unchanged.  Read paths that can prune should use
+    :func:`read_manifest_light` + lazy segments instead
+    (``read_path.read_table`` does)."""
+    m = read_manifest_light(table, version)
+    if "segsets" not in m:
+        # legacy manifest: synthesize the spec-history view (one spec,
+        # default) so per-fileset spec resolution is uniform downstream
+        if m.get("partition_spec") and "specs" not in m:
+            m["specs"] = [m["partition_spec"]]
+            m["default_spec_id"] = 0
+        return m
+    files: list[str] = []
+    filesets: list[dict] = []
+    stats: dict = {}
+    partitions: dict = {}
+    for ss in m["segsets"]:
+        fs_files: list[str] = []
+        for ch in ss["chunks"]:
+            seg = _load_segment(table, ch["path"])
+            fs_files += seg["files"]
+            stats.update(seg.get("stats") or {})
+            partitions.update(seg.get("partitions") or {})
+        filesets.append(
+            {
+                "files": sorted(fs_files),
+                "schema": ss.get("schema"),
+                "seq": ss.get("seq"),
+                "spec_id": ss.get("spec_id"),
+            }
+        )
+        files += fs_files
+    out = dict(m)
+    out["files"] = sorted(files)
+    out["filesets"] = None if m.get("flat") else filesets
+    out["stats"] = stats or None
+    out["partitions"] = partitions or None
+    specs = m.get("specs")
+    out["partition_spec"] = (
+        specs[m["default_spec_id"]] if specs else None
+    )
+    return out
+
+
+def manifest_filesets_view(table: str, m: dict) -> list[dict]:
+    """Uniform per-fileset view over BOTH manifest formats for the
+    pruned read path: ``[{"schema", "seq", "spec_id", "chunks": [...]}]``
+    where each chunk is ``{"n_files", "bounds" | None, "load": () ->
+    (files, stats_by_file, partitions_by_file)}``.  Format-3 chunks load
+    their segment lazily — ``read_path.read_table`` skips loading a
+    chunk entirely when its list-level column bounds exclude the
+    predicate (the manifest-list prune, VERDICT r9 #1); legacy manifests
+    yield one pre-loaded chunk per fileset."""
+    if "segsets" in m:
+        out = []
+        for ss in m["segsets"]:
+            chunks = []
+            for ch in ss["chunks"]:
+
+                def load(p=ch["path"]):
+                    seg = _load_segment(table, p)
+                    return (
+                        seg["files"],
+                        seg.get("stats") or {},
+                        seg.get("partitions") or {},
+                    )
+
+                chunks.append(
+                    {"n_files": ch["n_files"], "bounds": ch.get("bounds"), "load": load}
+                )
+            out.append(
+                {
+                    "schema": ss.get("schema"),
+                    "seq": ss.get("seq"),
+                    "spec_id": ss.get("spec_id"),
+                    "chunks": chunks,
+                }
+            )
+        return out
+    filesets = m.get("filesets") or [{"files": m["files"], "schema": m.get("schema")}]
+    stats = m.get("stats") or {}
+    parts = m.get("partitions") or {}
+    out = []
+    for fs in filesets:
+        fls = fs["files"]
+
+        def load(fls=fls):
+            return (
+                fls,
+                {f: stats[f] for f in fls if f in stats},
+                {f: parts[f] for f in fls if f in parts},
+            )
+
+        out.append(
+            {
+                "schema": fs.get("schema"),
+                "seq": fs.get("seq"),
+                "spec_id": fs.get("spec_id"),
+                "chunks": [{"n_files": len(fls), "bounds": None, "load": load}],
+            }
+        )
+    return out
+
+
+def manifest_total_files(m: dict) -> int:
+    """File count from the LIST alone (no segment loads)."""
+    if "segsets" in m:
+        return m.get(
+            "n_files",
+            sum(ch["n_files"] for ss in m["segsets"] for ch in ss["chunks"]),
+        )
+    return len(m["files"])
 
 
 def delete_groups(m: dict) -> list[dict]:
@@ -226,54 +472,131 @@ def commit(
     ``files``) — the spec is table-level state and per-file tuples stay
     valid for every carried file, so a delete/compact/upsert commit
     never silently forfeits partition pruning; files this commit staged
-    without tuples are simply never pruned (conservative)."""
+    without tuples are simply never pruned (conservative).
+
+    Format 3 layout (VERDICT r9 #1, the Iceberg manifest-list model):
+    the per-file metadata (paths, footer stats, partition tuples) is
+    externalized into content-addressed SEGMENT chunks
+    (``_manifests/segments/seg-<sha>.json``); the version file is a
+    small LIST carrying pointers + per-chunk column bounds.  A fileset
+    carried verbatim re-hashes to the same chunk paths and writes ZERO
+    bytes, so the commit's metadata payload is O(changed filesets) —
+    measured on the 10×-file soak in SCALE.md — while every reader
+    reconstructs the classic inline shape via :func:`read_manifest`
+    (or prunes segment-wise via :func:`read_manifest_light`).
+
+    Partition-spec HISTORY (VERDICT r9 #2, Iceberg per-file spec ids):
+    the list records every spec the table ever had (``specs``) plus the
+    current ``default_spec_id``; each fileset entry carries the
+    ``spec_id`` its tuples were stamped under (callers may set it on a
+    fileset dict; tuple-bearing filesets without one get the commit's
+    default), so after :func:`partitioning.evolve_partition_spec` the
+    OLD files keep pruning under their OLD transforms."""
     new_version = expected_version + 1
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
-    if (partition_spec is None or partitions is None) and expected_version > 0:
+    parent_light: dict = {}
+    if expected_version > 0:
         try:
-            parent = read_manifest(table, expected_version)
+            parent_light = read_manifest_light(table, expected_version)
         except FileNotFoundError:
-            parent = {}
-        if partition_spec is None:
-            partition_spec = parent.get("partition_spec")
-        if partitions is None and parent.get("partitions"):
+            parent_light = {}
+    # spec history: inherit the parent's, resolve the commit's default
+    specs = list(parent_light.get("specs") or [])
+    if not specs and parent_light.get("partition_spec"):
+        specs = [parent_light["partition_spec"]]  # legacy parent
+    default_spec_id = parent_light.get(
+        "default_spec_id", 0 if specs else None
+    )
+    if partition_spec is not None:
+        key = json.dumps(partition_spec, sort_keys=True)
+        known = {json.dumps(s, sort_keys=True): i for i, s in enumerate(specs)}
+        if key in known:
+            default_spec_id = known[key]
+        else:
+            specs.append(partition_spec)
+            default_spec_id = len(specs) - 1
+    if partitions is None and expected_version > 0 and (
+        parent_light.get("partitions")
+        or any(
+            ch.get("has_partitions")
+            for ss in parent_light.get("segsets") or []
+            for ch in ss["chunks"]
+        )
+    ):
+        parent_full = read_manifest(table, expected_version)
+        if parent_full.get("partitions"):
             fset = set(files)
             partitions = {
-                f: t for f, t in parent["partitions"].items() if f in fset
+                f: t for f, t in parent_full["partitions"].items() if f in fset
             } or None
-    one = delete_groups[0] if delete_groups and len(delete_groups) == 1 else None
+
+    # externalize per-file metadata into content-addressed segments
+    flat = filesets is None
+    fsets_in = filesets or [{"files": list(files), "schema": schema, "seq": None}]
+    stats_all = stats or {}
+    parts_all = partitions or {}
+    segsets: list[dict] = []
+    n_files = 0
+    for fs in fsets_in:
+        chunks: list[dict] = []
+        has_tuples = False
+        for group in _chunk_fileset(fs["files"]):
+            seg_payload = {
+                "files": group,
+                "stats": {
+                    f: stats_all[f] for f in group if stats_all.get(f) is not None
+                },
+                "partitions": {f: parts_all[f] for f in group if f in parts_all},
+            }
+            rel, _nb = _write_segment(table, seg_payload)
+            has_tuples = has_tuples or bool(seg_payload["partitions"])
+            chunks.append(
+                {
+                    "path": rel,
+                    "n_files": len(group),
+                    "bounds": _chunk_bounds(seg_payload["stats"], len(group)),
+                    "has_partitions": bool(seg_payload["partitions"]),
+                }
+            )
+            n_files += len(group)
+        spec_id = fs.get("spec_id")
+        if spec_id is None and has_tuples:
+            spec_id = default_spec_id
+        segsets.append(
+            {
+                "schema": fs.get("schema"),
+                "seq": fs.get("seq"),
+                "spec_id": spec_id,
+                "chunks": chunks,
+            }
+        )
     payload = json.dumps(
         {
             "version": new_version,
             "parent": expected_version,
-            "files": sorted(files),
             "txn_id": txn_id,
             "committed_at_ms": _next_committed_at(table, expected_version),
             "schema": schema,
-            "filesets": filesets,
-            # per-file footer stats (sources/skipping.py): {rel_path →
-            # {"n_rows", "cols": {col → {"min","max","nulls"} | None}}}
-            "stats": stats,
+            "n_files": n_files,
+            # per-fileset segment pointers; per-file entries (paths,
+            # footer stats, partition tuples) live in the chunks
+            "segsets": segsets,
+            "flat": flat,
             # merge-on-read equality deletes, one group per delete key
             # per commit: [{"key": col, "files": [...], "seq": v}] —
-            # excluded at read time (read_path.read_table).  The legacy
-            # single-key mirror fields are kept for pre-r7 manifest
-            # readers; when >1 group makes that mirror lossy, the
-            # min_reader_format bump below rejects those readers loudly.
+            # excluded at read time (read_path.read_table)
             "delete_groups": delete_groups,
-            "deletes": one["files"] if one else None,
-            "delete_key": one["key"] if one else None,
             # positional deletes (Iceberg-v2's second delete-file kind):
             # parquet files of (file: rel path, pos: row index) excluded
             # at read time (read_path.read_table / delete_where)
             "pos_deletes": pos_deletes,
             "changes": changes,
-            # hidden partitioning (sources/partitioning.py): the spec's
-            # transforms + each file's partition tuple — files without a
-            # tuple are conservatively kept at read time
-            "partition_spec": partition_spec,
-            "partitions": partitions,
-            "min_reader_format": 2 if delete_groups and len(delete_groups) > 1 else 1,
+            # hidden partitioning: full spec history + the current
+            # default; each segset's spec_id names the spec its tuples
+            # were stamped under (sources/partitioning.py)
+            "specs": specs or None,
+            "default_spec_id": default_spec_id,
+            "min_reader_format": 3,
         }
     )
     path = _manifest_path(table, new_version)
@@ -341,7 +664,14 @@ def _carry_filesets(
         keep = [f for f in fs["files"] if f not in touched]
         if keep:
             kept_sets.append(
-                {"files": keep, "schema": fs.get("schema"), "seq": fs.get("seq")}
+                {
+                    "files": keep,
+                    "schema": fs.get("schema"),
+                    "seq": fs.get("seq"),
+                    # the spec its tuples were stamped under travels with
+                    # the carried fileset (per-file spec ids, VERDICT r9 #2)
+                    "spec_id": fs.get("spec_id"),
+                }
             )
     kept_files = [f for fs in kept_sets for f in fs["files"]]
     stats = None
@@ -479,6 +809,21 @@ def upsert(
     aligned = batch.select(*snap_cols).localCheckpoint(eager=True)
     keys = aligned.select(*key_cols).dropDuplicates()
     touched = _probe_touched_files(spark, table, v, keys, key_cols)
+    if len(m["files"]) >= 8 and len(touched) >= 0.5 * len(m["files"]):
+        # COW degradation guard (VERDICT r9 #4): a non-clustered key
+        # batch's stats box covers the table and the "targeted" rewrite
+        # approaches a full one.  upsert is COW by construction; the
+        # O(changed rows) alternative is merge_into(mode='mor'/'auto')
+        # with update-all-columns + insert (logically identical).
+        import warnings
+
+        warnings.warn(
+            f"upsert on {table!r}: batch keys touch {len(touched)}/"
+            f"{len(m['files'])} data files — the copy-on-write rewrite "
+            "approaches a full table rewrite; prefer merge_into("
+            "mode='auto') for non-clustered key batches",
+            stacklevel=2,
+        )
     if touched:
         # the rewrite reads ONLY the touched files (deletes + evolution
         # composed); matched old images live in them by construction, so
@@ -775,7 +1120,47 @@ def expire_snapshots(table: str, keep_last: int = 1) -> list[int]:
         if os.path.exists(path):
             os.remove(path)
             expired.append(u)
+    if expired:
+        # segment chunks only the expired manifests referenced are now
+        # orphans; reclaim them with the same mtime grace vacuum uses
+        # (an in-flight commit's just-written chunks are younger)
+        _reclaim_segments(table)
     return expired
+
+
+def _reclaim_segments(
+    table: str, min_age_ms: int = None  # noqa: RUF013 — sentinel below
+) -> list[str]:
+    """Delete segment chunks no RETAINED manifest references.  Orphans
+    arise from expired snapshots and CAS-losing commits (their freshly
+    written chunks).  The mtime grace window protects a concurrent
+    commit between its segment writes and its list write."""
+    if min_age_ms is None:
+        min_age_ms = DEFAULT_VACUUM_GRACE_MS
+    referenced: set[str] = set()
+    for v in range(1, current_version(table) + 1):
+        if not os.path.exists(_manifest_path(table, v)):
+            continue
+        m = read_manifest_light(table, v)
+        for ss in m.get("segsets") or []:
+            referenced.update(ch["path"] for ch in ss["chunks"])
+    segdir = os.path.join(table, _SEG_DIR)
+    removed: list[str] = []
+    if not os.path.isdir(segdir):
+        return removed
+    cutoff = time.time() - min_age_ms / 1000.0
+    for name in os.listdir(segdir):
+        rel = os.path.join(_SEG_DIR, name)
+        full = os.path.join(table, rel)
+        if (
+            name.startswith("seg-")
+            and name.endswith(".json")
+            and rel not in referenced
+            and os.path.getmtime(full) <= cutoff
+        ):
+            os.remove(full)
+            removed.append(rel)
+    return removed
 
 
 # ---------------------------------------------------------------------------
@@ -936,10 +1321,8 @@ def vacuum(table: str, min_age_ms: int = DEFAULT_VACUUM_GRACE_MS) -> list[str]:
     for ref in staged_refs(table).values():
         referenced.update(ref["files"])
     for v in range(1, current_version(table) + 1):
-        path = _manifest_path(table, v)
-        if os.path.exists(path):
-            with open(path) as f:
-                m = json.load(f)
+        if os.path.exists(_manifest_path(table, v)):
+            m = read_manifest(table, v)  # full: per-file lists materialized
             referenced.update(m["files"])
             for g in delete_groups(m):
                 referenced.update(g["files"])
@@ -960,6 +1343,9 @@ def vacuum(table: str, min_age_ms: int = DEFAULT_VACUUM_GRACE_MS) -> list[str]:
             ):
                 os.remove(full)
                 removed.append(rel)
+    # metadata GC rides along: segment chunks orphaned by expired
+    # snapshots or CAS-losing commits (same grace window)
+    removed += _reclaim_segments(table, min_age_ms)
     return removed
 
 

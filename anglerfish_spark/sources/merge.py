@@ -67,6 +67,12 @@ from .manifest_table import (
 )
 
 
+#: mode='auto' switches a merge to merge-on-read when the touched-file
+#: probe keeps at least this fraction of the table's data files — the
+#: point where "file-targeted" COW stops being targeted (VERDICT r9 #4)
+AUTO_MOR_TOUCHED_FRACTION = 0.5
+
+
 class AmbiguousMergeError(AnglerfishError):
     """A TARGET row is matched by more than one source row, so its
     post-merge image depends on evaluation order.  Delta raises the same
@@ -128,9 +134,18 @@ def merge_into(
       append as a new fileset.  Per-commit write cost is O(changed
       rows) exactly — the shape a per-epoch streaming mirror needs —
       at the price of one more broadcast anti-join per read until
-      ``compact_deletes`` folds the deletes in."""
-    if mode not in ("cow", "mor"):
-        raise AnglerfishError(f"merge_into mode must be 'cow' or 'mor', got {mode!r}")
+      ``compact_deletes`` folds the deletes in.
+    * ``"auto"`` — COW unless the touched-file probe fails to prune
+      (touched ≥ ``AUTO_MOR_TOUCHED_FRACTION`` of the table's files),
+      then MoR (VERDICT r9 #4): a uniform-random key batch's min/max
+      box covers the whole table, and COW would silently degrade toward
+      a full rewrite — on a key-clustered table the probe keeps COW.
+      An EXPLICIT ``mode="cow"`` in the same situation proceeds but
+      logs a documented warning."""
+    if mode not in ("cow", "mor", "auto"):
+        raise AnglerfishError(
+            f"merge_into mode must be 'cow', 'mor' or 'auto', got {mode!r}"
+        )
     if not key_cols:
         raise AnglerfishError("merge_into requires at least one key column")
     if when_matched_update is None and when_matched_delete is None and not insert_not_matched:
@@ -178,6 +193,30 @@ def merge_into(
     # alone rewritten whole
     keys = source.select(*key_cols).dropDuplicates()
     touched = _probe_touched_files(spark, table, v, keys, key_cols)
+    # COW degradation guard (VERDICT r9 #4): when the stats box fails to
+    # prune — non-clustered keys — COW approaches a full rewrite.
+    # mode='auto' routes to MoR (O(changed rows) regardless of layout);
+    # an explicit 'cow' proceeds with a warning so the operator sees the
+    # write amplification instead of discovering it in the bill.
+    frac = len(touched) / max(1, len(m["files"]))
+    if mode == "auto":
+        # tiny tables (a handful of files) stay COW: "touched most files"
+        # means nothing at that scale and COW leaves no delete debt
+        mode = (
+            "mor"
+            if frac >= AUTO_MOR_TOUCHED_FRACTION and len(m["files"]) >= 8
+            else "cow"
+        )
+    elif mode == "cow" and frac >= AUTO_MOR_TOUCHED_FRACTION and len(m["files"]) >= 8:
+        import warnings
+
+        warnings.warn(
+            f"merge_into(mode='cow') on {table!r}: source keys touch "
+            f"{len(touched)}/{len(m['files'])} data files "
+            f"({frac:.0%}) — the copy-on-write rewrite approaches a full "
+            "table rewrite; mode='mor' (or 'auto') writes O(changed rows)",
+            stacklevel=2,
+        )
     pos_cols = ["_fp", "_ri"] if mode == "mor" else []
     if touched:
         tpart, _ = read_table(

@@ -15,6 +15,7 @@ from anglerfish_spark.sources.manifest_table import (
     ConcurrentCommitError,
     commit,
     current_version,
+    delete_groups,
     read_manifest,
     snapshot,
     stage_files,
@@ -335,7 +336,8 @@ class TestMergeOnReadDeletes:
         t = self._table(spark, tmp_path)
         m1, m2 = read_manifest(t, 1), read_manifest(t, 2)
         assert m2["files"] == m1["files"]  # data untouched
-        assert m2["deletes"] and m2["delete_key"] == "k"
+        groups = delete_groups(m2)
+        assert groups and groups[0]["key"] == "k" and groups[0]["files"]
 
     def test_read_applies_deletes_history_does_not(self, spark, tmp_path):
         t = self._table(spark, tmp_path)
@@ -348,7 +350,7 @@ class TestMergeOnReadDeletes:
         t = self._table(spark, tmp_path)
         compact_table(spark, t)
         m3 = read_manifest(t, 3)
-        assert not m3.get("deletes")
+        assert not delete_groups(m3)
         assert sorted(r.k for r in snapshot(spark, t, 3).collect()) == [1, 3, 5, 7, 9]
 
     def test_mixed_delete_keys_compose(self, spark, tmp_path):
@@ -377,7 +379,9 @@ class TestMergeOnReadDeletes:
 
         m = read_manifest(t)
         assert len([g for g in delete_groups(m) if g["key"] == "k"]) == 2
-        assert m["deletes"] is None and m["min_reader_format"] == 2
+        # since r10 (format 3: manifest list + segments) the mirror
+        # fields are gone entirely and the version fence is 3
+        assert "deletes" not in m and m["min_reader_format"] == 3
 
     def test_vacuum_keeps_delete_files(self, spark, tmp_path):
         t = self._table(spark, tmp_path)

@@ -432,3 +432,53 @@ class TestNonLeadingKeyChangeLog:
         assert got == [
             (1.0, 10, "delete"), (3.0, 30, "insert"), (5.0, 10, "insert"),
         ]
+
+
+class TestAutoModeRouting:
+    """VERDICT r9 #4: mode='auto' keeps COW while the touched-file probe
+    prunes (clustered keys) and routes to MoR when it cannot (uniform
+    keys -> near-full rewrite); explicit cow in that situation warns."""
+
+    def _table(self, spark, tmp_path, name="t"):
+        t = str(tmp_path / name)
+        df = spark.range(320).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        ).repartitionByRange(16, "k")
+        upsert(spark, t, df, ["k"])
+        return t
+
+    def test_clustered_keys_stay_cow(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import read_manifest
+
+        t = self._table(spark, tmp_path)
+        m1 = read_manifest(t)
+        src = local_df(spark, [(0, 9.0), (1, 9.0), (2, 9.0)], ["k", "v"])
+        merge_into(spark, t, src, ["k"], when_matched_update={"v": "s.v"}, mode="auto")
+        m2 = read_manifest(t)
+        assert not m2.get("pos_deletes")  # COW path taken
+        assert len(set(m1["files"]) & set(m2["files"])) >= len(m1["files"]) - 2
+
+    def test_uniform_keys_route_to_mor(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import read_manifest
+
+        t = self._table(spark, tmp_path)
+        m1 = read_manifest(t)
+        # one key per file: the stats box covers the whole table
+        src = local_df(spark, [(k, 9.0) for k in range(0, 320, 20)], ["k", "v"])
+        merge_into(spark, t, src, ["k"], when_matched_update={"v": "s.v"}, mode="auto")
+        m2 = read_manifest(t)
+        assert m2.get("pos_deletes")  # MoR path taken
+        assert set(m1["files"]) <= set(m2["files"])  # nothing rewritten
+        got = {r.k: r.v for r in snapshot(spark, t).collect()}
+        assert all(got[k] == 9.0 for k in range(0, 320, 20))
+        assert got[1] == 1.0
+
+    def test_explicit_cow_on_uniform_keys_warns(self, spark, tmp_path):
+        import warnings as _w
+
+        t = self._table(spark, tmp_path)
+        src = local_df(spark, [(k, 9.0) for k in range(0, 320, 20)], ["k", "v"])
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            merge_into(spark, t, src, ["k"], when_matched_update={"v": "s.v"}, mode="cow")
+        assert any("full table rewrite" in str(w.message) for w in rec)

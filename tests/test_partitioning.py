@@ -379,7 +379,12 @@ class TestKeyedWritesStampTuples:
 
 
 class TestSpecEvolution:
-    def test_evolve_spec_never_mispunes_and_compact_restamps(self, spark, tmp_path):
+    def test_evolve_spec_keeps_old_tuples_pruning_under_old_spec(self, spark, tmp_path):
+        """VERDICT r9 #2 (full Iceberg model): spec evolution records a
+        spec HISTORY and per-fileset spec ids — pre-evolution files keep
+        their tuples AND keep pruning under their OLD transforms; files
+        written after evolution prune under the new ones; neither era is
+        ever interpreted under the wrong spec."""
         from anglerfish_spark.sources.manifest_table import (
             compact_table,
             read_manifest,
@@ -395,17 +400,25 @@ class TestSpecEvolution:
         before = _rows(snapshot(spark, t))
         evolve_partition_spec(spark, t, [{"transform": "bucket", "col": "k", "n": 4}])
         m = read_manifest(t)
-        assert m["partition_spec"][0]["transform"] == "bucket"
-        assert not m["partitions"]  # old tuples dropped, never misread
+        assert m["partition_spec"][0]["transform"] == "bucket"  # new default
+        assert len(m["specs"]) == 2 and m["default_spec_id"] == 1
+        assert m["partitions"]  # old tuples KEPT, pinned to spec 0
+        assert all(fs["spec_id"] == 0 for fs in m["filesets"])
         assert _rows(snapshot(spark, t)) == before  # zero data movement
-        # old-spec predicate no longer prunes (no cat entry) but reads right
+        # OLD-spec predicate STILL prunes the pre-evolution files
         out, rep = read_table(spark, t, predicates={"cat": ("1", "1")})
-        assert rep["files_kept"] == rep["files_total"]
+        assert rep["files_kept"] < rep["files_total"]
         assert sorted(r.k for r in out.collect()) == [k for k in range(60) if k % 3 == 1]
-        # a write AFTER evolution stamps new-spec tuples
+        # NEW-spec predicate does not misprune old files (their tuples
+        # belong to spec 0, which has no k entry -> conservatively kept)
+        out, rep = read_table(spark, t, predicates={"k": (42, 42)})
+        assert rep["files_kept"] == rep["files_total"]
+        assert [r.k for r in out.collect()] == [42]
+        # a write AFTER evolution stamps NEW-spec tuples (spec_id 1)
         upsert(spark, t, spark.createDataFrame([(100, "9")], "k long, cat string"), ["k"])
         m2 = read_manifest(t)
-        assert m2["partitions"]  # the new fileset is stamped
+        new_sets = [fs for fs in m2["filesets"] if fs.get("seq") == m2["version"]]
+        assert new_sets and all(fs["spec_id"] == 1 for fs in new_sets)
         # compaction restamps EVERYTHING under the new spec: exact again
         compact_table(spark, t)
         m3 = read_manifest(t)

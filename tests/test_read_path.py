@@ -458,7 +458,8 @@ class TestSequenceRule:
         # multi-group manifest: the lossy legacy mirror must be fenced off
         m = mt.read_manifest(t)
         assert len(mt.delete_groups(m)) == 2
-        assert m["min_reader_format"] == 2 and m["deletes"] is None
+        # format 3 since r10 (manifest list + segments): no mirror fields
+        assert m["min_reader_format"] == 3 and "deletes" not in m
 
     def test_legacy_seqless_group_applies_everywhere(self, spark, tmp_path):
         """Backward compat: a manifest whose delete groups carry no seq

@@ -1142,15 +1142,39 @@ class TestFeedEvolutionDifferential:
             )
             assert got == want, f"case {label}: {got} != {want}"
 
-    def test_logical_typed_evolution_still_refused(self, spark, tmp_path):
-        """The value-space fallback excludes logical annotations by
-        design (semantic vs carrier mismatch): loud planning-time error."""
-        import pytest as _pytest
-
+    def _feed_equals_batch(self, spark, tmp_path, name, W, R, df):
         from anglerfish_spark.sources import manifest_table as mt
+        from anglerfish_spark.sources.read_path import table_changes
         from anglerfish_spark.streaming.stateful import await_or_fail
         from anglerfish_spark.streaming.table_feed import read_table_feed
 
+        t = str(tmp_path / name)
+        mt.append_evolved(spark, t, df, W)
+        mt.append_evolved(spark, t, mt.snapshot(spark, t).limit(0), W, reader_schema=R)
+        batch, mode = table_changes(spark, t, 0, None, mode="logged")
+        assert mode == "logged"
+        want = sorted(str(tuple(r)) for r in batch.drop("_change_type").collect())
+        q = (
+            read_table_feed(spark, t)
+            .writeStream.format("memory")
+            .queryName(f"lg_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_fail(q)
+        got = sorted(
+            str(tuple(r))
+            for r in spark.table(f"lg_{name}")
+            .drop("_change_type", "_commit_version", "_commit_timestamp")
+            .collect()
+        )
+        assert got == want, f"{name}: {got} != {want}"
+
+    def test_logical_typed_nested_evolution_resolves(self, spark, tmp_path):
+        """VERDICT r9 #3: the pre-r10 loud refusal — a logical-typed
+        field inside an evolving record — now resolves (vectorized
+        struct rebuild: the unchanged timestamp child passes through as
+        a column) and is pinned feed == batch."""
         W = (
             '{"type":"record","name":"R","fields":['
             '{"name":"n","type":{"type":"record","name":"N","fields":['
@@ -1162,21 +1186,125 @@ class TestFeedEvolutionDifferential:
             '{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},'
             '{"name":"z","type":"string","default":"d"}]}}]}'
         )
-        t = str(tmp_path / "t")
         df = spark.sql(
             "SELECT named_struct('ts', TIMESTAMP'2024-01-01 00:00:00') AS n"
+            " UNION ALL SELECT named_struct('ts', TIMESTAMP'2025-06-30 12:34:56.789')"
         )
-        mt.append_evolved(spark, t, df, W)
-        mt.append_evolved(spark, t, mt.snapshot(spark, t).limit(0), W, reader_schema=R)
-        q = (
-            read_table_feed(spark, t)
-            .writeStream.format("memory")
-            .queryName("logical_refused")
-            .trigger(availableNow=True)
-            .start()
+        self._feed_equals_batch(spark, tmp_path, "lognest", W, R, df)
+
+    def test_logical_typed_fallback_bridges_carrier_space(self, spark, tmp_path):
+        """VERDICT r9 #3, the hard half: a timestamp- AND decimal-typed
+        history whose shape forces the VALUE-SPACE fallback (array of
+        records with a rename) — parquet hands the worker semantic
+        values, the bridge converts to carrier space for resolve_datum
+        and lifts the resolved rows back; pinned feed == batch."""
+        W = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"a","type":{"type":"array","items":'
+            '{"type":"record","name":"I","fields":['
+            '{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},'
+            '{"name":"d","type":{"type":"bytes","logicalType":"decimal",'
+            '"precision":10,"scale":2}},'
+            '{"name":"x","type":"int"}]}}}]}'
         )
-        with _pytest.raises(Exception, match="logical-typed evolution"):
-            await_or_fail(q)
+        R = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"a","type":{"type":"array","items":'
+            '{"type":"record","name":"I","fields":['
+            '{"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},'
+            '{"name":"d","type":{"type":"bytes","logicalType":"decimal",'
+            '"precision":10,"scale":2}},'
+            '{"name":"y","type":"long","aliases":["x"]},'
+            '{"name":"z","type":"string","default":"zz"}]}}}]}'
+        )
+        df = spark.sql(
+            "SELECT array(named_struct("
+            "'ts', TIMESTAMP'2024-01-01 08:30:00',"
+            "'d', CAST('12345.67' AS DECIMAL(10,2)),"
+            "'x', CAST(7 AS INT)), named_struct("
+            "'ts', TIMESTAMP'2023-12-31 23:59:59.999',"
+            "'d', CAST('-0.05' AS DECIMAL(10,2)),"
+            "'x', CAST(-3 AS INT))) AS a"
+        )
+        self._feed_equals_batch(spark, tmp_path, "logfall", W, R, df)
+
+    def test_date_keyed_fallback(self, spark, tmp_path):
+        """Date logical through the fallback (enum sibling forces it)."""
+        W = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"dt","type":{"type":"int","logicalType":"date"}},'
+            '{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B"]}}]}'
+        )
+        R = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"dt","type":{"type":"int","logicalType":"date"}},'
+            '{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B","C"]}}]}'
+        )
+        df = spark.sql(
+            "SELECT DATE'2024-02-29' AS dt, 'A' AS e"
+            " UNION ALL SELECT DATE'1969-07-20', 'B'"
+        )
+        self._feed_equals_batch(spark, tmp_path, "logdate", W, R, df)
+
+
+class TestResolutionPlanner:
+    """_plan_resolution op selection (VERDICT r9 #5): unchanged subtrees
+    pass through, one-level record changes vectorize as struct rebuilds,
+    only genuinely exotic CHANGED shapes take the per-row fallback."""
+
+    def _plan(self, wf, rf):
+        from anglerfish_spark.streaming.table_feed import _plan_resolution
+
+        return _plan_resolution(
+            f'{{"type":"record","name":"R","fields":[{wf}]}}',
+            f'{{"type":"record","name":"R","fields":[{rf}]}}',
+        )
+
+    def test_flat_rename_vectorizes(self):
+        p = self._plan('{"name":"a","type":"long"}',
+                       '{"name":"b","type":"long","aliases":["a"]}')
+        assert p["op"] == "vector" and p["fields"][0]["op"] == "same"
+
+    def test_nested_record_change_vectorizes_as_struct(self):
+        N = '{"type":"record","name":"N","fields":[{"name":"x","type":"long"}]}'
+        NE = ('{"type":"record","name":"N","fields":['
+              '{"name":"y","type":"long","aliases":["x"]},'
+              '{"name":"z","type":"string","default":"d"}]}')
+        p = self._plan(f'{{"name":"n","type":{N}}}', f'{{"name":"n","type":{NE}}}')
+        assert p["op"] == "vector"
+        e = p["fields"][0]
+        assert e["op"] == "struct"
+        assert [c["op"] for c in e["children"]] == ["same", "default"]
+
+    def test_unchanged_exotic_subtree_passes_through(self):
+        # an ARRAY of records field, untouched, next to a flat rename:
+        # vector path with a whole-column passthrough (pre-r10: per-row)
+        A = ('{"type":"array","items":{"type":"record","name":"I",'
+             '"fields":[{"name":"x","type":"long"}]}}')
+        p = self._plan(
+            f'{{"name":"a","type":{A}}},{{"name":"k","type":"long"}}',
+            f'{{"name":"a","type":{A}}},{{"name":"kk","type":"long","aliases":["k"]}}',
+        )
+        assert p["op"] == "vector"
+        assert [e["op"] for e in p["fields"]] == ["same", "same"]
+
+    def test_changed_array_of_record_falls_back(self):
+        p = self._plan(
+            '{"name":"a","type":{"type":"array","items":{"type":"record",'
+            '"name":"I","fields":[{"name":"x","type":"int"}]}}}',
+            '{"name":"a","type":{"type":"array","items":{"type":"record",'
+            '"name":"I","fields":[{"name":"x","type":"long"}]}}}',
+        )
+        assert p["op"] == "pydatum"
+
+    def test_illegal_evolution_refuses_at_planning(self):
+        import pytest as _pytest
+
+        from anglerfish_spark.errors import AnglerfishError
+
+        with _pytest.raises(AnglerfishError, match="cannot resolve"):
+            self._plan('{"name":"a","type":"string"}',
+                       '{"name":"b","type":"long"}')
 
 
 def test_feed_rate_limit_option_refused(spark, tmp_path):
