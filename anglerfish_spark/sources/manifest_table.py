@@ -122,30 +122,41 @@ def current_version(table: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _seg_bucket_count(n_files: int) -> int:
-    """Deterministic chunk fan-out for a fileset of ``n_files``: 1 while
-    it fits the target, else the next power of two of ``n/target`` —
-    stable under file removals (no boundary shift: membership is
-    hash-of-path), re-fanning only when the fileset crosses a power of
-    two (amortized, like a hash-table resize)."""
+def _chunk_fileset(
+    files: list[str], parent_chunks: list[list[str]] | None = None
+) -> list[list[str]]:
+    """Group a fileset's files into segment chunks.
+
+    Fresh filesets split into CONTIGUOUS runs of the sorted file list
+    (≤ ``_SEG_TARGET_FILES`` each): staged part files sort in partition
+    order, so a range-clustered write yields chunks whose column bounds
+    are tight — the manifest-list prune then skips whole segments.
+    Carried filesets PRESERVE the parent's chunk structure (the Iceberg
+    manifest behavior): each parent chunk keeps its surviving members —
+    an unchanged chunk re-hashes to the same content-addressed path and
+    writes ZERO bytes; a chunk that lost files rewrites alone, never
+    shifting its neighbors' boundaries.  Files absent from every parent
+    chunk (shouldn't happen for a pure carry) chunk fresh."""
+    files_sorted = sorted(files)
+    if parent_chunks:
+        fset = set(files_sorted)
+        groups: list[list[str]] = []
+        placed: set[str] = set()
+        for chunk in parent_chunks:
+            keep = [f for f in chunk if f in fset]
+            if keep:
+                groups.append(keep)
+                placed.update(keep)
+        rest = [f for f in files_sorted if f not in placed]
+        return groups + _chunk_fileset(rest) if rest else groups
+    if not files_sorted:
+        return []
+    n = len(files_sorted)
     import math
 
-    if n_files <= _SEG_TARGET_FILES:
-        return 1
-    return 1 << math.ceil(math.log2(n_files / _SEG_TARGET_FILES))
-
-
-def _chunk_fileset(files: list[str]) -> list[list[str]]:
-    files = sorted(files)
-    b = _seg_bucket_count(len(files))
-    if b <= 1:
-        return [files] if files else []
-    import hashlib
-
-    groups: list[list[str]] = [[] for _ in range(b)]
-    for f in files:
-        groups[int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % b].append(f)
-    return [g for g in groups if g]
+    n_groups = max(1, math.ceil(n / _SEG_TARGET_FILES))
+    size = math.ceil(n / n_groups)
+    return [files_sorted[i : i + size] for i in range(0, n, size)]
 
 
 def _write_segment(table: str, payload: dict) -> tuple[str, int]:
@@ -535,12 +546,25 @@ def commit(
     fsets_in = filesets or [{"files": list(files), "schema": schema, "seq": None}]
     stats_all = stats or {}
     parts_all = partitions or {}
+    # carried filesets preserve the PARENT's chunk structure (matched by
+    # (seq, schema)): unchanged chunks re-hash identically and write
+    # nothing; only chunks that lost files rewrite (_chunk_fileset)
+    parent_segsets: dict[tuple, list | None] = {}
+    for ss in parent_light.get("segsets") or []:
+        key = (ss.get("seq"), ss.get("schema"))
+        parent_segsets[key] = None if key in parent_segsets else ss["chunks"]
     segsets: list[dict] = []
     n_files = 0
     for fs in fsets_in:
+        pch = parent_segsets.get((fs.get("seq"), fs.get("schema")))
+        parent_chunks = (
+            [_load_segment(table, ch["path"])["files"] for ch in pch]
+            if pch
+            else None
+        )
         chunks: list[dict] = []
         has_tuples = False
-        for group in _chunk_fileset(fs["files"]):
+        for group in _chunk_fileset(fs["files"], parent_chunks):
             seg_payload = {
                 "files": group,
                 "stats": {

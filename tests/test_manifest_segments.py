@@ -184,13 +184,18 @@ class TestSegmentLayout:
         with pytest.raises(AnglerfishError, match="reader format"):
             read_manifest(t, 1)
 
-    def test_chunk_fanout_deterministic(self):
+    def test_chunk_grouping_contiguous_and_parent_stable(self, monkeypatch):
+        monkeypatch.setattr(mt, "_SEG_TARGET_FILES", 10)
         files = [f"data/x/{i:04d}.parquet" for i in range(100)]
         a = mt._chunk_fileset(files)
-        b = mt._chunk_fileset(list(reversed(files)))
-        assert a == b
-        # removing one file changes only its own bucket
+        assert a == mt._chunk_fileset(list(reversed(files)))  # deterministic
+        # fresh chunking is CONTIGUOUS over the sorted list (locality ->
+        # tight per-chunk column bounds for the manifest-list prune)
+        assert [g[0] for g in a] == [files[i] for i in range(0, 100, 10)]
+        # carrying with a parent structure: removing one file rewrites
+        # only its own chunk; every other group is preserved verbatim
         f0 = files[17]
-        c = mt._chunk_fileset([f for f in files if f != f0])
-        changed = [g for g in a if g not in c]
-        assert len(changed) == 1 and f0 in changed[0]
+        c = mt._chunk_fileset([f for f in files if f != f0], parent_chunks=a)
+        changed = [g for g in c if g not in a]
+        assert len(changed) == 1 and f0 not in changed[0]
+        assert len([g for g in a if g in c]) == len(a) - 1
