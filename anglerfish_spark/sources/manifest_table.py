@@ -1660,12 +1660,24 @@ def compact_deletes(spark: SparkSession, table: str) -> tuple[int, dict]:
             .collect()
         }
 
+    # a carried positional delete may name files a later COW write
+    # REWROTE (they simply stop matching at read time) — they are not in
+    # the manifest anymore, so they cannot be "touched"; without this
+    # intersection a stale-only pos list made the rewrite read an empty
+    # file selection and crash (found by the seed-10 model fuzz, r10)
+    touched &= set(m["files"])
+
     new_sets = []
     for fs in filesets:
         keep = [f for f in fs["files"] if f not in touched]
         if keep:
             new_sets.append(
-                {"files": keep, "schema": fs.get("schema"), "seq": fs.get("seq")}
+                {
+                    "files": keep,
+                    "schema": fs.get("schema"),
+                    "seq": fs.get("seq"),
+                    "spec_id": fs.get("spec_id"),
+                }
             )
     all_files = [f for fs in new_sets for f in fs["files"]]
     new_files: list[str] = []

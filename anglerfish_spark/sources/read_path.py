@@ -342,6 +342,13 @@ def read_table(
 
         parts.append(build_fallback())
 
+    if not parts:
+        # loud instead of a bare IndexError: reachable only via an
+        # only_files selection disjoint from the snapshot (a caller bug)
+        raise ValueError(
+            f"read of {table!r} v{m.get('version')} selects no file "
+            f"(only_files={'set' if only_files is not None else None})"
+        )
     colmap = (
         {a: rf.name for rf in rfields for a in rf.aliases} if rfields else {}
     )

@@ -263,7 +263,7 @@ def _plan_field(rf, wfields: dict, wenv: dict, renv: dict, depth: int) -> dict:
     raise _VectorRefusal(rf.name)
 
 
-def _plan_resolution(writer_str: str, reader_str: str) -> dict:
+def _plan_resolution(writer_str: str, reader_str: str, forced: bool = False) -> dict:
     """Driver-side resolution plan for a change entry logged under
     ``writer_str``, consumed under ``reader_str``:
 
@@ -278,6 +278,11 @@ def _plan_resolution(writer_str: str, reader_str: str) -> dict:
       (VERDICT r9 #3 — the pre-r10 loud refusal), pre-validated here
       with the structural compat checker so an illegal evolution
       refuses at PLANNING time.
+
+    ``forced=True`` (the ``forcePydatum`` measurement option of
+    :class:`ManifestFeedDataSource`, used by ``feed_vector_soak.py``)
+    routes every resolvable entry through the fallback so the two
+    paths' costs can be compared on identical data.
     """
     from ..schema.parser import parse_schema
     from ..sources.schema_registry import can_read
@@ -285,6 +290,8 @@ def _plan_resolution(writer_str: str, reader_str: str) -> dict:
     pw, pr = parse_schema(writer_str), parse_schema(reader_str)
     wfields = {f.name: f for f in pw.root.fields}
     try:
+        if forced:
+            raise _VectorRefusal("forced")
         fields = [
             _plan_field(rf, wfields, pw.env, pr.env, depth=0)
             for rf in pr.root.fields
@@ -350,6 +357,12 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
         self._reader_schema_str = _manifest(
             self._table, _current_version(self._table)
         ).get("schema")
+        # measurement knob (feed_vector_soak.py): force the value-space
+        # fallback for every resolvable entry — options are the one seam
+        # that reaches the python worker the planner runs in
+        self._force_pydatum = (
+            str(options.get("forcepydatum", "")).lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -387,7 +400,9 @@ class ManifestFeedStreamReader(DataSourceStreamReader):
                         # rebuild vectorize; genuinely changed exotic
                         # shapes route through the value-space fallback
                         # (carrier-bridged for logical types since r10)
-                        spec = _plan_resolution(entry_schema, reader)
+                        spec = _plan_resolution(
+                            entry_schema, reader, forced=self._force_pydatum
+                        )
                     parts.extend(
                         _ChangePartition(
                             self._table, f, ctype, v, m.get("committed_at_ms"), spec

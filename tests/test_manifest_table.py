@@ -862,3 +862,49 @@ class TestKeyedWriteStats:
         )
         m2 = read_manifest(t)
         assert all("k" in (s.get("cols") or {}) for s in m2["stats"].values())
+
+
+class TestStalePosDeleteCompaction:
+    """Seed-10 model-fuzz find (r10): a carried positional delete whose
+    target files a later COW write REWROTE references paths no longer in
+    the manifest — compact_deletes must treat them as untouched (they
+    match nothing at read time) instead of crashing on an empty file
+    selection, and must still clear the stale delete state."""
+
+    def test_compact_deletes_after_cow_rewrote_pos_targets(self, spark, tmp_path):
+        from anglerfish_spark.sources.manifest_table import (
+            compact_deletes,
+            delete_where,
+        )
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(k, float(k)) for k in range(10)], "k long, v double"
+        ).coalesce(1)
+        upsert(spark, t, df, ["k"])
+        # v2: positional delete on the single data file
+        delete_where(spark, t, F.col("v") >= 8.0)
+        # v3: a COW upsert rewrites that file (all keys touched) — the
+        # pos-delete file now names only superseded paths
+        upsert(
+            spark, t,
+            spark.createDataFrame([(k, float(k) + 100.0) for k in range(8)],
+                                  "k long, v double"),
+            ["k"],
+        )
+        m3 = read_manifest(t)
+        assert m3.get("pos_deletes")  # carried, stale
+        assert not (set(m3["files"]) & self._pos_targets(spark, t, m3))
+        before = sorted(tuple(r) for r in snapshot(spark, t).collect())
+        v, report = compact_deletes(spark, t)
+        assert report["rewritten"] == []  # nothing to rewrite
+        m4 = read_manifest(t)
+        assert not m4.get("pos_deletes") and not delete_groups(m4)
+        assert sorted(tuple(r) for r in snapshot(spark, t).collect()) == before
+
+    @staticmethod
+    def _pos_targets(spark, t, m):
+        import os as _os
+
+        pd_df = spark.read.parquet(*[_os.path.join(t, f) for f in m["pos_deletes"]])
+        return {r.file for r in pd_df.select("file").distinct().collect()}
