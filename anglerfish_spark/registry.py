@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QueryDef]:
     from .codec import queries as _codec_queries  # noqa: F401
     from .sources import manifest_table as _manifest_table  # noqa: F401
     from .sources import merge as _merge  # noqa: F401
+    from .sources import metadata as _metadata  # noqa: F401
     from .sources import wap as _wap  # noqa: F401
     from .sources import ocf_datasource as _ocf_ds  # noqa: F401
     from .sources import partitioning as _partitioning  # noqa: F401

@@ -547,3 +547,120 @@ def q_table_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# registered query r10: clustering restores COW-eligibility (the other
+# half of the auto-routing story — SCALE.md #44/#46)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_DEMO_TABLES: dict[str, str] = {}
+
+
+def _clustered_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Four-version lifecycle showing the write-side value of
+    clustering (once per process per sf_dir):
+
+    * v1 — the %2==0 orders land HASH-partitioned on the key (the
+      layout a shuffled ETL job naturally produces): every file spans
+      the whole key domain, so every keyed write's stats box covers
+      every file.
+    * v2 — a key-LOCAL merge (first decile of the key domain,
+      price+100) under ``mode="auto"``: the probe keeps all files, so
+      the router picks MERGE-ON-READ — no rewrite despite the batch
+      touching 10% of the key space.
+    * v3 — ``zorder_compact`` on the key: one clustering rewrite (folds
+      the v2 delete state in passing).
+    * v4 — the same shape of key-local merge (second decile, price+200),
+      same ``mode="auto"``: the probe now prunes to the decile's files
+      and the router picks file-targeted COPY-ON-WRITE.
+
+    Tests pin the routing (v2 leaves positional deletes, v4 does not)
+    and the v4 touch fraction; the registered query checks the final
+    contents against orders arithmetic."""
+    import os as _os
+    import tempfile
+
+    from .manifest_table import _MANIFEST_DIR, upsert
+    from .registry import load_table
+    from .skipping import zorder_compact
+
+    t = _CLUSTER_DEMO_TABLES.get(sf_dir)
+    if t and _os.path.isdir(_os.path.join(t, _MANIFEST_DIR)):
+        return t
+    t = tempfile.mkdtemp(prefix="anglerfish_clustered_")
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    base = orders.where(F.col("o_orderkey") % 2 == 0).select(*cols)
+    thr = base.agg(F.max("o_orderkey")).first()[0] // 10
+    upsert(spark, t, base.repartition(8, "o_orderkey"), ["o_orderkey"], txn_id="cl-v1")
+
+    def decile_source(lo: int, hi: int, bump: float) -> DataFrame:
+        return base.where(
+            (F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi)
+        ).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(bump)).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+
+    merge_into(
+        spark, t, decile_source(-1, thr, 100.0), ["o_orderkey"],  # (-1, thr]: key 0 is even and real
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        insert_not_matched=False, txn_id="cl-v2", mode="auto",
+    )
+    zorder_compact(spark, t, ["o_orderkey"], n_files=8)
+    merge_into(
+        spark, t, decile_source(thr, 2 * thr, 200.0), ["o_orderkey"],
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        insert_not_matched=False, txn_id="cl-v4", mode="auto",
+    )
+    _CLUSTER_DEMO_TABLES[sf_dir] = t
+    return t
+
+
+@query(
+    "q_table_clustered",
+    oracle=f"""
+WITH thr AS (
+  SELECT CAST(FLOOR(MAX(o_orderkey) / 10) AS BIGINT) AS t
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+final AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey <= (SELECT t FROM thr) THEN o_totalprice + 100.0
+              WHEN o_orderkey <= 2 * (SELECT t FROM thr) THEN o_totalprice + 200.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_DSUM} AS total
+FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    group="sources",
+)
+def q_table_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering restores COW-eligibility (the second half of the
+    auto-routing story, SCALE.md #44/#46): on a hash-layout table a
+    key-local merge auto-routes to merge-on-read (the probe can't
+    prune), after one ``zorder_compact`` on the key the SAME merge shape
+    auto-routes to file-targeted copy-on-write (the probe prunes to the
+    batch's deciles).  Both writes, the clustering rewrite, and the
+    delete-state fold must compose to exactly the orders arithmetic the
+    oracle computes; tests additionally pin which physical route each
+    version took and the post-cluster touch fraction."""
+    prepare(spark)
+    from ..operators.common import dsum
+    from .manifest_table import snapshot as _snapshot
+
+    t = _clustered_demo_table(spark, sf_dir)
+    return (
+        _snapshot(spark, t)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
