@@ -1344,16 +1344,30 @@ def vacuum(table: str, min_age_ms: int = DEFAULT_VACUUM_GRACE_MS) -> list[str]:
     referenced: set[str] = set()
     for ref in staged_refs(table).values():
         referenced.update(ref["files"])
+    # Reference collection is O(distinct segment chunks), not
+    # O(versions x files): delete files and change entries live in the
+    # manifest LIST, and data-file lists live in content-addressed
+    # chunks SHARED across versions (an unchanged fileset re-points to
+    # the same chunk) — so each distinct chunk parses exactly once no
+    # matter how many retained versions reference it.
+    chunk_paths: set[str] = set()
     for v in range(1, current_version(table) + 1):
-        if os.path.exists(_manifest_path(table, v)):
-            m = read_manifest(table, v)  # full: per-file lists materialized
+        if not os.path.exists(_manifest_path(table, v)):
+            continue
+        m = read_manifest_light(table, v)
+        if "segsets" in m:
+            for ss in m["segsets"]:
+                chunk_paths.update(ch["path"] for ch in ss["chunks"])
+        else:  # legacy inline manifest
             referenced.update(m["files"])
-            for g in delete_groups(m):
-                referenced.update(g["files"])
-            referenced.update(m.get("pos_deletes") or [])
-            for side in ("inserted", "deleted"):
-                for e in (m.get("changes") or {}).get(side) or []:
-                    referenced.update(e["files"])
+        for g in delete_groups(m):
+            referenced.update(g["files"])
+        referenced.update(m.get("pos_deletes") or [])
+        for side in ("inserted", "deleted"):
+            for e in (m.get("changes") or {}).get(side) or []:
+                referenced.update(e["files"])
+    for ch in chunk_paths:
+        referenced.update(_load_segment(table, ch)["files"])
     removed: list[str] = []
     data_root = os.path.join(table, _DATA_DIR)
     for dirpath, _dirs, names in os.walk(data_root):

@@ -75,6 +75,66 @@ def measure(spark, n_files: int, tmp: str) -> dict:
     return out
 
 
+def measure_clustered(spark, n_files: int, tmp: str) -> dict:
+    """SCALE.md #46: clustering restores COW-eligibility.  A key-LOCAL
+    batch (one contiguous 5% block of the key domain — the "backfill a
+    key range" shape) against a HASH-layout table has members in EVERY
+    file (auto → MoR); after one ``zorder_compact`` on the key the SAME
+    batch touches only the block's ~5% of files (auto → COW, bytes ∝
+    batch locality instead of batch cardinality)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from anglerfish_spark.sources import manifest_table as mt
+    from anglerfish_spark.sources.merge import merge_into
+    from anglerfish_spark.sources.skipping import zorder_compact
+
+    rows = n_files * 200
+    t = os.path.join(tmp, f"cl{n_files}")
+    df = spark.range(rows).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).repartition(n_files, "k")  # hash layout: every file spans the domain
+    mt.upsert(spark, t, df, ["k"])
+    out = {"n_files": n_files, "table_rows": rows}
+
+    def local_batch(lo: int) -> "object":
+        # one contiguous 5% block of the key domain starting at lo
+        return spark.range(lo, lo + rows // 20).select(
+            F.col("id").alias("k"), F.lit(-2.0).alias("v")
+        )
+
+    for phase, lo in (("hash_layout", 0), ("zordered", rows // 10)):
+        if phase == "zordered":
+            zorder_compact(spark, t, ["k"], n_files=n_files)
+        base_bytes = _data_bytes(t)
+        v0 = mt.current_version(t)
+        t0 = time.time()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            merge_into(
+                spark, t, local_batch(lo), ["k"],
+                when_matched_update={"v": "s.v"}, insert_not_matched=False,
+                mode="auto",
+            )
+        wall = time.time() - t0
+        m = mt.read_manifest(t)
+        prev = mt.read_manifest(t, v0)
+        carried = set(prev["files"]) & set(m["files"])
+        out[phase] = {
+            "merge_wall_sec": round(wall, 2),
+            "data_bytes_written": _data_bytes(t) - base_bytes,
+            "rewrite_fraction": round((_data_bytes(t) - base_bytes) / base_bytes, 4),
+            "files_touched": len(prev["files"]) - len(carried),
+            "files_total": len(prev["files"]),
+            "routed": "mor" if m.get("pos_deletes") else "cow",
+        }
+        assert (
+            mt.snapshot(spark, t).where(F.col("k") == lo).first().v == -2.0
+        ), phase
+    return out
+
+
 def main() -> None:
     import tempfile
 
@@ -89,11 +149,14 @@ def main() -> None:
     )
     tmp = tempfile.mkdtemp(prefix="anglerfish_mergesoak_")
     sizes = [int(x) for x in os.environ.get("MERGE_SOAK_FILES", "200,1000").split(",")]
-    results = [measure(spark, n, tmp) for n in sizes]
-    print(json.dumps({"runs": results}, indent=1))
+    payload = {
+        "runs": [measure(spark, n, tmp) for n in sizes],
+        "clustered": [measure_clustered(spark, n, tmp) for n in sizes],
+    }
+    print(json.dumps(payload, indent=1))
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:
-            json.dump({"runs": results}, f, indent=1)
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
