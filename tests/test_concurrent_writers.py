@@ -1,0 +1,82 @@
+"""Sustained multi-writer race over the manifest table's O_EXCL CAS
+protocol: four threads interleave keyed upserts with overlapping key
+ranges, retrying on ConcurrentCommitError like any real writer.  The
+table must converge to a state exactly explained by its own commit-time
+change log replayed in version order — the serializability claim of
+SCALE.md #36 exercised by REAL races (probe/stage/commit interleavings),
+not a single monkeypatched one."""
+
+from __future__ import annotations
+
+import threading
+
+from anglerfish_spark.sources.manifest_table import (
+    ConcurrentCommitError,
+    current_version,
+    read_manifest,
+    snapshot,
+    upsert,
+)
+from anglerfish_spark.sources.read_path import table_changes
+
+N_WRITERS = 4
+ROUNDS = 3
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k int, v double")
+
+
+def test_interleaved_upserts_serialize_and_log_exactly(spark, tmp_path):
+    t = str(tmp_path / "t")
+    upsert(spark, t, _df(spark, [(k, 0.0) for k in range(60)]), ["k"])
+    errors: list[Exception] = []
+
+    def worker(tid: int) -> None:
+        try:
+            for r in range(ROUNDS):
+                # overlapping 20-key windows: every pair of writers
+                # contends on at least 10 keys every round
+                rows = [(k, float(tid * 100 + r)) for k in range(tid * 10, tid * 10 + 20)]
+                while True:
+                    try:
+                        upsert(spark, t, _df(spark, rows), ["k"], txn_id=f"w{tid}-r{r}")
+                        break
+                    except ConcurrentCommitError:
+                        continue  # lost the CAS: re-read, re-probe, retry
+        except Exception as exc:  # noqa: BLE001 — surface in the main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(N_WRITERS)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    # every commit landed exactly once, versions are gapless
+    v_final = current_version(t)
+    assert v_final == 1 + N_WRITERS * ROUNDS
+    seen_txn = [read_manifest(t, v).get("txn_id") for v in range(2, v_final + 1)]
+    assert sorted(seen_txn) == sorted(
+        f"w{i}-r{r}" for i in range(N_WRITERS) for r in range(ROUNDS)
+    )
+
+    # the change log REPLAYED in version order reproduces the snapshot:
+    # each racing commit's logged images were derived against the exact
+    # snapshot it landed on, or this diverges
+    model: dict[int, float] = {}
+    for v in range(1, v_final + 1):
+        logged, mode = table_changes(spark, t, v - 1, v, mode="logged")
+        assert mode == "logged", v
+        rows = logged.collect()
+        # within a commit an update is delete-of-old + insert-of-new on
+        # the same key: deletes apply first, row order is not meaningful
+        for row in rows:
+            if row["_change_type"] == "delete":
+                model.pop(row["k"], None)
+        for row in rows:
+            if row["_change_type"] != "delete":
+                model[row["k"]] = row["v"]
+    got = {r["k"]: r["v"] for r in snapshot(spark, t).collect()}
+    assert got == model
