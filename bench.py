@@ -73,6 +73,10 @@ HEADLINE = [
     # MERGE INTO under file-targeted copy-on-write
     "q_inverted_bm25_persisted",
     "q_table_merge",
+    # r10 widening: the clustering lifecycle (MoR -> zorder -> targeted
+    # COW) and the metadata-only DESCRIBE HISTORY read
+    "q_table_clustered",
+    "q_table_history",
 ]
 
 

@@ -74,6 +74,37 @@ def measure(spark, n_files: int, tmp: str) -> dict:
     finally:
         mt._load_segment = real
     total_chunks = sum(len(ss["chunks"]) for ss in m2["segsets"])
+
+    # retention metadata cost (SCALE #47): grow some history, then count
+    # the segment parses vacuum's reference collection performs — each
+    # DISTINCT content-addressed chunk once, vs the naive per-version
+    # full materialization (sum of chunk pointers over all versions)
+    for i in range(5):
+        mt.upsert(
+            spark, t,
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id").alias("k"), F.lit(float(i)).alias("v")
+            ),
+            ["k"],
+        )
+    vloads: list[str] = []
+
+    def vcounting(table, rel):
+        vloads.append(rel)
+        return real(table, rel)
+
+    mt._load_segment = vcounting
+    mt._SEG_CACHE.clear()
+    t0 = time.time()
+    try:
+        removed = mt.vacuum(t)  # grace window: young files stay, full ref walk runs
+    finally:
+        mt._load_segment = real
+    vacuum_wall = time.time() - t0
+    naive_parses = 0
+    for v in range(1, mt.current_version(t) + 1):
+        ml = mt.read_manifest_light(t, v)
+        naive_parses += sum(len(ss["chunks"]) for ss in ml.get("segsets") or [])
     return {
         "n_files": n_files,
         "upsert_wall_sec": round(upsert_wall, 2),
@@ -86,6 +117,10 @@ def measure(spark, n_files: int, tmp: str) -> dict:
         "point_read_files_kept": rep["files_kept"],
         "point_read_files_total": rep["files_total"],
         "point_read_rows": n,
+        "vacuum_wall_sec": round(vacuum_wall, 2),
+        "vacuum_chunk_parses": len(set(vloads)),
+        "vacuum_chunk_parses_naive": naive_parses,
+        "vacuum_removed": len(removed),
     }
 
 
