@@ -132,26 +132,33 @@ def fill_spec(df: DataFrame, spec: list[dict]) -> list[dict]:
 
 
 def stage_files_partitioned(
-    spark: SparkSession, df: DataFrame, table: str, spec: list[dict]
+    spark: SparkSession, df: DataFrame, table: str, spec: list[dict],
+    sort_within: list | None = None,
 ) -> tuple[list[str], dict[str, list], list[dict]]:
     """Stage ``df`` under ``table`` partitioned by ``spec``'s transforms
     (hive layout on the derived ``_p{i}`` columns; data columns all stay
     in the files) and parse each written file's partition tuple from its
-    path.  Returns ``(files, {file: tuple}, filled_spec)`` for
+    path.  ``sort_within`` optionally sorts rows WITHIN each partition
+    task by the given column expressions before the write (Iceberg's
+    within-partition sort order — zorder_compact uses it to z-cluster a
+    partitioned table without disturbing its layout: parquet row groups
+    then carry tight stats on the sort columns).  Returns ``(files,
+    {file: tuple}, filled_spec)`` for
     ``manifest_table.commit(partition_spec=..., partitions=...)``."""
     import uuid
 
     spec = fill_spec(df, spec)
     pcols = {f"_p{i}": partition_column(e) for i, e in enumerate(spec)}
     rel = os.path.join("data", uuid.uuid4().hex)
+    staged = df.withColumns(pcols).repartition(*[F.col(c) for c in pcols])
+    if sort_within:
+        staged = staged.sortWithinPartitions(*sort_within)
     (
         # repartition on the tuple so each partition value is written by
         # ONE task → one file per tuple instead of (tasks × tuples) small
         # files; at 100 TB a hot tuple gets repartitionByRange within the
         # tuple or a salt column added to the spec instead
-        df.withColumns(pcols)
-        .repartition(*[F.col(c) for c in pcols])
-        .write.partitionBy(*pcols)
+        staged.write.partitionBy(*pcols)
         .parquet(os.path.join(table, rel))
     )
     files: list[str] = []

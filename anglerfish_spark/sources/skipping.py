@@ -267,9 +267,45 @@ def zorder_compact(
     Cost shape: one ``repartitionByRange`` exchange (a single shuffle of
     the snapshot — same cost as any global sort-and-rewrite OPTIMIZE) and
     O(n_files) driver-side footer reads.  Logically a no-op; time travel
-    to pre-compaction versions is preserved like any other commit."""
+    to pre-compaction versions is preserved like any other commit.
+
+    A PARTITIONED table z-clusters WITHIN its layout (the Iceberg
+    sort-order model): the rewrite re-stages through the partition spec
+    with a within-partition sort on the Z-value, so every new file keeps
+    its partition tuple (pruning survives OPTIMIZE ZORDER — the r9
+    inheritance rule only protects CARRIED files, not rewritten ones)
+    and parquet row groups carry tight stats on the indexed columns."""
     v = current_version(table)
     snap = snapshot(spark, table, v)
+    m = read_manifest(table, v)
+    schema = m.get("schema")
+    if m.get("partition_spec"):
+        from .partitioning import stage_files_partitioned
+
+        spec_in = m["partition_spec"]
+        if schema:
+            # spec column names are frozen at write time; remap through
+            # reader aliases like compact_table does (the full rewrite
+            # restamps every tuple, so committing renamed names is exact)
+            from .read_path import _reader_fields
+
+            colmap = {a: rf.name for rf in _reader_fields(schema) for a in rf.aliases}
+            spec_in = [{**e, "col": colmap.get(e["col"], e["col"])} for e in spec_in]
+        files, parts, spec = stage_files_partitioned(
+            spark, snap, table, spec_in, sort_within=[zvalue(snap, zorder_by)]
+        )
+        return commit(
+            table,
+            files,
+            expected_version=v,
+            txn_id=f"zorder-v{v}",
+            schema=schema,
+            stats=collect_file_stats(table, files, stat_cols or zorder_by),
+            filesets=[{"files": files, "schema": schema, "seq": v + 1}] if schema else None,
+            partition_spec=spec,
+            partitions=parts,
+            changes={"inserted": [], "deleted": []},
+        )
     clustered = (
         snap.withColumn("_z", zvalue(snap, zorder_by))
         .repartitionByRange(n_files, "_z")
@@ -285,7 +321,7 @@ def zorder_compact(
         txn_id=f"zorder-v{v}",
         # rewrite resolves evolution + folds deletes in (snapshot reads
         # the composed path) — preserve the reader schema, drop deletes
-        schema=read_manifest(table, v).get("schema"),
+        schema=schema,
         # logically a no-op → explicitly empty change log
         changes={"inserted": [], "deleted": []},
     )

@@ -498,3 +498,34 @@ class TestProbeBoundNormalization:
         assert file_may_match_partition(spec, ["9"], {"s": (10, 10)})
         spec_t = [{"transform": "truncate", "col": "s", "w": 2, "vtype": "string"}]
         assert file_may_match_partition(spec_t, ["ab"], {"s": (3, 7)})
+
+
+class TestPartitionedZorder:
+    def test_zorder_keeps_layout_tuples_and_pruning(self, spark, tmp_path):
+        """OPTIMIZE ZORDER on a PARTITIONED table must not forfeit
+        partition pruning: the rewrite re-stages through the spec with a
+        within-partition Z sort, so every new file carries its tuple AND
+        footer stats on the indexed columns (pre-r10 the zordered files
+        inherited no tuples and partition predicates stopped pruning)."""
+        from anglerfish_spark.sources.manifest_table import read_manifest
+        from anglerfish_spark.sources.skipping import zorder_compact
+
+        df = spark.range(120).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 4).cast("string").alias("cat"),
+            (F.col("id") % 7).cast("double").alias("x"),
+        )
+        t = _mk(spark, tmp_path, df, [{"transform": "identity", "col": "cat"}])
+        before = _rows(snapshot(spark, t))
+        zorder_compact(spark, t, ["k", "x"], n_files=4)
+        m = read_manifest(t)
+        assert m["partition_spec"] and len(m["partitions"]) == len(m["files"])
+        assert _rows(snapshot(spark, t)) == before
+        # partition predicate still prunes to the one tuple
+        out, rep = read_table(spark, t, predicates={"cat": ("2", "2")})
+        assert rep["files_kept"] < rep["files_total"]
+        assert sorted(r.k for r in out.collect()) == [
+            k for k in range(120) if k % 4 == 2
+        ]
+        # z stats recorded: a k range outside a file's box prunes too
+        assert m.get("stats") and all(m["stats"].get(f) for f in m["files"])
