@@ -72,7 +72,8 @@ def stage_append(spark: SparkSession, table: str, batch: DataFrame, name: str) -
         raise FileNotFoundError(
             f"manifest table {table!r} has no committed snapshot to stage onto"
         )
-    schema = read_manifest(table, v).get("schema")
+    m = read_manifest(table, v)
+    schema = m.get("schema")
     if schema is not None:
         from ..schema.parser import parse_schema
 
@@ -83,7 +84,22 @@ def stage_append(spark: SparkSession, table: str, batch: DataFrame, name: str) -
                 f"schema fields {sorted(expected)}; evolve via append_evolved"
             )
         batch = batch.select(*expected)
-    files = stage_files(batch, table)
+    parts = None
+    if m.get("partition_spec"):
+        # a partitioned table stages THROUGH its spec so the published
+        # fileset carries partition tuples (otherwise the batch would
+        # permanently escape partition pruning — conservative but lossy)
+        from .partitioning import stage_files_partitioned
+
+        spec_in = m["partition_spec"]
+        if schema:
+            from .read_path import _reader_fields
+
+            colmap = {a: rf.name for rf in _reader_fields(schema) for a in rf.aliases}
+            spec_in = [{**e, "col": colmap.get(e["col"], e["col"])} for e in spec_in]
+        files, parts, _spec = stage_files_partitioned(spark, batch, table, spec_in)
+    else:
+        files = stage_files(batch, table)
     ref = {
         "name": name,
         "files": files,
@@ -91,6 +107,7 @@ def stage_append(spark: SparkSession, table: str, batch: DataFrame, name: str) -
         "base_version": v,
         "created_at_ms": int(time.time() * 1000),
         "wap_id": uuid.uuid4().hex,
+        "partitions": parts,
     }
     path = _ref_path(table, name)
     try:
@@ -175,6 +192,14 @@ def publish_staged(spark: SparkSession, table: str, name: str) -> int:
         )
         schema = m.get("schema")
         filesets = prior + [{"files": ref["files"], "schema": ref["schema"] or schema, "seq": v + 1}]
+        # carried tuples + the staged batch's stage-time tuples (absent
+        # for a ref staged before the table had a spec: those files are
+        # conservatively kept by the read path, never mispruned)
+        partitions = (
+            {**(m.get("partitions") or {}), **ref["partitions"]}
+            if ref.get("partitions")
+            else None
+        )
         try:
             nv = commit(
                 table,
@@ -184,6 +209,7 @@ def publish_staged(spark: SparkSession, table: str, name: str) -> int:
                 schema=schema,
                 filesets=filesets,
                 stats=m.get("stats"),
+                partitions=partitions,
                 delete_groups=delete_groups(m) or None,
                 pos_deletes=m.get("pos_deletes"),
                 changes={

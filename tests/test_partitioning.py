@@ -529,3 +529,35 @@ class TestPartitionedZorder:
         ]
         # z stats recorded: a k range outside a file's box prunes too
         assert m.get("stats") and all(m["stats"].get(f) for f in m["files"])
+
+
+class TestPartitionedWap:
+    def test_published_batch_keeps_pruning(self, spark, tmp_path):
+        """stage_append on a partitioned table stages THROUGH the spec;
+        after publish the whole table — carried files AND the published
+        batch — prunes exactly on partition predicates (pre-r10 the
+        published fileset had no tuples and escaped pruning forever)."""
+        from anglerfish_spark.sources.manifest_table import read_manifest
+        from anglerfish_spark.sources.wap import (
+            audit_staged,
+            publish_staged,
+            stage_append,
+        )
+
+        df = spark.range(60).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("cat"),
+        )
+        t = _mk(spark, tmp_path, df, [{"transform": "identity", "col": "cat"}])
+        batch = spark.createDataFrame([(100, "1"), (101, "2")], "k long, cat string")
+        stage_append(spark, t, batch, "cand")
+        # audit sees current + staged
+        assert audit_staged(spark, t, "cand").count() == 62
+        publish_staged(spark, t, "cand")
+        m = read_manifest(t)
+        assert len(m["partitions"]) == len(m["files"])  # every file stamped
+        out, rep = read_table(spark, t, predicates={"cat": ("1", "1")})
+        assert rep["files_kept"] < rep["files_total"]
+        assert sorted(r.k for r in out.collect()) == [
+            k for k in range(60) if k % 3 == 1
+        ] + [100]
