@@ -1778,7 +1778,28 @@ def append_evolved(
             raise SchemaEvolutionError(
                 f"new reader schema cannot read retained fileset: {reasons}"
             )
-    files = stage_files(batch, table)
+    partitions = None
+    if m.get("partition_spec"):
+        # a partitioned table's evolved append stages THROUGH the spec so
+        # the new fileset carries tuples (same rule as WAP publish and
+        # compaction: a tuple-less fileset escapes pruning forever).  The
+        # spec's frozen column names remap through the NEW reader
+        # schema's aliases — a renamed partition source column resolves
+        # to the batch's current name; a spec column the batch genuinely
+        # lacks fails the stage loudly (partitioning.fill_spec), not the
+        # read.
+        from .partitioning import stage_files_partitioned
+        from .read_path import _reader_fields
+
+        colmap = {a: rf.name for rf in _reader_fields(reader_schema) for a in rf.aliases}
+        spec_in = [
+            {**e, "col": colmap.get(e["col"], e["col"])}
+            for e in m["partition_spec"]
+        ]
+        files, new_parts, _spec = stage_files_partitioned(spark, batch, table, spec_in)
+        partitions = {**(m.get("partitions") or {}), **new_parts}
+    else:
+        files = stage_files(batch, table)
     stats = m.get("stats")
     if stat_cols:
         from .skipping import collect_file_stats
@@ -1798,6 +1819,7 @@ def append_evolved(
         schema=reader_schema,
         filesets=filesets,
         stats=stats,
+        partitions=partitions,
         # active merge-on-read deletes carry forward with the retained
         # filesets — dropping them would resurrect deleted rows
         delete_groups=delete_groups(m) or None,

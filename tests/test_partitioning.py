@@ -561,3 +561,36 @@ class TestPartitionedWap:
         assert sorted(r.k for r in out.collect()) == [
             k for k in range(60) if k % 3 == 1
         ] + [100]
+
+
+class TestPartitionedEvolvedAppend:
+    def test_append_evolved_stamps_tuples_through_rename(self, spark, tmp_path):
+        """append_evolved on a partitioned table stages THROUGH the spec
+        (pre-r10 the evolved fileset carried no tuples and escaped
+        pruning): the spec's frozen column name remaps through the new
+        reader's aliases, so the batch partitions on its CURRENT name and
+        both eras prune under one predicate."""
+        from anglerfish_spark.sources.manifest_table import append_evolved, read_manifest
+
+        S1 = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"k","type":"long"},{"name":"cat","type":"string"}]}'
+        )
+        S2 = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"k","type":"long"},'
+            '{"name":"category","type":"string","aliases":["cat"]}]}'
+        )
+        df = spark.range(60).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("cat")
+        )
+        t = _mk(spark, tmp_path, df, [{"transform": "identity", "col": "cat"}], schema=S1)
+        batch = spark.createDataFrame([(100, "1"), (101, "2")], "k long, category string")
+        append_evolved(spark, t, batch, S2, reader_schema=S2)
+        m = read_manifest(t)
+        assert len(m["partitions"]) == len(m["files"])  # every file stamped
+        out, rep = read_table(spark, t, predicates={"category": ("1", "1")})
+        assert rep["files_kept"] < rep["files_total"]
+        assert sorted(r.k for r in out.collect()) == [
+            k for k in range(60) if k % 3 == 1
+        ] + [100]
