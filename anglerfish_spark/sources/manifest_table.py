@@ -82,6 +82,16 @@ _SEG_DIR = os.path.join(_MANIFEST_DIR, "segments")
 _DATA_DIR = "data"
 _TAGS_DIR = "_tags"
 
+#: COW stops being "targeted" when the touched-file probe keeps at least
+#: this fraction of the table's data files: merge_into(mode='auto')
+#: routes to merge-on-read there, and explicit COW paths (upsert,
+#: mode='cow') warn.  ONE policy knob shared by upsert and merge —
+#: VERDICT r9 #4.  Tables under AUTO_MOR_MIN_FILES files always stay
+#: COW ("touched most files" means nothing at that scale and COW leaves
+#: no delete debt).
+AUTO_MOR_TOUCHED_FRACTION = 0.5
+AUTO_MOR_MIN_FILES = 8
+
 #: Highest manifest format this reader understands (the Delta
 #: protocol-version pattern — ADVICE r7 low #3).  Format 3 (r10,
 #: VERDICT r9 #1) splits each version into a small manifest LIST plus
@@ -173,7 +183,16 @@ def _write_segment(table: str, payload: dict) -> tuple[str, int]:
     rel = os.path.join(_SEG_DIR, f"seg-{hashlib.sha256(blob).hexdigest()[:24]}.json")
     path = os.path.join(table, rel)
     if os.path.exists(path):
-        return rel, 0
+        # refresh the mtime: the grace window protecting an in-flight
+        # commit from _reclaim_segments must also cover a commit that
+        # REUSES an old orphan chunk (left by a CAS loser / crashed
+        # writer) — without the touch, a concurrent vacuum could reclaim
+        # the chunk between this return and the manifest-list write
+        try:
+            os.utime(path, None)
+            return rel, 0
+        except FileNotFoundError:
+            pass  # lost a race with a vacuum reclaim: rewrite below
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
@@ -833,7 +852,10 @@ def upsert(
     aligned = batch.select(*snap_cols).localCheckpoint(eager=True)
     keys = aligned.select(*key_cols).dropDuplicates()
     touched = _probe_touched_files(spark, table, v, keys, key_cols)
-    if len(m["files"]) >= 8 and len(touched) >= 0.5 * len(m["files"]):
+    if (
+        len(m["files"]) >= AUTO_MOR_MIN_FILES
+        and len(touched) >= AUTO_MOR_TOUCHED_FRACTION * len(m["files"])
+    ):
         # COW degradation guard (VERDICT r9 #4): a non-clustered key
         # batch's stats box covers the table and the "targeted" rewrite
         # approaches a full one.  upsert is COW by construction; the
@@ -1559,19 +1581,15 @@ def compact_table(
         # re-stages through the spec so every new file carries its
         # partition tuple and pruning survives OPTIMIZE (bin-packing
         # then happens per partition value, the Iceberg behavior)
-        from .partitioning import stage_files_partitioned
+        from .partitioning import remap_spec_cols, stage_files_partitioned
 
-        spec_in = m["partition_spec"]
-        if schema:
-            # the spec's column names are frozen at write time; a rename
-            # evolution means the snapshot carries the READER names — remap
-            # (the full rewrite restamps every tuple, so committing the
-            # renamed spec is exact)
-            from .read_path import _reader_fields
-
-            colmap = {a: rf.name for rf in _reader_fields(schema) for a in rf.aliases}
-            spec_in = [{**e, "col": colmap.get(e["col"], e["col"])} for e in spec_in]
-        files, parts, spec = stage_files_partitioned(spark, snap, table, spec_in)
+        # the spec's column names are frozen at write time; a rename
+        # evolution means the snapshot carries the READER names — remap
+        # (the full rewrite restamps every tuple, so committing the
+        # renamed spec is exact)
+        files, parts, spec = stage_files_partitioned(
+            spark, snap, table, remap_spec_cols(m["partition_spec"], schema)
+        )
         return commit(
             table,
             files,
@@ -1783,20 +1801,18 @@ def append_evolved(
         # a partitioned table's evolved append stages THROUGH the spec so
         # the new fileset carries tuples (same rule as WAP publish and
         # compaction: a tuple-less fileset escapes pruning forever).  The
-        # spec's frozen column names remap through the NEW reader
-        # schema's aliases — a renamed partition source column resolves
-        # to the batch's current name; a spec column the batch genuinely
-        # lacks fails the stage loudly (partitioning.fill_spec), not the
-        # read.
-        from .partitioning import stage_files_partitioned
-        from .read_path import _reader_fields
+        # spec's frozen column names remap through the WRITER schema's
+        # aliases — the batch carries WRITER names, which may differ from
+        # both the frozen spec names and the new reader's (a batch still
+        # written under the old schema remaps identity; one written under
+        # the renaming schema resolves the old spec name to its new
+        # column).  A spec column the batch genuinely lacks fails the
+        # stage loudly (partitioning.fill_spec), not the read.
+        from .partitioning import remap_spec_cols, stage_files_partitioned
 
-        colmap = {a: rf.name for rf in _reader_fields(reader_schema) for a in rf.aliases}
-        spec_in = [
-            {**e, "col": colmap.get(e["col"], e["col"])}
-            for e in m["partition_spec"]
-        ]
-        files, new_parts, _spec = stage_files_partitioned(spark, batch, table, spec_in)
+        files, new_parts, _spec = stage_files_partitioned(
+            spark, batch, table, remap_spec_cols(m["partition_spec"], writer_schema)
+        )
         partitions = {**(m.get("partitions") or {}), **new_parts}
     else:
         files = stage_files(batch, table)

@@ -69,8 +69,13 @@ from .manifest_table import (
 
 #: mode='auto' switches a merge to merge-on-read when the touched-file
 #: probe keeps at least this fraction of the table's data files — the
-#: point where "file-targeted" COW stops being targeted (VERDICT r9 #4)
-AUTO_MOR_TOUCHED_FRACTION = 0.5
+#: point where "file-targeted" COW stops being targeted (VERDICT r9 #4).
+#: The policy lives in manifest_table (shared with upsert's warning);
+#: re-exported here for backward compatibility.
+from .manifest_table import (  # noqa: E402
+    AUTO_MOR_MIN_FILES,
+    AUTO_MOR_TOUCHED_FRACTION,
+)
 
 
 class AmbiguousMergeError(AnglerfishError):
@@ -204,10 +209,15 @@ def merge_into(
         # means nothing at that scale and COW leaves no delete debt
         mode = (
             "mor"
-            if frac >= AUTO_MOR_TOUCHED_FRACTION and len(m["files"]) >= 8
+            if frac >= AUTO_MOR_TOUCHED_FRACTION
+            and len(m["files"]) >= AUTO_MOR_MIN_FILES
             else "cow"
         )
-    elif mode == "cow" and frac >= AUTO_MOR_TOUCHED_FRACTION and len(m["files"]) >= 8:
+    elif (
+        mode == "cow"
+        and frac >= AUTO_MOR_TOUCHED_FRACTION
+        and len(m["files"]) >= AUTO_MOR_MIN_FILES
+    ):
         import warnings
 
         warnings.warn(

@@ -131,6 +131,22 @@ def fill_spec(df: DataFrame, spec: list[dict]) -> list[dict]:
     return out
 
 
+def remap_spec_cols(spec: list[dict], schema: str | None) -> list[dict]:
+    """Resolve a spec's FROZEN (write-era) column names to the names a
+    batch written under ``schema`` actually carries, via the schema's
+    aliases.  Every rewrite/append path that re-stages a partitioned
+    table uses this one helper (compact, zorder, WAP stage, evolved
+    append) — the name to remap through is the schema of the DATAFRAME
+    being staged (reader schema for full rewrites of the resolved
+    snapshot, writer schema for evolved appends)."""
+    if not schema:
+        return spec
+    from .read_path import _reader_fields
+
+    colmap = {a: rf.name for rf in _reader_fields(schema) for a in rf.aliases}
+    return [{**e, "col": colmap.get(e["col"], e["col"])} for e in spec]
+
+
 def stage_files_partitioned(
     spark: SparkSession, df: DataFrame, table: str, spec: list[dict],
     sort_within: list | None = None,
@@ -181,6 +197,15 @@ def stage_files_partitioned(
             files.append(frel)
             parts[frel] = tup
     return sorted(files), parts, spec
+
+
+def _trunc_floor(b, w: int):
+    """Floor-truncate a numeric predicate bound; ``None`` (unbounded →
+    conservative keep) when the bound is not numeric."""
+    try:
+        return b - (b % w)
+    except TypeError:
+        return None
 
 
 def _typed(v: str, vtype: str):
@@ -258,9 +283,12 @@ def file_may_match_partition(
                 # is floor-based for int AND float, so a negative
                 # fractional bound truncates DOWN (-0.5 → -w), exactly
                 # like pmod — the old int() cast truncated toward zero
-                # and silently pruned matching files
-                tlo = None if lo is None else lo - (lo % w)
-                thi = None if hi is None else hi - (hi % w)
+                # and silently pruned matching files.  A bound the
+                # arithmetic cannot take (string/date against a numeric
+                # column) yields None — unbounded, file conservatively
+                # kept — per the same convention as _string_bound.
+                tlo = None if lo is None else _trunc_floor(lo, w)
+                thi = None if hi is None else _trunc_floor(hi, w)
                 tv = _typed(v, vt)
             if tlo is not None and tv < tlo:
                 return False

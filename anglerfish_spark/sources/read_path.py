@@ -298,7 +298,7 @@ def read_table(
                 # it without loading any of its segments (the
                 # manifest-list prune's whole point); pruned_away keeps
                 # one candidate for the everything-pruned fallback below
-                pruned_away.append((fs, writer, fallback_file))
+                pruned_away.append((build_part, fs, fallback_file))
                 continue
             # schema-less table: physical columns may differ per fileset,
             # so the empty fileset still contributes its schema via a
@@ -312,35 +312,14 @@ def read_table(
 
     if not parts and pruned_away:
         # EVERY fileset pruned: one limit(0) part supplies the reader
-        # schema (one segment load, one footer read)
-        fs, writer, fb = pruned_away[0]
+        # schema (one segment load, one footer read) — the stored
+        # build_part closure default-binds its fileset/writer, so this is
+        # exactly the mid-loop empty-fileset path, not a re-implementation
+        bp, fs, fb = pruned_away[0]
         if fb is None:
             files_c, _s, _p = fs["chunks"][0]["load"]()
             fb = files_c[0]
-
-        def build_fallback(fs=fs, writer=writer):
-            df = spark.read.parquet(os.path.join(table, fb))
-            if need_pos:
-                df = df.withColumns(
-                    {
-                        "_fp": F.substring_index(
-                            F.col("_metadata.file_path"), table_prefix, -1
-                        ),
-                        "_ri": F.col("_metadata.row_index"),
-                    }
-                )
-            df = df.limit(0)
-            wnames = [f.name for f in _reader_fields(writer)]
-            packed = F.struct(*[F.col(c) for c in wnames])
-            keep = ["_r.*"] + (["_fp", "_ri"] if need_pos else [])
-            df = df.select(
-                evolve_struct(packed, writer, reader).alias("_r"),
-                *(["_fp", "_ri"] if need_pos else []),
-            ).select(*keep)
-            sig = frozenset(i for i, g in enumerate(groups) if _group_applies(g, fs))
-            return sig, df
-
-        parts.append(build_fallback())
+        parts.append(bp(scan=[fb], limit0=True))
 
     if not parts:
         # loud instead of a bare IndexError: reachable only via an

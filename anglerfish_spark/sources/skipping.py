@@ -280,19 +280,15 @@ def zorder_compact(
     m = read_manifest(table, v)
     schema = m.get("schema")
     if m.get("partition_spec"):
-        from .partitioning import stage_files_partitioned
+        from .partitioning import remap_spec_cols, stage_files_partitioned
 
-        spec_in = m["partition_spec"]
-        if schema:
-            # spec column names are frozen at write time; remap through
-            # reader aliases like compact_table does (the full rewrite
-            # restamps every tuple, so committing renamed names is exact)
-            from .read_path import _reader_fields
-
-            colmap = {a: rf.name for rf in _reader_fields(schema) for a in rf.aliases}
-            spec_in = [{**e, "col": colmap.get(e["col"], e["col"])} for e in spec_in]
+        # spec column names are frozen at write time; remap through
+        # reader aliases like compact_table does (the full rewrite
+        # restamps every tuple, so committing renamed names is exact)
         files, parts, spec = stage_files_partitioned(
-            spark, snap, table, spec_in, sort_within=[zvalue(snap, zorder_by)]
+            spark, snap, table,
+            remap_spec_cols(m["partition_spec"], schema),
+            sort_within=[zvalue(snap, zorder_by)],
         )
         return commit(
             table,

@@ -85,19 +85,21 @@ def stage_append(spark: SparkSession, table: str, batch: DataFrame, name: str) -
             )
         batch = batch.select(*expected)
     parts = None
+    spec_id = None
     if m.get("partition_spec"):
         # a partitioned table stages THROUGH its spec so the published
         # fileset carries partition tuples (otherwise the batch would
         # permanently escape partition pruning — conservative but lossy)
-        from .partitioning import stage_files_partitioned
+        from .partitioning import remap_spec_cols, stage_files_partitioned
 
-        spec_in = m["partition_spec"]
-        if schema:
-            from .read_path import _reader_fields
-
-            colmap = {a: rf.name for rf in _reader_fields(schema) for a in rf.aliases}
-            spec_in = [{**e, "col": colmap.get(e["col"], e["col"])} for e in spec_in]
-        files, parts, _spec = stage_files_partitioned(spark, batch, table, spec_in)
+        files, parts, _spec = stage_files_partitioned(
+            spark, batch, table, remap_spec_cols(m["partition_spec"], schema)
+        )
+        # the tuples were produced by the STAGE-time default spec: record
+        # its id so publish stamps the fileset under it even if the spec
+        # evolves between stage and publish (a tuple interpreted under a
+        # later spec's transforms would silently misprune)
+        spec_id = m.get("default_spec_id", 0)
     else:
         files = stage_files(batch, table)
     ref = {
@@ -108,6 +110,7 @@ def stage_append(spark: SparkSession, table: str, batch: DataFrame, name: str) -
         "created_at_ms": int(time.time() * 1000),
         "wap_id": uuid.uuid4().hex,
         "partitions": parts,
+        "spec_id": spec_id,
     }
     path = _ref_path(table, name)
     try:
@@ -191,7 +194,13 @@ def publish_staged(spark: SparkSession, table: str, name: str) -> int:
             [{"files": m["files"], "schema": m.get("schema")}] if m["files"] else []
         )
         schema = m.get("schema")
-        filesets = prior + [{"files": ref["files"], "schema": ref["schema"] or schema, "seq": v + 1}]
+        staged_fs = {"files": ref["files"], "schema": ref["schema"] or schema, "seq": v + 1}
+        if ref.get("spec_id") is not None:
+            # stamp the STAGE-time spec id (see stage_append): the spec
+            # history is append-only, so the id still names the spec the
+            # tuples were written under even after an evolution
+            staged_fs["spec_id"] = ref["spec_id"]
+        filesets = prior + [staged_fs]
         # carried tuples + the staged batch's stage-time tuples (absent
         # for a ref staged before the table had a spec: those files are
         # conservatively kept by the read path, never mispruned)

@@ -594,3 +594,67 @@ class TestPartitionedEvolvedAppend:
         assert sorted(r.k for r in out.collect()) == [
             k for k in range(60) if k % 3 == 1
         ] + [100]
+
+
+class TestReviewFixesR10:
+    def test_truncate_probe_non_numeric_bound_keeps_file(self):
+        """A bound the truncate arithmetic cannot take (string against a
+        numeric column) is unbounded — conservative keep, never a
+        TypeError crash (the _string_bound convention, review r10)."""
+        from anglerfish_spark.sources.partitioning import file_may_match_partition
+
+        spec = [{"transform": "truncate", "col": "k", "w": 10, "vtype": "long"}]
+        assert file_may_match_partition(spec, ["20"], {"k": ("5", "9")}) is True
+        assert file_may_match_partition(spec, ["20"], {"k": (5, 9)}) is False
+
+    def test_wap_publish_after_spec_evolution_keeps_stage_time_spec(self, spark, tmp_path):
+        """Spec evolution BETWEEN stage and publish: the published
+        fileset must be stamped under the STAGE-time spec id, or its
+        truncate tuples get interpreted under the new bucket transform
+        and rows silently vanish from reads (review r10)."""
+        from anglerfish_spark.sources.partitioning import evolve_partition_spec
+        from anglerfish_spark.sources.wap import publish_staged, stage_append
+
+        df = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+        t = _mk(spark, tmp_path, df, [{"transform": "truncate", "col": "k", "w": 10}])
+        batch = spark.createDataFrame([(45, -1.0), (100, -2.0)], "k long, v double")
+        stage_append(spark, t, batch, "cand")
+        evolve_partition_spec(spark, t, [{"transform": "bucket", "col": "k", "n": 4}])
+        publish_staged(spark, t, "cand")
+        # every key present: the staged truncate tuples were not read
+        # through the bucket transform
+        out, rep = read_table(spark, t, predicates={"k": (45, 45)})
+        assert [r.v for r in out.collect()] == [-1.0]
+        # and they still PRUNE under their own (old) spec
+        assert rep["files_kept"] < rep["files_total"]
+
+    def test_append_evolved_batch_under_old_writer_schema(self, spark, tmp_path):
+        """append_evolved where the BATCH still carries the old writer
+        names but the reader renames: the spec remap must follow the
+        writer schema (the batch's names), not the reader's (review
+        r10 — the reader-based remap raised at staging)."""
+        from anglerfish_spark.sources.manifest_table import append_evolved, read_manifest
+
+        S1 = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"k","type":"long"},{"name":"cat","type":"string"}]}'
+        )
+        S2 = (
+            '{"type":"record","name":"R","fields":['
+            '{"name":"k","type":"long"},'
+            '{"name":"category","type":"string","aliases":["cat"]}]}'
+        )
+        df = spark.range(60).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("cat")
+        )
+        t = _mk(spark, tmp_path, df, [{"transform": "identity", "col": "cat"}], schema=S1)
+        # batch written under the OLD schema, reader evolves to the rename
+        batch = spark.createDataFrame([(100, "1")], "k long, cat string")
+        append_evolved(spark, t, batch, S1, reader_schema=S2)
+        m = read_manifest(t)
+        assert len(m["partitions"]) == len(m["files"])
+        out, rep = read_table(spark, t, predicates={"category": ("1", "1")})
+        assert rep["files_kept"] < rep["files_total"]
+        assert sorted(r.k for r in out.collect()) == [
+            k for k in range(60) if k % 3 == 1
+        ] + [100]
