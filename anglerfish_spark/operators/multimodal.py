@@ -298,3 +298,190 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(fake_audio_energy, AUDIO_SCHEMA)  # row-level output
+
+
+# ---------------------------------------------------------------------------
+# REAL container-header sniffing (r10): the decode libs stay absent, but
+# format detection + dimensions/sample-rate come straight out of the
+# binary headers — pure Python over Arrow batches, the corrupt-file /
+# wrong-extension filter every multimodal ingest runs before decode
+# ---------------------------------------------------------------------------
+
+SNIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+    ]
+)
+
+
+def sniff_container(payload: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """Identify a media container and pull its geometry from the HEADER
+    bytes alone — no decode, no external libs:
+
+    * PNG — 8-byte signature, then the IHDR chunk carries width/height
+      as big-endian uint32 at offsets 16/20 (PNG spec 11.2.2).
+    * JPEG — walk the marker stream to the first SOF0/SOF2 frame header;
+      height/width are big-endian uint16 at offsets +5/+7 in the segment
+      (ITU T.81 B.2.2).
+    * GIF — 'GIF87a'/'GIF89a', then the logical screen descriptor's
+      width/height as little-endian uint16 at offsets 6/8.
+    * WAV — 'RIFF'....'WAVE' with an 'fmt ' chunk: sample rate is the
+      little-endian uint32 at offset 24 of the canonical layout.
+
+    Anything else — truncated headers included — is ``('unknown', None,
+    None, None)``: sniffing NEVER raises, because its whole job is to
+    route malformed payloads out of the decode stage."""
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            return "png", w, h, None
+        if payload[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= len(payload) and payload[i] == 0xFF:
+                marker, seglen = payload[i + 1], int.from_bytes(payload[i + 2 : i + 4], "big")
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3) and i + 9 <= len(payload):
+                    h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                    w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                    return "jpeg", w, h, None
+                if seglen < 2:
+                    break  # malformed segment length: stop walking
+                i += 2 + seglen
+            return "unknown", None, None, None
+        if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+            w = int.from_bytes(payload[6:8], "little")
+            h = int.from_bytes(payload[8:10], "little")
+            return "gif", w, h, None
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE" and len(payload) >= 28:
+            sr = int.from_bytes(payload[24:28], "little")
+            return "wav", None, None, sr
+    except (IndexError, ValueError):  # pragma: no cover - defensive
+        pass
+    return "unknown", None, None, None
+
+
+def sniff_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        sniffed = [sniff_container(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": [s[0] for s in sniffed],
+                "width": pd.array([s[1] for s in sniffed], dtype="Int64"),
+                "height": pd.array([s[2] for s in sniffed], dtype="Int64"),
+                "sample_rate": pd.array([s[3] for s in sniffed], dtype="Int64"),
+            }
+        )
+
+
+def sniff_media(df: DataFrame) -> DataFrame:
+    """``(doc_id, payload binary)`` → ``(doc_id, fmt, width, height,
+    sample_rate)`` via header sniffing, Arrow-batched."""
+    return df.mapInPandas(sniff_batches, SNIFF_SCHEMA)
+
+
+def _mk_png(w: int, h: int, body: bytes) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"  # bit depth..fake crc
+        + body
+    )
+
+
+def _mk_jpeg(w: int, h: int, body: bytes) -> bytes:
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + bytes(9)
+    )
+    return b"\xff\xd8" + app0 + sof0 + body
+
+
+def _mk_gif(w: int, h: int, body: bytes) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + body
+
+
+def _mk_wav(sr: int, body: bytes) -> bytes:
+    return (
+        b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + sr.to_bytes(4, "little") + bytes(8)
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+
+
+def synth_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic media corpus: each document becomes a VALID container
+    of a doc_id-chosen format with doc_id-derived geometry (the oracle
+    recomputes the same arithmetic); every 17th payload is truncated to
+    3 bytes — the corrupt file the sniffer must route to 'unknown'."""
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            body = text.encode()[:64]
+            w, h, sr = doc_id % 640 + 1, doc_id % 480 + 1, 8000 + doc_id % 48000
+            kind = doc_id % 4
+            if kind == 0:
+                p = _mk_png(w, h, body)
+            elif kind == 1:
+                p = _mk_jpeg(w, h, body)
+            elif kind == 2:
+                p = _mk_gif(w % 65536, h % 65536, body)
+            else:
+                p = _mk_wav(sr, body)
+            if doc_id % 17 == 0:
+                p = p[:3]
+            out.append(p)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+@query(
+    "q_multimodal_sniff",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 17 = 0 THEN 'unknown'
+            WHEN doc_id % 4 = 0 THEN 'png'
+            WHEN doc_id % 4 = 1 THEN 'jpeg'
+            WHEN doc_id % 4 = 2 THEN 'gif'
+            ELSE 'wav' END AS fmt,
+       CASE WHEN doc_id % 17 = 0 OR doc_id % 4 = 3 THEN NULL
+            ELSE CAST(doc_id % 640 + 1 AS BIGINT) END AS width,
+       CASE WHEN doc_id % 17 = 0 OR doc_id % 4 = 3 THEN NULL
+            ELSE CAST(doc_id % 480 + 1 AS BIGINT) END AS height,
+       CASE WHEN doc_id % 17 = 0 OR doc_id % 4 <> 3 THEN NULL
+            ELSE CAST(8000 + doc_id % 48000 AS BIGINT) END AS sample_rate
+FROM documents
+ORDER BY doc_id
+""",
+    group="llm-multimodal",
+)
+def q_multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media-container sniffing end-to-end (no decode libs needed):
+    documents become valid PNG/JPEG/GIF/WAV payloads with doc_id-derived
+    geometry, every 17th truncated to 3 bytes; the engine must detect
+    each format and parse width/height/sample-rate OUT OF THE HEADER
+    BYTES (big-endian PNG/JPEG vs little-endian GIF/WAV, JPEG behind a
+    marker walk past APP0), routing the corrupt payloads to
+    ``('unknown', NULL, ...)`` without raising.  The oracle recomputes
+    the synthesis arithmetic — a sniffer that misreads endianness, walks
+    JPEG markers wrong, or crashes on truncation fails the hash.  Scale
+    shape: one map-only mapInPandas pass, bytes stay in Arrow batches."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = d.mapInPandas(
+        synth_payloads,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return sniff_media(payloads).orderBy("doc_id")
