@@ -1996,3 +1996,94 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (r10): the crawl-pipeline front door — the
+# same page arrives under case-varied hosts, default ports, tracking
+# params, fragments, and trailing slashes; canonicalize FIRST, then every
+# downstream dedup keys on the canonical form
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_url(u):
+    """Canonical URL form as a pure column expression (whole-stage
+    codegen, no UDF): drop the fragment, drop tracking (utm_*) params,
+    drop an explicit default port, drop the trailing slash, lowercase.
+    The steps every crawl dedup (CommonCrawl, C4) applies before keying."""
+    c = F.regexp_replace(u, r"#.*$", "")
+    c = F.regexp_replace(c, r"[?&]utm_[a-z_]+=[^&#]*", "")
+    c = F.regexp_replace(c, r"/$", "")
+    c = F.replace(c, F.lit(":80/"), F.lit("/"))
+    return F.lower(c)
+
+
+@query(
+    "q_dedup_urls",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'http://'
+         || CASE WHEN doc_id % 2 = 0 THEN 'Example' ELSE 'example' END
+         || CAST(doc_id % 7 AS VARCHAR) || '.com'
+         || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+         || '/p/' || CAST(doc_id % 97 AS VARCHAR)
+         || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         LOWER(REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             url, '#.*$', ''), '[?&]utm_[a-z_]+=[^&#]*', ''), '/$', ''),
+             ':80/', '/')) AS curl
+  FROM urls
+)
+SELECT SPLIT_PART(curl, '/', 3) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM canon GROUP BY host ORDER BY host
+""",
+    group="llm-dedup",
+)
+def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup end-to-end: every document gets a
+    deterministically MESSY url (case-varied host, ':80' default port,
+    '/p/<doc_id%97>' path shared across docs, trailing-slash /
+    utm-tracking / fragment variants by congruence class) and the engine
+    must collapse them to canonical form — the oracle builds the same
+    urls and canonicalizes with its own regex engine, so a
+    canonicalizer that misses a variant (or over-strips a meaningful
+    param — the synth guarantees utm is always the whole query string)
+    splits or merges canonical groups and fails the hash.
+
+    Scale shape: canonicalization is four regexp/replace column ops in
+    one codegen stage over the scan; the only shuffle is the final
+    host rollup (COUNT DISTINCT canonical per host).  The wrong design —
+    a Python URL-parsing UDF — is 10-100x slower and was never needed."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("http://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Example")).otherwise(F.lit("example")),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    canon = d.select("doc_id", canonicalize_url(url).alias("curl"))
+    return (
+        canon.groupBy(F.split_part(F.col("curl"), F.lit("/"), F.lit(3)).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.count_distinct(F.col("curl")).cast("bigint").alias("n_canonical"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("host")
+    )
