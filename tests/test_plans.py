@@ -324,3 +324,38 @@ def test_keyed_write_probe_pushes_key_filter_and_broadcasts(spark, sf_dir, tmp_p
     assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,100), LessThanOrEqual(k,120)" in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_url_dedup_is_codegen_only(spark, sf_dir):
+    """q_dedup_urls (r10): canonicalization must stay in whole-stage
+    codegen — no Python evaluation node anywhere in the plan (a URL-
+    parsing UDF is the 10-100x-slower wrong design the docstring bans)."""
+    from anglerfish_spark.registry import all_queries
+
+    df = all_queries()["q_dedup_urls"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_multimodal_sniff_is_single_arrow_map_pass(spark, sf_dir):
+    """q_multimodal_sniff (r10): synthesis and sniffing are two chained
+    mapInPandas stages over one scan — map-only until the final sort, no
+    join, no aggregation exchange."""
+    from anglerfish_spark.registry import all_queries
+
+    df = all_queries()["q_multimodal_sniff"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
