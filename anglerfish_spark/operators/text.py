@@ -1321,3 +1321,72 @@ def q_inverted_phrase_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return one(_PHRASE_2).unionByName(one(_PHRASE_3)).orderBy("phrase", "doc_id")
+
+
+@query(
+    "q_length_quantiles",
+    oracle="""
+WITH counts AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS cnt
+  FROM documents
+),
+ranked AS (
+  SELECT lang, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM counts
+)
+SELECT lang,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN cnt END) AS p50_tokens,
+       MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN cnt END) AS p90_tokens,
+       MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN cnt END) AS p99_tokens,
+       MAX(cnt) AS max_tokens
+FROM ranked GROUP BY lang ORDER BY lang
+""",
+    group="llm-text",
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning for training pipelines: per-language
+    nearest-rank (type-1) token-count quantiles — the numbers that size
+    packing budgets and truncation limits.  Nearest-rank on INTEGER
+    counts makes the result exactly reproducible across engines (both
+    sides share the same ``ceil(p*n)`` rank arithmetic; interpolated
+    quantiles would differ by one ULP of float interpolation), so the
+    oracle is a hash match, not a tolerance check.
+
+    Scale shape: one scan → per-lang window rank (the only shuffle, on
+    the low-cardinality lang key) → combinable conditional-max rollup.
+    At skewed language mixes the window partitions by the same key the
+    rollup groups on, so one partitioning serves both."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id", "lang", F.size(tokens()).cast("int").alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy("cnt", "doc_id")
+    ranked = counts.withColumns(
+        {
+            "rn": F.row_number().over(w),
+            "n": F.count(F.lit(1)).over(Window.partitionBy("lang")),
+        }
+    )
+
+    def at(p: float):
+        k = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        return F.max(F.when(F.col("rn") == k, F.col("cnt")))
+
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            at(0.5).alias("p50_tokens"),
+            at(0.9).alias("p90_tokens"),
+            at(0.99).alias("p99_tokens"),
+            F.max("cnt").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -2442,3 +2442,159 @@ def q_table_compact_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         summarize(1).unionByName(summarize(3)).unionByName(summarize(4)).orderBy("version")
     )
+
+
+def restore_table(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    txn_id: str | None = None,
+    record_changes: bool = True,
+) -> int:
+    """RESTORE/ROLLBACK to ``version`` (Delta RESTORE, Iceberg
+    rollback): commit that snapshot's entire state — filesets with their
+    original seqs, delete state, stats, partition spec + tuples — as the
+    NEW head.  Metadata-only: no data file moves, carried filesets
+    re-hash to their existing segment chunks (zero segment bytes), and
+    the undone versions stay time-travelable until
+    :func:`expire_snapshots` reclaims them.  The commit goes through the
+    same O_EXCL CAS as every write, so a concurrent commit conflicts
+    loudly instead of being silently undone.
+
+    ``record_changes=True`` derives the commit-time change log as the
+    exact row diff head → restored (the composed read path on both
+    sides, no-op rows cancelled via ``exceptAll`` both ways), so the CDC
+    feed sees the restore as ONE O(changed rows) commit — consumers
+    converge without re-reading the table.  Cost is a two-snapshot
+    anti-diff; pass ``record_changes=False`` for a pure O(metadata)
+    restore whose feed entry is "not recorded" (the feed falls back to
+    diff mode).  Restoring ACROSS a schema evolution requires
+    ``record_changes=False`` — the two snapshots' row shapes differ, and
+    guessing a projection would log wrong images (loud ValueError
+    instead)."""
+    v = current_version(table)
+    if txn_id is not None and _txn_committed(table, v, txn_id):
+        return v
+    if not os.path.exists(_manifest_path(table, version)):
+        raise AnglerfishError(
+            f"cannot restore {table!r} to version {version}: no retained manifest"
+        )
+    if version == v:
+        return v  # restoring to the head is a no-op
+    m_old = read_manifest(table, version)
+    m_cur = read_manifest(table, v)
+    changes = None
+    if record_changes:
+        if (m_old.get("schema") or None) != (m_cur.get("schema") or None):
+            raise ValueError(
+                "restore across a schema evolution cannot derive exact change "
+                "images; pass record_changes=False for a metadata-only restore"
+            )
+        cur = snapshot(spark, table, v)
+        old = snapshot(spark, table, version).select(*cur.columns)
+        inserted = old.exceptAll(cur).localCheckpoint(eager=True)
+        deleted = cur.exceptAll(old).localCheckpoint(eager=True)
+        schema = m_old.get("schema")
+        changes = {
+            "inserted": (
+                [{"files": stage_files(inserted, table), "schema": schema}]
+                if inserted.limit(1).count()
+                else []
+            ),
+            "deleted": (
+                [{"files": stage_files(deleted, table), "schema": schema}]
+                if deleted.limit(1).count()
+                else []
+            ),
+        }
+    return commit(
+        table,
+        m_old["files"],
+        expected_version=v,
+        txn_id=txn_id,
+        schema=m_old.get("schema"),
+        filesets=m_old.get("filesets"),
+        stats=m_old.get("stats"),
+        delete_groups=delete_groups(m_old) or None,
+        pos_deletes=m_old.get("pos_deletes"),
+        partition_spec=m_old.get("partition_spec"),
+        partitions=m_old.get("partitions"),
+        changes=changes,
+    )
+
+
+_RESTORE_TABLES: dict[str, str] = {}
+
+
+def _restore_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Three-version restore demo (once per process per sf_dir): v1 =
+    the %3==0 orders; v2 = an upsert that re-prices the %6==0 keys
+    (+1000) AND inserts the %3==1 keys; v3 = ``restore_table(v1)`` with
+    exact change images."""
+    import tempfile
+
+    from .registry import load_table
+
+    t = _RESTORE_TABLES.get(sf_dir)
+    if t and os.path.isdir(os.path.join(t, _MANIFEST_DIR)):
+        return t
+    t = tempfile.mkdtemp(prefix="anglerfish_restore_")
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(*cols)
+    upsert(spark, t, base, ["o_orderkey"], txn_id="rst-v1")
+    batch = orders.where(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    ).unionByName(orders.where(F.col("o_orderkey") % 3 == 1).select(*cols))
+    upsert(spark, t, batch, ["o_orderkey"], txn_id="rst-v2")
+    restore_table(spark, t, 1, txn_id="rst-v3")
+    _RESTORE_TABLES[sf_dir] = t
+    return t
+
+
+_RESTORE_DSUM = "CAST(CAST(SUM(CAST(p AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)"
+
+
+@query(
+    "q_table_restore",
+    oracle=f"""
+SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows, {_RESTORE_DSUM} AS total
+FROM (SELECT o_totalprice AS p FROM orders WHERE o_orderkey % 3 = 0)
+UNION ALL
+SELECT 2, CAST(COUNT(*) AS BIGINT), {_RESTORE_DSUM}
+FROM (
+  SELECT CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+)
+UNION ALL
+SELECT 3, CAST(COUNT(*) AS BIGINT), {_RESTORE_DSUM}
+FROM (SELECT o_totalprice AS p FROM orders WHERE o_orderkey % 3 = 0)
+ORDER BY version
+""",
+    group="sources",
+)
+def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE/ROLLBACK end-to-end: v2 both updates and inserts; the
+    restore commits v1's state back as v3 — membership AND values must
+    revert exactly (row 3 == row 1) while v2 stays time-travelable
+    (row 2 unchanged).  A restore that re-reads the head, loses the
+    delete of v2's inserts, or misses the value reverts fails the hash;
+    tests additionally pin the restore's change log as the exact
+    REVERSE of v2's and the metadata-only cost shape (carried filesets
+    write zero segment bytes)."""
+    prepare(spark)
+    from ..operators.common import dsum
+
+    t = _restore_demo_table(spark, sf_dir)
+
+    def summarize(version: int) -> DataFrame:
+        return snapshot(spark, t, version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            dsum(F.col("o_totalprice")).alias("total"),
+        )
+
+    return summarize(1).unionByName(summarize(2)).unionByName(summarize(3)).orderBy("version")

@@ -908,3 +908,87 @@ class TestStalePosDeleteCompaction:
 
         pd_df = spark.read.parquet(*[_os.path.join(t, f) for f in m["pos_deletes"]])
         return {r.file for r in pd_df.select("file").distinct().collect()}
+
+
+class TestRestore:
+    """restore_table (r10): ROLLBACK as one CAS commit carrying the old
+    snapshot's full state, with an exact O(changed rows) change log."""
+
+    def _mk(self, spark, tmp_path):
+        import anglerfish_spark.sources.manifest_table as mt
+
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["k", "v"])
+        mt.upsert(spark, t, df, ["k"])
+        mt.upsert(
+            spark, t,
+            spark.createDataFrame([(2, 99.0), (3, 30.0)], ["k", "v"]),
+            ["k"],
+        )
+        return mt, t
+
+    def test_restore_reverts_membership_and_values(self, spark, tmp_path):
+        mt, t = self._mk(spark, tmp_path)
+        v = mt.restore_table(spark, t, 1)
+        assert v == 3
+        got = {(r.k, r.v) for r in mt.snapshot(spark, t).collect()}
+        assert got == {(1, 10.0), (2, 20.0)}
+        # the undone version stays time-travelable
+        assert {(r.k, r.v) for r in mt.snapshot(spark, t, 2).collect()} == {
+            (1, 10.0), (2, 99.0), (3, 30.0),
+        }
+
+    def test_restore_change_log_is_exact_reverse(self, spark, tmp_path):
+        from anglerfish_spark.sources.read_path import table_changes
+
+        mt, t = self._mk(spark, tmp_path)
+        mt.restore_table(spark, t, 1)
+        logged, mode = table_changes(spark, t, 2, 3, mode="logged")
+        assert mode == "logged"
+        evs = sorted((r.k, r.v, r["_change_type"]) for r in logged.collect())
+        assert evs == [
+            (2, 20.0, "insert"),   # old image restored
+            (2, 99.0, "delete"),   # v2's update undone
+            (3, 30.0, "delete"),   # v2's insert undone
+        ]
+
+    def test_restore_is_metadata_only_and_guarded(self, spark, tmp_path):
+        import os as _os
+
+        import pytest as _pytest
+
+        mt, t = self._mk(spark, tmp_path)
+        files_before = set(mt.read_manifest(t, 1)["files"])
+        mt.restore_table(spark, t, 1, record_changes=False)
+        m = mt.read_manifest(t)
+        assert set(m["files"]) == files_before  # same data files, no rewrite
+        assert m.get("changes") is None  # loudly unrecorded
+        # restore to head is a no-op; missing version raises
+        assert mt.restore_table(spark, t, 3) == 3
+        with _pytest.raises(mt.AnglerfishError):
+            mt.restore_table(spark, t, 99)
+        # txn replay guard
+        v = mt.restore_table(spark, t, 2, txn_id="rb")
+        assert mt.restore_table(spark, t, 2, txn_id="rb") == v
+        assert _os.path.exists(mt._manifest_path(t, v))
+
+    def test_restore_across_schema_evolution_requires_optout(self, spark, tmp_path):
+        import pytest as _pytest
+
+        import anglerfish_spark.sources.manifest_table as mt
+
+        S1 = ('{"type":"record","name":"t","fields":[{"name":"k","type":"long"},'
+              '{"name":"v","type":"double"}]}')
+        S2 = ('{"type":"record","name":"t","fields":[{"name":"k","type":"long"},'
+              '{"name":"v","type":"double"},'
+              '{"name":"tag","type":"string","default":"x"}]}')
+        t = str(tmp_path / "t")
+        mt.append_evolved(spark, t, spark.createDataFrame([(1, 1.0)], ["k", "v"]), S1)
+        mt.append_evolved(
+            spark, t, spark.createDataFrame([(2, 2.0, "y")], ["k", "v", "tag"]),
+            S2, reader_schema=S2,
+        )
+        with _pytest.raises(ValueError):
+            mt.restore_table(spark, t, 1)
+        v = mt.restore_table(spark, t, 1, record_changes=False)
+        assert mt.snapshot_evolved(spark, t, v).columns == ["k", "v"]
