@@ -69,7 +69,7 @@ def test_random_write_sequences_match_model(spark, tmp_path, trial):
         v_before = current_version(t)
         op = rng.choice(
             ["upsert", "merge_cow", "merge_mor", "delete_keys", "delete_where",
-             "compact", "compact_deletes"]
+             "compact", "compact_deletes", "restore"]
         )
         if op == "upsert":
             rows = list({r[0]: r for r in batch_rows(rng.randrange(1, 6))}.values())
@@ -103,6 +103,16 @@ def test_random_write_sequences_match_model(spark, tmp_path, trial):
             model = {k: vt for k, vt in model.items() if not (k >= lo and vt[0] >= 500.0)}
         elif op == "compact":
             compact_table(spark, t)
+        elif op == "restore":
+            # ROLLBACK to a random retained version (r10): the model
+            # reverts to its recorded historical state, and the feed
+            # check below pins the restore's logged changes as the exact
+            # reverse diff (restore-to-head is a legal no-op)
+            from anglerfish_spark.sources.manifest_table import restore_table
+
+            u = rng.randrange(1, v_before + 1)
+            restore_table(spark, t, u)
+            model = dict(history[u - 1])
         else:
             compact_deletes(spark, t)
 
