@@ -359,3 +359,26 @@ def test_multimodal_sniff_is_single_arrow_map_pass(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_length_quantiles_window_runs_over_histogram(spark, sf_dir):
+    """q_length_quantiles (r11, VERDICT r10 what's-wrong #1): the
+    nearest-rank window must run over the per-(lang, cnt) HISTOGRAM, not
+    the raw documents — i.e. an Aggregate sits BETWEEN the Window and the
+    scan, so no task ever sorts a whole language's documents (the r10
+    version's skew cliff: one task per language at an English-heavy mix)."""
+    from anglerfish_spark.registry import all_queries
+
+    df = all_queries()["q_length_quantiles"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    i_window = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    # the histogram aggregate is deeper than (printed after) the window
+    assert any(
+        "Aggregate" in ln for ln in lines[i_window + 1 :]
+    ), plan
+    # and the physical plan keeps a partial (map-side combinable) agg
+    phys = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "HashAggregate" in phys, phys
