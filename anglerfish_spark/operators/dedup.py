@@ -2007,38 +2007,95 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def canonicalize_url(u):
-    """Canonical URL form as a pure column expression (whole-stage
-    codegen, no UDF): drop the fragment, drop tracking (utm_*) params,
-    drop an explicit default port, drop the trailing slash, lowercase.
-    The steps every crawl dedup (CommonCrawl, C4) applies before keying."""
-    c = F.regexp_replace(u, r"#.*$", "")
-    c = F.regexp_replace(c, r"[?&]utm_[a-z_]+=[^&#]*", "")
-    c = F.regexp_replace(c, r"/$", "")
-    c = F.replace(c, F.lit(":80/"), F.lit("/"))
-    return F.lower(c)
+    """Canonical URL form as a pure column expression (JVM-side, no
+    UDF) — the steps every crawl dedup (CommonCrawl, C4) applies before
+    keying, tightened per ADVICE r10 #1 / VERDICT r10 #7:
+
+    1. drop the fragment (``#...``);
+    2. lowercase;
+    3. drop an explicit DEFAULT port, anchored to the authority
+       component only (``:80`` for http, ``:443`` for https, and only
+       when followed by ``/``, ``?``, or end-of-string — a ``:80``
+       inside a path or query value is untouched);
+    4. split off the query, drop every ``utm_*`` tracking param and any
+       empty segment (so removals never leave a dangling ``?``/``&``),
+       and SORT the surviving params (param order never distinguishes
+       crawl URLs);
+    5. drop the trailing slash of the path.
+
+    Every anchored regex matches at most once, so Spark's replace-all
+    and an oracle engine's replace-first agree by construction (the r10
+    version relied on the synthetic corpus to hide that divergence)."""
+    c = F.lower(F.regexp_replace(u, r"#.*$", ""))
+    c = F.regexp_replace(c, r"^(http://[^/?]*):80([/?]|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/?]*):443([/?]|$)", r"$1$2")
+    base = F.regexp_replace(F.split_part(c, F.lit("?"), F.lit(1)), r"/$", "")
+    params = F.filter(
+        F.split(F.split_part(c, F.lit("?"), F.lit(2)), "&"),
+        lambda x: (x != F.lit("")) & ~x.rlike("^utm_[a-z_]+="),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    return F.when(q != F.lit(""), F.concat(base, F.lit("?"), q)).otherwise(base)
+
+
+#: the messy-URL synthesis both engines build (one deterministic variant
+#: mix per doc): case-varied host, scheme-matched default ports (https
+#: every 11th doc), a portless bare-authority case (every 13th doc has no
+#: path — ':80' then sits at end-of-string), utm params in first, middle,
+#: and last query position (incl. followed by a non-utm param — the
+#: dangling-'&' case), unordered surviving params, trailing slashes, and
+#: fragments
+_URL_SQL = """
+         CASE WHEN doc_id % 11 = 0 THEN 'https://' ELSE 'http://' END
+         || CASE WHEN doc_id % 2 = 0 THEN 'Example' ELSE 'example' END
+         || CAST(doc_id % 7 AS VARCHAR) || '.com'
+         || CASE WHEN doc_id % 3 = 0 THEN
+              CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE ':80' END
+            ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ''
+            ELSE '/p/' || CAST(doc_id % 97 AS VARCHAR)
+                 || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END END
+         || CASE WHEN len(qp) > 0 THEN '?' || array_to_string(qp, '&') ELSE '' END
+         || CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END
+"""
+
+_URL_QP_SQL = """
+  list_filter([
+    CASE WHEN doc_id % 5 = 0 THEN 'utm_source=feed' END,
+    CASE WHEN doc_id % 9 = 0 THEN 'b=2' END,
+    CASE WHEN doc_id % 8 = 0 THEN 'utm_campaign=x' END,
+    CASE WHEN doc_id % 9 = 0 THEN 'a=1' END,
+    CASE WHEN doc_id % 8 = 0 THEN 'ref=abc' END
+  ], x -> x IS NOT NULL)
+"""
 
 
 @query(
     "q_dedup_urls",
-    oracle="""
+    oracle=f"""
 WITH urls AS (
+  SELECT doc_id, {_URL_SQL} AS url
+  FROM (SELECT doc_id, {_URL_QP_SQL} AS qp FROM documents)
+),
+pre AS (
   SELECT doc_id,
-         'http://'
-         || CASE WHEN doc_id % 2 = 0 THEN 'Example' ELSE 'example' END
-         || CAST(doc_id % 7 AS VARCHAR) || '.com'
-         || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
-         || '/p/' || CAST(doc_id % 97 AS VARCHAR)
-         || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
-         || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END
-         || CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END AS url
-  FROM documents
+         REGEXP_REPLACE(REGEXP_REPLACE(
+           LOWER(REGEXP_REPLACE(url, '#.*$', '')),
+           '^(http://[^/?]*):80([/?]|$)', '\\1\\2'),
+           '^(https://[^/?]*):443([/?]|$)', '\\1\\2') AS c
+  FROM urls
 ),
 canon AS (
   SELECT doc_id,
-         LOWER(REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
-             url, '#.*$', ''), '[?&]utm_[a-z_]+=[^&#]*', ''), '/$', ''),
-             ':80/', '/')) AS curl
-  FROM urls
+         REGEXP_REPLACE(SPLIT_PART(c, '?', 1), '/$', '')
+         || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS curl
+  FROM (
+    SELECT doc_id, c,
+           ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
+             STRING_SPLIT(SPLIT_PART(c, '?', 2), '&'),
+             x -> x <> '' AND NOT REGEXP_MATCHES(x, '^utm_[a-z_]+='))), '&') AS q
+    FROM pre
+  )
 )
 SELECT SPLIT_PART(curl, '/', 3) AS host,
        CAST(COUNT(*) AS BIGINT) AS n_urls,
@@ -2050,32 +2107,61 @@ FROM canon GROUP BY host ORDER BY host
 )
 def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization dedup end-to-end: every document gets a
-    deterministically MESSY url (case-varied host, ':80' default port,
-    '/p/<doc_id%97>' path shared across docs, trailing-slash /
-    utm-tracking / fragment variants by congruence class) and the engine
-    must collapse them to canonical form — the oracle builds the same
-    urls and canonicalizes with its own regex engine, so a
-    canonicalizer that misses a variant (or over-strips a meaningful
-    param — the synth guarantees utm is always the whole query string)
-    splits or merges canonical groups and fails the hash.
+    deterministically MESSY url (case-varied host, scheme-matched
+    default ports — http ':80' AND https ':443', including at
+    end-of-authority with no path —, '/p/<doc_id%97>' path shared
+    across docs, utm params in first/middle/last query position with
+    non-utm params after them, unordered surviving params,
+    trailing-slash / fragment variants by congruence class) and the
+    engine must collapse them to canonical form — the oracle builds the
+    same urls and canonicalizes with its OWN regex/list engine, so a
+    canonicalizer that misses a variant, leaves a dangling '?'/'&'
+    after param removal, strips ':80' outside the authority, or fails
+    to order-normalize params splits or merges canonical groups and
+    fails the hash (the r10 synth guaranteed utm was always the whole
+    query string, hiding exactly those edges — ADVICE r10 #1).
 
-    Scale shape: canonicalization is four regexp/replace column ops in
-    one codegen stage over the scan; the only shuffle is the final
-    host rollup (COUNT DISTINCT canonical per host).  The wrong design —
-    a Python URL-parsing UDF — is 10-100x slower and was never needed."""
+    Scale shape: canonicalization is a handful of anchored regex +
+    array column ops in one JVM stage over the scan (zero Python eval
+    nodes, plan-asserted); the only shuffle is the final host rollup
+    (COUNT DISTINCT canonical per host).  The wrong design — a Python
+    URL-parsing UDF — is 10-100x slower and was never needed."""
     prepare(spark)
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id")
+
+    def opt(cond, s):
+        return F.when(cond, F.lit(s))
+
+    qp = F.array_compact(
+        F.array(
+            opt(k % 5 == 0, "utm_source=feed"),
+            opt(k % 9 == 0, "b=2"),
+            opt(k % 8 == 0, "utm_campaign=x"),
+            opt(k % 9 == 0, "a=1"),
+            opt(k % 8 == 0, "ref=abc"),
+        )
+    )
     url = F.concat(
-        F.lit("http://"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("Example")).otherwise(F.lit("example")),
-        (F.col("doc_id") % 7).cast("string"),
+        F.when(k % 11 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(k % 2 == 0, F.lit("Example")).otherwise(F.lit("example")),
+        (k % 7).cast("string"),
         F.lit(".com"),
-        F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
-        F.lit("/p/"),
-        (F.col("doc_id") % 97).cast("string"),
-        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
+        F.when(
+            k % 3 == 0,
+            F.when(k % 11 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.when(k % 13 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit("/p/"),
+                (k % 97).cast("string"),
+                F.when(k % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            )
+        ),
+        F.when(
+            F.size(qp) > 0, F.concat(F.lit("?"), F.array_join(qp, "&"))
+        ).otherwise(F.lit("")),
+        F.when(k % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
     )
     canon = d.select("doc_id", canonicalize_url(url).alias("curl"))
     return (
