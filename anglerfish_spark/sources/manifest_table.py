@@ -13,11 +13,13 @@ mechanisms the steady state needs:
    data files are invisible until a manifest references them, so a
    half-finished writer can never be read (atomicity without renaming
    data).
-2. **Optimistic concurrency = create-exclusive on the next version.**
-   A commit materializes as ``v{N+1}.json`` created with ``O_EXCL``;
-   two writers racing for N+1 → exactly one wins, the loser re-reads
-   the new snapshot and retries (Delta's "mutual exclusion on the log
-   entry", Iceberg's atomic swap).
+2. **Optimistic concurrency = conditional create of the next version.**
+   A commit materializes as ``v{N+1}.json`` published through the
+   LogStore seam (``sources/logstore.py`` — ``O_EXCL`` locally, a
+   conditional-PUT store on S3/GCS, VERDICT r10 #5); two writers racing
+   for N+1 → exactly one wins, the loser re-reads the new snapshot and
+   retries (Delta's "mutual exclusion on the log entry", Iceberg's
+   atomic swap).
 3. **Replay idempotency = transaction id in the manifest.**  A
    streaming ``foreachBatch`` replay presents the same ``txn_id``
    (source + batch id); if the current snapshot already recorded it,
@@ -46,9 +48,12 @@ version-scan (txn lookup, AS-OF resolution, stream planning) reads
 O(lists), and a pruned read parses only the chunks its predicates keep
 (measured in SCALE.md's metadata soak).
 
-Local filesystem only (os.rename / O_EXCL are atomic on POSIX); on an
-object store the create-exclusive step is the piece you delegate to a
-catalog / DynamoDB-style lock, exactly as the real formats document.
+Data/segment staging is local-filesystem (os.rename is atomic on
+POSIX); the commit CAS itself is behind the LogStore interface, whose
+module docstring maps the one-method contract onto S3 conditional
+writes, GCS generation preconditions, and the DynamoDB-style lock older
+S3 needed — both shipped implementations pass the same four-writer race
+(tests/test_concurrent_writers.py).
 """
 
 from __future__ import annotations
@@ -191,8 +196,13 @@ def _write_segment(table: str, payload: dict) -> tuple[str, int]:
         try:
             os.utime(path, None)
             return rel, 0
-        except FileNotFoundError:
-            pass  # lost a race with a vacuum reclaim: rewrite below
+        except OSError:
+            # FileNotFoundError: lost a race with a vacuum reclaim.
+            # PermissionError/other OSError (e.g. chunk owned by another
+            # writer's uid on a shared table — ADVICE r10 #5): the
+            # refresh is only an optimization, and the rewrite below is
+            # always a safe fallback (content-addressed rename converges)
+            pass
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
@@ -434,6 +444,18 @@ def stage_files(df: DataFrame, table: str) -> list[str]:
     ]
 
 
+def _staged_rows(table: str, files: list[str]) -> int:
+    """Exact row count of just-staged parquet files from footers alone
+    (no scan) — commit-time stamping for the change log (the files were
+    written by this writer in this commit, so a missing one is a caller
+    bug and raises loudly rather than undercounting)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(os.path.join(table, f)).metadata.num_rows for f in files
+    )
+
+
 def _next_committed_at(table: str, expected_version: int) -> int:
     """Wall-clock commit time in ms, forced strictly monotonic over the
     version chain — so ``AS OF TIMESTAMP`` resolution ("newest version
@@ -524,6 +546,21 @@ def commit(
     OLD files keep pruning under their OLD transforms."""
     new_version = expected_version + 1
     os.makedirs(os.path.join(table, _MANIFEST_DIR), exist_ok=True)
+    # stamp the change log's exact row counts into the manifest list at
+    # commit time (VERDICT r10 #4): the footers were staged by THIS
+    # writer moments ago (hot page cache), and recording them here makes
+    # DESCRIBE HISTORY a pure O(versions) list-parse read — no per-call
+    # footer loop over changed files (metadata.table_history)
+    if changes is not None and "n_inserted" not in changes:
+        changes = {
+            **changes,
+            "n_inserted": _staged_rows(
+                table, [f for e in changes.get("inserted") or [] for f in e["files"]]
+            ),
+            "n_deleted": _staged_rows(
+                table, [f for e in changes.get("deleted") or [] for f in e["files"]]
+            ),
+        }
     parent_light: dict = {}
     if expected_version > 0:
         try:
@@ -643,17 +680,15 @@ def commit(
         }
     )
     path = _manifest_path(table, new_version)
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError as ex:
+    # the CAS itself goes through the LogStore seam (VERDICT r10 #5):
+    # POSIX O_EXCL locally, a conditional-PUT shaped store elsewhere —
+    # sources/logstore.py maps the contract onto real object stores
+    from .logstore import get_log_store
+
+    if not get_log_store().put_if_absent(path, payload.encode()):
         raise ConcurrentCommitError(
             f"version {new_version} of {table!r} was committed concurrently"
-        ) from ex
-    try:
-        os.write(fd, payload.encode())
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+        )
     return new_version
 
 
@@ -2462,13 +2497,22 @@ def restore_table(
     loudly instead of being silently undone.
 
     ``record_changes=True`` derives the commit-time change log as the
-    exact row diff head → restored (the composed read path on both
-    sides, no-op rows cancelled via ``exceptAll`` both ways), so the CDC
-    feed sees the restore as ONE O(changed rows) commit — consumers
-    converge without re-reading the table.  Cost is a two-snapshot
-    anti-diff; pass ``record_changes=False`` for a pure O(metadata)
-    restore whose feed entry is "not recorded" (the feed falls back to
-    diff mode).  Restoring ACROSS a schema evolution requires
+    exact row diff head → restored, so the CDC feed sees the restore as
+    ONE O(changed rows) commit — consumers converge without re-reading
+    the table.  Cost shape (VERDICT r10 #3): when every undone commit
+    carries its own change log, the restore's log is COMPOSED from them
+    in reverse — the logged feed over ``(version, head]`` net-folded
+    (``read_path.table_changes(net=True)``, pinned equal to the
+    endpoint diff in tests), with change types swapped: what the undone
+    commits net-inserted is what the restore deletes, and vice versa.
+    That reads only the undone commits' change files — O(changed rows),
+    flat in table size (SCALE.md r11).  Only when an undone commit
+    predates change logging does it fall back to the two-snapshot
+    ``exceptAll`` diff — O(table), the r10 default for every restore.
+    Pass ``record_changes=False`` for a pure O(metadata) restore whose
+    feed entry is "not recorded" (the feed falls back to diff mode).
+    Restoring ACROSS a schema evolution (or a physical-column change on
+    a schema-less table — ADVICE r10 #4) requires
     ``record_changes=False`` — the two snapshots' row shapes differ, and
     guessing a projection would log wrong images (loud ValueError
     instead)."""
@@ -2490,10 +2534,38 @@ def restore_table(
                 "restore across a schema evolution cannot derive exact change "
                 "images; pass record_changes=False for a metadata-only restore"
             )
-        cur = snapshot(spark, table, v)
-        old = snapshot(spark, table, version).select(*cur.columns)
-        inserted = old.exceptAll(cur).localCheckpoint(eager=True)
-        deleted = cur.exceptAll(old).localCheckpoint(eager=True)
+        from .read_path import table_changes
+
+        inserted = deleted = None
+        try:
+            # scale path: compose the undone commits' own logs in reverse
+            feed, _mode = table_changes(
+                spark, table, version, v, mode="logged", net=True
+            )
+            data_cols = [c for c in feed.columns if c != "_change_type"]
+            ct = F.col("_change_type")
+            # net inserts of (version, head] are what the restore deletes
+            inserted = feed.where(ct == "delete").select(*data_cols)
+            deleted = feed.where(ct == "insert").select(*data_cols)
+        except ValueError:
+            pass  # an undone commit predates change logging: diff below
+        if inserted is None:
+            cur = snapshot(spark, table, v)
+            old = snapshot(spark, table, version)
+            if set(old.columns) != set(cur.columns):
+                # schema-less tables have no manifest schema strings for
+                # the guard above to compare; surface the same friendly
+                # error instead of an opaque AnalysisException
+                raise ValueError(
+                    "restore across a schema evolution cannot derive exact "
+                    "change images; pass record_changes=False for a "
+                    "metadata-only restore"
+                )
+            old = old.select(*cur.columns)
+            inserted = old.exceptAll(cur)
+            deleted = cur.exceptAll(old)
+        inserted = inserted.localCheckpoint(eager=True)
+        deleted = deleted.localCheckpoint(eager=True)
         schema = m_old.get("schema")
         changes = {
             "inserted": (

@@ -150,6 +150,7 @@ def remap_spec_cols(spec: list[dict], schema: str | None) -> list[dict]:
 def stage_files_partitioned(
     spark: SparkSession, df: DataFrame, table: str, spec: list[dict],
     sort_within: list | None = None,
+    n_files: int | None = None,
 ) -> tuple[list[str], dict[str, list], list[dict]]:
     """Stage ``df`` under ``table`` partitioned by ``spec``'s transforms
     (hive layout on the derived ``_p{i}`` columns; data columns all stay
@@ -158,22 +159,38 @@ def stage_files_partitioned(
     task by the given column expressions before the write (Iceberg's
     within-partition sort order — zorder_compact uses it to z-cluster a
     partitioned table without disturbing its layout: parquet row groups
-    then carry tight stats on the sort columns).  Returns ``(files,
-    {file: tuple}, filled_spec)`` for
+    then carry tight stats on the sort columns).  ``n_files`` (ADVICE
+    r10 #3) is a TOTAL file-count target honored via
+    ``repartitionByRange`` over (tuple, sort_within): a hot tuple on a
+    low-cardinality spec splits across ~``n_files / n_tuples``
+    range-contiguous files instead of one giant file per tuple; the
+    actual count is ≥ the tuple cardinality (each task still writes one
+    file per tuple it holds) and range boundaries follow the data.
+    Returns ``(files, {file: tuple}, filled_spec)`` for
     ``manifest_table.commit(partition_spec=..., partitions=...)``."""
     import uuid
 
     spec = fill_spec(df, spec)
     pcols = {f"_p{i}": partition_column(e) for i, e in enumerate(spec)}
     rel = os.path.join("data", uuid.uuid4().hex)
-    staged = df.withColumns(pcols).repartition(*[F.col(c) for c in pcols])
+    staged = df.withColumns(pcols)
+    if n_files:
+        # range-partition on (tuple, sort keys): one tuple's rows land
+        # in contiguous tasks, so every file stays single-tuple (the
+        # writer still splits by tuple) while hot tuples fan out across
+        # multiple tasks — the bin-packing the flat path gets from
+        # repartitionByRange(n_files, _z)
+        staged = staged.repartitionByRange(
+            n_files, *[F.col(c) for c in pcols], *(sort_within or [])
+        )
+    else:
+        # repartition on the tuple so each partition value is written by
+        # ONE task → one file per tuple instead of (tasks × tuples)
+        # small files
+        staged = staged.repartition(*[F.col(c) for c in pcols])
     if sort_within:
         staged = staged.sortWithinPartitions(*sort_within)
     (
-        # repartition on the tuple so each partition value is written by
-        # ONE task → one file per tuple instead of (tasks × tuples) small
-        # files; at 100 TB a hot tuple gets repartitionByRange within the
-        # tuple or a salt column added to the spec instead
         staged.write.partitionBy(*pcols)
         .parquet(os.path.join(table, rel))
     )

@@ -274,7 +274,10 @@ def zorder_compact(
     with a within-partition sort on the Z-value, so every new file keeps
     its partition tuple (pruning survives OPTIMIZE ZORDER — the r9
     inheritance rule only protects CARRIED files, not rewritten ones)
-    and parquet row groups carry tight stats on the indexed columns."""
+    and parquet row groups carry tight stats on the indexed columns;
+    ``n_files`` is honored there too (ADVICE r10 #3): the rewrite
+    range-partitions on (tuple, z) so hot tuples split across
+    ~n_files/n_tuples files instead of one giant file per tuple."""
     v = current_version(table)
     snap = snapshot(spark, table, v)
     m = read_manifest(table, v)
@@ -289,6 +292,10 @@ def zorder_compact(
             spark, snap, table,
             remap_spec_cols(m["partition_spec"], schema),
             sort_within=[zvalue(snap, zorder_by)],
+            # honor the caller's file-count target on partitioned tables
+            # too (ADVICE r10 #3): range-split hot tuples over
+            # ~n_files/n_tuples files instead of one giant file per tuple
+            n_files=n_files,
         )
         return commit(
             table,

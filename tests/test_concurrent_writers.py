@@ -10,6 +10,13 @@ from __future__ import annotations
 
 import threading
 
+import pytest
+
+from anglerfish_spark.sources.logstore import (
+    ConditionalPutLogStore,
+    LocalExclusiveLogStore,
+    set_log_store,
+)
 from anglerfish_spark.sources.manifest_table import (
     ConcurrentCommitError,
     current_version,
@@ -23,11 +30,46 @@ N_WRITERS = 4
 ROUNDS = 3
 
 
+@pytest.fixture(params=["local_excl", "conditional_put"])
+def log_store(request):
+    """Run the race through BOTH LogStore implementations (VERDICT r10
+    #5): the POSIX O_EXCL store and the object-store-shaped conditional
+    PUT fake — the protocol must not secretly lean on either."""
+    store = (
+        LocalExclusiveLogStore()
+        if request.param == "local_excl"
+        else ConditionalPutLogStore()
+    )
+    prev = set_log_store(store)
+    yield store
+    set_log_store(prev)
+
+
 def _df(spark, rows):
     return spark.createDataFrame(rows, "k int, v double")
 
 
-def test_interleaved_upserts_serialize_and_log_exactly(spark, tmp_path):
+def test_put_if_absent_single_winner(tmp_path, log_store):
+    """Direct CAS unit race: 8 threads, one path — exactly one wins and
+    the object content is the winner's (no torn/partial object)."""
+    path = str(tmp_path / "v2.json")
+    wins: list[int] = []
+
+    def put(i: int) -> None:
+        if log_store.put_if_absent(path, f"payload-{i}".encode()):
+            wins.append(i)
+
+    threads = [threading.Thread(target=put, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert len(wins) == 1, wins
+    with open(path, "rb") as f:
+        assert f.read() == f"payload-{wins[0]}".encode()
+
+
+def test_interleaved_upserts_serialize_and_log_exactly(spark, tmp_path, log_store):
     t = str(tmp_path / "t")
     upsert(spark, t, _df(spark, [(k, 0.0) for k in range(60)]), ["k"])
     errors: list[Exception] = []

@@ -130,3 +130,50 @@ class TestClusteredLifecycle:
         # carried files are byte-identical on disk (never restaged)
         for f in sorted(carried)[:3]:
             assert os.path.exists(os.path.join(t, f))
+
+
+class TestHistoryScaleShape:
+    """r11 (VERDICT r10 #4): commit stamps the change log's row counts
+    into the manifest list, so DESCRIBE HISTORY is a pure list-parse."""
+
+    def test_history_opens_zero_parquet_footers(self, spark, tmp_path, monkeypatch):
+        t = str(tmp_path / "t")
+        upsert(spark, t, _df(spark, [(i, "a") for i in range(8)]), ["k"])
+        upsert(spark, t, _df(spark, [(i, "b") for i in range(4)]), ["k"])
+        delete_where(spark, t, F.col("k") >= 6)
+        import anglerfish_spark.sources.metadata as md
+
+        def boom(*a, **k):
+            raise AssertionError("history must not read parquet footers")
+
+        monkeypatch.setattr(md, "_rows_in", boom)
+        h = {r["version"]: r for r in table_history(spark, t).collect()}
+        assert (h[1]["n_inserted"], h[1]["n_deleted"]) == (8, 0)
+        assert (h[2]["n_inserted"], h[2]["n_deleted"]) == (4, 4)
+        assert (h[3]["n_inserted"], h[3]["n_deleted"]) == (0, 2)
+        assert [h[v]["operation"] for v in (1, 2, 3)] == ["append", "merge", "delete"]
+
+    def test_legacy_missing_change_file_surfaces_sentinel(self, spark, tmp_path):
+        """ADVICE r10 #2: a legacy (unstamped) commit whose recorded
+        change file is ABSENT must report (-1, -1) 'write', not an
+        undercount that mislabels the operation."""
+        import json
+
+        from anglerfish_spark.sources.manifest_table import _manifest_path
+
+        t = str(tmp_path / "t")
+        upsert(spark, t, _df(spark, [(i, "a") for i in range(6)]), ["k"])
+        upsert(spark, t, _df(spark, [(i, "b") for i in range(3)]), ["k"])
+        # simulate a pre-r11 manifest: drop the stamped counts, then lose
+        # one of the recorded delete-image files
+        p = _manifest_path(t, 2)
+        with open(p) as f:
+            m = json.load(f)
+        m["changes"].pop("n_inserted"), m["changes"].pop("n_deleted")
+        victim = m["changes"]["deleted"][0]["files"][0]
+        with open(p, "w") as f:
+            json.dump(m, f)
+        os.remove(os.path.join(t, victim))
+        h = {r["version"]: r for r in table_history(spark, t).collect()}
+        assert (h[2]["n_inserted"], h[2]["n_deleted"]) == (-1, -1)
+        assert h[2]["operation"] == "write"

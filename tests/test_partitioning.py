@@ -658,3 +658,45 @@ class TestReviewFixesR10:
         assert sorted(r.k for r in out.collect()) == [
             k for k in range(60) if k % 3 == 1
         ] + [100]
+
+
+def test_zorder_n_files_honored_on_partitioned(spark, tmp_path):
+    """ADVICE r10 #3: zorder_compact on a PARTITIONED table must honor
+    the n_files target — a low-cardinality spec (3 tag tuples) with
+    n_files=9 range-splits hot tuples across multiple files instead of
+    writing one giant file per tuple, while every file stays
+    single-tuple (pruning exactness unchanged)."""
+    from pyspark.sql import functions as F
+
+    from anglerfish_spark.sources.manifest_table import commit, read_manifest, snapshot
+    from anglerfish_spark.sources.partitioning import stage_files_partitioned
+    from anglerfish_spark.sources.read_path import read_table
+    from anglerfish_spark.sources.skipping import zorder_compact
+
+    t = str(tmp_path / "t")
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("tag"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    spec = [{"transform": "identity", "col": "tag"}]
+    files, parts, filled = stage_files_partitioned(spark, df, t, spec)
+    commit(
+        t, files, expected_version=0, partition_spec=filled, partitions=parts,
+        changes={"inserted": [{"files": files, "schema": None}], "deleted": []},
+    )
+    before = sorted(tuple(r) for r in snapshot(spark, t).collect())
+    v = zorder_compact(spark, t, ["k"], n_files=9)
+    m = read_manifest(t, v)
+    n = len(m["files"])
+    assert n > 3, f"n_files ignored: {n} files for 3 tuples"
+    assert n <= 9 + 3, f"file explosion: {n}"  # boundary tasks may span 2 tuples
+    # every file keeps a single-tuple stamp and content equals pre-compact
+    assert all(len(tup) == 1 for tup in m["partitions"].values())
+    assert sorted(tuple(r) for r in snapshot(spark, t).collect()) == before
+    # partition pruning still exact on a tag slice
+    df2, rep = read_table(spark, t, predicates={"tag": ("1", "1")})
+    got = sorted(tuple(r) for r in df2.collect())
+    want = sorted(tuple(r) for r in before if r[1] == "1")
+    assert got == want
+    assert rep["files_kept"] < rep["files_total"]

@@ -177,6 +177,7 @@ def test_partitioned_write_sequences_match_model(spark, tmp_path, trial):
         changes={"inserted": [{"files": files, "schema": None}], "deleted": []},
     )
     model.update({k: (v, tag) for k, v, tag in rows})
+    history: list[dict] = [dict(model)]  # model state per committed version
 
     def check(step, op):
         got = _state(spark, t)
@@ -196,8 +197,11 @@ def test_partitioned_write_sequences_match_model(spark, tmp_path, trial):
     evolved = False
     for step in range(10):
         v_before = current_version(t)
+        # r11 extension (VERDICT r10 #8): WAP stage+publish, OPTIMIZE
+        # ZORDER, and RESTORE join the partitioned alphabet, with the
+        # same pruning-exactness probe after every op
         ops = ["upsert", "merge_auto", "delete_keys", "delete_where",
-               "append_part", "compact"]
+               "append_part", "compact", "wap", "zorder", "restore"]
         if not evolved:
             ops.append("evolve_spec")
         op = rng.choice(ops)
@@ -240,6 +244,29 @@ def test_partitioned_write_sequences_match_model(spark, tmp_path, trial):
             new = rng.choice([s for s in PART_SPECS if s != spec])
             evolve_partition_spec(spark, t, new)
             evolved = True
+        elif op == "wap":
+            # write-audit-publish: staged rows must be INVISIBLE until
+            # publish (fresh keys only — a publish is an append)
+            from anglerfish_spark.sources.wap import publish_staged, stage_append
+
+            rows = [(k + KEYSPACE * 100 * (step + 2), v, tag)
+                    for k, v, tag in batch_rows(3)]
+            rows = list({r[0]: r for r in rows}.values())
+            stage_append(spark, t, _df(spark, rows), f"wap-{trial}-{step}")
+            assert _state(spark, t) == model, "staged rows leaked before publish"
+            publish_staged(spark, t, f"wap-{trial}-{step}")
+            for k, v, tag in rows:
+                model[k] = (v, tag)
+        elif op == "zorder":
+            from anglerfish_spark.sources.skipping import zorder_compact
+
+            zorder_compact(spark, t, ["k", "v"], n_files=4)  # logical no-op
+        elif op == "restore":
+            from anglerfish_spark.sources.manifest_table import restore_table
+
+            u = rng.randrange(1, v_before + 1)
+            restore_table(spark, t, u)
+            model = dict(history[u - 1])
         else:
             compact_table(spark, t)
         check(step, op)
@@ -250,6 +277,8 @@ def test_partitioned_write_sequences_match_model(spark, tmp_path, trial):
             a = sorted(str(tuple(r)) for r in logged.collect())
             b = sorted(str(tuple(r)) for r in diff.collect())
             assert a == b, f"trial {trial} step {step} op {op} v{u}->{u+1}"
+        while len(history) < v_after:
+            history.append(dict(model))
 
     # backfill windows (VERDICT r9 #6): the whole history drained into a
     # mirror at two window sizes must equal the final model state
