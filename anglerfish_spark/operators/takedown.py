@@ -1,0 +1,228 @@
+"""CDC-driven index maintenance — takedowns (VERDICT r10 #1): consume
+the manifest table's change feed to retire DELETED documents from the
+persisted derived indexes, at cost proportional to the deleted docs,
+never the index or the corpus.
+
+Reference parity: the reference is a codec library with no table or
+index layer (``/root/reference/README.md:8-9``); this closes the one
+production steady-state flow the engine's LLM-pipeline surface was
+missing — every real corpus pipeline services delete requests
+(copyright takedowns, right-to-be-forgotten) against BOTH the corpus
+table and everything derived from it.
+
+The composition, end to end:
+
+1. the corpus lives in a manifest table; a takedown batch is one
+   ``delete_keys`` commit — O(keys) metadata, merge-on-read;
+2. the commit's change log carries the deleted docs' FULL row images
+   (``read_path.table_changes`` mode='logged'), so maintenance reads
+   O(deleted rows) of change files and NEVER rescans the corpus;
+3. the persisted dedup index (``dedup.dedup_index_tables`` —
+   fingerprints + LSH bands, bucketed by probe key) retires docs via a
+   TOMBSTONE table the probes broadcast-anti-join — the bucketed probe
+   plan keeps its zero-exchange index side (plan-asserted in
+   tests/test_plans.py);
+4. the persisted inverted index retires docs via
+   ``text.inverted_index_takedown``: tombstones + a NEGATIVE postings
+   fragment (exact df correction) + a negative consts row — BM25 over
+   the retired index is EXACTLY BM25 over the live corpus (the oracle
+   recomputes it from scratch), not a stale-statistics approximation.
+
+100 TB shape: the takedown batch is deletion-request-sized (thousands
+of docs against billions); every maintenance write above is O(batch),
+the tombstone tables stay broadcast-sized between compactions (which
+fold them physically — the LSM contract the fragment design already
+carries), and probe-time filtering is a map-side anti-join after the
+probe's own key filter.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import prepare
+from ..sources.manifest_table import _MANIFEST_DIR, delete_keys, snapshot, upsert
+from ..sources.read_path import table_changes
+from ..sources.registry import load_table
+from .dedup import _FP_SQL, _PAIRS_CTE, dedup_index_tables, lsh_bands
+from .text import (
+    TOKENS_SQL,
+    _bm25_from_persisted,
+    _SEARCH_TERMS,
+    BM25_SCALE,
+    BM25_TOP_K,
+    build_persisted_index,
+    inverted_index_takedown,
+    invidx_tombstone_table,
+    tokens,
+)
+
+#: the takedown demo's congruence classes: the corpus table holds the
+#: doc_id % 10 != 0 docs (the same population the persisted dedup index
+#: covers); the takedown batch deletes the % 7 == 0 slice of them; the
+#: % 10 == 0 docs are the incremental-dedup probe batch
+_LIVE_SQL = "doc_id % 10 <> 0 AND doc_id % 7 <> 0"
+
+_TDN_ASSETS: dict[str, tuple[str, str]] = {}
+
+
+def _takedown_assets(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """``(corpus_table, invidx_name)`` built once per process per
+    sf_dir, with the takedown ALREADY APPLIED (the steady state the
+    query probes): v1 ingests the indexed corpus + builds the persisted
+    inverted index from the v1 snapshot; v2 is the ``delete_keys``
+    takedown commit; maintenance then consumes the v1→v2 change feed's
+    delete images — asserting the feed took the 'logged' path, i.e. the
+    maintenance read O(deleted rows), never a snapshot diff."""
+    cached = _TDN_ASSETS.get(sf_dir)
+    name = f"ang_invidx_tdn_{abs(hash(sf_dir)) % 10**8}"
+    if (
+        cached
+        and os.path.isdir(os.path.join(cached[0], _MANIFEST_DIR))
+        and spark.catalog.tableExists(invidx_tombstone_table(name))
+    ):
+        return cached
+    t = tempfile.mkdtemp(prefix="anglerfish_takedown_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_docs = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    upsert(spark, t, idx_docs, ["doc_id"], txn_id="tdn-v1")
+    if not spark.catalog.tableExists(name):
+        build_persisted_index(spark, snapshot(spark, t, 1), name)
+    doomed = idx_docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    delete_keys(spark, t, "doc_id", doomed, txn_id="tdn-v2")
+    if not spark.catalog.tableExists(invidx_tombstone_table(name)):
+        feed, mode = table_changes(spark, t, 1, 2, net=True)
+        assert mode == "logged", mode  # maintenance must be O(deleted rows)
+        deleted = feed.where(F.col("_change_type") == "delete").select(
+            "doc_id", "text"
+        )
+        inverted_index_takedown(spark, name, deleted)
+    _TDN_ASSETS[sf_dir] = (t, name)
+    return t, name
+
+
+@query(
+    "q_index_takedown",
+    oracle=f"""
+WITH {_PAIRS_CTE},
+newdocs AS (
+  SELECT doc_id, {_FP_SQL} AS fp FROM documents WHERE doc_id % 10 = 0
+),
+livefp AS (
+  SELECT {_FP_SQL} AS fp FROM documents WHERE {_LIVE_SQL}
+),
+exact_hits AS (SELECT DISTINCT n.doc_id FROM newdocs n JOIN livefp i USING (fp)),
+near_hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 AND b.doc_id % 7 <> 0
+),
+t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents WHERE {_LIVE_SQL}),
+consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(tok)) AS BIGINT) AS total_len FROM t),
+dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM t),
+tfc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tok) AS term FROM t)
+  WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         CAST(({BM25_SCALE} * (length(bin(n_docs // df)) - 1) * 6 * tf * total_len)
+              // (2 * total_len * tf + total_len + 3 * n_docs * dl) AS BIGINT) AS contrib
+  FROM tfc JOIN df USING (term) JOIN dl USING (doc_id), consts
+),
+top AS (
+  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+)
+SELECT 'bm25' AS kind, CAST(doc_id AS BIGINT) AS doc_id, score AS val FROM top
+UNION ALL
+SELECT 'exact', CAST(doc_id AS BIGINT), CAST(1 AS BIGINT) FROM exact_hits
+UNION ALL
+SELECT 'near', CAST(doc_id AS BIGINT), CAST(1 AS BIGINT) FROM near_hits
+ORDER BY kind, doc_id
+""",
+    group="llm-dedup",
+)
+def q_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedowns end-to-end: docs DELETED from the corpus table must
+    stop matching in incremental dedup AND in persisted BM25 — with the
+    index maintenance driven entirely by the table's change feed.
+
+    The probe batch (doc_id % 10 == 0) runs the incremental-dedup
+    checks against the tombstone-retired persisted index: a batch doc
+    whose ONLY exact/near match was a taken-down doc must now come back
+    clean, and the oracle recomputes both checks against the live
+    corpus, so a stale fingerprint, band, or posting that still matches
+    fails the hash.  The BM25 section is the sharper gate: scores
+    depend on collection statistics (df, N, avgdl), so serving exact
+    scores after a takedown proves the negative-fragment df correction
+    and the negative consts row — a tombstone-only design would rank
+    with STALE statistics here and hash-mismatch.
+
+    Output: ``('exact'|'near', probe_doc_id, 1)`` for batch docs still
+    matching the live index; ``('bm25', doc_id, score)`` for the
+    post-takedown top-{BM25_TOP_K}.
+
+    Scale shape: maintenance already ran at O(deleted rows) off the
+    logged change feed (:func:`_takedown_assets` asserts mode='logged');
+    probes pay one broadcast anti-join against the deletion-request-
+    sized tombstone table on top of their existing bucket-pruned /
+    posting-sized cost (tests/test_plans.py asserts the index sides
+    stay exchange-free and the anti-joins broadcast)."""
+    prepare(spark)
+    _t, inv_name = _takedown_assets(spark, sf_dir)
+    ts = spark.table(invidx_tombstone_table(inv_name)).select("doc_id")
+
+    docs = load_table(spark, sf_dir, "documents", fanout=True)
+    is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens()))).cast("binary")
+    )
+    new_fps = docs.where(is_new).select("doc_id", fp.alias("fp"))
+    fp_t, band_t = dedup_index_tables(spark, sf_dir)
+    live_fp = (
+        spark.table(fp_t)
+        .join(F.broadcast(ts), "doc_id", "left_anti")
+        .select("fp")
+    )
+    exact = new_fps.join(live_fp, "fp", "left_semi").select("doc_id").distinct()
+
+    band_new = lsh_bands(docs).where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    live_band = (
+        spark.table(band_t)
+        .join(F.broadcast(ts), "doc_id", "left_anti")
+        .select("band_id", "band_key")
+    )
+    near = (
+        band_new.join(live_band, ["band_id", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    bm25 = _bm25_from_persisted(spark, inv_name, tombstones=ts)
+    one = F.lit(1).cast("bigint").alias("val")
+    return (
+        bm25.select(
+            F.lit("bm25").alias("kind"),
+            F.col("doc_id").cast("bigint"),
+            F.col("score").alias("val"),
+        )
+        .unionByName(
+            exact.select(F.lit("exact").alias("kind"), F.col("doc_id").cast("bigint"), one)
+        )
+        .unionByName(
+            near.select(F.lit("near").alias("kind"), F.col("doc_id").cast("bigint"), one)
+        )
+        .orderBy("kind", "doc_id")
+    )

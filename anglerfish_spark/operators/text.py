@@ -753,6 +753,34 @@ def _write_index_side_tables(
     w.saveAsTable(cs_name)
 
 
+def build_persisted_index(spark: SparkSession, docs: DataFrame, name: str) -> str:
+    """Build the persisted positional index + BM25 side tables for an
+    ARBITRARY corpus DataFrame under ``name`` (the
+    :func:`inverted_index_table` layout): postings bucketed+sorted by
+    ``term``, ``{name}_dl`` doc lengths, ``{name}_cs`` summable consts.
+    No-op if ``name`` already exists."""
+    import os
+    import tempfile
+
+    global _INVIDX_DIR
+    if _INVIDX_DIR is None:
+        _INVIDX_DIR = tempfile.mkdtemp(prefix="anglerfish_invidx_")
+    if not spark.catalog.tableExists(name):
+        # positional postings (r8): strictly more information in the same
+        # bucket layout — tf probes read p.doc_id/p.tf as before, phrase
+        # probes additionally read p.positions, both bucket-pruned
+        idx = build_positional_index(docs)
+        (
+            idx.write.mode("overwrite")
+            .option("path", os.path.join(_INVIDX_DIR, name))
+            .bucketBy(INVIDX_BUCKETS, "term")
+            .sortBy("term")
+            .saveAsTable(name)
+        )
+        _write_index_side_tables(spark, name, docs, "overwrite")
+    return name
+
+
 def inverted_index_table(spark: SparkSession, sf_dir: str) -> str:
     """Persist :func:`build_inverted_index`'s output bucketed+sorted by
     ``term`` (write-time contract, once per process per sf_dir) — probes
@@ -763,27 +791,9 @@ def inverted_index_table(spark: SparkSession, sf_dir: str) -> str:
     LSH index (operators/dedup.py:1040).  The build also persists the
     BM25 side tables (:func:`_write_index_side_tables`), so ranked
     search is served entirely from index-time artifacts."""
-    import os
-    import tempfile
-
-    global _INVIDX_DIR
-    if _INVIDX_DIR is None:
-        _INVIDX_DIR = tempfile.mkdtemp(prefix="anglerfish_invidx_")
     name = f"ang_invidx_p3_{abs(hash(sf_dir)) % 10**8}"
     if not spark.catalog.tableExists(name):
-        # positional postings (r8): strictly more information in the same
-        # bucket layout — tf probes read p.doc_id/p.tf as before, phrase
-        # probes additionally read p.positions, both bucket-pruned
-        d = load_table(spark, sf_dir, "documents")
-        idx = build_positional_index(d)
-        (
-            idx.write.mode("overwrite")
-            .option("path", os.path.join(_INVIDX_DIR, name))
-            .bucketBy(INVIDX_BUCKETS, "term")
-            .sortBy("term")
-            .saveAsTable(name)
-        )
-        _write_index_side_tables(spark, name, d, "overwrite")
+        build_persisted_index(spark, load_table(spark, sf_dir, "documents"), name)
     return name
 
 
@@ -806,6 +816,70 @@ def inverted_index_append(spark: SparkSession, name: str, new_docs: DataFrame) -
         .saveAsTable(name)
     )
     _write_index_side_tables(spark, name, new_docs, "append")
+
+
+def invidx_tombstone_table(name: str) -> str:
+    """``{name}_ts`` — the takedown tombstone table of a persisted index."""
+    return f"{name}_ts"
+
+
+def inverted_index_takedown(spark: SparkSession, name: str, deleted_docs: DataFrame) -> str:
+    """Retire DELETED documents from a persisted inverted index at cost
+    proportional to the DELETED docs, never the index (VERDICT r10 #1 —
+    the takedown / right-to-be-forgotten flow every production corpus
+    pipeline needs).  Three appends, all O(deleted docs), extending the
+    LSM fragment shape :func:`inverted_index_append` established:
+
+    * **tombstones** — the deleted ``doc_id``s append to ``{name}_ts``;
+      probes broadcast-anti-join it AFTER the term filter, so the filter
+      cost is ∝ probed postings, and the deleted docs' postings rows
+      (still physically present in old fragments) are inert;
+    * **df correction** — a NEGATIVE postings fragment ``(term, -df,
+      [])`` built by tokenizing ONLY the deleted docs, appended in the
+      same bucket layout; per-term ``df`` is already summed over
+      fragments at probe time, so document frequencies come out exactly
+      right for the live corpus (BM25 idf stays exact, not stale);
+    * **consts correction** — one NEGATIVE ``(n_docs, total_len)`` row;
+      readers SUM consts rows (the ingest contract), so collection
+      statistics also stay exact.
+
+    The stale per-doc rows in ``{name}_dl`` need no correction: scoring
+    inner-joins doc lengths to the (tombstone-filtered) postings probe,
+    so a dead doc's length row is unreachable.  A periodic compaction
+    (rebuild from the live corpus via :func:`build_persisted_index`)
+    folds tombstones and fragments physically — same LSM story as
+    fragment growth under :func:`inverted_index_append`.
+
+    ``deleted_docs`` needs ``(doc_id, text)`` — exactly what the
+    manifest table's change feed provides as delete images
+    (``read_path.table_changes``), so no corpus access is ever needed.
+    Returns the tombstone table name."""
+    deleted_docs = deleted_docs.localCheckpoint(eager=True)  # feed images: pin once
+    neg = build_positional_index(deleted_docs).select(
+        "term",
+        (-F.col("df")).cast("bigint").alias("df"),
+        # slice(postings, 1, 0): empty array of the EXACT postings type
+        F.slice("postings", 1, 0).alias("postings"),
+    )
+    (
+        neg.write.mode("append")
+        .bucketBy(INVIDX_BUCKETS, "term")
+        .sortBy("term")
+        .saveAsTable(name)
+    )
+    _dl_name, cs_name = _invidx_side_names(name)
+    dl = deleted_docs.select(F.size(tokens()).cast("bigint").alias("dl"))
+    (
+        dl.agg(
+            (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("total_len"),
+        )
+        .write.mode("append")
+        .saveAsTable(cs_name)
+    )
+    ts_name = invidx_tombstone_table(name)
+    deleted_docs.select("doc_id").write.mode("append").saveAsTable(ts_name)
+    return ts_name
 
 
 def _probe_boolean(idx: DataFrame) -> DataFrame:
@@ -1212,7 +1286,9 @@ def q_inverted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(probed, doclen, consts, BM25_TOP_K)
 
 
-def _bm25_from_persisted(spark: SparkSession, name: str) -> DataFrame:
+def _bm25_from_persisted(
+    spark: SparkSession, name: str, tombstones: DataFrame | None = None
+) -> DataFrame:
     """BM25 served ENTIRELY from index-time artifacts (VERDICT r8 #3):
     term-filtered bucket-pruned postings + the persisted ``(doc_id,
     dl)`` relation + the summed consts rows — per-query cost ∝ the
@@ -1222,9 +1298,14 @@ def _bm25_from_persisted(spark: SparkSession, name: str) -> DataFrame:
 
     Fragment-safe: an LSM-fragmented index (``inverted_index_append``)
     holds one row per (term, ingest), so per-term ``df`` is summed over
-    fragments before scoring; a (term, doc) pair's tf lives complete in
-    exactly one fragment (appends index NEW docs only), and consts rows
-    sum to the collection totals."""
+    fragments before scoring — which also folds in the NEGATIVE
+    takedown fragments of :func:`inverted_index_takedown`; a (term, doc)
+    pair's tf lives complete in exactly one fragment (appends index NEW
+    docs only), and consts rows sum to the collection totals (takedowns
+    append negative rows).  ``tombstones`` (a ``doc_id`` DataFrame —
+    deleted-docs scale, broadcast) anti-joins the postings probe AFTER
+    the term filter, so retired docs never score and the filter cost is
+    ∝ probed postings, not index size."""
     dl_name, cs_name = _invidx_side_names(name)
     dl = spark.table(dl_name)
     consts = spark.table(cs_name).agg(
@@ -1238,6 +1319,10 @@ def _bm25_from_persisted(spark: SparkSession, name: str) -> DataFrame:
         .select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
         .join(F.broadcast(dfs), "term")
     )
+    if tombstones is not None:
+        probed = probed.join(
+            F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
+        )
     return bm25_search(probed, dl, consts, BM25_TOP_K)
 
 

@@ -74,6 +74,7 @@ def all_queries() -> dict[str, QueryDef]:
     from .operators import relational_ext as _relational_ext  # noqa: F401
     from .operators import similarity as _similarity  # noqa: F401
     from .operators import sketch as _sketch  # noqa: F401
+    from .operators import takedown as _takedown  # noqa: F401
     from .operators import text as _text  # noqa: F401
     from .operators import tpch as _tpch  # noqa: F401
     from .streaming import decode as _sdecode  # noqa: F401
