@@ -77,6 +77,11 @@ HEADLINE = [
     # COW) and the metadata-only DESCRIBE HISTORY read
     "q_table_clustered",
     "q_table_history",
+    # r11 widening: the CDC-driven takedown composition (change feed ->
+    # index retirement -> exact post-takedown probes) and the
+    # histogram-based per-language length quantiles
+    "q_index_takedown",
+    "q_length_quantiles",
 ]
 
 
@@ -97,16 +102,20 @@ def main() -> None:
     except Exception:
         pass
 
-    # five passes per query, keep the best: the first execution of each
-    # distinct plan pays one-off JIT/codegen/footer costs that say nothing
-    # about throughput, and ambient machine load adds one-sided noise —
-    # r4's q_join_asof "regression" (+55%) was exactly this (isolated
-    # quiet-session min matched r3 to 1%; SCALE.md r5).  Each pass runs
-    # the queries in a rotated order so adjacency effects (a heavy
-    # neighbor's GC debt, AQE state) cannot bias the same query every
-    # pass.  Per-query fault tolerance: one broken query must never zero
-    # out the whole round's perf signal — record its error and keep going.
-    times: dict[str, float] = {}
+    # five passes per query; the HEADLINE per-query number is the MEDIAN
+    # of the four warm passes (pass 1 pays one-off JIT/codegen/footer
+    # costs that say nothing about throughput) — r10's verdict showed
+    # that a point estimate cannot answer "did we regress?" when ambient
+    # load adds ±30-50% one-sided noise, so the median plus the reported
+    # [min, max] spread make cross-round deltas interpretable (VERDICT
+    # r10 #6).  Each pass runs the queries in a rotated order so
+    # adjacency effects (a heavy neighbor's GC debt, AQE state) cannot
+    # bias the same query every pass.  Per-query fault tolerance: one
+    # broken query must never zero out the whole round's perf signal —
+    # record its error and keep going.
+    import statistics
+
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for p in range(5):
         k = (p * 7) % max(len(names), 1)
@@ -118,10 +127,22 @@ def main() -> None:
                 qs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001 - harness must survive
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                times.pop(name, None)
+                samples.pop(name, None)
                 continue
-            dt = round(time.perf_counter() - t0, 3)
-            times[name] = min(times.get(name, dt), dt)
+            samples.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
+    times = {
+        n: round(statistics.median(ts[1:] if len(ts) > 1 else ts), 3)
+        for n, ts in samples.items()
+    }
+    spread = {
+        n: {
+            "min": min(ts),
+            "median": times[n],
+            "max": max(ts),
+            "first": ts[0],
+        }
+        for n, ts in samples.items()
+    }
 
     # one extra instrumented curation pass (outside best-of-N: eager
     # per-stage checkpoints change scheduling, so it must not shadow the
@@ -148,6 +169,12 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        # cross-round continuity + noise band: per-query [min, median,
+        # max, first-run] over the 5 passes, plus the min-based total the
+        # r1-r10 BENCH files reported ("value" is median-based since r11)
+        "queries_spread": spread,
+        "min_total_sec": round(sum(s["min"] for s in spread.values()), 3),
+        "first_run_total_sec": round(sum(s["first"] for s in spread.values()), 3),
     }
     # stand-in generation (Kafka-message encode, OCF producer writes) is
     # setup a real consumer never pays — materialized once per process
