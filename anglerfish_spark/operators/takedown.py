@@ -106,6 +106,66 @@ def _takedown_assets(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return t, name
 
 
+def start_index_takedown_feed(
+    spark: SparkSession,
+    table: str,
+    index_name: str,
+    checkpoint: str,
+    starting_version: int = 0,
+):
+    """CONTINUOUS index maintenance: stream the corpus table's change
+    feed (``streaming.table_feed.read_table_feed``) and retire each
+    micro-batch's DELETE images from the persisted inverted index — the
+    steady-state deployment of :func:`q_index_takedown`'s one-shot
+    composition (delete requests arrive forever; the index maintainer
+    is a standing job, not a cron script).
+
+    Cost per micro-batch is O(that batch's deleted rows): the feed
+    serves logged change files, and :func:`text.inverted_index_takedown`
+    appends batch-sized artifacts.  Batch replay is guarded by a marker
+    file per batch id next to the checkpoint (skip-if-applied), making
+    restarts effectively-once under clean recovery; a crash BETWEEN the
+    apply and the marker write can double-apply one batch — production
+    hardening stages the three appends through a transactional table
+    keyed by (source, batch id), exactly the manifest table's own
+    ``txn_id`` replay guard (``streaming/sinks.py`` does this for the
+    keyed-upsert sink).  Returns the StreamingQuery; stop it or use
+    ``trigger(availableNow=True)`` semantics via the caller's options."""
+    from ..streaming.table_feed import read_table_feed
+
+    markers = os.path.join(checkpoint, "applied")
+    os.makedirs(markers, exist_ok=True)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(markers, f"b{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch: already applied
+        deleted = batch.where(F.col("_change_type") == "delete").select(
+            "doc_id", "text"
+        )
+        if deleted.limit(1).count():
+            inverted_index_takedown(spark, index_name, deleted)
+            # the micro-batch runs on a CLONED session — its appends
+            # don't invalidate the driving session's relation cache, so
+            # refresh the maintained tables or probes read stale state
+            from .text import _invidx_side_names
+
+            dl_name, cs_name = _invidx_side_names(index_name)
+            for tbl in (index_name, dl_name, cs_name,
+                        invidx_tombstone_table(index_name)):
+                spark.catalog.refreshTable(tbl)
+        with open(marker, "w") as f:
+            f.write("1")
+
+    return (
+        read_table_feed(spark, table, starting_version)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(checkpoint, "wal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 @query(
     "q_index_takedown",
     oracle=f"""

@@ -882,6 +882,88 @@ def inverted_index_takedown(spark: SparkSession, name: str, deleted_docs: DataFr
     return ts_name
 
 
+def inverted_index_compact(spark: SparkSession, name: str) -> None:
+    """Fold the LSM debt physically — fragments from
+    :func:`inverted_index_append` AND tombstones/negative fragments from
+    :func:`inverted_index_takedown` — in one pass over the INDEX
+    ARTIFACTS (the corpus is never touched):
+
+    * postings: explode every fragment, drop tombstoned docs with one
+      broadcast anti-join, rebuild ONE row per term with df recounted
+      from the surviving postings — exact, because appends index new
+      docs only, so a (term, doc) pair exists in exactly one fragment
+      and the negative fragments carry no postings;
+    * doc lengths: tombstoned rows dropped (the one artifact takedowns
+      leave stale-but-inert);
+    * consts: the summable rows (positive ingests, negative takedowns)
+      collapse to their one-row sum;
+    * tombstones: truncated — probes pass ``tombstones=None`` again.
+
+    Cost is O(index) — it IS the compaction, run on the schedule
+    fragment/tombstone growth dictates, exactly like the manifest
+    table's ``compact_table`` folds merge-on-read deletes.  Probe
+    results are identical before and after (tests/test_takedown.py
+    pins boolean, phrase, and BM25 probes across the fold)."""
+    import os
+    import tempfile
+    import uuid
+
+    global _INVIDX_DIR
+    if _INVIDX_DIR is None:
+        _INVIDX_DIR = tempfile.mkdtemp(prefix="anglerfish_invidx_")
+    ts_name = invidx_tombstone_table(name)
+    has_ts = spark.catalog.tableExists(ts_name)
+    ts = (
+        spark.table(ts_name).select("doc_id").distinct().localCheckpoint(eager=True)
+        if has_ts
+        else None
+    )
+    posts = (
+        spark.table(name)
+        .select("term", F.explode("postings").alias("p"))
+        .select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"),
+                F.col("p.positions").alias("positions"))
+    )
+    if ts is not None:
+        posts = posts.join(F.broadcast(ts), "doc_id", "left_anti")
+    merged = posts.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf", "positions"))).alias(
+            "postings"
+        ),
+    ).localCheckpoint(eager=True)  # break lineage before overwriting the source
+    (
+        merged.write.mode("overwrite")
+        .option("path", os.path.join(_INVIDX_DIR, f"{name}_{uuid.uuid4().hex[:8]}"))
+        .bucketBy(INVIDX_BUCKETS, "term")
+        .sortBy("term")
+        .saveAsTable(name)
+    )
+    dl_name, cs_name = _invidx_side_names(name)
+    dl = spark.table(dl_name)
+    if ts is not None:
+        dl = dl.join(F.broadcast(ts), "doc_id", "left_anti")
+    dl = dl.localCheckpoint(eager=True)
+    (
+        dl.write.mode("overwrite")
+        .option("path", os.path.join(_INVIDX_DIR, f"{dl_name}_{uuid.uuid4().hex[:8]}"))
+        .saveAsTable(dl_name)
+    )
+    consts = spark.table(cs_name).agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_len").cast("bigint").alias("total_len"),
+    ).localCheckpoint(eager=True)
+    (
+        consts.write.mode("overwrite")
+        .option("path", os.path.join(_INVIDX_DIR, f"{cs_name}_{uuid.uuid4().hex[:8]}"))
+        .saveAsTable(cs_name)
+    )
+    if ts is not None:
+        ts.limit(0).write.mode("overwrite").option(
+            "path", os.path.join(_INVIDX_DIR, f"{ts_name}_{uuid.uuid4().hex[:8]}")
+        ).saveAsTable(ts_name)
+
+
 def _probe_boolean(idx: DataFrame) -> DataFrame:
     """The ((t0 AND t1) OR t2) boolean search over an index DataFrame —
     shared by the one-shot and incremental persisted-index queries."""

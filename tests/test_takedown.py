@@ -125,3 +125,175 @@ class TestTakedownPlans:
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
         assert "SortMergeJoin" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+class TestTakedownLifecycle:
+    """Isolated LSM lifecycle on a fresh index: ingest -> append ->
+    takedown (docs from BOTH fragments) -> compact.  Probe results must
+    be identical at every stage boundary, and compaction must leave one
+    positive row per term, an empty tombstone table, and one consts row."""
+
+    def _mk(self, spark):
+        import uuid
+
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.operators.text import (
+            _SEARCH_TERMS,
+            build_persisted_index,
+            inverted_index_append,
+            inverted_index_takedown,
+        )
+
+        t0, t1, t2 = _SEARCH_TERMS
+        rows = [
+            (i, f"{t0} alpha {t1} beta {t2} gamma doc{i} " * (1 + i % 3))
+            for i in range(20)
+        ]
+        docs = local_df(spark, rows, ["doc_id", "text"]).select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        name = f"ang_tdnlife_{uuid.uuid4().hex[:8]}"
+        build_persisted_index(spark, docs.where("doc_id < 12"), name)
+        inverted_index_append(spark, name, docs.where("doc_id >= 12"))
+        # takedown hits BOTH fragments: docs 3 (initial) and 15 (appended)
+        inverted_index_takedown(
+            spark, name, docs.where(F.col("doc_id").isin(3, 7, 15))
+        )
+        return name
+
+    def _probes(self, spark, name, ts):
+        from anglerfish_spark.operators.text import (
+            _bm25_from_persisted,
+            _probe_boolean,
+            phrase_search,
+        )
+
+        idx = spark.table(name)
+        if ts is not None:
+            # pre-compaction: postings of retired docs are inert only
+            # through the tombstone filter
+            b = _probe_boolean(
+                idx.withColumn(
+                    "postings",
+                    F.filter("postings", lambda p: ~p["doc_id"].isin(3, 7, 15)),
+                )
+            )
+        else:
+            b = _probe_boolean(idx)
+        boolean = sorted((r.doc_id, r.tf_total) for r in b.collect())
+        bm25 = [
+            (r.rank, r.doc_id, r.score)
+            for r in _bm25_from_persisted(spark, name, tombstones=ts).collect()
+        ]
+        return boolean, bm25
+
+    def test_compaction_preserves_probes_and_folds_state(self, spark):
+        from anglerfish_spark.operators.text import (
+            _invidx_side_names,
+            inverted_index_compact,
+            invidx_tombstone_table,
+            phrase_search,
+        )
+
+        name = self._mk(spark)
+        ts = spark.table(invidx_tombstone_table(name)).select("doc_id")
+        before_bool, before_bm25 = self._probes(spark, name, ts)
+        assert before_bool and before_bm25  # probes actually return rows
+        ph_before = sorted(
+            (r.doc_id, r.n_occ)
+            for r in phrase_search(
+                spark.table(name).withColumn(
+                    "postings",
+                    F.filter("postings", lambda p: ~p["doc_id"].isin(3, 7, 15)),
+                ),
+                ["alpha"],
+            ).collect()
+        )
+        inverted_index_compact(spark, name)
+        after_bool, after_bm25 = self._probes(spark, name, None)
+        assert after_bool == before_bool
+        assert after_bm25 == before_bm25
+        ph_after = sorted(
+            (r.doc_id, r.n_occ)
+            for r in phrase_search(spark.table(name), ["alpha"]).collect()
+        )
+        assert ph_after == ph_before
+        # folded state: one positive row per term, empty tombstones,
+        # exactly one consts row summing to the live collection
+        idx = spark.table(name)
+        assert idx.where(F.col("df") <= 0).count() == 0
+        assert idx.groupBy("term").count().where("count > 1").count() == 0
+        assert spark.table(invidx_tombstone_table(name)).count() == 0
+        _dl, cs = _invidx_side_names(name)
+        assert spark.table(cs).count() == 1
+        s = spark.table(cs).first()
+        assert s.n_docs == 17  # 20 ingested - 3 taken down
+        # no retired doc anywhere in the postings
+        dead = (
+            idx.select(F.explode("postings").alias("p"))
+            .where(F.col("p.doc_id").isin(3, 7, 15))
+            .count()
+        )
+        assert dead == 0
+
+
+class TestStreamingTakedown:
+    """Continuous maintenance: the corpus table's change feed drives
+    index takedowns batch by batch; a checkpoint restart consumes only
+    NEW delete commits, and the final index equals a fresh build over
+    the live corpus."""
+
+    def test_feed_driven_takedown_with_restart(self, spark, tmp_path):
+        import uuid
+
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.operators.takedown import start_index_takedown_feed
+        from anglerfish_spark.operators.text import (
+            _SEARCH_TERMS,
+            _bm25_from_persisted,
+            build_persisted_index,
+            invidx_tombstone_table,
+        )
+        from anglerfish_spark.sources.manifest_table import delete_keys, upsert
+
+        t0, t1, t2 = _SEARCH_TERMS
+        rows = [
+            (i, f"{t0} red {t1} blue {t2} green doc{i} " * (1 + i % 4))
+            for i in range(24)
+        ]
+        docs = local_df(spark, rows, ["doc_id", "text"]).select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        t = str(tmp_path / "corpus")
+        upsert(spark, t, docs, ["doc_id"], txn_id="v1")
+        name = f"ang_tdnstream_{uuid.uuid4().hex[:8]}"
+        build_persisted_index(spark, snapshot(spark, t, 1), name)
+        # two takedown commits, then drain the feed from v1 onward
+        delete_keys(spark, t, "doc_id", docs.where("doc_id in (2, 9)").select("doc_id"))
+        delete_keys(spark, t, "doc_id", docs.where("doc_id = 17").select("doc_id"))
+        ckpt = str(tmp_path / "ckpt")
+        q = start_index_takedown_feed(spark, t, name, ckpt, starting_version=1)
+        q.awaitTermination(120)
+        ts = spark.table(invidx_tombstone_table(name))
+        assert {r.doc_id for r in ts.collect()} == {2, 9, 17}
+        # restart on the same checkpoint after one MORE delete commit:
+        # only the new version arrives (no double-applied corrections)
+        delete_keys(spark, t, "doc_id", docs.where("doc_id = 5").select("doc_id"))
+        q = start_index_takedown_feed(spark, t, name, ckpt, starting_version=1)
+        q.awaitTermination(120)
+        ts = spark.table(invidx_tombstone_table(name))
+        assert sorted(r.doc_id for r in ts.collect()) == [2, 5, 9, 17]
+        # the continuously maintained index serves EXACT live-corpus BM25
+        got = [
+            (r.rank, r.doc_id, r.score)
+            for r in _bm25_from_persisted(
+                spark, name, tombstones=ts.select("doc_id")
+            ).collect()
+        ]
+        ref = f"{name}_ref"
+        build_persisted_index(spark, snapshot(spark, t), ref)
+        want = [
+            (r.rank, r.doc_id, r.score)
+            for r in _bm25_from_persisted(spark, ref).collect()
+        ]
+        assert got == want and got
