@@ -31,9 +31,19 @@ The composition, end to end:
 100 TB shape: the takedown batch is deletion-request-sized (thousands
 of docs against billions); every maintenance write above is O(batch),
 the tombstone tables stay broadcast-sized between compactions (which
-fold them physically — the LSM contract the fragment design already
-carries), and probe-time filtering is a map-side anti-join after the
-probe's own key filter.
+fold them physically — ``text.inverted_index_compact``, the LSM
+contract the fragment design already carries), and probe-time filtering
+is a map-side anti-join after the probe's own key filter.
+
+Bloom-gate composition note: ``q_dedup_bloom_incremental``'s filter
+cannot delete (plain Bloom bits are one-sided by construction), and it
+does not need to — the gate only answers "definitely new?" before the
+index join, so a retired doc's lingering bits yield a false "maybe"
+that the tombstone-filtered index join behind it resolves to clean.
+The no-false-negative contract for LIVE docs is untouched; the filter's
+false-positive rate drifts up with retirements until the next rebuild
+(``bloom_build`` over live fingerprints), the same cadence that bounds
+fragment growth.
 """
 
 from __future__ import annotations

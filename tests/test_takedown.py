@@ -297,3 +297,95 @@ class TestStreamingTakedown:
             for r in _bm25_from_persisted(spark, ref).collect()
         ]
         assert got == want and got
+
+
+class TestTakedownDifferential:
+    """Model-based differential for the index-maintenance surface:
+    random sequences of APPEND / TAKEDOWN / COMPACT against a plain
+    Python dict of live docs — after every op, boolean search and BM25
+    over the maintained index must equal a FRESH index built over the
+    live docs.  Seeds rotate with ANGLERFISH_FUZZ_SEED."""
+
+    def test_random_maintenance_sequences_match_fresh_build(self, spark):
+        import os
+        import random
+        import uuid
+
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.operators.text import (
+            _SEARCH_TERMS,
+            _bm25_from_persisted,
+            _probe_boolean,
+            build_persisted_index,
+            inverted_index_append,
+            inverted_index_compact,
+            inverted_index_takedown,
+            invidx_tombstone_table,
+        )
+
+        seed = int(os.environ.get("ANGLERFISH_FUZZ_SEED", "0")) + 777_000
+        rng = random.Random(seed)
+        t0, t1, t2 = _SEARCH_TERMS
+        vocab = [t0, t1, t2, "kappa", "lam", "mu", "nu"]
+
+        def text_of(i: int) -> str:
+            r = random.Random(seed * 1_000_003 + i)
+            return " ".join(r.choice(vocab) for _ in range(r.randrange(4, 16)))
+
+        def docs_df(ids):
+            return local_df(
+                spark, [(i, text_of(i)) for i in sorted(ids)], ["doc_id", "text"]
+            ).select(F.col("doc_id").cast("long"), "text")
+
+        name = f"ang_tdnfuzz_{uuid.uuid4().hex[:8]}"
+        live = set(range(10))
+        next_id = 10
+        build_persisted_index(spark, docs_df(live), name)
+
+        def probes(idx_name, ts):
+            b = sorted(
+                (r.doc_id, r.tf_total)
+                for r in _probe_boolean(
+                    spark.table(idx_name).withColumn(
+                        "postings",
+                        F.filter(
+                            "postings",
+                            lambda p: ~p["doc_id"].isin(*[int(x) for x in dead]) if dead else F.lit(True),
+                        ),
+                    )
+                ).collect()
+            )
+            s = [
+                (r.rank, r.doc_id, r.score)
+                for r in _bm25_from_persisted(spark, idx_name, tombstones=ts).collect()
+            ]
+            return b, s
+
+        dead: set = set()
+        for step in range(8):
+            op = rng.choice(["append", "takedown", "takedown", "compact"])
+            if op == "append":
+                new = set(range(next_id, next_id + rng.randrange(2, 5)))
+                next_id = max(new) + 1
+                inverted_index_append(spark, name, docs_df(new))
+                live |= new
+            elif op == "takedown" and live:
+                batch = set(rng.sample(sorted(live), min(len(live), rng.randrange(1, 4))))
+                inverted_index_takedown(spark, name, docs_df(batch))
+                live -= batch
+                dead |= batch
+            else:
+                inverted_index_compact(spark, name)
+                dead = set()
+            ts_name = invidx_tombstone_table(name)
+            ts = (
+                spark.table(ts_name).select("doc_id")
+                if spark.catalog.tableExists(ts_name)
+                and spark.table(ts_name).limit(1).count()
+                else None
+            )
+            got = probes(name, ts)
+            ref = f"{name}_s{step}"
+            build_persisted_index(spark, docs_df(live), ref)
+            want = probes(ref, None)
+            assert got == want, f"seed {seed} step {step} op {op}"
