@@ -624,12 +624,24 @@ def ivf_persisted_cells(spark: SparkSession, sf_dir: str) -> str:
     return materialize_once("ivf_cells", sf_dir, build)
 
 
-def ivf_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_probe_persisted(
+    spark: SparkSession, sf_dir: str, tombstones: DataFrame | None = None
+) -> DataFrame:
     """ANN probe against the persisted cell-partitioned index: same output
     as ``q_similarity_ann_ivf``, but candidates come from a scan of ONLY
     the probed cells' partitions (static IN-list partition filter — the
     probe cells are computed from the query vectors' centroid ranking,
-    metadata-scale like the centroids themselves)."""
+    metadata-scale like the centroids themselves).
+
+    ``tombstones`` (a ``vec_id`` DataFrame, deletion-request-sized) is
+    the ANN half of the takedown story (operators/takedown.py): retired
+    vectors are excluded from the CANDIDATE side with one broadcast
+    anti-join AFTER the partition-pruned scan, so deletions cost nothing
+    at the index (the cell layout and the trained quantizer are
+    untouched — re-clustering is a scheduled re-train, not a delete-path
+    obligation) and the probe's exactness is unchanged: scoring only
+    ever sees live vectors, so results EQUAL ANN over the live corpus
+    under the same quantizer."""
     prepare(spark)
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
     ranking = _ivf_ranking(spark, sf_dir, e)
@@ -647,6 +659,10 @@ def ivf_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned_p = spark.read.parquet(ivf_persisted_cells(spark, sf_dir)).where(
         F.col("cell").isin(cells)
     )
+    if tombstones is not None:
+        assigned_p = assigned_p.join(
+            F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
+        )
     cand = (
         F.broadcast(probes)
         .join(

@@ -116,6 +116,108 @@ def _takedown_assets(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return t, name
 
 
+_ANN_TDN_ASSETS: dict[str, tuple[str, str]] = {}
+
+
+def _ann_takedown_assets(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """``(vector_corpus_table, tombstone_table)`` for the ANN takedown
+    (once per process per sf_dir): v1 ingests the embeddings corpus into
+    a manifest table keyed by ``vec_id``; v2 is the ``delete_keys``
+    takedown of the ``vec_id % 9 == 0`` slice; the v1→v2 change feed's
+    delete images (mode='logged' asserted) feed the tombstone table —
+    the identical CDC composition as the text-index takedown, applied to
+    the third persisted index family (the IVF cell index)."""
+    name = f"ang_ivf_ts_{abs(hash(sf_dir)) % 10**8}"
+    cached = _ANN_TDN_ASSETS.get(sf_dir)
+    if (
+        cached
+        and os.path.isdir(os.path.join(cached[0], _MANIFEST_DIR))
+        and spark.catalog.tableExists(name)
+    ):
+        return cached
+    t = tempfile.mkdtemp(prefix="anglerfish_ann_takedown_")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    upsert(spark, t, e, ["vec_id"], txn_id="atdn-v1")
+    doomed = e.where(F.col("vec_id") % 9 == 0).select("vec_id")
+    delete_keys(spark, t, "vec_id", doomed, txn_id="atdn-v2")
+    if not spark.catalog.tableExists(name):
+        feed, mode = table_changes(spark, t, 1, 2, net=True)
+        assert mode == "logged", mode  # maintenance reads O(deleted rows)
+        feed.where(F.col("_change_type") == "delete").select(
+            "vec_id"
+        ).write.mode("append").saveAsTable(name)
+    _ANN_TDN_ASSETS[sf_dir] = (t, name)
+    return t, name
+
+
+def _ann_takedown_oracle() -> str:
+    from .similarity import N_CENTROIDS, N_PROBE, N_QUERIES, TOP_K, cosine_sql
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+sc AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         {cosine_sql('e.embedding', 'c.ce')} AS cscore
+  FROM embeddings e CROSS JOIN cent c
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cscore DESC, cid) AS crn
+  FROM sc
+),
+assigned AS (
+  SELECT vec_id, label, embedding, cid AS cell
+  FROM ranked WHERE crn = 1 AND vec_id % 9 <> 0
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, cid AS cell
+  FROM ranked WHERE vec_id < {N_QUERIES} AND crn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id, a.label,
+         {cosine_sql('p.qe', 'a.embedding')} AS score
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+rankedq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rn
+  FROM cand
+)
+SELECT query_id, vec_id, label, score, rn
+FROM rankedq WHERE rn <= {TOP_K}
+ORDER BY query_id, rn
+"""
+
+
+@query("q_index_takedown_ann", oracle=_ann_takedown_oracle(), group="llm-similarity")
+def q_index_takedown_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedowns for the THIRD persisted index family — the ANN/IVF cell
+    index: vectors DELETED from the embeddings corpus table must stop
+    appearing as neighbors, with maintenance driven by the table's
+    change feed exactly like the text-index flow.
+
+    The tombstone anti-join lives on the CANDIDATE side of the
+    partition-pruned probe (``similarity.ivf_probe_persisted``), so the
+    persisted cell layout and the trained quantizer are untouched —
+    deletions cost O(deleted batch) (the tombstone append), probes pay
+    one broadcast anti-join, and results are EXACT ANN over the live
+    corpus under the same quantizer: the oracle recomputes cell
+    assignment, probing, and cosine ranking from scratch with the
+    retired vectors excluded, so a stale candidate (or a quantizer that
+    silently dropped probe cells) fails the hash.  Re-clustering after
+    heavy deletion is a scheduled re-train — the q_kmeans_step shape —
+    not a delete-path obligation, the same split every production ANN
+    service makes."""
+    prepare(spark)
+    from .similarity import ivf_probe_persisted
+
+    _t, ts_name = _ann_takedown_assets(spark, sf_dir)
+    ts = spark.table(ts_name).select("vec_id")
+    return ivf_probe_persisted(spark, sf_dir, tombstones=ts)
+
+
 def start_index_takedown_feed(
     spark: SparkSession,
     table: str,

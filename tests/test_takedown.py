@@ -389,3 +389,44 @@ class TestTakedownDifferential:
             build_persisted_index(spark, docs_df(live), ref)
             want = probes(ref, None)
             assert got == want, f"seed {seed} step {step} op {op}"
+
+
+class TestAnnTakedown:
+    """The ANN/IVF half of the takedown story: deleted vectors stop
+    appearing as neighbors, the demo actually flips results, and the
+    tombstone anti-join preserves the partition-pruned probe plan."""
+
+    def test_retired_vectors_leave_the_ranking(self, spark, sf_dir):
+        from anglerfish_spark.operators.similarity import ivf_probe_persisted
+        from anglerfish_spark.operators.takedown import _ann_takedown_assets
+
+        _t, ts_name = _ann_takedown_assets(spark, sf_dir)
+        ts = spark.table(ts_name).select("vec_id")
+        dead = {r.vec_id for r in ts.collect()}
+        assert dead
+        before = [(r.query_id, r.vec_id) for r in ivf_probe_persisted(spark, sf_dir).collect()]
+        after = [
+            (r.query_id, r.vec_id)
+            for r in ivf_probe_persisted(spark, sf_dir, tombstones=ts).collect()
+        ]
+        # the takedown demo must actually change some ranking, and no
+        # retired vector may survive in it
+        assert any(v in dead for _q, v in before), "no retired vec was a neighbor"
+        assert not any(v in dead for _q, v in after)
+        assert before != after
+
+    def test_probe_plan_keeps_partition_pruning_and_broadcasts(self, spark, sf_dir):
+        from anglerfish_spark.operators.similarity import ivf_probe_persisted
+        from anglerfish_spark.operators.takedown import _ann_takedown_assets
+
+        _t, ts_name = _ann_takedown_assets(spark, sf_dir)
+        ts = spark.table(ts_name).select("vec_id")
+        df = ivf_probe_persisted(spark, sf_dir, tombstones=ts)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "PartitionFilters" in plan, plan[:2000]
+        pf = plan.split("PartitionFilters", 1)[1][:200]
+        assert "cell" in pf, pf  # probe cells still prune at scan time
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
