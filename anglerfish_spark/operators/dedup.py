@@ -2030,8 +2030,14 @@ def canonicalize_url(u):
     c = F.regexp_replace(c, r"^(http://[^/?]*):80([/?]|$)", r"$1$2")
     c = F.regexp_replace(c, r"^(https://[^/?]*):443([/?]|$)", r"$1$2")
     base = F.regexp_replace(F.split_part(c, F.lit("?"), F.lit(1)), r"/$", "")
+    # the query is EVERYTHING after the first '?' — split_part(c,'?',2)
+    # would stop at a second literal '?' inside a param value and merge
+    # distinct URLs (ADVICE r11 #3)
+    rawq = F.when(
+        c.contains("?"), c.substr(F.instr(c, "?") + F.lit(1), F.length(c))
+    ).otherwise(F.lit(""))
     params = F.filter(
-        F.split(F.split_part(c, F.lit("?"), F.lit(2)), "&"),
+        F.split(rawq, "&"),
         lambda x: (x != F.lit("")) & ~x.rlike("^utm_[a-z_]+="),
     )
     q = F.array_join(F.array_sort(params), "&")
@@ -2065,7 +2071,8 @@ _URL_QP_SQL = """
     CASE WHEN doc_id % 9 = 0 THEN 'b=2' END,
     CASE WHEN doc_id % 8 = 0 THEN 'utm_campaign=x' END,
     CASE WHEN doc_id % 9 = 0 THEN 'a=1' END,
-    CASE WHEN doc_id % 8 = 0 THEN 'ref=abc' END
+    CASE WHEN doc_id % 8 = 0 THEN 'ref=abc' END,
+    CASE WHEN doc_id % 19 = 0 THEN 'q=what?x' END
   ], x -> x IS NOT NULL)
 """
 
@@ -2092,12 +2099,13 @@ canon AS (
   FROM (
     SELECT doc_id, c,
            ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(
-             STRING_SPLIT(SPLIT_PART(c, '?', 2), '&'),
+             STRING_SPLIT(CASE WHEN instr(c, '?') > 0
+                               THEN substr(c, instr(c, '?') + 1) ELSE '' END, '&'),
              x -> x <> '' AND NOT REGEXP_MATCHES(x, '^utm_[a-z_]+='))), '&') AS q
     FROM pre
   )
 )
-SELECT SPLIT_PART(curl, '/', 3) AS host,
+SELECT SPLIT_PART(SPLIT_PART(curl, '?', 1), '/', 3) AS host,
        CAST(COUNT(*) AS BIGINT) AS n_urls,
        CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
        CAST(MIN(doc_id) AS BIGINT) AS first_doc
@@ -2140,6 +2148,9 @@ def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             opt(k % 8 == 0, "utm_campaign=x"),
             opt(k % 9 == 0, "a=1"),
             opt(k % 8 == 0, "ref=abc"),
+            # literal '?' inside a param value: the canonicalizer must
+            # keep the query whole past it (ADVICE r11 #3)
+            opt(k % 19 == 0, "q=what?x"),
         )
     )
     url = F.concat(
@@ -2164,8 +2175,14 @@ def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 6 == 0, F.lit("#top")).otherwise(F.lit("")),
     )
     canon = d.select("doc_id", canonicalize_url(url).alias("curl"))
+    # the rollup host lives in the AUTHORITY: strip the query first, or a
+    # bare-authority canonical like 'http://h.com?ref=abc' leaks its query
+    # into the host key (ADVICE r11 #4) — oracle applies the same split
+    host = F.split_part(
+        F.split_part(F.col("curl"), F.lit("?"), F.lit(1)), F.lit("/"), F.lit(3)
+    )
     return (
-        canon.groupBy(F.split_part(F.col("curl"), F.lit("/"), F.lit(3)).alias("host"))
+        canon.groupBy(host.alias("host"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_urls"),
             F.count_distinct(F.col("curl")).cast("bigint").alias("n_canonical"),

@@ -95,11 +95,26 @@ class ConditionalPutLogStore(CommitLogStore):
                 return False
             self._claimed.add(key)
         tmp = f"{path}.put-{os.getpid()}-{threading.get_ident()}"
-        with open(tmp, "wb") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, path)  # readers never see a torn object
+        try:
+            with open(tmp, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, path)  # readers never see a torn object
+        except BaseException:
+            # a failed body write must RELEASE the claim (ADVICE r11 #2):
+            # otherwise the version number is claimed forever with no
+            # manifest object behind it and every later commit of the
+            # table raises ConcurrentCommitError — a wedged table.  A
+            # real object store has no such window (the precondition and
+            # the body land in one PUT); the stand-in compensates.
+            with self._lock:
+                self._claimed.discard(key)
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
         return True
 
 

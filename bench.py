@@ -130,10 +130,16 @@ def main() -> None:
                 samples.pop(name, None)
                 continue
             samples.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
+    # times/errors are mutually exclusive BY CONSTRUCTION (ADVICE r11 #5):
+    # the first error pops the query's samples and the `name in errors`
+    # guard above skips it for every remaining pass, so an errored query
+    # can never re-accumulate a truncated sample set whose ts[0] is not
+    # the cold run — the assert pins the invariant against regressions
     times = {
         n: round(statistics.median(ts[1:] if len(ts) > 1 else ts), 3)
         for n, ts in samples.items()
     }
+    assert not set(times) & set(errors), "a query is in both times and errors"
     spread = {
         n: {
             "min": min(ts),

@@ -267,6 +267,10 @@ class TestCanonicalizeUrl:
         ("http://host.com/?utm_x=1", "http://host.com"),
         ("http://host.com/p/?x=80:80", "http://host.com/p?x=80:80"),  # :80 in value
         ("http://host.com:8080/p", "http://host.com:8080/p"),  # non-default port kept
+        # literal '?' inside a param value (ADVICE r11 #3): the query is
+        # everything after the FIRST '?', never truncated at the second
+        ("http://host.com/p?q=what?x&a=1", "http://host.com/p?a=1&q=what?x"),
+        ("http://host.com?q=a?b", "http://host.com?q=a?b"),
     ]
 
     @staticmethod
@@ -303,7 +307,7 @@ class TestCanonicalizeUrl:
 
         rng = random.Random(20261)
         parts = ["utm_source=feed", "utm_campaign=x", "a=1", "b=2", "ref=abc",
-                 "x=80:80", "utm_medium=mail"]
+                 "x=80:80", "utm_medium=mail", "q=what?x"]
         urls = []
         for _ in range(200):
             scheme = rng.choice(["http", "https"])
