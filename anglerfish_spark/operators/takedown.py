@@ -224,39 +224,53 @@ def start_index_takedown_feed(
     index_name: str,
     checkpoint: str,
     starting_version: int = 0,
+    source: str | None = None,
 ):
     """CONTINUOUS index maintenance: stream the corpus table's change
     feed (``streaming.table_feed.read_table_feed``) and retire each
-    micro-batch's DELETE images from the persisted inverted index — the
-    steady-state deployment of :func:`q_index_takedown`'s one-shot
-    composition (delete requests arrive forever; the index maintainer
-    is a standing job, not a cron script).
+    micro-batch's net-DELETED documents from the persisted inverted
+    index — the steady-state deployment of :func:`q_index_takedown`'s
+    one-shot composition (delete requests arrive forever; the index
+    maintainer is a standing job, not a cron script).
+
+    Update-pair netting (ADVICE r11 #1): an UPSERT of an existing doc
+    arrives in the feed as a delete image + an insert image for the same
+    ``doc_id``; only docs whose delete is NOT re-inserted within the
+    batch are takedowns — a doc updated in the corpus stays live in the
+    index (serving its previously indexed content until the separate
+    ingest pipeline re-indexes it; see ``inverted_index_append``'s
+    re-ingest guard for why a tombstone here would corrupt statistics).
+
+    Exactly-once (VERDICT r11 #3): each batch applies through
+    ``inverted_index_takedown(txn=f"{{source}}-b{{batch_id}}")`` — all
+    three artifacts OVERWRITE their own ``src`` partition keyed on
+    (source, batch id), so a crash between the apply and the streaming
+    WAL commit is repaired by the replay rewriting identical partitions,
+    never double-counting negative df.  (The pre-r12 marker-file guard
+    had exactly that double-apply window; the partition key IS the
+    ``txn_id`` replay guard, the manifest-table / keyed-upsert-sink
+    pattern, enforced by the storage layout instead of a side file.)
 
     Cost per micro-batch is O(that batch's deleted rows): the feed
-    serves logged change files, and :func:`text.inverted_index_takedown`
-    appends batch-sized artifacts.  Batch replay is guarded by a marker
-    file per batch id next to the checkpoint (skip-if-applied), making
-    restarts effectively-once under clean recovery; a crash BETWEEN the
-    apply and the marker write can double-apply one batch — production
-    hardening stages the three appends through a transactional table
-    keyed by (source, batch id), exactly the manifest table's own
-    ``txn_id`` replay guard (``streaming/sinks.py`` does this for the
-    keyed-upsert sink).  Returns the StreamingQuery; stop it or use
+    serves logged change files, and the takedown writes batch-sized
+    artifacts.  Returns the StreamingQuery; stop it or use
     ``trigger(availableNow=True)`` semantics via the caller's options."""
     from ..streaming.table_feed import read_table_feed
 
-    markers = os.path.join(checkpoint, "applied")
-    os.makedirs(markers, exist_ok=True)
+    src_tag = source or f"feed{abs(hash((table, index_name))) % 10**8}"
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(markers, f"b{batch_id}")
-        if os.path.exists(marker):
-            return  # replayed batch: already applied
         deleted = batch.where(F.col("_change_type") == "delete").select(
             "doc_id", "text"
         )
-        if deleted.limit(1).count():
-            inverted_index_takedown(spark, index_name, deleted)
+        inserted = batch.where(F.col("_change_type") == "insert").select("doc_id")
+        # net out update pairs: delete images re-inserted in the SAME
+        # batch are content updates of live docs, not takedowns
+        net_deleted = deleted.join(inserted, "doc_id", "left_anti")
+        if net_deleted.limit(1).count():
+            inverted_index_takedown(
+                spark, index_name, net_deleted, txn=f"{src_tag}-b{batch_id}"
+            )
             # the micro-batch runs on a CLONED session — its appends
             # don't invalidate the driving session's relation cache, so
             # refresh the maintained tables or probes read stale state
@@ -266,8 +280,6 @@ def start_index_takedown_feed(
             for tbl in (index_name, dl_name, cs_name,
                         invidx_tombstone_table(index_name)):
                 spark.catalog.refreshTable(tbl)
-        with open(marker, "w") as f:
-            f.write("1")
 
     return (
         read_table_feed(spark, table, starting_version)

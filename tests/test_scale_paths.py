@@ -321,3 +321,213 @@ class TestPhraseAndBm25Persisted:
         a = _rows(qs["q_inverted_bm25_persisted"].fn(spark, sf_dir))
         b = _rows(qs["q_inverted_bm25_incremental"].fn(spark, sf_dir))
         assert a == b
+
+
+class TestPostingsSharding:
+    """r12 (VERDICT r11 #1): the PERSISTED postings layout shards a term's
+    postings by doc range — a stop-word-frequency term can never
+    concentrate a corpus-sized array into one row (the 2 GB single-row /
+    single-task ceiling at 100x scale) — and shards are invisible to every
+    probe: boolean, phrase, and BM25 results are shard-width-invariant."""
+
+    def _docs(self, spark):
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.operators.text import _SEARCH_TERMS
+
+        t0, t1, t2 = _SEARCH_TERMS
+        rows = [
+            (
+                i,
+                "hot doc "
+                + (f"{t0} {t1} " if i % 3 == 0 else "")
+                + (f"{t2} " if i % 5 == 0 else "")
+                + f"hot tail{i % 7}",
+            )
+            for i in range(120)
+        ]
+        return local_df(spark, rows, ["doc_id", "text"]).select(
+            F.col("doc_id").cast("long"), "text"
+        )
+
+    def test_hot_term_bounded_rows_and_shard_width_invariance(
+        self, spark, monkeypatch
+    ):
+        import uuid
+
+        from anglerfish_spark.operators.text import (
+            _SEARCH_TERMS,
+            bm25_index_search,
+            boolean_search,
+            build_persisted_index,
+            build_positional_index,
+            phrase_search,
+        )
+
+        docs = self._docs(spark)
+        monkeypatch.setenv("ANGLERFISH_INVIDX_SHARD_DOCS", "16")
+        name = f"ang_shardidx_{uuid.uuid4().hex[:8]}"
+        build_persisted_index(spark, docs, name)
+        monkeypatch.setenv("ANGLERFISH_INVIDX_SHARD_DOCS", "1000000")
+        wide = f"ang_wideidx_{uuid.uuid4().hex[:8]}"
+        build_persisted_index(spark, docs, wide)
+
+        idx, idx_wide = spark.table(name), spark.table(wide)
+        # the hot term (every doc) really is sharded, every row bounded
+        assert idx.where(F.col("term") == "hot").count() >= 120 // 16
+        assert idx.select(F.max(F.size("postings"))).first()[0] <= 16
+        assert idx_wide.where(F.col("term") == "hot").count() == 1
+
+        def rows(df):
+            return sorted(tuple(r) for r in df.collect())
+
+        # shards are probe-invisible: narrow == wide == in-memory build
+        mem = build_positional_index(docs)
+        a, o = _SEARCH_TERMS[:2], _SEARCH_TERMS[2:]
+        assert rows(boolean_search(idx, a, o)) == rows(boolean_search(mem, a, o))
+        assert rows(boolean_search(idx, a, o)) == rows(boolean_search(idx_wide, a, o))
+        assert rows(phrase_search(idx, ["hot", "doc"])) == rows(
+            phrase_search(mem, ["hot", "doc"])
+        )
+        assert rows(bm25_index_search(spark, name, ("hot", *a))) == rows(
+            bm25_index_search(spark, wide, ("hot", *a))
+        )
+
+    def test_compaction_folds_to_canonical_bounded_shards(self, spark, monkeypatch):
+        import uuid
+
+        from anglerfish_spark.operators.text import (
+            _SEARCH_TERMS,
+            bm25_index_search,
+            build_persisted_index,
+            inverted_index_append,
+            inverted_index_compact,
+            inverted_index_takedown,
+            invidx_tombstone_table,
+        )
+
+        monkeypatch.setenv("ANGLERFISH_INVIDX_SHARD_DOCS", "16")
+        docs = self._docs(spark)
+        name = f"ang_shardlife_{uuid.uuid4().hex[:8]}"
+        build_persisted_index(spark, docs.where("doc_id < 70"), name)
+        inverted_index_append(spark, name, docs.where("doc_id >= 70"))
+        inverted_index_takedown(spark, name, docs.where("doc_id % 10 = 0"))
+        ts = spark.table(invidx_tombstone_table(name)).select("doc_id")
+        terms = ("hot", *_SEARCH_TERMS[:2])
+        before = sorted(
+            tuple(r) for r in bm25_index_search(spark, name, terms, tombstones=ts).collect()
+        )
+        inverted_index_compact(spark, name)
+        after = sorted(
+            tuple(r) for r in bm25_index_search(spark, name, terms).collect()
+        )
+        assert after == before
+        idx = spark.table(name)
+        # canonical fold: one row per (term, shard), every row bounded,
+        # no negative fragments left
+        assert idx.groupBy("term", "shard").count().where("count > 1").count() == 0
+        assert idx.select(F.max(F.size("postings"))).first()[0] <= 16
+        assert idx.where(F.col("df") <= 0).count() == 0
+
+
+class TestDedupIndexCompaction:
+    """r12 (VERDICT r11 #5): the persisted fp/band dedup index gets the
+    same physical tombstone fold the inverted index has — probe results
+    pinned across the fold, tombstone table truncated, bucketed layout
+    (and thus the zero-exchange probe plan) preserved."""
+
+    def _mk(self, spark, tmp_path):
+        import os
+        import uuid
+
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.operators.dedup import INDEX_BUCKETS, lsh_bands, tokens
+
+        # texts repeat every 6 ids -> batch docs have exact+near matches
+        rows = [(i, f"alpha beta gamma delta{i % 6} epsilon zeta") for i in range(30)]
+        docs = local_df(spark, rows, ["doc_id", "text"]).select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        tag = uuid.uuid4().hex[:8]
+        fp_t, band_t, ts_t = f"cfp_{tag}", f"cband_{tag}", f"cts_{tag}"
+        fp = F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens()))).cast("binary")
+        )
+        idx = docs.where("doc_id >= 10")  # index side; 0..9 are the probe batch
+        (
+            idx.select("doc_id", fp.alias("fp"))
+            .write.mode("overwrite")
+            .option("path", os.path.join(str(tmp_path), fp_t))
+            .bucketBy(INDEX_BUCKETS, "fp")
+            .sortBy("fp")
+            .saveAsTable(fp_t)
+        )
+        (
+            lsh_bands(idx)
+            .select("doc_id", "band_id", "band_key")
+            .write.mode("overwrite")
+            .option("path", os.path.join(str(tmp_path), band_t))
+            .bucketBy(INDEX_BUCKETS, "band_id", "band_key")
+            .sortBy("band_id", "band_key")
+            .saveAsTable(band_t)
+        )
+        # retire every index doc congruent to 4 mod 6: batch doc 4's ONLY
+        # exact match set (ids 10..29 with i%6==4 -> 16, 22, 28)
+        docs.where("doc_id >= 10 and doc_id % 6 = 4").select("doc_id").write.mode(
+            "overwrite"
+        ).option("path", os.path.join(str(tmp_path), ts_t)).saveAsTable(ts_t)
+        batch = docs.where("doc_id < 10").select("doc_id", fp.alias("fp"))
+        batch_bands = lsh_bands(docs.where("doc_id < 10"))
+        return fp_t, band_t, ts_t, batch, batch_bands
+
+    def _probes(self, spark, fp_t, band_t, batch, batch_bands, ts):
+        fp_idx = spark.table(fp_t)
+        band_idx = spark.table(band_t)
+        if ts is not None:
+            fp_idx = fp_idx.join(F.broadcast(ts), "doc_id", "left_anti")
+            band_idx = band_idx.join(F.broadcast(ts), "doc_id", "left_anti")
+        exact = sorted(
+            r.doc_id
+            for r in batch.join(fp_idx.select("fp"), "fp", "left_semi").collect()
+        )
+        near = sorted(
+            r.doc_id
+            for r in batch_bands.join(
+                band_idx.select("band_id", "band_key"),
+                ["band_id", "band_key"],
+                "left_semi",
+            )
+            .select("doc_id")
+            .distinct()
+            .collect()
+        )
+        return exact, near
+
+    def test_fold_pins_probes_truncates_ts_keeps_bucketed_plan(
+        self, spark, tmp_path
+    ):
+        from anglerfish_spark.operators.dedup import dedup_index_compact
+
+        fp_t, band_t, ts_t, batch, batch_bands = self._mk(spark, tmp_path)
+        ts = spark.table(ts_t).select("doc_id")
+        before = self._probes(spark, fp_t, band_t, batch, batch_bands, ts)
+        # the tombstones actually change the outcome (doc 4's only match
+        # group was retired), or this test pins nothing
+        unfiltered = self._probes(spark, fp_t, band_t, batch, batch_bands, None)
+        assert before != unfiltered
+        assert 4 not in before[0] and 4 in unfiltered[0]
+
+        dedup_index_compact(spark, fp_t, band_t, tombstone_table=ts_t)
+        after = self._probes(spark, fp_t, band_t, batch, batch_bands, None)
+        assert after == before
+        # tombstones truncated; probes run tombstone-free again
+        assert spark.table(ts_t).count() == 0
+        # retired docs are physically gone
+        assert spark.table(fp_t).where("doc_id % 6 = 4").count() == 0
+        # bucketed layout preserved: the probe join still reads the index
+        # side with NO exchange (write-time bucket contract)
+        with _no_broadcast(spark):
+            probe = batch.join(spark.table(fp_t).select("fp"), "fp", "left_semi")
+            plan = _executed(probe)
+        assert "Bucketed: true" in plan, f"compacted index scan not bucketed:\n{plan}"
+        n_exch = plan.count("Exchange hashpartitioning")
+        assert n_exch == 1, f"expected 1 exchange (batch side), got {n_exch}:\n{plan}"

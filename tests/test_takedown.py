@@ -218,11 +218,13 @@ class TestTakedownLifecycle:
             for r in phrase_search(spark.table(name), ["alpha"]).collect()
         )
         assert ph_after == ph_before
-        # folded state: one positive row per term, empty tombstones,
-        # exactly one consts row summing to the live collection
+        # folded state: one positive row per (term, canonical shard) —
+        # the r12 bounded-postings layout (VERDICT r11 #1) — empty
+        # tombstones, exactly one consts row summing to the live
+        # collection
         idx = spark.table(name)
         assert idx.where(F.col("df") <= 0).count() == 0
-        assert idx.groupBy("term").count().where("count > 1").count() == 0
+        assert idx.groupBy("term", "shard").count().where("count > 1").count() == 0
         assert spark.table(invidx_tombstone_table(name)).count() == 0
         _dl, cs = _invidx_side_names(name)
         assert spark.table(cs).count() == 1
@@ -430,3 +432,244 @@ class TestAnnTakedown:
         assert "cell" in pf, pf  # probe cells still prune at scan time
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
         assert "SortMergeJoin" not in plan, plan
+
+
+class TestTransactionalFeed:
+    """r12 (VERDICT r11 #3 + ADVICE r11 #1): the feed's batch apply is
+    exactly-once via partition-keyed transactional writes — a crash AFTER
+    the index artifacts land but BEFORE the streaming WAL commits the
+    batch must not double-count negative df on replay — and update pairs
+    (delete+insert of the same doc_id within a batch) are netted out, so
+    a live-but-updated doc is never tombstoned."""
+
+    def _corpus(self, spark, n=24):
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.operators.text import _SEARCH_TERMS
+
+        t0, t1, t2 = _SEARCH_TERMS
+        rows = [
+            (i, f"{t0} red {t1} blue {t2} green doc{i} " * (1 + i % 4))
+            for i in range(n)
+        ]
+        return local_df(spark, rows, ["doc_id", "text"]).select(
+            F.col("doc_id").cast("long"), "text"
+        )
+
+    def test_crash_between_apply_and_wal_commit_is_exactly_once(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import uuid
+
+        import pytest
+
+        import anglerfish_spark.operators.takedown as td
+        from anglerfish_spark.operators.text import (
+            _bm25_from_persisted,
+            _invidx_side_names,
+            build_persisted_index,
+            invidx_tombstone_table,
+        )
+        from anglerfish_spark.sources.manifest_table import delete_keys, snapshot, upsert
+
+        docs = self._corpus(spark)
+        t = str(tmp_path / "corpus")
+        upsert(spark, t, docs, ["doc_id"], txn_id="v1")
+        name = f"ang_tdntxn_{uuid.uuid4().hex[:8]}"
+        build_persisted_index(spark, snapshot(spark, t, 1), name)
+        delete_keys(spark, t, "doc_id", docs.where("doc_id in (2, 9, 17)").select("doc_id"))
+
+        real = td.inverted_index_takedown
+        calls = {"n": 0}
+
+        def crash_after_apply(spark_, name_, deleted_, txn=None):
+            out = real(spark_, name_, deleted_, txn=txn)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                # the VERDICT r11 #3 window: artifacts applied, batch not
+                # yet committed to the streaming WAL
+                raise RuntimeError("crash after apply, before WAL commit")
+            return out
+
+        monkeypatch.setattr(td, "inverted_index_takedown", crash_after_apply)
+        ckpt = str(tmp_path / "ckpt")
+        q = td.start_index_takedown_feed(spark, t, name, ckpt, starting_version=1)
+        with pytest.raises(Exception):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+        assert calls["n"] == 1  # artifacts really were applied once already
+
+        # restart on the same checkpoint: the batch REPLAYS and rewrites
+        # its own txn partitions — converging, not double-applying
+        q = td.start_index_takedown_feed(spark, t, name, ckpt, starting_version=1)
+        q.awaitTermination(120)
+        assert calls["n"] == 2
+
+        ts = spark.table(invidx_tombstone_table(name))
+        # no duplicated tombstones (total == distinct == the deleted set)
+        assert sorted(r.doc_id for r in ts.collect()) == [2, 9, 17]
+        # collection statistics exact: a double-applied negative consts
+        # row would undercount n_docs by 3
+        _dl, cs = _invidx_side_names(name)
+        s = spark.table(cs).agg(
+            F.sum("n_docs").alias("n"), F.sum("total_len").alias("l")
+        ).first()
+        assert s.n == 24 - 3
+        # score-exact BM25 vs a fresh build over the live corpus (catches
+        # double-counted negative df even where counts happen to survive)
+        got = [
+            tuple(r)
+            for r in _bm25_from_persisted(spark, name, tombstones=ts.select("doc_id")).collect()
+        ]
+        ref = f"{name}_ref"
+        build_persisted_index(spark, snapshot(spark, t), ref)
+        want = [tuple(r) for r in _bm25_from_persisted(spark, ref).collect()]
+        assert got == want and got
+
+    def test_update_pairs_are_netted_not_tombstoned(self, spark, tmp_path):
+        import uuid
+
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.operators.takedown import start_index_takedown_feed
+        from anglerfish_spark.operators.text import (
+            _invidx_side_names,
+            boolean_search,
+            build_persisted_index,
+            invidx_tombstone_table,
+        )
+        from anglerfish_spark.sources.manifest_table import delete_keys, snapshot, upsert
+
+        docs = self._corpus(spark, n=10)
+        t = str(tmp_path / "corpus")
+        upsert(spark, t, docs, ["doc_id"], txn_id="v1")
+        name = f"ang_tdnnet_{uuid.uuid4().hex[:8]}"
+        build_persisted_index(spark, snapshot(spark, t, 1), name)
+        # v2: UPDATE doc 3 (upsert new content → delete+insert pair in
+        # the feed) and DELETE doc 5 in the same commit
+        upd = local_df(spark, [(3, "updated fresh content")], ["doc_id", "text"]).select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        upsert(spark, t, upd, ["doc_id"], txn_id="v2")
+        delete_keys(spark, t, "doc_id", docs.where("doc_id = 5").select("doc_id"))
+        ckpt = str(tmp_path / "ckpt")
+        q = start_index_takedown_feed(spark, t, name, ckpt, starting_version=1)
+        q.awaitTermination(120)
+        ts = spark.table(invidx_tombstone_table(name))
+        # ADVICE r11 #1: the update's delete image is NOT a takedown —
+        # only the true delete lands in the tombstones
+        assert sorted(r.doc_id for r in ts.collect()) == [5]
+        # the updated doc stays live in the index (serving its indexed
+        # content until re-indexed), and statistics reflect ONE removal
+        hits = boolean_search(
+            spark.table(name), ["red"], tombstones=ts.select("doc_id")
+        )
+        ids = {r.doc_id for r in hits.collect()}
+        assert 3 in ids and 5 not in ids
+        _dl, cs = _invidx_side_names(name)
+        assert spark.table(cs).agg(F.sum("n_docs")).first()[0] == 10 - 1
+
+
+class TestReingestGuard:
+    def test_append_of_tombstoned_doc_raises_until_compaction(self, spark):
+        import uuid
+
+        import pytest
+
+        from anglerfish_spark.operators.text import (
+            build_persisted_index,
+            inverted_index_append,
+            inverted_index_compact,
+            inverted_index_takedown,
+        )
+        from anglerfish_spark.localdata import local_df
+
+        def docs_df(rows):
+            return local_df(spark, rows, ["doc_id", "text"]).select(
+                F.col("doc_id").cast("long"), "text"
+            )
+
+        name = f"ang_reingest_{uuid.uuid4().hex[:8]}"
+        build_persisted_index(
+            spark, docs_df([(i, f"alpha beta doc{i}") for i in range(8)]), name
+        )
+        inverted_index_takedown(spark, name, docs_df([(3, "alpha beta doc3")]))
+        # silent-corruption path made loud (ADVICE r11 #1): re-ingesting a
+        # tombstoned doc would mask its new postings while counting them
+        # in consts, then compaction would physically drop them
+        with pytest.raises(ValueError, match="tombstoned"):
+            inverted_index_append(spark, name, docs_df([(3, "alpha reborn")]))
+        inverted_index_compact(spark, name)
+        inverted_index_append(spark, name, docs_df([(3, "alpha reborn")]))
+        from anglerfish_spark.operators.text import boolean_search
+
+        ids = {r.doc_id for r in boolean_search(spark.table(name), ["reborn"]).collect()}
+        assert ids == {3}
+
+
+class TestIvfMaintenance:
+    """r12 (VERDICT r11 #6): one call composes the IVF tombstone fold
+    (and optionally the scheduled re-train) — post-fold probes with
+    ``tombstones=None`` are identical, the rewritten layout keeps
+    partition pruning, and the retrained cells equal a scratch
+    reassignment under the returned quantizer."""
+
+    def _rows(self, df):
+        return [tuple(r) for r in df.collect()]
+
+    def test_fold_pins_probes_and_clears_tombstone_debt(self, spark, sf_dir):
+        from anglerfish_spark.operators.similarity import (
+            ivf_index_maintain,
+            ivf_probe_persisted,
+        )
+        from anglerfish_spark.operators.takedown import _ann_takedown_assets
+
+        _t, ts_name = _ann_takedown_assets(spark, sf_dir)
+        ts = spark.table(ts_name).select("vec_id")
+        before = self._rows(ivf_probe_persisted(spark, sf_dir, tombstones=ts))
+        new_path, cents = ivf_index_maintain(spark, sf_dir, ts)
+        after = self._rows(ivf_probe_persisted(spark, sf_dir, cells_path=new_path))
+        assert after == before and after
+        # the fold is physical: no retired vector remains in the files
+        live = spark.read.parquet(new_path)
+        assert live.join(ts, "vec_id", "left_semi").count() == 0
+        # and the rewritten layout still prunes partitions at scan time
+        df = ivf_probe_persisted(spark, sf_dir, cells_path=new_path)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = [
+            ln for ln in plan.splitlines() if "PartitionFilters" in ln and "cell" in ln
+        ]
+        assert lines, f"no partition-pruned scan over cell:\n{plan}"
+
+    def test_retrain_matches_scratch_reassignment(self, spark, sf_dir):
+        from anglerfish_spark.operators.similarity import (
+            _cell_ranking,
+            ivf_index_maintain,
+            ivf_probe_persisted,
+        )
+        from anglerfish_spark.operators.takedown import _ann_takedown_assets
+        from anglerfish_spark.sources.registry import load_table
+
+        _t, ts_name = _ann_takedown_assets(spark, sf_dir)
+        ts = spark.table(ts_name).select("vec_id")
+        path, cents = ivf_index_maintain(spark, sf_dir, ts, retrain=True)
+        # scratch reassignment of the live corpus under the RETURNED
+        # quantizer must equal the rewritten cells exactly
+        e = load_table(spark, sf_dir, "embeddings").join(
+            ts, "vec_id", "left_anti"
+        )
+        best = F.element_at(_cell_ranking(F.col("embedding"), cents), -1)
+        want = sorted(
+            (r.vec_id, r.cell)
+            for r in e.select("vec_id", (best["nc"] * -1).alias("cell")).collect()
+        )
+        got = sorted(
+            (r.vec_id, r.cell)
+            for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+        )
+        assert got == want and got
+        # probing the retrained layout under its quantizer serves only
+        # live vectors
+        res = ivf_probe_persisted(spark, sf_dir, cells_path=path, centroids=cents)
+        dead = {r.vec_id for r in ts.collect()}
+        assert res.count() > 0
+        assert not any(r.vec_id in dead for r in res.collect())
