@@ -1045,6 +1045,71 @@ def dedup_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return names
 
 
+def dedup_index_compact(
+    spark: SparkSession,
+    fp_table: str,
+    band_table: str,
+    tombstone_table: str | None = None,
+    tombstones: DataFrame | None = None,
+) -> None:
+    """Physically fold takedown tombstones into the persisted dedup index
+    (VERDICT r11 #5) — the fp/band mirror of
+    ``text.inverted_index_compact``: between compactions, probes retire
+    deleted docs with a broadcast anti-join against the tombstone table;
+    the fold makes that retirement PHYSICAL so tombstones stop
+    accumulating and probes pass ``tombstones=None`` again.
+
+    One pass over the INDEX ARTIFACTS (the corpus is never read): each
+    table drops its tombstoned rows with one broadcast anti-join and is
+    rewritten in the IDENTICAL bucket layout (``bucketBy(INDEX_BUCKETS,
+    probe keys)`` + sortBy — plan-asserted in tests/test_takedown.py, so
+    the zero-exchange index side of every probe survives the fold);
+    ``tombstone_table`` is then truncated.  Probe results are pinned
+    across the fold: a doc the anti-join retired is now absent from the
+    files, nothing else changes.
+
+    Pass EITHER ``tombstone_table`` (truncated after the fold) or a
+    ``tombstones`` DataFrame (when the tombstones live in a table shared
+    with other index families — e.g. the inverted index's ``{name}_ts``
+    — truncate it only after the LAST family folds).
+
+    100 TB shape: cost is O(index) — it IS the compaction, scheduled by
+    tombstone growth exactly like fragment growth schedules the inverted
+    index's fold; day-to-day deletions stay O(deleted batch)."""
+    import os
+    import uuid
+
+    global _INDEX_DIR
+    if _INDEX_DIR is None:
+        import tempfile
+
+        _INDEX_DIR = tempfile.mkdtemp(prefix="anglerfish_dedup_idx_")
+    if tombstones is None:
+        if tombstone_table is None:
+            raise ValueError("need tombstone_table or tombstones")
+        tombstones = spark.table(tombstone_table)
+    ts = tombstones.select("doc_id").distinct().localCheckpoint(eager=True)
+    for name, keys in ((fp_table, ("fp",)), (band_table, ("band_id", "band_key"))):
+        live = (
+            spark.table(name)
+            .join(F.broadcast(ts), "doc_id", "left_anti")
+            .localCheckpoint(eager=True)  # break lineage before overwrite
+        )
+        (
+            live.write.mode("overwrite")
+            .option("path", os.path.join(_INDEX_DIR, f"{name}_{uuid.uuid4().hex[:8]}"))
+            .bucketBy(INDEX_BUCKETS, *keys)
+            .sortBy(*keys)
+            .saveAsTable(name)
+        )
+    if tombstone_table is not None:
+        empty = spark.table(tombstone_table).limit(0).localCheckpoint(eager=True)
+        empty.write.mode("overwrite").option(
+            "path",
+            os.path.join(_INDEX_DIR, f"{tombstone_table}_{uuid.uuid4().hex[:8]}"),
+        ).saveAsTable(tombstone_table)
+
+
 # ---------------------------------------------------------------------------
 # triangle counting over the near-dup graph
 # ---------------------------------------------------------------------------
@@ -1111,6 +1176,21 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_K = 32  # coarse clusters (centroids = vec_id < K; the paper scales K to hold cell sizes constant - 8 left ~250-vector cells and a 255k-pair quadratic at sf0.1, 32 holds ~63 and ~16k)
+#: target mean cell population of the COMPOSED curation pipeline's
+#: semantic stage (VERDICT r11 #7): its centroid count scales with the
+#: corpus — K = max(SEMDEDUP_K, ceil(N / this)) — so within-cell pair
+#: work grows LINEARLY with N (K cells × bounded-cell² ≈ N × target),
+#: not quadratically as a fixed K would; engine and oracle compute the
+#: same K from the same corpus count
+CURATION_CELL_TARGET = 64
+
+
+def _curation_sem_k_sql() -> str:
+    """The corpus-scaled centroid count as a DuckDB scalar subquery."""
+    return (
+        f"(SELECT GREATEST({SEMDEDUP_K}, CAST(CEIL(COUNT(*) / "
+        f"{CURATION_CELL_TARGET}.0) AS BIGINT)) FROM embeddings)"
+    )
 SEMDEDUP_TAU = 0.99  # within-cluster cosine above which the pair is semantic-dup
 
 
@@ -1470,7 +1550,8 @@ near_removed AS (
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 surv2 AS (SELECT doc_id FROM surv1 WHERE doc_id NOT IN (SELECT doc_id FROM near_removed)),
-cents AS (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings WHERE vec_id < {SEMDEDUP_K}),
+cents AS (SELECT vec_id AS cell_id, embedding AS ce FROM embeddings
+          WHERE vec_id < {_curation_sem_k_sql()}),
 assign AS (
   SELECT e.vec_id, e.embedding AS emb, c.cell_id,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -1660,7 +1741,18 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    cents = e.where(F.col("vec_id") < SEMDEDUP_K).select(
+    # corpus-scaled centroid count (VERDICT r11 #7): holds mean cell
+    # population ≈ CURATION_CELL_TARGET, so the within-cell pair join is
+    # K × cell² ≈ N × target — linear in corpus size; the count is one
+    # parquet-metadata read, and the oracle computes the SAME K with a
+    # scalar subquery (at sf ≤ 0.1 it equals the old fixed SEMDEDUP_K)
+    import math
+
+    sem_k = max(
+        SEMDEDUP_K,
+        math.ceil(load_table(spark, sf_dir, "embeddings").count() / CURATION_CELL_TARGET),
+    )
+    cents = e.where(F.col("vec_id") < sem_k).select(
         F.col("vec_id").alias("cell_id"), as_double.alias("ce")
     )
     vec2 = e.join(

@@ -625,7 +625,11 @@ def ivf_persisted_cells(spark: SparkSession, sf_dir: str) -> str:
 
 
 def ivf_probe_persisted(
-    spark: SparkSession, sf_dir: str, tombstones: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    tombstones: DataFrame | None = None,
+    cells_path: str | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """ANN probe against the persisted cell-partitioned index: same output
     as ``q_similarity_ann_ivf``, but candidates come from a scan of ONLY
@@ -641,10 +645,20 @@ def ivf_probe_persisted(
     untouched — re-clustering is a scheduled re-train, not a delete-path
     obligation) and the probe's exactness is unchanged: scoring only
     ever sees live vectors, so results EQUAL ANN over the live corpus
-    under the same quantizer."""
+    under the same quantizer.
+
+    ``cells_path`` probes an EXPLICIT cell layout (a maintenance rewrite,
+    :func:`ivf_index_maintain`) instead of the sf_dir's registered one;
+    ``centroids`` ranks probe cells under an explicit quantizer (a
+    re-trained one) instead of the cached vec_id-seeded set — both
+    default to the standing demo index."""
     prepare(spark)
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
-    ranking = _ivf_ranking(spark, sf_dir, e)
+    ranking = (
+        _cell_ranking(F.col("embedding"), centroids)
+        if centroids is not None
+        else _ivf_ranking(spark, sf_dir, e)
+    )
     probe_cells = F.array(
         *[(F.element_at(ranking, -1 - i)["nc"] * -1) for i in range(N_PROBE)]
     )
@@ -656,9 +670,9 @@ def ivf_probe_persisted(
     # the probed cell set is N_QUERIES*N_PROBE ids — driver-side by design,
     # exactly how an ANN service turns a query into a partition predicate
     cells = sorted({r["probe_cell"] for r in probes.select("probe_cell").distinct().collect()})
-    assigned_p = spark.read.parquet(ivf_persisted_cells(spark, sf_dir)).where(
-        F.col("cell").isin(cells)
-    )
+    assigned_p = spark.read.parquet(
+        cells_path or ivf_persisted_cells(spark, sf_dir)
+    ).where(F.col("cell").isin(cells))
     if tombstones is not None:
         assigned_p = assigned_p.join(
             F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
@@ -682,6 +696,68 @@ def ivf_probe_persisted(
         .where(F.col("rn") <= TOP_K)
         .orderBy("query_id", "rn")
     )
+
+
+def ivf_index_maintain(
+    spark: SparkSession,
+    sf_dir: str,
+    tombstones: DataFrame,
+    cells_path: str | None = None,
+    retrain: bool = False,
+) -> tuple[str, list[tuple[int, list[float]]]]:
+    """ONE maintenance call for the persisted IVF cell index (VERDICT r11
+    #6): physically fold accumulated takedown tombstones into the
+    cell-partitioned layout, optionally composing the scheduled RE-TRAIN
+    the delete path deliberately defers.  Returns ``(new_cells_path,
+    centroids)`` — the rewritten layout and the quantizer its cells are
+    assigned under (pass both to :func:`ivf_probe_persisted`).
+
+    * **fold** — drop tombstoned vectors with one broadcast anti-join and
+      rewrite ``partitionBy("cell")`` to a fresh path; the quantizer is
+      untouched, so post-fold probes with ``tombstones=None`` are
+      IDENTICAL to pre-fold probes with the tombstone filter
+      (test-pinned in tests/test_takedown.py) and tombstones stop
+      accumulating — the same LSM contract as the text/dedup folds.
+    * **retrain** (``retrain=True``) — one spherical k-means update over
+      the LIVE vectors (the ``q_kmeans_step`` shape: per-cell mean, K
+      driver-side rows), then REASSIGN every live vector to its nearest
+      updated centroid and rewrite the cells — the periodic re-cluster
+      that repairs cell balance after heavy deletion.  Probing the
+      returned layout requires the returned centroids (the quantizer and
+      the assignment must agree; the demo index's registered queries
+      keep their own vec_id-seeded quantizer, which is why maintenance
+      returns a NEW path instead of mutating the shared one).
+
+    100 TB shape: the fold is partition-parallel over cell files with a
+    broadcast tombstone set; the retrain adds one broadcast-assign map
+    pass + one K×DIM aggregation — the corpus never shuffles."""
+    prepare(spark)
+    e = load_table(spark, sf_dir, "embeddings", fanout=True)
+    src = cells_path or ivf_persisted_cells(spark, sf_dir)
+    live = spark.read.parquet(src).join(
+        F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
+    )
+    cents = _centroids(e)
+    if retrain:
+        # Lloyd update over live vectors: new centroid = per-cell mean
+        # (K×DIM driver rows — metadata-scale, like an MLlib model)
+        means = (
+            live.groupBy("cell")
+            .agg(*[F.avg(F.col("embedding")[i]).alias(f"m{i}") for i in range(DIM)])
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cell"]), [float(r[f"m{i}"]) for i in range(DIM)]) for r in means
+        )
+        best = F.element_at(_cell_ranking(F.col("embedding"), cents), -1)
+        live = live.select(
+            "vec_id", "label", "embedding", (best["nc"] * -1).alias("cell")
+        )
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="anglerfish_ivf_maint_") + "/cells"
+    live.write.partitionBy("cell").parquet(out)
+    return out, cents
 
 
 @query(
