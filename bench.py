@@ -82,7 +82,95 @@ HEADLINE = [
     # histogram-based per-language length quantiles
     "q_index_takedown",
     "q_length_quantiles",
+    # r12 widening: the parameterized BM25 API under a second term set
+    # (sharded persisted postings) and the REAL stdlib WAV decode sweep
+    "q_inverted_bm25_terms",
+    "q_multimodal_wav_decode",
 ]
+
+
+def _run_calibrators(spark) -> dict[str, float]:
+    """Build the frozen calibration dataset once (setup, excluded) and
+    time each calibrator job as min-of-3 (the ambient-noise floor is the
+    signal here; medians would fold noise INTO the yardstick)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="anglerfish_cal_")
+    base = os.path.join(root, "cal.parquet")
+    (
+        spark.range(2_000_000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 100_000).alias("k"),
+            # bounded so ANSI-mode sums can never overflow BIGINT
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("h"),
+        )
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+
+    def scan_agg():
+        df = spark.read.parquet(base)
+        (
+            df.where(F.col("h") % 3 != 0)
+            .groupBy(F.col("k") % 1024)
+            .agg(F.sum("h"), F.count(F.lit(1)))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def shuffle_join():
+        df = spark.read.parquet(base)
+        a = df.select("k", "h").where(F.col("id") % 2 == 0)
+        b = df.select(F.col("k").alias("k2"), F.col("h").alias("h2")).where(
+            F.col("id") % 2 == 1
+        )
+        (
+            a.join(b.hint("merge"), a.k == b.k2)
+            .groupBy(a.k % 64)
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    def arrow_udf():
+        import pandas as pd
+
+        def fold(batches):
+            for pdf in batches:
+                yield pd.DataFrame({"s": [int(pdf["h"].sum())], "n": [len(pdf)]})
+
+        df = spark.read.parquet(base).limit(500_000)
+        (
+            df.mapInPandas(fold, "s long, n long")
+            .groupBy()
+            .sum("s", "n")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    out: dict[str, float] = {}
+    for name, job in (
+        ("cal_scan_agg", scan_agg),
+        ("cal_shuffle_join", shuffle_join),
+        ("cal_arrow_udf", arrow_udf),
+    ):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            try:
+                job()
+            except Exception:  # noqa: BLE001 - calibration must not kill the bench
+                break
+            ts.append(time.perf_counter() - t0)
+        if ts:
+            out[name] = round(min(ts), 3)
+    return out
 
 
 def main() -> None:
@@ -101,6 +189,15 @@ def main() -> None:
         qs[names[0]].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
+
+    # ENGINE-INDEPENDENT calibrators (VERDICT r11 #2): three fixed jobs
+    # over frozen, sf-independent data — a parquet scan+agg, a shuffle
+    # join, an Arrow-batched mapInPandas pass.  Their wall time tracks the
+    # MACHINE (ambient load, JVM, IO), never the engine, so a reader can
+    # separate baseline drift from engine regression without re-running:
+    # if headline queries and calibrators move together across rounds,
+    # the box drifted; if queries move alone, the engine did.
+    calibrators = _run_calibrators(spark)
 
     # five passes per query; the HEADLINE per-query number is the MEDIAN
     # of the four warm passes (pass 1 pays one-off JIT/codegen/footer
@@ -182,6 +279,16 @@ def main() -> None:
         "min_total_sec": round(sum(s["min"] for s in spread.values()), 3),
         "first_run_total_sec": round(sum(s["first"] for s in spread.values()), 3),
     }
+    # calibration block (VERDICT r11 #2): machine yardstick + each
+    # headline query as a RATIO to it — cross-round deltas in the ratio
+    # isolate engine changes from box drift
+    if calibrators:
+        cal_total = round(sum(calibrators.values()), 3)
+        payload["calibrators"] = calibrators
+        payload["cal_total_sec"] = cal_total
+        payload["queries_vs_cal"] = {
+            n: round(t / cal_total, 3) for n, t in times.items()
+        }
     # stand-in generation (Kafka-message encode, OCF producer writes) is
     # setup a real consumer never pays — materialized once per process
     # (sources/standin.py), reported separately, excluded from best-of-N
