@@ -8,11 +8,14 @@ move through Arrow record batches, never row-at-a-time Python.  Partitioning
 guidance: payload tables should be partitioned by size-balanced keys
 (payload bytes dominate task skew, not row counts).
 
-The actual media decode is STUBBED here (no imaging libs in this
-container): :func:`decode_image` raises ``NotImplementedError`` and the
-pipeline uses :func:`fake_features` — a deterministic byte-level feature
-extractor — so the Spark-side plumbing (schema, batching, UDF signature)
-is real and oracle-checked end-to-end.
+Decode status (r12): WAV/PCM and grayscale PNG are REAL, stdlib-only
+decodes (:func:`decode_wav` — wave/struct; :func:`decode_png` — chunk
+walk + CRC32 verify + zlib IDAT inflate + scanline unfilter), each
+oracle-checked end-to-end on synthesized spec-valid payloads.  Codecs
+that genuinely need third-party libs (JPEG entropy decode, color PNG,
+compressed audio) stay stubbed behind ``NotImplementedError``, with
+:func:`fake_features`-style deterministic stand-ins keeping the
+Spark-side plumbing (schema, batching, UDF signature) real and tested.
 """
 
 from __future__ import annotations
@@ -39,13 +42,16 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload to pixels.
-
-    STUB: imaging libraries are unavailable in this environment; on a real
-    cluster this would Pillow/torchvision-decode inside the same
-    ``mapInPandas`` batch loop (bytes already in Arrow memory).
-    """
-    raise NotImplementedError("media decode requires imaging libs; see fake_features")
+    """Decode an image payload to ``(width, height, pixel rows)``.
+    Grayscale PNG is REAL (stdlib :func:`decode_png` — zlib inflate +
+    scanline unfilter); other codecs (JPEG entropy decode, color PNG)
+    need external libs absent from this environment and stay stubbed."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        out = decode_png(payload)
+        if out is not None:
+            return out
+        raise ValueError("malformed PNG payload")
+    raise NotImplementedError("non-PNG image decode requires imaging libs")
 
 
 def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -674,3 +680,239 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return payloads.mapInPandas(wav_energy, WAV_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG decode end-to-end (r12): stdlib zlib is enough for a genuine
+# pixel decode of grayscale PNGs — chunk walk with CRC32 verification,
+# IDAT inflation, and per-row scanline UNFILTERING (all five filter
+# types) — the other half of the "decode needs third-party libs" stub
+# ---------------------------------------------------------------------------
+
+
+def decode_png(payload: bytes) -> "tuple[int, int, list[list[int]]] | None":
+    """REAL image decode for 8-bit GRAYSCALE PNG — stdlib only (``zlib``):
+    returns ``(width, height, rows)`` of pixel values.  The full format
+    walk is performed, not a header sniff: chunk lengths + CRC32s are
+    verified, IDAT segments concatenated and inflated, and each scanline
+    un-filtered per its filter byte (None/Sub/Up/Average/Paeth — PNG
+    spec 9.2).  Anything malformed — bad signature, CRC mismatch,
+    truncation, non-grayscale, interlace — returns ``None``; decode
+    never raises."""
+    import zlib
+
+    try:
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i, w, h, idat = 8, None, None, b""
+        while i + 8 <= len(payload):
+            ln = int.from_bytes(payload[i : i + 4], "big")
+            typ = payload[i + 4 : i + 8]
+            data = payload[i + 8 : i + 8 + ln]
+            if len(data) != ln or i + 12 + ln > len(payload):
+                return None  # truncated chunk
+            crc = int.from_bytes(payload[i + 8 + ln : i + 12 + ln], "big")
+            if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                return None  # corrupt chunk
+            if typ == b"IHDR":
+                w = int.from_bytes(data[0:4], "big")
+                h = int.from_bytes(data[4:8], "big")
+                bit_depth, color_type, interlace = data[8], data[9], data[12]
+                if bit_depth != 8 or color_type != 0 or interlace != 0:
+                    return None  # only 8-bit grayscale, non-interlaced
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            i += 12 + ln
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(idat)
+        if len(raw) != h * (w + 1):
+            return None
+        rows: list[list[int]] = []
+        prev = [0] * w
+        for r in range(h):
+            line = raw[r * (w + 1) : (r + 1) * (w + 1)]
+            ft, scan = line[0], list(line[1:])
+            out = [0] * w
+            for c in range(w):
+                a = out[c - 1] if c else 0  # left
+                b = prev[c]  # up
+                cc = prev[c - 1] if c else 0  # up-left
+                if ft == 0:
+                    rec = scan[c]
+                elif ft == 1:
+                    rec = scan[c] + a
+                elif ft == 2:
+                    rec = scan[c] + b
+                elif ft == 3:
+                    rec = scan[c] + (a + b) // 2
+                elif ft == 4:  # Paeth predictor (PNG spec 9.4)
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                    rec = scan[c] + pred
+                else:
+                    return None
+                out[c] = rec & 0xFF
+            rows.append(out)
+            prev = out
+        return w, h, rows
+    except Exception:  # noqa: BLE001 - any parse failure routes to None
+        return None
+
+
+def _png_pixel(doc_id: int, r: int, c: int) -> int:
+    """The synthesis arithmetic both engines compute."""
+    return (doc_id * 7 + r * 13 + c * 3) % 256
+
+
+def _mk_real_png(doc_id: int, w: int, h: int) -> bytes:
+    """A spec-valid 8-bit grayscale PNG whose rows are DELIBERATELY
+    filtered (row % 3 → None/Sub/Up), so only a decoder that really
+    reverses the filters recovers the pixels."""
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 0, 0, 0, 0])  # 8-bit, grayscale, deflate, none, none
+    )
+    raw = bytearray()
+    prev = [0] * w
+    for r in range(h):
+        px = [_png_pixel(doc_id, r, c) for c in range(w)]
+        ft = r % 3
+        raw.append(ft)
+        for c in range(w):
+            if ft == 0:
+                raw.append(px[c])
+            elif ft == 1:
+                raw.append((px[c] - (px[c - 1] if c else 0)) & 0xFF)
+            else:
+                raw.append((px[c] - prev[c]) & 0xFF)
+        prev = px
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("first_pixel", T.IntegerType(), True),
+        T.StructField("last_pixel", T.IntegerType(), True),
+    ]
+)
+
+
+def synth_png_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic PNG corpus: doc_id-derived geometry + pixels, rows
+    deliberately filter-encoded; every 17th payload gets one IDAT byte
+    flipped — a CRC-valid header with CORRUPT content would decode to
+    wrong pixels, so the flip also breaks the CRC and must route to
+    nulls."""
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            p = _mk_real_png(d, d % 12 + 2, d % 9 + 2)
+            if d % 17 == 0:
+                i = len(p) // 2
+                p = p[:i] + bytes([p[i] ^ 0xFF]) + p[i + 1 :]
+            out.append(p)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def png_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode + pixel statistics over Arrow batches; undecodable
+    payloads yield null analysis columns."""
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "width": [], "height": [], "pixel_sum": [],
+            "first_pixel": [], "last_pixel": [],
+        }
+        for b in pdf["payload"]:
+            dec = decode_png(bytes(b))
+            if dec is None:
+                for k in rows:
+                    rows[k].append(None)
+                continue
+            w, h, px = dec
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["pixel_sum"].append(sum(map(sum, px)))
+            rows["first_pixel"].append(px[0][0])
+            rows["last_pixel"].append(px[-1][-1])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(rows["width"], dtype="Int64"),
+                "height": pd.Series(rows["height"], dtype="Int64"),
+                "pixel_sum": pd.Series(rows["pixel_sum"], dtype="Int64"),
+                "first_pixel": pd.Series(rows["first_pixel"], dtype="Int32"),
+                "last_pixel": pd.Series(rows["last_pixel"], dtype="Int32"),
+            }
+        )
+
+
+@query(
+    "q_multimodal_png_decode",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, doc_id % 12 + 2 AS w, doc_id % 9 + 2 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+         list_sum([(doc_id * 7 + (i // w) * 13 + (i % w) * 3) % 256
+                   for i in generate_series(0, w * h - 1)]) AS psum
+  FROM g
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+       CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+       CASE WHEN doc_id % 17 = 0 THEN NULL ELSE CAST(psum AS BIGINT) END AS pixel_sum,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE CAST(doc_id * 7 % 256 AS INT) END AS first_pixel,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE CAST((doc_id * 7 + (h - 1) * 13 + (w - 1) * 3) % 256 AS INT) END
+         AS last_pixel
+FROM px ORDER BY doc_id
+""",
+    group="llm-multimodal",
+)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end with no imaging libs (r12): every
+    document becomes a spec-valid 8-bit grayscale PNG — doc_id-derived
+    geometry and pixels, scanlines DELIBERATELY filter-encoded
+    (None/Sub/Up by row) — and the engine must walk the chunks, verify
+    CRC32s, inflate IDAT with zlib, and UNFILTER each scanline to
+    recover the pixels.  The oracle recomputes the pixel arithmetic, so
+    a decoder that skips unfiltering (or misorders rows) fails the
+    hash; every 17th payload has a flipped IDAT byte whose broken CRC
+    must route the row to nulls, never an error.  Scale shape: two
+    map-only Arrow ``mapInPandas`` stages, no shuffle."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        synth_png_payloads,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(png_pixels, PNG_SCHEMA).orderBy("doc_id")

@@ -122,3 +122,36 @@ def test_interleaved_upserts_serialize_and_log_exactly(spark, tmp_path, log_stor
                 model[row["k"]] = row["v"]
     got = {r["k"]: r["v"] for r in snapshot(spark, t).collect()}
     assert got == model
+
+
+def test_conditional_put_releases_claim_on_body_failure(tmp_path, monkeypatch):
+    """ADVICE r11 #2: a failed body write must ROLL BACK the in-process
+    claim (and unlink the tmp file) — otherwise that version number is
+    permanently unclaimable with no object behind it, and every later
+    commit of the table raises ConcurrentCommitError forever."""
+    import os
+
+    import pytest
+
+    from anglerfish_spark.sources.logstore import ConditionalPutLogStore
+
+    store = ConditionalPutLogStore()
+    target = str(tmp_path / "00000001.manifest")
+
+    real_rename = os.rename
+    fails = {"n": 0}
+
+    def flaky_rename(src, dst):
+        if dst == target and fails["n"] == 0:
+            fails["n"] += 1
+            raise OSError("injected: storage hiccup during publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    with pytest.raises(OSError, match="injected"):
+        store.put_if_absent(target, b"v1")
+    # claim released + tmp cleaned: the RETRY must win, not be locked out
+    assert store.put_if_absent(target, b"v1-retry") is True
+    assert open(target, "rb").read() == b"v1-retry"
+    leftovers = [p for p in os.listdir(tmp_path) if ".put-" in p]
+    assert leftovers == []
