@@ -698,6 +698,40 @@ def ivf_probe_persisted(
     )
 
 
+def ivf_index_append(
+    spark: SparkSession,
+    sf_dir: str,
+    new_vectors: DataFrame,
+    cells_path: str | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> str:
+    """Incremental INGEST into the persisted IVF cell index (r12 — the
+    ingest half of ANN index maintenance, pairing the takedown/fold
+    half): assign each new vector to its nearest centroid under the
+    CURRENT quantizer (pure literal-centroid map, no shuffle of the
+    existing index) and append the rows into the same
+    ``partitionBy("cell")`` layout — each cell partition gains one file
+    per ingest, the LSM shape; probes are untouched because partition
+    pruning reads whatever files the probed cells hold.  Returns the
+    cells path.
+
+    100 TB shape: ingest cost is O(new vectors) — one broadcast-free
+    codegen assignment + a partitioned append; the existing corpus never
+    rewrites.  Cell-file fragmentation folds at the next
+    :func:`ivf_index_maintain` rewrite, exactly like posting fragments."""
+    prepare(spark)
+    path = cells_path or ivf_persisted_cells(spark, sf_dir)
+    cents = centroids if centroids is not None else _centroids(
+        load_table(spark, sf_dir, "embeddings", fanout=True)
+    )
+    best = F.element_at(_cell_ranking(F.col("embedding"), cents), -1)
+    assigned = new_vectors.select(
+        "vec_id", "label", "embedding", (best["nc"] * -1).alias("cell")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+    return path
+
+
 def ivf_index_maintain(
     spark: SparkSession,
     sf_dir: str,

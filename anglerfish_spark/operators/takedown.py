@@ -63,11 +63,15 @@ from .dedup import _FP_SQL, _PAIRS_CTE, dedup_index_tables, lsh_bands
 from .text import (
     TOKENS_SQL,
     _bm25_from_persisted,
+    _invidx_side_names,
     _SEARCH_TERMS,
     BM25_SCALE,
     BM25_TOP_K,
     build_persisted_index,
+    inverted_index_append,
+    inverted_index_compact,
     inverted_index_takedown,
+    inverted_index_takedown_masked,
     invidx_tombstone_table,
     tokens,
 )
@@ -407,6 +411,286 @@ def q_index_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             near.select(F.lit("near").alias("kind"), F.col("doc_id").cast("bigint"), one)
+        )
+        .orderBy("kind", "doc_id")
+    )
+
+
+def start_index_maintenance_feed(
+    spark: SparkSession,
+    table: str,
+    index_name: str,
+    checkpoint: str,
+    starting_version: int = 0,
+    source: str | None = None,
+):
+    """FULL CDC index maintenance (r12): one standing job that keeps the
+    persisted inverted index in sync with the corpus table's change feed
+    — INSERTS ingest, DELETES retire — so the index can be built and
+    maintained entirely from the feed, never scanning the corpus.
+
+    Per micro-batch, the change images net to LAST-WRITER-WINS per
+    ``doc_id`` (``_commit_version`` descending; at equal version the
+    insert image wins, because an update logs delete-of-old +
+    insert-of-new in one commit), then split three ways:
+
+    * **insert of a NOT-yet-indexed, not-tombstoned doc** → transactional
+      :func:`text.inverted_index_append` (brand-new doc).  An insert of
+      an ALREADY-indexed doc is a content update: skipped by design —
+      the index keeps serving the previously indexed content until a
+      re-index (appending the new content would double-index the doc,
+      since its old postings are still live; see
+      ``inverted_index_append``'s guard).  An insert of a TOMBSTONED doc
+      (deleted earlier, re-ingested later) waits for the compaction fold
+      — same contract as the guard.
+    * **delete of an indexed doc whose image fingerprint MATCHES the
+      stored one** → exact :func:`text.inverted_index_takedown`
+      (tombstone + negative df fragment + negative consts — BM25 stays
+      score-exact).
+    * **delete of an indexed doc whose content CHANGED since ingest**
+      (fingerprint mismatch — it was updated, and updates are not
+      re-indexed) → :func:`text.inverted_index_takedown_masked`:
+      membership and consts stay exact (tombstone + the STORED length),
+      per-term df heals at the next compaction.  Tokenizing the delete
+      image here would subtract the WRONG terms — the mismatch the
+      fingerprint exists to catch.
+
+    Exactly-once under replay — TWO mechanisms compose:
+
+    1. every write overwrites its own ``src = {source}-b{batch}-{i|d|s}``
+       partition (the r12 transactional contract), so re-applying a
+       batch rewrites identical data;
+    2. the CLASSIFICATION is replay-stable: the already-indexed and
+       tombstone sets are read with THIS batch's own partitions filtered
+       out, so a crash that left half the batch's writes behind cannot
+       flip a doc's classification on replay (without the filter, a doc
+       appended before the crash would look "already indexed" and its
+       remaining writes would be skipped forever).
+
+    Returns the StreamingQuery (``availableNow`` trigger semantics)."""
+    from pyspark.sql import Window
+
+    from ..streaming.table_feed import read_table_feed
+
+    src_tag = source or f"maint{abs(hash((table, index_name))) % 10**8}"
+    dl_name, cs_name = _invidx_side_names(index_name)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        batch_srcs = [f"{src_tag}-b{batch_id}-{sfx}" for sfx in ("i", "d", "s")]
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("_commit_version").desc(),
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+        )
+        final = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "doc_id", "text", "_change_type", F.xxhash64("text").alias("_ifp")
+            )
+            .localCheckpoint(eager=True)
+        )
+        # pre-batch index state: filter out THIS batch's own partitions so
+        # classification is identical on a replay after a partial apply
+        indexed = (
+            spark.table(dl_name)
+            .where(~F.col("src").isin(batch_srcs))
+            .select("doc_id", F.col("dl").alias("_sdl"), F.col("fp").alias("_sfp"))
+        )
+        ts_name = invidx_tombstone_table(index_name)
+        ts = (
+            spark.table(ts_name)
+            .where(~F.col("src").isin(batch_srcs))
+            .select("doc_id")
+            if spark.catalog.tableExists(ts_name)
+            else None
+        )
+
+        dels = final.where(F.col("_change_type") == "delete").join(indexed, "doc_id")
+        if ts is not None:  # already-retired docs need no second retirement
+            dels = dels.join(F.broadcast(ts), "doc_id", "left_anti")
+        exact = dels.where(F.col("_ifp") == F.col("_sfp")).select("doc_id", "text")
+        stale = dels.where(F.col("_ifp") != F.col("_sfp")).select(
+            "doc_id", F.col("_sdl").alias("dl")
+        )
+        ins = final.where(F.col("_change_type") == "insert").join(
+            indexed.select("doc_id"), "doc_id", "left_anti"
+        )
+        if ts is not None:
+            ins = ins.join(F.broadcast(ts), "doc_id", "left_anti")
+        ins = ins.select("doc_id", "text")
+
+        applied = False
+        if exact.limit(1).count():
+            inverted_index_takedown(
+                spark, index_name, exact, txn=f"{src_tag}-b{batch_id}-d"
+            )
+            applied = True
+        if stale.limit(1).count():
+            inverted_index_takedown_masked(
+                spark, index_name, stale, txn=f"{src_tag}-b{batch_id}-s"
+            )
+            applied = True
+        if ins.limit(1).count():
+            inverted_index_append(
+                spark, index_name, ins, txn=f"{src_tag}-b{batch_id}-i"
+            )
+            applied = True
+        if applied:
+            # cloned-session relation cache (see start_index_takedown_feed)
+            for tbl in (index_name, dl_name, cs_name,
+                        invidx_tombstone_table(index_name)):
+                if spark.catalog.tableExists(tbl):
+                    spark.catalog.refreshTable(tbl)
+
+    return (
+        read_table_feed(spark, table, starting_version)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(checkpoint, "wal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+_MAINT_ASSETS: dict[str, str] = {}
+
+
+def _maintenance_assets(spark: SparkSession, sf_dir: str) -> str:
+    """A persisted index built and maintained ENTIRELY by the change
+    feed (once per process per sf_dir), exercising the whole lifecycle:
+
+    * bootstrap: the index tables start EMPTY (schema-only base);
+    * v1 inserts the ``doc_id % 10 != 0`` docs → feed INGESTS them;
+    * v2 inserts the ``% 10 == 0`` docs (new → ingested) AND updates the
+      ``% 13 == 0`` already-indexed docs with changed text (update →
+      skipped by design, index keeps the original content — which is
+      exactly what the parquet-reading oracle sees);
+    * v3 deletes the ``% 7 == 0`` docs — a mix of exact-path takedowns
+      (content unchanged) and STALE-path takedowns (the % 13 updates:
+      fingerprint mismatch → masked retirement);
+    * the feed drains v1→v3, then ``inverted_index_compact`` folds —
+      which also recounts the stale df exactly.
+
+    The maintained index then answers probes EXACTLY over the live
+    original-content corpus (``doc_id % 7 != 0``)."""
+    cached = _MAINT_ASSETS.get(sf_dir)
+    name = f"ang_invidx_maint_{abs(hash(sf_dir)) % 10**8}"
+    if cached and spark.catalog.tableExists(name):
+        return name
+    import pyspark.sql.types as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tempfile.mkdtemp(prefix="anglerfish_maint_")
+    upsert(
+        spark, t, docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0),
+        ["doc_id"], txn_id="m-v1",
+    )
+    v2 = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0).unionByName(
+        docs.where(
+            (F.pmod(F.col("doc_id"), F.lit(13)) == 0)
+            & (F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+        ).select("doc_id", F.concat(F.lit("updated "), F.col("text")).alias("text"))
+    )
+    upsert(spark, t, v2, ["doc_id"], txn_id="m-v2")
+    delete_keys(
+        spark, t, "doc_id",
+        docs.where(F.col("doc_id") % 7 == 0).select("doc_id"), txn_id="m-v3",
+    )
+    if not spark.catalog.tableExists(name):
+        empty = spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]),
+        )
+        build_persisted_index(spark, empty, name)  # schema-only bootstrap
+        ckpt = tempfile.mkdtemp(prefix="anglerfish_maint_ckpt_")
+        q = start_index_maintenance_feed(spark, t, name, ckpt, starting_version=0)
+        q.awaitTermination(300)
+        inverted_index_compact(spark, name)
+    _MAINT_ASSETS[sf_dir] = name
+    return name
+
+
+@query(
+    "q_index_feed_lifecycle",
+    oracle=f"""
+WITH live AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM live),
+consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(tok)) AS BIGINT) AS total_len FROM t),
+dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM t),
+tfc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tok) AS term FROM t)
+  WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         CAST(({BM25_SCALE} * (length(bin(n_docs // df)) - 1) * 6 * tf * total_len)
+              // (2 * total_len * tf + total_len + 3 * n_docs * dl) AS BIGINT) AS contrib
+  FROM tfc JOIN df USING (term) JOIN dl USING (doc_id), consts
+),
+top AS (
+  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+),
+bool_hits AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS v
+  FROM tfc GROUP BY doc_id
+  HAVING COUNT(DISTINCT CASE WHEN term IN ('{_SEARCH_TERMS[0]}',
+                                           '{_SEARCH_TERMS[1]}')
+                             THEN term END) = 2
+      OR COUNT(DISTINCT CASE WHEN term = '{_SEARCH_TERMS[2]}' THEN term END) = 1
+)
+SELECT 'bm25' AS kind, CAST(doc_id AS BIGINT) AS doc_id, score AS val FROM top
+UNION ALL
+SELECT 'bool', CAST(doc_id AS BIGINT), v FROM bool_hits
+ORDER BY kind, doc_id
+""",
+    group="llm-text",
+)
+def q_index_feed_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted inverted index built and maintained ENTIRELY from
+    the corpus table's change feed (r12 — the ingest half of CDC
+    maintenance, completing the r11 takedown half): an EMPTY index is
+    bootstrapped, then one standing :func:`start_index_maintenance_feed`
+    job consumes three commits — initial load, a mixed commit of new
+    docs + content UPDATES of indexed docs, and a delete batch that hits
+    both unmodified docs (exact takedown path) and updated docs
+    (fingerprint-mismatch → masked retirement) — followed by one
+    compaction fold that recounts the masked docs' df exactly.
+
+    The oracle recomputes BM25 top-{BM25_TOP_K} and the standing boolean
+    search from scratch over the LIVE corpus (``doc_id % 7 != 0``), so
+    the hash fails if ingest missed a doc, an update was double-indexed
+    or tombstoned (ADVICE r11 #1's corruption classes), a takedown left
+    stale statistics, or the compaction heal miscounted df.
+
+    Scale shape: every feed batch costs O(its change images) + the
+    batch-sized transactional partition overwrites; the corpus is never
+    scanned (the feed serves logged change files); probes are the same
+    bucket-pruned index reads as every other persisted-index query."""
+    prepare(spark)
+    name = _maintenance_assets(spark, sf_dir)
+    bm25 = _bm25_from_persisted(spark, name)
+    from .text import _probe_boolean
+
+    boolean = _probe_boolean(spark.table(name))
+    return (
+        bm25.select(
+            F.lit("bm25").alias("kind"),
+            F.col("doc_id").cast("bigint"),
+            F.col("score").alias("val"),
+        )
+        .unionByName(
+            boolean.select(
+                F.lit("bool").alias("kind"),
+                F.col("doc_id").cast("bigint"),
+                F.col("tf_total").alias("val"),
+            )
         )
         .orderBy("kind", "doc_id")
     )

@@ -770,16 +770,25 @@ def _write_index_side_tables(
     can overwrite exactly its own partition on replay."""
     import os
 
-    dl = docs.select("doc_id", F.size(tokens()).cast("bigint").alias("dl"))
+    src = src or _src_tag("i")
+    # fp: the INDEXED content's fingerprint — the maintenance feed uses
+    # it to verify that a delete image's content is what the index holds
+    # (an update skipped since ingest makes them differ; see
+    # start_index_maintenance_feed's exact/stale split)
+    dl = docs.select(
+        "doc_id",
+        F.size(tokens()).cast("bigint").alias("dl"),
+        F.xxhash64("text").alias("fp"),
+    )
     dl_name, cs_name = _invidx_side_names(name)
-    w = dl.write.mode(mode)
+    w = dl.withColumn("src", F.lit(src)).write.mode(mode).partitionBy("src")
     if mode == "overwrite":
         w = w.option("path", os.path.join(_INVIDX_DIR, dl_name))
     w.saveAsTable(dl_name)
     consts = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_len"),
-    ).withColumn("src", F.lit(src or _src_tag("i")))
+    ).withColumn("src", F.lit(src))
     w = consts.write.mode(mode).partitionBy("src")
     if mode == "overwrite":
         w = w.option("path", os.path.join(_INVIDX_DIR, cs_name))
@@ -838,7 +847,9 @@ def inverted_index_table(spark: SparkSession, sf_dir: str) -> str:
     return name
 
 
-def inverted_index_append(spark: SparkSession, name: str, new_docs: DataFrame) -> None:
+def inverted_index_append(
+    spark: SparkSession, name: str, new_docs: DataFrame, txn: str | None = None
+) -> None:
     """Incremental ingest into a persisted inverted index: build posting
     fragments for the NEW documents only and append them into the same
     bucket layout (mode=append keeps the bucketBy spec).  A term then
@@ -869,12 +880,32 @@ def inverted_index_append(spark: SparkSession, name: str, new_docs: DataFrame) -
                 f"append into {name} includes tombstoned doc_ids; run "
                 "inverted_index_compact first, then re-ingest"
             )
-    new_docs = new_docs.localCheckpoint(eager=True)  # guard + two derived writes
-    src = _src_tag("a")
+    new_docs = new_docs.localCheckpoint(eager=True)  # guard + three derived writes
+    src = txn if txn is not None else _src_tag("a")
+    frag = build_positional_index(new_docs, sharded=True).select(
+        "term", "shard", "df", "postings", F.lit(src).alias("src")
+    )
+    if txn is not None:
+        # transactional ingest (the feed path): the fragment OVERWRITES
+        # its own src partition, so a replayed batch converges — the same
+        # exactly-once contract as inverted_index_takedown(txn=...)
+        with _dynamic_partition_overwrite(frag.sparkSession):
+            frag.write.insertInto(name, overwrite=True)
+        dl_name, cs_name = _invidx_side_names(name)
+        dl = new_docs.select(
+            "doc_id",
+            F.size(tokens()).cast("bigint").alias("dl"),
+            F.xxhash64("text").alias("fp"),
+        )
+        _txn_write(spark, dl.withColumn("src", F.lit(src)), dl_name, txn)
+        consts = dl.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("total_len"),
+        ).select("n_docs", "total_len", F.lit(src).alias("src"))
+        _txn_write(spark, consts, cs_name, txn)
+        return
     (
-        build_positional_index(new_docs, sharded=True)
-        .withColumn("src", F.lit(src))
-        .write.mode("append")
+        frag.write.mode("append")
         .partitionBy("src")
         .bucketBy(INVIDX_BUCKETS, "term")
         .sortBy("term")
@@ -990,6 +1021,43 @@ def inverted_index_takedown(
     return ts_name
 
 
+def inverted_index_takedown_masked(
+    spark: SparkSession, name: str, doc_dl: DataFrame, txn: str | None = None
+) -> str:
+    """Membership-exact retirement WITHOUT a per-term df correction, for
+    docs whose INDEXED content the caller cannot reproduce — the
+    maintenance feed's stale-update case: a doc updated after ingest was
+    (by design) never re-indexed, so its delete image carries content
+    the index does not hold, and tokenizing that image would subtract
+    the WRONG terms from df.  Instead:
+
+    * tombstones make the retirement exact for every probe (postings are
+      masked by doc_id, whatever terms they carry);
+    * the consts correction stays exact because ``doc_dl`` carries the
+      STORED indexed length from the ``{name}_dl`` table (n_docs − k,
+      total_len − Σ stored dl);
+    * per-term df for the doc's indexed terms stays stale until the next
+      :func:`inverted_index_compact`, which recounts df from surviving
+      postings — the fold is the self-heal (tested: post-compaction
+      probes equal a fresh build over the live corpus).
+
+    ``doc_dl`` needs ``(doc_id, dl)``; ``txn`` gives the same
+    partition-overwrite idempotency as :func:`inverted_index_takedown`."""
+    doc_dl = doc_dl.localCheckpoint(eager=True)
+    src = txn if txn is not None else _src_tag("m")
+    _dl_name, cs_name = _invidx_side_names(name)
+    consts = doc_dl.agg(
+        (-F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        (-F.coalesce(F.sum("dl"), F.lit(0))).cast("bigint").alias("total_len"),
+    ).select("n_docs", "total_len", F.lit(src).alias("src"))
+    _txn_write(spark, consts, cs_name, txn)
+    ts_name = invidx_tombstone_table(name)
+    _txn_write(
+        spark, doc_dl.select("doc_id", F.lit(src).alias("src")), ts_name, txn
+    )
+    return ts_name
+
+
 def inverted_index_compact(spark: SparkSession, name: str) -> None:
     """Fold the LSM debt physically — fragments from
     :func:`inverted_index_append` AND tombstones/negative fragments from
@@ -1061,10 +1129,13 @@ def inverted_index_compact(spark: SparkSession, name: str) -> None:
     dl = spark.table(dl_name)
     if ts is not None:
         dl = dl.join(F.broadcast(ts), "doc_id", "left_anti")
-    dl = dl.localCheckpoint(eager=True)
+    dl = dl.select("doc_id", "dl", "fp", F.lit("base").alias("src")).localCheckpoint(
+        eager=True
+    )
     (
         dl.write.mode("overwrite")
         .option("path", os.path.join(_INVIDX_DIR, f"{dl_name}_{uuid.uuid4().hex[:8]}"))
+        .partitionBy("src")
         .saveAsTable(dl_name)
     )
     consts = spark.table(cs_name).agg(

@@ -673,3 +673,193 @@ class TestIvfMaintenance:
         dead = {r.vec_id for r in ts.collect()}
         assert res.count() > 0
         assert not any(r.vec_id in dead for r in res.collect())
+
+
+class TestMaintenanceFeed:
+    """r12 full CDC maintenance: the index is built AND maintained
+    entirely from the change feed — inserts ingest, updates are netted
+    (kept live on indexed content), deletes split exact/stale by stored
+    fingerprint — and the whole batch apply is replay-stable: a crash
+    after a partial apply converges on restart (classification filters
+    the batch's own partitions, writes overwrite their own partitions)."""
+
+    def _fixture(self, spark, tmp_path):
+        import uuid
+
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.operators.text import (
+            _SEARCH_TERMS,
+            build_persisted_index,
+        )
+        from anglerfish_spark.sources.manifest_table import delete_keys, upsert
+        import pyspark.sql.types as T
+
+        t0, t1, t2 = _SEARCH_TERMS
+
+        def text_of(i):
+            return f"{t0} red {t1} blue {t2} green doc{i} " * (1 + i % 4)
+
+        def df_of(pairs):
+            return local_df(spark, pairs, ["doc_id", "text"]).select(
+                F.col("doc_id").cast("long"), "text"
+            )
+
+        t = str(tmp_path / "corpus")
+        upsert(spark, t, df_of([(i, text_of(i)) for i in range(20)]),
+               ["doc_id"], txn_id="v1")
+        name = f"ang_maintfeed_{uuid.uuid4().hex[:8]}"
+        empty = spark.createDataFrame(
+            [], T.StructType([T.StructField("doc_id", T.LongType()),
+                              T.StructField("text", T.StringType())]))
+        build_persisted_index(spark, empty, name)
+        # live docs AS INDEXED: updates never re-index, so 9 keeps its
+        # ORIGINAL content; 3 (updated then deleted), 5, 25 are gone
+        live = [(i, text_of(i)) for i in range(30) if i not in (3, 5, 25)]
+        return t, name, df_of, text_of, df_of(live)
+
+    def _probes(self, spark, name):
+        from anglerfish_spark.operators.text import (
+            _bm25_from_persisted,
+            _probe_boolean,
+            invidx_tombstone_table,
+        )
+
+        ts_name = invidx_tombstone_table(name)
+        ts = (
+            spark.table(ts_name).select("doc_id")
+            if spark.catalog.tableExists(ts_name)
+            and spark.table(ts_name).limit(1).count()
+            else None
+        )
+        idx = spark.table(name)
+        if ts is not None:
+            dead = [r.doc_id for r in ts.collect()]
+            idx = idx.withColumn(
+                "postings", F.filter("postings", lambda p: ~p["doc_id"].isin(dead))
+            )
+        b = sorted((r.doc_id, r.tf_total) for r in _probe_boolean(idx).collect())
+        s = [tuple(r) for r in _bm25_from_persisted(spark, name, tombstones=ts).collect()]
+        return b, s
+
+    def test_lifecycle_with_crash_replay_equals_fresh_build(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import uuid
+
+        import pytest
+
+        import anglerfish_spark.operators.takedown as td
+        from anglerfish_spark.operators.text import (
+            _invidx_side_names,
+            build_persisted_index,
+            inverted_index_compact,
+            invidx_tombstone_table,
+        )
+
+        from anglerfish_spark.sources.manifest_table import delete_keys, upsert
+
+        t, name, df_of, text_of, live = self._fixture(spark, tmp_path)
+        ckpt = str(tmp_path / "ckpt")
+        # drain 1: initial load ingests docs 0..19 (original content)
+        td.start_index_maintenance_feed(spark, t, name, ckpt).awaitTermination(120)
+
+        # v2: ten NEW docs + content UPDATES of two indexed docs; the
+        # drain of this batch CRASHES after the append fully applied but
+        # before the WAL commit — the replay-stability worst case
+        v2 = [(i, text_of(i)) for i in range(20, 30)] + [
+            (3, "changed three"), (9, "changed nine")]
+        upsert(spark, t, df_of(v2), ["doc_id"], txn_id="v2")
+        real_append = td.inverted_index_append
+        calls = {"n": 0}
+
+        def crash_after_append(spark_, name_, docs_, txn=None):
+            real_append(spark_, name_, docs_, txn=txn)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("crash after full batch apply, before WAL")
+
+        monkeypatch.setattr(td, "inverted_index_append", crash_after_append)
+        q = td.start_index_maintenance_feed(spark, t, name, ckpt)
+        with pytest.raises(Exception):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+        assert calls["n"] == 1
+        q = td.start_index_maintenance_feed(spark, t, name, ckpt)
+        q.awaitTermination(120)
+        assert calls["n"] == 2  # the batch replayed and re-applied
+
+        # v3: deletes hitting all three paths — 5 (unmodified → exact),
+        # 3 (updated since ingest → fingerprint mismatch → stale/masked),
+        # 25 (ingested from v2 → exact)
+        delete_keys(spark, t, "doc_id",
+                    df_of([(3, ""), (5, ""), (25, "")]).select("doc_id"),
+                    txn_id="v3")
+        td.start_index_maintenance_feed(spark, t, name, ckpt).awaitTermination(120)
+
+        # exactly-once despite the replay: tombstones unduplicated,
+        # consts sum to the live collection
+        ts = spark.table(invidx_tombstone_table(name))
+        assert sorted(r.doc_id for r in ts.collect()) == [3, 5, 25]
+        _dl, cs = _invidx_side_names(name)
+        assert spark.table(cs).agg(F.sum("n_docs")).first()[0] == 27
+        # stale-update retirement (doc 3) leaves df stale until the fold;
+        # membership is already exact — then compaction heals df and the
+        # maintained index equals a FRESH build over the live-as-indexed
+        # corpus, score-exactly
+        inverted_index_compact(spark, name)
+        got = self._probes(spark, name)
+        ref = f"{name}_ref_{uuid.uuid4().hex[:6]}"
+        build_persisted_index(spark, live, ref)
+        want = self._probes(spark, ref)
+        assert got == want and got[1]
+        # the updated-but-live doc (9) is still searchable, the
+        # updated-then-deleted doc (3) is gone everywhere
+        ids = {d for d, _ in got[0]}
+        assert 9 in ids and 3 not in ids and 5 not in ids
+
+
+class TestIvfIngest:
+    def test_append_equals_rebuild_and_probes_see_new_vectors(self, spark, sf_dir):
+        """r12 ingest half of ANN maintenance: appending new vectors into
+        the cell layout under the current quantizer equals a from-scratch
+        assignment of the union, and probes pick the new vectors up."""
+        import tempfile
+
+        from anglerfish_spark.operators.similarity import (
+            _cell_ranking,
+            _centroids,
+            ivf_index_append,
+            ivf_probe_persisted,
+        )
+        from anglerfish_spark.sources.registry import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        base = e.where(F.col("vec_id") % 4 != 0)
+        newv = e.where(F.col("vec_id") % 4 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+        )
+        cents = _centroids(e)
+        best = F.element_at(_cell_ranking(F.col("embedding"), cents), -1)
+        path = tempfile.mkdtemp(prefix="anglerfish_ivf_ing_") + "/cells"
+        base.select(
+            "vec_id", "label", "embedding", (best["nc"] * -1).alias("cell")
+        ).write.partitionBy("cell").parquet(path)
+
+        ivf_index_append(spark, sf_dir, newv, cells_path=path, centroids=cents)
+
+        got = sorted(
+            (r.vec_id, r.cell)
+            for r in spark.read.parquet(path).select("vec_id", "cell").collect()
+        )
+        want = sorted(
+            (r.vec_id, r.cell)
+            for r in base.unionByName(newv)
+            .select("vec_id", (best["nc"] * -1).alias("cell"))
+            .collect()
+        )
+        assert got == want and got
+        # probing the appended layout surfaces appended vectors: the
+        # shifted ids duplicate existing embeddings, so each query's
+        # top-k must now contain at least one 100000+ id
+        res = ivf_probe_persisted(spark, sf_dir, cells_path=path, centroids=cents)
+        assert any(r.vec_id >= 100000 for r in res.collect())
