@@ -301,7 +301,38 @@ def main() -> None:
         payload["stages_sec"] = stages
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    # VERDICT r12 #4: the driver records only the TAIL of stdout (~2000
+    # chars), so the full payload (spread, calibrator ratios, stage
+    # breakdowns) goes to a side file and the LAST printed line is a
+    # compact core that fits the capture window — BENCH_r{N}.json then
+    # parses without reconstruction
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        detail_path = None
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in times.items()},
+        "sf": payload["sf"],
+        "min_total_sec": payload["min_total_sec"],
+    }
+    if calibrators:
+        compact["cal_total_sec"] = payload["cal_total_sec"]
+    if errors:
+        compact["errors"] = {n: str(e)[:40] for n, e in errors.items()}
+    if detail_path:
+        compact["detail"] = "BENCH_DETAIL.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # stay under the driver's tail window, always
+        del compact["queries"]
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
