@@ -847,3 +847,612 @@ def q_index_feed_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 (VERDICT r12 #3): ONE standing feed maintaining ALL THREE persisted
+# index families — the inverted text index, the dedup fp/band tables, and
+# the IVF cell index — from the same corpus change feed, transactionally,
+# exactly-once, sharing one generation clock and one tombstone table.
+# ---------------------------------------------------------------------------
+
+
+def corpus_family_names(name: str) -> tuple[str, str]:
+    """``({name}_fp, {name}_band)`` — the feed-maintained dedup family of
+    a unified corpus index ``name``."""
+    return f"{name}_fp", f"{name}_band"
+
+
+def _corpus_fp():
+    """The dedup content fingerprint (same expression as the standing
+    dedup index: md5 over the sorted distinct token set)."""
+    return F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens()))).cast("binary")
+    )
+
+
+def corpus_index_bootstrap(spark: SparkSession, name: str) -> None:
+    """Create the EMPTY persisted index families the unified feed
+    maintains: the inverted index (+ its dl/cs side tables) and the
+    dedup fp/band tables — all partitioned by the transactional ``src``
+    tag and bucketed by their probe keys, so every later feed batch is
+    an idempotent partition overwrite into a zero-exchange probe layout.
+    (The IVF cells parquet needs no bootstrap — partitions appear on
+    first write.)  Idempotent per table."""
+    import pyspark.sql.types as T
+
+    from .dedup import INDEX_BUCKETS
+
+    empty_docs = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]),
+    )
+    build_persisted_index(spark, empty_docs, name)
+    fp_t, band_t = corpus_family_names(name)
+    root = tempfile.mkdtemp(prefix="anglerfish_corpusidx_")
+    specs = (
+        (fp_t, "doc_id long, fp string, gen long, src string", ("fp",)),
+        (
+            band_t,
+            "doc_id long, band_id int, band_key string, gen long, src string",
+            ("band_id", "band_key"),
+        ),
+    )
+    for tbl, schema, keys in specs:
+        if not spark.catalog.tableExists(tbl):
+            (
+                spark.createDataFrame([], schema)
+                .write.mode("overwrite")
+                .option("path", os.path.join(root, tbl))
+                .partitionBy("src")
+                .bucketBy(INDEX_BUCKETS, *keys)
+                .sortBy(*keys)
+                .saveAsTable(tbl)
+            )
+
+
+def start_corpus_maintenance_feed(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    cells_path: str,
+    centroids: "list[tuple[int, list[float]]]",
+    checkpoint: str,
+    starting_version: int = 0,
+    source: str | None = None,
+):
+    """The unified CDC maintainer: one standing job consumes a corpus
+    table's change feed — rows ``(doc_id, text, embedding)`` — and keeps
+    ALL THREE derived index families in sync:
+
+    * the INVERTED TEXT INDEX — the full r13 update-re-indexing contract
+      of :func:`start_index_maintenance_feed` (exact/masked retirement
+      by stored fingerprint, generation-stamped ingest);
+    * the DEDUP fp/band tables — inserts/updates append the new content
+      fingerprint and LSH band keys at the ingest generation; retired
+      content is masked by the SHARED tombstone table (no negative
+      statistics exist for this family, so the tombstone alone is
+      exact);
+    * the IVF CELL index — inserts/updates assign the image's embedding
+      under the FROZEN quantizer ``centroids`` (pure literal-centroid
+      map, no shuffle) and land in the ``partitionBy(src, cell)``
+      parquet layout at ``cells_path``; probes prune on ``cell`` exactly
+      as before and mask retirements generation-aware.
+
+    ONE classification drives all three (computed from the inverted
+    index's live state, batch-own partitions excluded), ONE generation
+    clock orders them (the inverted index's consts table), and ONE
+    tombstone table retires for all (doc_id == vec_id).  Every write is
+    an idempotent overwrite of its own ``src`` partition, so the whole
+    multi-family batch converges under crash-replay — the property the
+    lifecycle test drives with fault injection.
+
+    Known limit (documented): an update that changes ONLY the embedding
+    (text byte-identical) classifies as a no-op; re-embedding pipelines
+    that never touch text should bump a text field or call
+    :func:`similarity.ivf_index_append` directly.
+
+    100 TB shape: per batch this costs O(change images) across six
+    batch-sized transactional writes; no family ever rescans the corpus
+    or rewrites rows outside the batch's own partitions."""
+    from pyspark.sql import Window
+
+    from ..streaming.table_feed import read_table_feed
+    from .dedup import lsh_bands
+    from .similarity import _cell_ranking
+
+    src_tag = source or _stable_tag("corpus", table, name)
+    fp_t, band_t = corpus_family_names(name)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        srcs = {
+            s: f"{src_tag}-b{batch_id}-{s}" for s in ("d", "s", "i", "fp", "bd", "vc")
+        }
+        batch_srcs = list(srcs.values())
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("_commit_version").desc(),
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+        )
+        imgs = (
+            batch.select(
+                "doc_id", "text", "embedding", "_change_type", "_commit_version",
+                F.xxhash64("text").alias("_ifp"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .localCheckpoint(eager=True)
+        )
+        final = imgs.where(F.col("_rn") == 1).select(
+            "doc_id", "text", "embedding", "_change_type", "_ifp"
+        )
+        del_imgs = imgs.where(F.col("_change_type") == "delete").select(
+            "doc_id", "text", F.col("_ifp").alias("_dfp")
+        )
+        live = _live_index_state(spark, name, batch_srcs)
+        g = _next_gen(spark, name, exclude_srcs=batch_srcs)
+
+        applied = False
+        if live is not None:
+            dels = final.where(F.col("_change_type") == "delete")
+            if dels.limit(1).count():
+                applied |= _apply_retirements(
+                    spark, name, dels.select("doc_id", "text", "_ifp"),
+                    [srcs["d"], srcs["s"]], g, exclude_srcs=batch_srcs,
+                )
+            upd = (
+                final.where(F.col("_change_type") == "insert")
+                .join(live, "doc_id")
+                .where(F.col("_ifp") != F.col("_sfp"))
+                .localCheckpoint(eager=True)
+            )
+            if upd.limit(1).count():
+                upd_exact = (
+                    del_imgs.join(upd.select("doc_id", "_sfp"), "doc_id")
+                    .where(F.col("_dfp") == F.col("_sfp"))
+                    .select("doc_id", "text")
+                    .dropDuplicates(["doc_id"])
+                )
+                upd_masked = upd.join(
+                    upd_exact.select("doc_id"), "doc_id", "left_anti"
+                ).select("doc_id", F.col("_sdl").alias("dl"))
+                if upd_exact.limit(1).count():
+                    inverted_index_takedown(
+                        spark, name, upd_exact, txn=srcs["d"], gen=g
+                    )
+                    applied = True
+                if upd_masked.limit(1).count():
+                    inverted_index_takedown_masked(
+                        spark, name, upd_masked, txn=srcs["s"], gen=g
+                    )
+                    applied = True
+        ins = final.where(F.col("_change_type") == "insert")
+        if live is not None:
+            not_live = ins.join(live.select("doc_id"), "doc_id", "left_anti")
+            upd_new = ins.join(live, "doc_id").where(
+                F.col("_ifp") != F.col("_sfp")
+            ).select(*ins.columns)
+            ins = not_live.unionByName(upd_new)
+        ins = ins.select("doc_id", "text", "embedding").localCheckpoint(eager=True)
+        if ins.limit(1).count():
+            inverted_index_append(
+                spark, name, ins.select("doc_id", "text"), txn=srcs["i"], gen=g + 1
+            )
+            gl = F.lit(g + 1).cast("bigint")
+            fps = ins.select(
+                "doc_id", _corpus_fp().alias("fp"), gl.alias("gen"),
+                F.lit(srcs["fp"]).alias("src"),
+            )
+            _txn_write(spark, fps, fp_t, srcs["fp"])
+            bands = lsh_bands(ins.select("doc_id", "text")).select(
+                "doc_id", "band_id", "band_key", gl.alias("gen"),
+                F.lit(srcs["bd"]).alias("src"),
+            )
+            _txn_write(spark, bands, band_t, srcs["bd"])
+            best = F.element_at(_cell_ranking(F.col("embedding"), centroids), -1)
+            cells = ins.select(
+                F.col("doc_id").alias("vec_id"), "embedding", gl.alias("gen"),
+                F.lit(srcs["vc"]).alias("src"), (best["nc"] * -1).alias("cell"),
+            )
+            with _dynamic_partition_overwrite(cells.sparkSession):
+                cells.write.mode("overwrite").partitionBy("src", "cell").parquet(
+                    cells_path
+                )
+            applied = True
+        if applied:
+            _refresh_index_tables(spark, name)
+            for tbl in (fp_t, band_t):
+                spark.catalog.refreshTable(tbl)
+
+    return (
+        read_table_feed(spark, table, starting_version)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(checkpoint, "wal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def corpus_ann_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    cells_path: str,
+    centroids: "list[tuple[int, list[float]]]",
+    tombstones: DataFrame | None,
+) -> DataFrame:
+    """ANN top-k over a feed-maintained cell layout: probe cells from
+    the frozen quantizer (driver-side IN-list → partition pruning on
+    ``cell``), generation-aware tombstone mask on the candidate side,
+    exact cosine ranking of the pruned candidates.  Query vectors are
+    the standing ``vec_id < N_QUERIES`` set."""
+    from pyspark.sql import Window
+
+    from .similarity import N_PROBE, N_QUERIES, TOP_K, _cell_ranking, cosine
+    from .text import _mask_retired
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ranking = _cell_ranking(F.col("embedding"), centroids)
+    probe_cells = F.array(
+        *[(F.element_at(ranking, -1 - i)["nc"] * -1) for i in range(N_PROBE)]
+    )
+    probes = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(probe_cells).alias("probe_cell"),
+    )
+    cells = sorted(
+        {r["probe_cell"] for r in probes.select("probe_cell").distinct().collect()}
+    )
+    cand_src = (
+        spark.read.parquet(cells_path)
+        .where(F.col("cell").isin(cells))
+        .select("vec_id", "embedding", "gen", "cell")
+    )
+    if tombstones is not None:
+        ts_v = tombstones.select(F.col("doc_id").alias("vec_id"), "gen")
+        cand_src = _mask_retired(cand_src, ts_v, key="vec_id")
+    cand = (
+        F.broadcast(probes)
+        .join(
+            cand_src,
+            (F.col("probe_cell") == F.col("cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_K)
+        .select("query_id", "rn", "vec_id")
+    )
+
+
+def corpus_dedup_probe(
+    spark: SparkSession,
+    name: str,
+    probe_docs: DataFrame,
+    tombstones: DataFrame | None,
+) -> tuple[DataFrame, DataFrame]:
+    """``(exact_hits, near_hits)`` of a probe batch against the
+    feed-maintained dedup family: fingerprint semi-join and LSH band
+    collision, both against the generation-masked live rows."""
+    from .dedup import lsh_bands
+    from .text import _mask_retired
+
+    fp_t, band_t = corpus_family_names(name)
+    live_fp = _mask_retired(
+        spark.table(fp_t).select("doc_id", "fp", "gen"), tombstones
+    )
+    exact = (
+        probe_docs.select("doc_id", _corpus_fp().alias("fp"))
+        .join(live_fp.select("fp"), "fp", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    live_band = _mask_retired(
+        spark.table(band_t).select("doc_id", "band_id", "band_key", "gen"),
+        tombstones,
+    )
+    near = (
+        lsh_bands(probe_docs)
+        .join(live_band.select("band_id", "band_key"), ["band_id", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return exact, near
+
+
+_CORPUS_ASSETS: dict[str, tuple[str, str, list]] = {}
+
+
+def _corpus_assets(spark: SparkSession, sf_dir: str) -> tuple[str, str, list]:
+    """``(index_name, cells_path, centroids)`` for the unified-feed
+    lifecycle (once per process per sf_dir): all three families
+    bootstrapped EMPTY, then one :func:`start_corpus_maintenance_feed`
+    job drains three commits as three micro-batches —
+
+    * v1: initial load of the ``doc_id % 10 != 0`` docs (text +
+      embedding);
+    * v2: the ``% 10 == 0`` docs inserted NEW, and the ``% 13 == 0``
+      indexed docs UPDATED (text 'updated '-prefixed, embedding
+      negated) — each update retires the old content and re-indexes the
+      new across all three families in the same batch;
+    * v3: the ``% 7 == 0`` docs deleted.
+
+    NO compaction follows — probes read the live LSM state through the
+    shared generation-stamped tombstones."""
+    cached = _CORPUS_ASSETS.get(sf_dir)
+    name = f"ang_corpusidx_{abs(hash(sf_dir)) % 10**8}"
+    if cached and spark.catalog.tableExists(name):
+        return cached
+    from ..streaming.stateful import await_or_fail
+    from .similarity import _centroids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    cents = _centroids(emb, cache_key=f"corpus:{sf_dir}")
+    t = tempfile.mkdtemp(prefix="anglerfish_corpus_")
+    corpus_index_bootstrap(spark, name)
+    cells_path = tempfile.mkdtemp(prefix="anglerfish_corpus_cells_") + "/cells"
+    ckpt = tempfile.mkdtemp(prefix="anglerfish_corpus_ckpt_")
+
+    def drain() -> None:
+        await_or_fail(
+            start_corpus_maintenance_feed(
+                spark, t, name, cells_path, cents, ckpt, starting_version=0
+            ),
+            300,
+        )
+
+    upsert(
+        spark, t, corpus.where(F.pmod(F.col("doc_id"), F.lit(10)) != 0),
+        ["doc_id"], txn_id="c-v1",
+    )
+    drain()
+    updated = corpus.where(
+        (F.pmod(F.col("doc_id"), F.lit(13)) == 0)
+        & (F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    ).select(
+        "doc_id",
+        F.concat(F.lit("updated "), F.col("text")).alias("text"),
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    v2 = corpus.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0).unionByName(updated)
+    upsert(spark, t, v2, ["doc_id"], txn_id="c-v2")
+    drain()
+    delete_keys(
+        spark, t, "doc_id",
+        corpus.where(F.col("doc_id") % 7 == 0).select("doc_id"), txn_id="c-v3",
+    )
+    drain()
+    _CORPUS_ASSETS[sf_dir] = (name, cells_path, cents)
+    return name, cells_path, cents
+
+
+def _bands_cte_sql(src: str, p: str) -> str:
+    """The minhash/band CTE chain of ``dedup._PAIRS_CTE`` over an
+    arbitrary source relation (same lanes, bands, and ASCII total
+    order)."""
+    from .dedup import _SHINGLES_SQL, N_BANDS, N_MINHASH
+
+    lanes = ", ".join(
+        f"MIN(substring(md5('{'a' if i < 4 else 'b'}|' || s), {(i % 4) * 8 + 1}, 8)) AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, h{2*b} || h{2*b+1} AS band_key FROM {p}sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+{p}sh AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM {src}),
+{p}sig AS (SELECT doc_id, {lanes} FROM {p}sh GROUP BY doc_id),
+{p}bands AS ({unions})"""
+
+
+def _corpus_lifecycle_oracle() -> str:
+    from .similarity import (
+        N_CENTROIDS,
+        N_PROBE,
+        N_QUERIES,
+        TOP_K,
+        cosine_sql,
+    )
+
+    return f"""
+WITH live AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 13 = 0 AND d.doc_id % 10 <> 0
+              THEN 'updated ' || d.text ELSE d.text END AS text,
+         CASE WHEN d.doc_id % 13 = 0 AND d.doc_id % 10 <> 0
+              THEN list_transform(e.embedding, x -> -x) ELSE e.embedding END AS embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE d.doc_id % 7 <> 0
+),
+t AS (SELECT doc_id, {TOKENS_SQL} AS tok FROM live),
+consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(tok)) AS BIGINT) AS total_len FROM t),
+dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM t),
+tfc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tok) AS term FROM t)
+  WHERE term IN ('{_SEARCH_TERMS[0]}', '{_SEARCH_TERMS[1]}', '{_SEARCH_TERMS[2]}')
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfc GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         CAST(({BM25_SCALE} * (length(bin(n_docs // df)) - 1) * 6 * tf * total_len)
+              // (2 * total_len * tf + total_len + 3 * n_docs * dl) AS BIGINT) AS contrib
+  FROM tfc JOIN df USING (term) JOIN dl USING (doc_id), consts
+),
+top AS (
+  SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+),
+ranked_top AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         doc_id, score
+  FROM top
+),
+bool_hits AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS v
+  FROM tfc GROUP BY doc_id
+  HAVING COUNT(DISTINCT CASE WHEN term IN ('{_SEARCH_TERMS[0]}',
+                                           '{_SEARCH_TERMS[1]}')
+                             THEN term END) = 2
+      OR COUNT(DISTINCT CASE WHEN term = '{_SEARCH_TERMS[2]}' THEN term END) = 1
+),
+probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+livefp AS (SELECT {_FP_SQL} AS fp FROM live),
+probefp AS (SELECT doc_id, {_FP_SQL} AS fp FROM probe),
+exact_hits AS (SELECT DISTINCT p.doc_id FROM probefp p JOIN livefp USING (fp)),
+{_bands_cte_sql('live', 'l')},
+{_bands_cte_sql('probe', 'p')},
+near_hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM pbands a JOIN lbands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+),
+cent AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+lsc AS (
+  SELECT l.doc_id AS vec_id, l.embedding, c.cid,
+         {cosine_sql('l.embedding', 'c.ce')} AS cscore
+  FROM live l CROSS JOIN cent c
+),
+lranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cscore DESC, cid) AS crn
+  FROM lsc
+),
+assigned AS (SELECT vec_id, embedding, cid AS cell FROM lranked WHERE crn = 1),
+qsc AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
+         {cosine_sql('e.embedding', 'c.ce')} AS cscore
+  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < {N_QUERIES}
+),
+qranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cscore DESC, cid) AS crn
+  FROM qsc
+),
+probes AS (SELECT query_id, qe, cid AS cell FROM qranked WHERE crn <= {N_PROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id, {cosine_sql('p.qe', 'a.embedding')} AS score
+  FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+),
+rankedq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rn
+  FROM cand
+)
+SELECT 'ann' AS kind, CAST(query_id AS BIGINT) AS k1, CAST(rn AS BIGINT) AS k2,
+       CAST(vec_id AS DOUBLE) AS val
+FROM rankedq WHERE rn <= {TOP_K}
+UNION ALL
+SELECT 'bm25', doc_id, rank, CAST(score AS DOUBLE) FROM ranked_top
+UNION ALL
+SELECT 'bool', doc_id, CAST(0 AS BIGINT), CAST(v AS DOUBLE) FROM bool_hits
+UNION ALL
+SELECT 'exact', doc_id, CAST(0 AS BIGINT), CAST(1 AS DOUBLE) FROM exact_hits
+UNION ALL
+SELECT 'near', doc_id, CAST(0 AS BIGINT), CAST(1 AS DOUBLE) FROM near_hits
+ORDER BY kind, k1, k2
+"""
+
+
+@query("q_corpus_feed_lifecycle", oracle=_corpus_lifecycle_oracle(), group="llm-dedup")
+def q_corpus_feed_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL THREE persisted index families — inverted text index, dedup
+    fp/band tables, IVF cells — built empty and maintained by ONE
+    standing CDC feed through mixed insert / update / delete commits
+    (r13 — VERDICT r12 #3), probed together with NO compaction:
+
+    * ``bm25`` / ``bool`` rows: ranked + boolean search over the
+      maintained inverted index (score-exact through the shared
+      generation-stamped tombstones);
+    * ``exact`` / ``near`` rows: a held-out probe batch (the
+      ``% 11 == 0`` docs' ORIGINAL text) fingerprint- and LSH-checked
+      against the live dedup tables — an updated doc's OLD fingerprint
+      must no longer exact-match, its new one must;
+    * ``ann`` rows: per-query top-k through the cell-pruned IVF layout
+      under the frozen quantizer — updated docs rank under their NEW
+      (negated) embeddings, deleted docs never rank.
+
+    The oracle recomputes every family from scratch over the CURRENT
+    corpus (updated text, negated embeddings, deletions applied), so a
+    family that misses an update, double-indexes, serves stale content,
+    or leaks a deleted doc fails the hash.
+
+    Scale shape: maintenance cost per batch is O(change images) across
+    six transactional partition-sized writes (module function
+    :func:`start_corpus_maintenance_feed`); probes are bucket-pruned
+    (text, dedup) and partition-pruned (cells) reads plus one broadcast
+    generation mask each."""
+    prepare(spark)
+    name, cells_path, cents = _corpus_assets(spark, sf_dir)
+    ts = spark.table(invidx_tombstone_table(name)).select("doc_id", "gen")
+    from .text import boolean_search
+
+    bm25 = _bm25_from_persisted(spark, name, tombstones=ts)
+    boolean = boolean_search(
+        spark.table(name), _SEARCH_TERMS[:2], _SEARCH_TERMS[2:], tombstones=ts
+    )
+    probe_docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "text")
+    )
+    exact, near = corpus_dedup_probe(spark, name, probe_docs, ts)
+    ann = corpus_ann_probe(spark, sf_dir, cells_path, cents, ts)
+    zero = F.lit(0).cast("bigint")
+    one = F.lit(1.0).alias("val")
+    return (
+        ann.select(
+            F.lit("ann").alias("kind"),
+            F.col("query_id").cast("bigint").alias("k1"),
+            F.col("rn").cast("bigint").alias("k2"),
+            F.col("vec_id").cast("double").alias("val"),
+        )
+        .unionByName(
+            bm25.select(
+                F.lit("bm25").alias("kind"),
+                F.col("doc_id").cast("bigint").alias("k1"),
+                F.col("rank").cast("bigint").alias("k2"),
+                F.col("score").cast("double").alias("val"),
+            )
+        )
+        .unionByName(
+            boolean.select(
+                F.lit("bool").alias("kind"),
+                F.col("doc_id").cast("bigint").alias("k1"),
+                zero.alias("k2"),
+                F.col("tf_total").cast("double").alias("val"),
+            )
+        )
+        .unionByName(
+            exact.select(
+                F.lit("exact").alias("kind"),
+                F.col("doc_id").cast("bigint").alias("k1"),
+                zero.alias("k2"),
+                one,
+            )
+        )
+        .unionByName(
+            near.select(
+                F.lit("near").alias("kind"),
+                F.col("doc_id").cast("bigint").alias("k1"),
+                zero.alias("k2"),
+                one,
+            )
+        )
+        .orderBy("kind", "k1", "k2")
+    )

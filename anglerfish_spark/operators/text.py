@@ -762,7 +762,9 @@ def _next_gen(spark: SparkSession, name: str, exclude_srcs: "tuple | list" = ())
     return (row.g if row.g is not None else -1) + 1
 
 
-def _mask_retired(probed: DataFrame, tombstones: DataFrame | None) -> DataFrame:
+def _mask_retired(
+    probed: DataFrame, tombstones: DataFrame | None, key: str = "doc_id"
+) -> DataFrame:
     """Drop RETIRED rows from a doc-keyed probe relation.  Generation-
     aware when both sides carry ``gen`` (r13): a tombstone at generation
     ``g`` masks only rows with ``gen <= g``, so content re-ingested
@@ -775,14 +777,14 @@ def _mask_retired(probed: DataFrame, tombstones: DataFrame | None) -> DataFrame:
     if tombstones is None:
         return probed
     if "gen" in tombstones.columns and "gen" in probed.columns:
-        ts = tombstones.groupBy("doc_id").agg(F.max("gen").alias("_ts_gen"))
+        ts = tombstones.groupBy(key).agg(F.max("gen").alias("_ts_gen"))
         return (
-            probed.join(F.broadcast(ts), "doc_id", "left")
+            probed.join(F.broadcast(ts), key, "left")
             .where(F.col("_ts_gen").isNull() | (F.col("gen") > F.col("_ts_gen")))
             .drop("_ts_gen")
         )
     return probed.join(
-        F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
+        F.broadcast(tombstones.select(key)), key, "left_anti"
     )
 
 
@@ -930,7 +932,13 @@ def inverted_index_append(
     corrupting case (the doc's old postings would double-count; retire
     the old content first, which is exactly what the maintenance feed's
     update path does)."""
-    live = _live_doclens(spark, name)
+    # a transactional caller's own partition is excluded from the guard:
+    # a crash between the frag/dl writes and the consts write would
+    # otherwise make the REPLAY of the same txn see its own half-written
+    # dl rows as "live" and refuse forever
+    live = _live_doclens(
+        spark, name, exclude_dl_srcs=(txn,) if txn is not None else ()
+    )
     if live is not None:
         clash = (
             new_docs.select("doc_id")
@@ -957,6 +965,7 @@ def inverted_index_append(
         # exactly-once contract as inverted_index_takedown(txn=...)
         with _dynamic_partition_overwrite(frag.sparkSession):
             frag.write.insertInto(name, overwrite=True)
+        spark.catalog.refreshTable(name)  # see _txn_write
         dl_name, cs_name = _invidx_side_names(name)
         dl = new_docs.select(
             "doc_id",
@@ -982,22 +991,36 @@ def inverted_index_append(
     _write_index_side_tables(spark, name, new_docs, "append", src=src, gen=g)
 
 
-def _live_doclens(spark: SparkSession, name: str) -> DataFrame | None:
+def _live_doclens(
+    spark: SparkSession,
+    name: str,
+    exclude_dl_srcs: "tuple | list" = (),
+    exclude_ts_srcs: "tuple | list" = (),
+) -> DataFrame | None:
     """The LIVE ``(doc_id, dl, fp, gen)`` rows of a persisted index —
     dl rows whose generation outranks the doc's newest tombstone (r13).
     At most one row per doc by the no-live-append invariant (every
     re-ingest is preceded by a masking tombstone).  ``None`` when the
-    index has no side tables yet.  Cost: one broadcast join of the
-    deletion-request-sized tombstone aggregate against the dl table —
-    map-side, no shuffle."""
+    index has no side tables yet.  The ``exclude_*_srcs`` filters drop
+    a replaying transactional batch's OWN partitions so liveness is
+    computed against the PRE-batch state — without them a crash that
+    left half the batch's writes behind would flip classifications on
+    replay.  Cost: one broadcast join of the deletion-request-sized
+    tombstone aggregate against the dl table — map-side, no shuffle."""
     dl_name, _cs_name = _invidx_side_names(name)
     if not spark.catalog.tableExists(dl_name):
         return None
-    dl = spark.table(dl_name).select("doc_id", "dl", "fp", "gen")
+    dl = spark.table(dl_name)
+    if exclude_dl_srcs:
+        dl = dl.where(~F.col("src").isin(list(exclude_dl_srcs)))
+    dl = dl.select("doc_id", "dl", "fp", "gen")
     ts_name = invidx_tombstone_table(name)
     if not spark.catalog.tableExists(ts_name):
         return dl
-    return _mask_retired(dl, spark.table(ts_name).select("doc_id", "gen"))
+    ts = spark.table(ts_name)
+    if exclude_ts_srcs:
+        ts = ts.where(~F.col("src").isin(list(exclude_ts_srcs)))
+    return _mask_retired(dl, ts.select("doc_id", "gen"))
 
 
 def invidx_tombstone_table(name: str) -> str:
@@ -1022,6 +1045,10 @@ def _txn_write(spark: SparkSession, df: DataFrame, table: str, txn: str | None) 
     if txn is not None and spark.catalog.tableExists(table):
         with _dynamic_partition_overwrite(df.sparkSession):
             df.write.insertInto(table, overwrite=True)
+        # the overwrite replaced this txn's partition files; drop the
+        # cached listing so a LATER read in the same batch (e.g. the
+        # append guard after a replayed retirement) doesn't chase them
+        spark.catalog.refreshTable(table)
     else:
         df.write.mode("append").partitionBy("src").saveAsTable(table)
 
@@ -1085,6 +1112,7 @@ def inverted_index_takedown(
         # neg's own session — see _txn_write on foreachBatch clones)
         with _dynamic_partition_overwrite(neg.sparkSession):
             neg.write.insertInto(name, overwrite=True)
+        spark.catalog.refreshTable(name)  # see _txn_write
     else:
         (
             neg.write.mode("append")

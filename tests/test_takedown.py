@@ -303,10 +303,12 @@ class TestStreamingTakedown:
 
 class TestTakedownDifferential:
     """Model-based differential for the index-maintenance surface:
-    random sequences of APPEND / TAKEDOWN / COMPACT against a plain
-    Python dict of live docs — after every op, boolean search and BM25
-    over the maintained index must equal a FRESH index built over the
-    live docs.  Seeds rotate with ANGLERFISH_FUZZ_SEED."""
+    random sequences of APPEND / TAKEDOWN / REINGEST / COMPACT against
+    a plain Python dict of live docs — after every op, boolean search
+    and BM25 over the maintained index must equal a FRESH index built
+    over the live docs.  REINGEST re-creates a previously-taken-down
+    doc with NEW content and no compaction in between (the r13
+    generation mechanism).  Seeds rotate with ANGLERFISH_FUZZ_SEED."""
 
     def test_random_maintenance_sequences_match_fresh_build(self, spark):
         import os
@@ -317,7 +319,7 @@ class TestTakedownDifferential:
         from anglerfish_spark.operators.text import (
             _SEARCH_TERMS,
             _bm25_from_persisted,
-            _probe_boolean,
+            boolean_search,
             build_persisted_index,
             inverted_index_append,
             inverted_index_compact,
@@ -330,31 +332,29 @@ class TestTakedownDifferential:
         t0, t1, t2 = _SEARCH_TERMS
         vocab = [t0, t1, t2, "kappa", "lam", "mu", "nu"]
 
-        def text_of(i: int) -> str:
-            r = random.Random(seed * 1_000_003 + i)
+        def text_of(i: int, v: int = 0) -> str:
+            r = random.Random(seed * 1_000_003 + i * 101 + v)
             return " ".join(r.choice(vocab) for _ in range(r.randrange(4, 16)))
 
-        def docs_df(ids):
+        def docs_df(id_vers):
             return local_df(
-                spark, [(i, text_of(i)) for i in sorted(ids)], ["doc_id", "text"]
+                spark,
+                [(i, text_of(i, v)) for i, v in sorted(id_vers.items())],
+                ["doc_id", "text"],
             ).select(F.col("doc_id").cast("long"), "text")
 
         name = f"ang_tdnfuzz_{uuid.uuid4().hex[:8]}"
-        live = set(range(10))
+        live: dict[int, int] = {i: 0 for i in range(10)}  # id -> content version
+        dead: dict[int, int] = {}  # id -> last indexed version
         next_id = 10
         build_persisted_index(spark, docs_df(live), name)
 
         def probes(idx_name, ts):
             b = sorted(
                 (r.doc_id, r.tf_total)
-                for r in _probe_boolean(
-                    spark.table(idx_name).withColumn(
-                        "postings",
-                        F.filter(
-                            "postings",
-                            lambda p: ~p["doc_id"].isin(*[int(x) for x in dead]) if dead else F.lit(True),
-                        ),
-                    )
+                for r in boolean_search(
+                    spark.table(idx_name), _SEARCH_TERMS[:2], _SEARCH_TERMS[2:],
+                    tombstones=ts,
                 ).collect()
             )
             s = [
@@ -363,25 +363,32 @@ class TestTakedownDifferential:
             ]
             return b, s
 
-        dead: set = set()
         for step in range(8):
-            op = rng.choice(["append", "takedown", "takedown", "compact"])
-            if op == "append":
-                new = set(range(next_id, next_id + rng.randrange(2, 5)))
+            op = rng.choice(["append", "takedown", "takedown", "reingest", "compact"])
+            if op == "reingest" and dead:
+                # re-create a taken-down doc with NEW content, no
+                # compaction first — generations must mask only the old
+                pick = rng.choice(sorted(dead))
+                newv = dead.pop(pick) + 1
+                inverted_index_append(spark, name, docs_df({pick: newv}))
+                live[pick] = newv
+            elif op == "append" or (op == "reingest" and not dead):
+                new = {i: 0 for i in range(next_id, next_id + rng.randrange(2, 5))}
                 next_id = max(new) + 1
                 inverted_index_append(spark, name, docs_df(new))
-                live |= new
+                live.update(new)
             elif op == "takedown" and live:
-                batch = set(rng.sample(sorted(live), min(len(live), rng.randrange(1, 4))))
+                picks = rng.sample(sorted(live), min(len(live), rng.randrange(1, 4)))
+                batch = {i: live[i] for i in picks}
                 inverted_index_takedown(spark, name, docs_df(batch))
-                live -= batch
-                dead |= batch
+                for i in picks:
+                    dead[i] = live.pop(i)
             else:
                 inverted_index_compact(spark, name)
-                dead = set()
+                dead = {}
             ts_name = invidx_tombstone_table(name)
             ts = (
-                spark.table(ts_name).select("doc_id")
+                spark.table(ts_name).select("doc_id", "gen")
                 if spark.catalog.tableExists(ts_name)
                 and spark.table(ts_name).limit(1).count()
                 else None
@@ -481,8 +488,8 @@ class TestTransactionalFeed:
         real = td.inverted_index_takedown
         calls = {"n": 0}
 
-        def crash_after_apply(spark_, name_, deleted_, txn=None):
-            out = real(spark_, name_, deleted_, txn=txn)
+        def crash_after_apply(spark_, name_, deleted_, txn=None, gen=None):
+            out = real(spark_, name_, deleted_, txn=txn, gen=gen)
             calls["n"] += 1
             if calls["n"] == 1:
                 # the VERDICT r11 #3 window: artifacts applied, batch not
@@ -567,9 +574,150 @@ class TestTransactionalFeed:
         _dl, cs = _invidx_side_names(name)
         assert spark.table(cs).agg(F.sum("n_docs")).first()[0] == 10 - 1
 
+    def test_update_then_delete_across_commits_still_retires(self, spark, tmp_path):
+        """ADVICE r12 #1: an update of doc X in commit N plus a GENUINE
+        delete of X in commit N+1, drained together in one catch-up
+        batch, must retire X — the r12 batch-wide anti-join netted the
+        delete away (silent RTBF loss).  The drifted delete image
+        (fingerprint mismatch vs the indexed content) routes through the
+        MASKED path: membership and consts exact immediately, df healed
+        by the compaction fold."""
+        import uuid
+
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.operators.takedown import start_index_takedown_feed
+        from anglerfish_spark.operators.text import (
+            _bm25_from_persisted,
+            _invidx_side_names,
+            boolean_search,
+            build_persisted_index,
+            inverted_index_compact,
+            invidx_tombstone_table,
+        )
+        from anglerfish_spark.sources.manifest_table import delete_keys, snapshot, upsert
+
+        docs = self._corpus(spark, n=10)
+        t = str(tmp_path / "corpus")
+        upsert(spark, t, docs, ["doc_id"], txn_id="v1")
+        name = f"ang_tdnlww_{uuid.uuid4().hex[:8]}"
+        build_persisted_index(spark, snapshot(spark, t, 1), name)
+        # commit 2: UPDATE doc 4; commit 3: genuine DELETE of doc 4 —
+        # both drained in ONE batch
+        upd = local_df(spark, [(4, "totally different text")], ["doc_id", "text"]).select(
+            F.col("doc_id").cast("long"), "text"
+        )
+        upsert(spark, t, upd, ["doc_id"], txn_id="v2")
+        delete_keys(spark, t, "doc_id", docs.where("doc_id = 4").select("doc_id"))
+        ckpt = str(tmp_path / "ckpt")
+        q = start_index_takedown_feed(spark, t, name, ckpt, starting_version=1)
+        q.awaitTermination(120)
+        ts = spark.table(invidx_tombstone_table(name))
+        assert sorted(r.doc_id for r in ts.collect()) == [4]
+        # membership exact immediately; consts subtract the STORED length
+        ids = {
+            r.doc_id
+            for r in boolean_search(
+                spark.table(name), ["red"], tombstones=ts.select("doc_id", "gen")
+            ).collect()
+        }
+        assert 4 not in ids and ids
+        _dl, cs = _invidx_side_names(name)
+        assert spark.table(cs).agg(F.sum("n_docs")).first()[0] == 9
+        # the fold heals df: post-compaction BM25 equals a fresh build
+        inverted_index_compact(spark, name)
+        got = [tuple(r) for r in _bm25_from_persisted(spark, name).collect()]
+        ref = f"{name}_ref"
+        build_persisted_index(spark, docs.where("doc_id <> 4"), ref)
+        want = [tuple(r) for r in _bm25_from_persisted(spark, ref).collect()]
+        assert got == want and got
+
 
 class TestReingestGuard:
-    def test_append_of_tombstoned_doc_raises_until_compaction(self, spark):
+    """r13 (VERDICT r12 #2): generations retire the r12 ValueError wall
+    — a doc re-ingested AFTER its takedown lands correctly with NO
+    compaction in between (its generation outranks the tombstone), while
+    appends of currently-LIVE docs stay loudly refused (the one
+    genuinely corrupting case)."""
+
+    def _docs_df(self, spark, rows):
+        from anglerfish_spark.localdata import local_df
+
+        return local_df(spark, rows, ["doc_id", "text"]).select(
+            F.col("doc_id").cast("long"), "text"
+        )
+
+    def test_reingest_after_takedown_needs_no_compaction(self, spark):
+        import uuid
+
+        from anglerfish_spark.operators.text import (
+            _bm25_from_persisted,
+            _invidx_side_names,
+            boolean_search,
+            build_persisted_index,
+            inverted_index_append,
+            inverted_index_compact,
+            inverted_index_takedown,
+            invidx_tombstone_table,
+        )
+
+        def docs_df(rows):
+            return self._docs_df(spark, rows)
+
+        name = f"ang_reingest_{uuid.uuid4().hex[:8]}"
+        build_persisted_index(
+            spark, docs_df([(i, f"alpha beta doc{i}") for i in range(8)]), name
+        )
+        inverted_index_takedown(spark, name, docs_df([(3, "alpha beta doc3")]))
+        # the r13 headline: straight re-ingest, no compaction first
+        inverted_index_append(spark, name, docs_df([(3, "alpha reborn")]))
+        ts = spark.table(invidx_tombstone_table(name)).select("doc_id", "gen")
+        # probes equal a FRESH build over the live corpus, score-exactly
+        live = docs_df(
+            [(i, f"alpha beta doc{i}") for i in range(8) if i != 3]
+            + [(3, "alpha reborn")]
+        )
+        ref = f"{name}_ref"
+        build_persisted_index(spark, live, ref)
+        got = sorted(
+            (r.doc_id, r.tf_total)
+            for r in boolean_search(spark.table(name), ["alpha"], tombstones=ts).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.tf_total)
+            for r in boolean_search(spark.table(ref), ["alpha"]).collect()
+        )
+        assert got == want and got
+        s_got = [
+            tuple(r)
+            for r in _bm25_from_persisted(spark, name, tombstones=ts).collect()
+        ]
+        s_want = [tuple(r) for r in _bm25_from_persisted(spark, ref).collect()]
+        assert s_got == s_want
+        # the re-ingested doc serves its NEW content, old content is dead
+        assert {r.doc_id for r in boolean_search(
+            spark.table(name), ["reborn"], tombstones=ts).collect()} == {3}
+        assert not {r.doc_id for r in boolean_search(
+            spark.table(name), ["doc3"], tombstones=ts).collect()}
+        # consts exact pre-compaction
+        _dl, cs = _invidx_side_names(name)
+        assert spark.table(cs).agg(F.sum("n_docs")).first()[0] == 8
+        # compaction folds generations away; probes identical after
+        inverted_index_compact(spark, name)
+        assert spark.table(invidx_tombstone_table(name)).count() == 0
+        after = sorted(
+            (r.doc_id, r.tf_total)
+            for r in boolean_search(spark.table(name), ["alpha"]).collect()
+        )
+        assert after == want
+        d3 = (
+            spark.table(name)
+            .select("term", F.explode("postings").alias("p"))
+            .where(F.col("p.doc_id") == 3)
+        )
+        # only the reborn content survives the fold: terms {alpha, reborn}
+        assert sorted(r.term for r in d3.collect()) == ["alpha", "reborn"]
+
+    def test_append_of_live_doc_raises(self, spark):
         import uuid
 
         import pytest
@@ -577,32 +725,17 @@ class TestReingestGuard:
         from anglerfish_spark.operators.text import (
             build_persisted_index,
             inverted_index_append,
-            inverted_index_compact,
-            inverted_index_takedown,
         )
-        from anglerfish_spark.localdata import local_df
 
-        def docs_df(rows):
-            return local_df(spark, rows, ["doc_id", "text"]).select(
-                F.col("doc_id").cast("long"), "text"
-            )
-
-        name = f"ang_reingest_{uuid.uuid4().hex[:8]}"
+        name = f"ang_liveguard_{uuid.uuid4().hex[:8]}"
         build_persisted_index(
-            spark, docs_df([(i, f"alpha beta doc{i}") for i in range(8)]), name
+            spark,
+            self._docs_df(spark, [(i, f"alpha beta doc{i}") for i in range(4)]),
+            name,
         )
-        inverted_index_takedown(spark, name, docs_df([(3, "alpha beta doc3")]))
-        # silent-corruption path made loud (ADVICE r11 #1): re-ingesting a
-        # tombstoned doc would mask its new postings while counting them
-        # in consts, then compaction would physically drop them
-        with pytest.raises(ValueError, match="tombstoned"):
-            inverted_index_append(spark, name, docs_df([(3, "alpha reborn")]))
-        inverted_index_compact(spark, name)
-        inverted_index_append(spark, name, docs_df([(3, "alpha reborn")]))
-        from anglerfish_spark.operators.text import boolean_search
-
-        ids = {r.doc_id for r in boolean_search(spark.table(name), ["reborn"]).collect()}
-        assert ids == {3}
+        # double-indexing a live doc corrupts df/consts — loudly refused
+        with pytest.raises(ValueError, match="LIVE"):
+            inverted_index_append(spark, name, self._docs_df(spark, [(2, "new text")]))
 
 
 class TestIvfMaintenance:
@@ -676,12 +809,15 @@ class TestIvfMaintenance:
 
 
 class TestMaintenanceFeed:
-    """r12 full CDC maintenance: the index is built AND maintained
-    entirely from the change feed — inserts ingest, updates are netted
-    (kept live on indexed content), deletes split exact/stale by stored
-    fingerprint — and the whole batch apply is replay-stable: a crash
-    after a partial apply converges on restart (classification filters
-    the batch's own partitions, writes overwrite their own partitions)."""
+    """r13 full CDC maintenance: the index is built AND maintained
+    entirely from the change feed — inserts ingest, UPDATES RE-INDEX in
+    the same batch (VERDICT r12 #1: exact retirement of the old content
+    + generation-stamped ingest of the new), deletes retire exactly,
+    re-creations after deletion land without compaction (ADVICE r12 #3)
+    — and the whole batch apply is replay-stable: a crash after a
+    partial apply converges on restart (classification and generation
+    allocation filter the batch's own partitions, writes overwrite
+    their own partitions)."""
 
     def _fixture(self, spark, tmp_path):
         import uuid
@@ -691,13 +827,14 @@ class TestMaintenanceFeed:
             _SEARCH_TERMS,
             build_persisted_index,
         )
-        from anglerfish_spark.sources.manifest_table import delete_keys, upsert
+        from anglerfish_spark.sources.manifest_table import upsert
         import pyspark.sql.types as T
 
         t0, t1, t2 = _SEARCH_TERMS
 
-        def text_of(i):
-            return f"{t0} red {t1} blue {t2} green doc{i} " * (1 + i % 4)
+        def text_of(i, v=0):
+            s = f"mark{v} " if v else ""
+            return f"{t0} red {t1} blue {t2} green {s}doc{i} " * (1 + i % 4)
 
         def df_of(pairs):
             return local_df(spark, pairs, ["doc_id", "text"]).select(
@@ -712,32 +849,35 @@ class TestMaintenanceFeed:
             [], T.StructType([T.StructField("doc_id", T.LongType()),
                               T.StructField("text", T.StringType())]))
         build_persisted_index(spark, empty, name)
-        # live docs AS INDEXED: updates never re-index, so 9 keeps its
-        # ORIGINAL content; 3 (updated then deleted), 5, 25 are gone
-        live = [(i, text_of(i)) for i in range(30) if i not in (3, 5, 25)]
+        # final live corpus: updates RE-INDEX (r13), so 9 serves its
+        # UPDATED content; 3 (updated then deleted) and 25 are gone;
+        # 5 was deleted then RE-CREATED with fresh content
+        live = [(i, text_of(i)) for i in range(30) if i not in (3, 5, 9, 25)] + [
+            (9, text_of(9, v=7)), (5, text_of(5, v=9))]
         return t, name, df_of, text_of, df_of(live)
 
     def _probes(self, spark, name):
         from anglerfish_spark.operators.text import (
             _bm25_from_persisted,
-            _probe_boolean,
+            _SEARCH_TERMS,
+            boolean_search,
             invidx_tombstone_table,
         )
 
         ts_name = invidx_tombstone_table(name)
         ts = (
-            spark.table(ts_name).select("doc_id")
+            spark.table(ts_name).select("doc_id", "gen")
             if spark.catalog.tableExists(ts_name)
             and spark.table(ts_name).limit(1).count()
             else None
         )
-        idx = spark.table(name)
-        if ts is not None:
-            dead = [r.doc_id for r in ts.collect()]
-            idx = idx.withColumn(
-                "postings", F.filter("postings", lambda p: ~p["doc_id"].isin(dead))
-            )
-        b = sorted((r.doc_id, r.tf_total) for r in _probe_boolean(idx).collect())
+        b = sorted(
+            (r.doc_id, r.tf_total)
+            for r in boolean_search(
+                spark.table(name), _SEARCH_TERMS[:2], _SEARCH_TERMS[2:],
+                tombstones=ts,
+            ).collect()
+        )
         s = [tuple(r) for r in _bm25_from_persisted(spark, name, tombstones=ts).collect()]
         return b, s
 
@@ -751,6 +891,7 @@ class TestMaintenanceFeed:
         import anglerfish_spark.operators.takedown as td
         from anglerfish_spark.operators.text import (
             _invidx_side_names,
+            boolean_search,
             build_persisted_index,
             inverted_index_compact,
             invidx_tombstone_table,
@@ -764,16 +905,17 @@ class TestMaintenanceFeed:
         td.start_index_maintenance_feed(spark, t, name, ckpt).awaitTermination(120)
 
         # v2: ten NEW docs + content UPDATES of two indexed docs; the
-        # drain of this batch CRASHES after the append fully applied but
-        # before the WAL commit — the replay-stability worst case
+        # drain of this batch CRASHES after the whole apply (old content
+        # retired AND new content appended) but before the WAL commit —
+        # the replay-stability worst case
         v2 = [(i, text_of(i)) for i in range(20, 30)] + [
-            (3, "changed three"), (9, "changed nine")]
+            (3, text_of(3, v=7)), (9, text_of(9, v=7))]
         upsert(spark, t, df_of(v2), ["doc_id"], txn_id="v2")
         real_append = td.inverted_index_append
         calls = {"n": 0}
 
-        def crash_after_append(spark_, name_, docs_, txn=None):
-            real_append(spark_, name_, docs_, txn=txn)
+        def crash_after_append(spark_, name_, docs_, txn=None, gen=None):
+            real_append(spark_, name_, docs_, txn=txn, gen=gen)
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError("crash after full batch apply, before WAL")
@@ -788,34 +930,47 @@ class TestMaintenanceFeed:
         q.awaitTermination(120)
         assert calls["n"] == 2  # the batch replayed and re-applied
 
-        # v3: deletes hitting all three paths — 5 (unmodified → exact),
-        # 3 (updated since ingest → fingerprint mismatch → stale/masked),
-        # 25 (ingested from v2 → exact)
+        # the UPDATE is live pre-compaction under its NEW terms, old
+        # content retired (VERDICT r12 #1's done-bar)
+        ts_now = spark.table(invidx_tombstone_table(name)).select("doc_id", "gen")
+        assert {r.doc_id for r in boolean_search(
+            spark.table(name), ["mark7"], tombstones=ts_now).collect()} == {3, 9}
+
+        # v3: deletes — 5 and 25 unmodified (exact path), 3 updated in
+        # v2 and RE-INDEXED, so its delete image matches the stored
+        # fingerprint and takes the exact path too
         delete_keys(spark, t, "doc_id",
                     df_of([(3, ""), (5, ""), (25, "")]).select("doc_id"),
                     txn_id="v3")
         td.start_index_maintenance_feed(spark, t, name, ckpt).awaitTermination(120)
+        # v4: RE-CREATE doc 5 with fresh content — lands straight through
+        # the feed, no compaction needed (ADVICE r12 #3)
+        upsert(spark, t, df_of([(5, text_of(5, v=9))]), ["doc_id"], txn_id="v4")
+        td.start_index_maintenance_feed(spark, t, name, ckpt).awaitTermination(120)
 
-        # exactly-once despite the replay: tombstones unduplicated,
-        # consts sum to the live collection
+        # exactly-once despite the replay: consts sum to the live
+        # collection (30 - 3 deleted + 1 re-created)
         ts = spark.table(invidx_tombstone_table(name))
-        assert sorted(r.doc_id for r in ts.collect()) == [3, 5, 25]
+        assert sorted(set(r.doc_id for r in ts.collect())) == [3, 5, 9, 25]
         _dl, cs = _invidx_side_names(name)
-        assert spark.table(cs).agg(F.sum("n_docs")).first()[0] == 27
-        # stale-update retirement (doc 3) leaves df stale until the fold;
-        # membership is already exact — then compaction heals df and the
-        # maintained index equals a FRESH build over the live-as-indexed
-        # corpus, score-exactly
-        inverted_index_compact(spark, name)
-        got = self._probes(spark, name)
+        assert spark.table(cs).agg(F.sum("n_docs")).first()[0] == 28
+        # every retirement was exact (update images match stored fps), so
+        # the maintained index equals a FRESH build over the CURRENT
+        # corpus score-exactly BEFORE any compaction...
+        got_pre = self._probes(spark, name)
         ref = f"{name}_ref_{uuid.uuid4().hex[:6]}"
         build_persisted_index(spark, live, ref)
         want = self._probes(spark, ref)
-        assert got == want and got[1]
-        # the updated-but-live doc (9) is still searchable, the
-        # updated-then-deleted doc (3) is gone everywhere
+        assert got_pre == want and got_pre[1]
+        # ...and still after the fold
+        inverted_index_compact(spark, name)
+        got = self._probes(spark, name)
+        assert got == want
+        # updated doc 9 serves new content; deleted 3/25 gone; 5 reborn
         ids = {d for d, _ in got[0]}
-        assert 9 in ids and 3 not in ids and 5 not in ids
+        assert 9 in ids and 5 in ids and 3 not in ids and 25 not in ids
+        assert {r.doc_id for r in boolean_search(
+            spark.table(name), ["mark9"]).collect()} == {5}
 
 
 class TestIvfIngest:
