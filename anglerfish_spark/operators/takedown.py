@@ -63,9 +63,11 @@ from .dedup import _FP_SQL, _PAIRS_CTE, dedup_index_tables, lsh_bands
 from .text import (
     TOKENS_SQL,
     _bm25_from_persisted,
+    _dynamic_partition_overwrite,
     _invidx_side_names,
     _next_gen,
     _SEARCH_TERMS,
+    _txn_write,
     BM25_SCALE,
     BM25_TOP_K,
     build_persisted_index,

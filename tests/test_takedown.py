@@ -1018,3 +1018,160 @@ class TestIvfIngest:
         # top-k must now contain at least one 100000+ id
         res = ivf_probe_persisted(spark, sf_dir, cells_path=path, centroids=cents)
         assert any(r.vec_id >= 100000 for r in res.collect())
+
+
+class TestCorpusFeed:
+    """r13 (VERDICT r12 #3): the UNIFIED feed maintains all three
+    persisted index families from one change feed — and the whole
+    multi-family batch apply is exactly-once under crash replay (the
+    fault lands after the inverted-index append applied, i.e. after
+    FOUR of the batch's six transactional writes)."""
+
+    def test_three_families_converge_under_crash_replay(
+        self, spark, sf_dir, tmp_path, monkeypatch
+    ):
+        import uuid
+
+        import pytest
+
+        import anglerfish_spark.operators.takedown as td
+        from anglerfish_spark.operators.takedown import (
+            corpus_ann_probe,
+            corpus_dedup_probe,
+            corpus_family_names,
+            corpus_index_bootstrap,
+        )
+        from anglerfish_spark.operators.text import (
+            _bm25_from_persisted,
+            _invidx_side_names,
+            _mask_retired,
+            build_persisted_index,
+            invidx_tombstone_table,
+        )
+        from anglerfish_spark.operators.similarity import _centroids
+        from anglerfish_spark.sources.manifest_table import delete_keys, upsert
+        from anglerfish_spark.sources.registry import load_table
+        from anglerfish_spark.streaming.stateful import await_or_fail
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = docs.join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+        )
+        cents = _centroids(emb, cache_key=f"test:{sf_dir}")
+        name = f"ang_corpustest_{uuid.uuid4().hex[:8]}"
+        corpus_index_bootstrap(spark, name)
+        t = str(tmp_path / "corpus")
+        cells_path = str(tmp_path / "cells")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            await_or_fail(
+                td.start_corpus_maintenance_feed(
+                    spark, t, name, cells_path, cents, ckpt
+                ),
+                300,
+            )
+
+        upsert(spark, t, corpus.where("doc_id % 10 <> 0"), ["doc_id"], txn_id="v1")
+        drain()
+        # v2: new docs + updates — CRASH after the invidx append applied
+        updated = corpus.where("doc_id % 13 = 0 AND doc_id % 10 <> 0").select(
+            "doc_id",
+            F.concat(F.lit("updated "), F.col("text")).alias("text"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+        upsert(
+            spark, t,
+            corpus.where("doc_id % 10 = 0").unionByName(updated),
+            ["doc_id"], txn_id="v2",
+        )
+        real_append = td.inverted_index_append
+        calls = {"n": 0}
+
+        def crash_after_append(spark_, name_, docs_, txn=None, gen=None):
+            real_append(spark_, name_, docs_, txn=txn, gen=gen)
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("crash mid multi-family batch")
+
+        monkeypatch.setattr(td, "inverted_index_append", crash_after_append)
+        q = td.start_corpus_maintenance_feed(spark, t, name, cells_path, cents, ckpt)
+        with pytest.raises(Exception):
+            q.awaitTermination(120)
+            q.processAllAvailable()
+        assert calls["n"] == 1
+        drain()
+        assert calls["n"] == 2  # replayed, every family rewrote its partitions
+        # v3: deletes
+        delete_keys(
+            spark, t, "doc_id",
+            corpus.where("doc_id % 7 = 0").select("doc_id"), txn_id="v3",
+        )
+        drain()
+
+        live = docs.withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 10 != 0),
+                F.concat(F.lit("updated "), F.col("text")),
+            ).otherwise(F.col("text")),
+        ).where("doc_id % 7 <> 0")
+        n_live = live.count()
+        ts = spark.table(invidx_tombstone_table(name)).select("doc_id", "gen")
+
+        # 1. exactly-once statistics despite the replay
+        _dl, cs = _invidx_side_names(name)
+        assert spark.table(cs).agg(F.sum("n_docs")).first()[0] == n_live
+        # 2. inverted index: score-exact vs fresh build over live corpus
+        ref = f"{name}_ref"
+        build_persisted_index(spark, live, ref)
+        got = [tuple(r) for r in _bm25_from_persisted(spark, name, tombstones=ts).collect()]
+        want = [tuple(r) for r in _bm25_from_persisted(spark, ref).collect()]
+        assert got == want and got
+        # 3. dedup family: exact-match hits equal a RECOMPUTE over the
+        # live corpus (content fps are not unique per doc — duplicate
+        # texts exist by construction — so equality against the live
+        # fingerprint SET is the correct check, probed with updated,
+        # original, and deleted docs' content)
+        from anglerfish_spark.operators.takedown import _corpus_fp
+
+        live_fps = live.select(_corpus_fp().alias("fp")).distinct()
+
+        def expected_exact(probe):
+            return {
+                r.doc_id
+                for r in probe.select("doc_id", _corpus_fp().alias("fp"))
+                .join(live_fps, "fp", "left_semi")
+                .select("doc_id")
+                .distinct()
+                .collect()
+            }
+
+        for probe in (
+            live.where("doc_id % 13 = 0 AND doc_id % 10 <> 0"),  # updated, new text
+            docs.where("doc_id % 13 = 0 AND doc_id % 10 <> 0"),  # updated, OLD text
+            docs.where("doc_id % 7 = 0"),  # deleted docs' content
+        ):
+            ex, _ = corpus_dedup_probe(spark, name, probe, ts)
+            assert {r.doc_id for r in ex.collect()} == expected_exact(probe)
+        # the update actually flipped something: at least one updated
+        # doc's new text matches and old text (if unique) does not
+        upd_new = live.where("doc_id % 13 = 0 AND doc_id % 10 <> 0")
+        if upd_new.limit(1).count():
+            ex_new, _ = corpus_dedup_probe(spark, name, upd_new, ts)
+            assert ex_new.count() == upd_new.select("doc_id").distinct().count()
+        # 4. IVF family: no retired vector ranks; some results exist
+        ann = corpus_ann_probe(spark, sf_dir, cells_path, cents, ts)
+        res = [(r.query_id, r.vec_id) for r in ann.collect()]
+        assert res
+        dead = {r.doc_id for r in corpus.where("doc_id % 7 = 0").select("doc_id").collect()}
+        live_cells = _mask_retired(
+            spark.read.parquet(cells_path).select("vec_id", "gen"),
+            ts.select(F.col("doc_id").alias("vec_id"), "gen"),
+            key="vec_id",
+        )
+        assert not any(v in dead for _q, v in res)
+        # one live cells row per live doc (updates masked their old row)
+        assert live_cells.count() == n_live
+        assert live_cells.groupBy("vec_id").count().where("count > 1").count() == 0
