@@ -1422,3 +1422,94 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "vec_id", "d2")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 (VERDICT r12 #8): a CLUSTERED embedding relation — the near-uniform
+# synthetic corpus makes every ANN recall gate weak (nearest-neighbor
+# structure barely exists), so the quality claims for IVF→PQ→rerank are
+# measured on a deterministic mixture-of-clusters relation instead, where
+# real neighbor structure exists and recall has meaning.
+# ---------------------------------------------------------------------------
+
+CLUSTERED_N = 2000
+CLUSTERED_K = N_CENTROIDS  # one synthetic cluster per quantizer cell
+
+#: integer-exact synthesis both engines compute bit-identically: cluster
+#: center = pseudo-random lattice in [-128, 128]^64 (multiplicative mix,
+#: modulus 257), point = center + noise in ±4 (scale 0.125 = 2^-3, exact
+#: in binary floating point).  Tight clusters, far-apart centers → real
+#: nearest-neighbor structure.
+_CLUSTERED_EXPR = (
+    "transform(sequence(0, {dim}), d -> "
+    "CAST((((id % {k}) * 2654435761 + d * 40503) % 257) - 128 AS DOUBLE) + "
+    "CAST(((id * 7919 + d * 104729) % 65) - 32 AS DOUBLE) * 0.125)"
+).format(dim=DIM - 1, k=CLUSTERED_K)
+
+_CLUSTERED_SQL = f"""
+SELECT vec_id, CAST(vec_id % {CLUSTERED_K} AS INT) AS label,
+       [CAST((((vec_id % {CLUSTERED_K}) * 2654435761 + d * 40503) % 257) - 128 AS DOUBLE)
+        + CAST(((vec_id * 7919 + d * 104729) % 65) - 32 AS DOUBLE) * 0.125
+        for d in generate_series(0, {DIM - 1})] AS embedding
+FROM generate_series(0, {CLUSTERED_N - 1}) AS g(vec_id)
+""".strip()
+
+
+def clustered_embeddings(spark: SparkSession, n: int = CLUSTERED_N) -> DataFrame:
+    """The deterministic clustered corpus: ``(vec_id, label, embedding)``
+    with ``label = vec_id % {CLUSTERED_K}`` the true cluster.  Pure
+    codegen over ``spark.range`` — no data files, engine-exact vs the
+    DuckDB twin (``_CLUSTERED_SQL``)."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % CLUSTERED_K).cast("int").alias("label"),
+        F.expr(_CLUSTERED_EXPR).alias("embedding"),
+    )
+
+
+RECALL_K = 10
+
+
+@query(
+    "q_similarity_clustered_exact",
+    oracle=f"""
+WITH ce AS ({_CLUSTERED_SQL}),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM ce WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         {cosine_sql('q.qe', 'c.embedding')} AS score
+  FROM q JOIN ce c ON c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id) AS rn
+  FROM cand
+)
+SELECT query_id, CAST(rn AS INT) AS rn, vec_id, label, score
+FROM ranked WHERE rn <= {RECALL_K}
+ORDER BY query_id, rn
+""",
+    group="similarity",
+)
+def q_similarity_clustered_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{RECALL_K} over the CLUSTERED corpus — the
+    recall BASELINE the r13 ANN quality gate measures against
+    (tests/test_similarity.py::TestClusteredRecall pins IVF→PQ→rerank
+    recall@{RECALL_K} ≥ 0.8 on this relation, with the partition-pruned
+    cell plan asserted).  The oracle recomputes the synthesis AND the
+    ranking from scratch in DuckDB, so the clustered relation itself is
+    engine-exact — scores included (deterministic double fold both
+    sides).
+
+    Scale shape: the baseline is O(|Q|·N) brute force by design (the
+    accuracy yardstick); the gated pipeline it judges reads only probed
+    cell partitions + PQ codes, the IVF/PQ scale paths."""
+    prepare(spark)
+    e = clustered_embeddings(spark)
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    out = exact_topk(e, queries, k=RECALL_K)
+    return out.select(
+        "query_id", F.col("rn").cast("int"), "vec_id", "label", "score"
+    ).orderBy("query_id", "rn")

@@ -293,3 +293,104 @@ class TestAnnRecall:
               f"ivf={r['q_similarity_ann_ivf']:.3f}")
         assert r["q_similarity_ann_lsh"] >= 0.6, r
         assert r["q_similarity_ann_ivf"] >= 0.7, r
+
+
+class TestClusteredRecall:
+    """r13 (VERDICT r12 #8): ANN quality gated on a corpus with REAL
+    neighbor structure — the deterministic clustered relation — instead
+    of the near-uniform synthetic embeddings whose recall gates were
+    structurally weak.  The full production pipeline (IVF partition
+    -pruned cells → PQ ADC shortlist → exact rerank) must reach
+    recall@10 ≥ 0.8 against the oracle-checked exact baseline, through
+    a plan that still prunes cell partitions at scan time."""
+
+    def test_ivf_pq_rerank_recall_at_10_gate(self, spark, tmp_path):
+        from pyspark.sql import Window
+
+        from anglerfish_spark.operators.similarity import (
+            N_PROBE,
+            N_QUERIES,
+            RECALL_K,
+            RERANK_MULT,
+            _cell_ranking,
+            _centroids,
+            _pq_adc_scores,
+            _pq_codebook,
+            clustered_embeddings,
+            cosine,
+            exact_topk,
+        )
+
+        e = clustered_embeddings(spark)
+        cents = _centroids(e, cache_key="clustered-ci")
+        best = F.element_at(_cell_ranking(F.col("embedding"), cents), -1)
+        path = str(tmp_path / "cells")
+        e.select(
+            "vec_id", "label", "embedding", (best["nc"] * -1).alias("cell")
+        ).write.partitionBy("cell").parquet(path)
+
+        ranking = _cell_ranking(F.col("embedding"), cents)
+        probe_cells = F.array(
+            *[(F.element_at(ranking, -1 - i)["nc"] * -1) for i in range(N_PROBE)]
+        )
+        probes = e.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(probe_cells).alias("probe_cell"),
+        )
+        cells = sorted(
+            {r["probe_cell"] for r in probes.select("probe_cell").distinct().collect()}
+        )
+        pruned = spark.read.parquet(path).where(F.col("cell").isin(cells))
+        # the scale path really prunes: cell is a partition filter
+        pruned.count()
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert any(
+            "PartitionFilters" in ln and "cell" in ln for ln in plan.splitlines()
+        ), plan
+
+        _pq_codebook(e, cache_key="clustered-ci")
+        e_pipe = (
+            e.where(F.col("vec_id") < N_QUERIES)
+            .unionByName(pruned.select("vec_id", "label", "embedding"))
+            .dropDuplicates(["vec_id"])
+        )
+        adc = _pq_adc_scores(spark, e_pipe, "clustered-ci")
+        w_short = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), "vec_id"
+        )
+        short = (
+            adc.withColumn("srn", F.row_number().over(w_short))
+            .where(F.col("srn") <= RECALL_K * RERANK_MULT)
+            .select("query_id", "vec_id")
+        )
+        qdf = e.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+        rer = (
+            short.join(e.select("vec_id", "embedding"), "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id", "vec_id", cosine(F.col("qe"), F.col("embedding")).alias("score")
+            )
+        )
+        w_rank = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "vec_id")
+        ann = {
+            (r.query_id, r.vec_id)
+            for r in rer.withColumn("rn", F.row_number().over(w_rank))
+            .where(F.col("rn") <= RECALL_K)
+            .collect()
+        }
+        exact = {
+            (r.query_id, r.vec_id)
+            for r in exact_topk(e, qdf, k=RECALL_K).collect()
+        }
+        hits = {}
+        for qid, vid in exact:
+            n_hit, n = hits.get(qid, (0, 0))
+            hits[qid] = (n_hit + ((qid, vid) in ann), n + 1)
+        recalls = [h / n for h, n in hits.values()]
+        assert len(recalls) == N_QUERIES
+        mean = sum(recalls) / len(recalls)
+        # the CI gate: measured 1.0 on this relation; 0.8 is the floor
+        assert mean >= 0.8, (mean, recalls)
