@@ -112,6 +112,74 @@ def restore_flat(spark) -> dict:
     return out
 
 
+def maintenance_scaling_25x(spark) -> dict:
+    """r13 (VERDICT r12 #7): the full maintenance lifecycle —
+    build / fixed-batch APPEND / fixed-batch TAKEDOWN / COMPACT — at
+    1x, 5x, and 25x corpora (25x = the sf0.5 docs replicated 5 times
+    with shifted doc_ids, ~125k docs), confirming the O(batch) trends
+    hold beyond the 5x points and that compaction grows ~linearly in
+    index size (it IS the O(index) fold, by design)."""
+    from pyspark.sql import functions as F
+
+    from anglerfish_spark.operators.text import (
+        build_persisted_index,
+        inverted_index_append,
+        inverted_index_compact,
+        inverted_index_takedown,
+    )
+    from anglerfish_spark.sources.registry import load_table
+
+    base5 = load_table(spark, SF_5X, "documents").select("doc_id", "text")
+    n5 = base5.count()
+    corpora = {
+        "1x": load_table(spark, SF_1X, "documents").select("doc_id", "text"),
+        "5x": base5,
+        "25x": None,  # built below from base5 once n5 is known
+    }
+    offset = (n5 // 1000 + 2) * 1000 * 10
+    rep = None
+    for i in range(5):
+        part = base5.select(
+            (F.col("doc_id") + F.lit(i * offset)).alias("doc_id"), "text"
+        )
+        rep = part if rep is None else rep.unionByName(part)
+    corpora["25x"] = rep
+
+    out = {}
+    for label, docs in corpora.items():
+        docs = docs.localCheckpoint(eager=True)
+        n_docs = docs.count()
+        top = docs.agg(F.max("doc_id")).first()[0]
+        name = f"ang_mntsoak_{label}_{abs(hash((label, SF_5X))) % 10**8}"
+        t_build, _ = _timeit(lambda: build_persisted_index(spark, docs, name))
+        # fixed-size NEW batch (ids beyond the corpus), then a
+        # fixed-size takedown of existing docs, then the O(index) fold
+        newb = (
+            docs.orderBy("doc_id").limit(BATCH)
+            .select((F.col("doc_id") + F.lit(top + 1)).alias("doc_id"), "text")
+            .localCheckpoint(eager=True)
+        )
+        t_append, _ = _timeit(lambda: inverted_index_append(spark, name, newb))
+        batch = docs.orderBy("doc_id").limit(BATCH).localCheckpoint(eager=True)
+        t_tdn, _ = _timeit(lambda: inverted_index_takedown(spark, name, batch))
+        t_compact, _ = _timeit(lambda: inverted_index_compact(spark, name))
+        out[label] = {
+            "corpus_docs": n_docs,
+            "build_sec": t_build,
+            "append_sec": t_append,
+            "takedown_sec": t_tdn,
+            "compact_sec": t_compact,
+        }
+    for op in ("append_sec", "takedown_sec"):
+        out[f"{op[:-4]}_ratio_25x_over_1x"] = round(
+            out["25x"][op] / out["1x"][op], 2
+        )
+    out["compact_ratio_25x_over_5x"] = round(
+        out["25x"]["compact_sec"] / out["5x"]["compact_sec"], 2
+    )
+    return out
+
+
 def main() -> None:
     from anglerfish_spark.session import get_spark
 
@@ -120,6 +188,7 @@ def main() -> None:
     payload = {
         "takedown_fixed_batch_vs_index_size": takedown_flat(spark),
         "restore_fixed_changes_vs_table_size": restore_flat(spark),
+        "maintenance_scaling_25x": maintenance_scaling_25x(spark),
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
