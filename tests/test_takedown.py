@@ -1175,3 +1175,42 @@ class TestCorpusFeed:
         # one live cells row per live doc (updates masked their old row)
         assert live_cells.count() == n_live
         assert live_cells.groupBy("vec_id").count().where("count > 1").count() == 0
+
+
+class TestCorpusProbePlans:
+    """The unified-feed dedup probes keep the blessed scale shape: the
+    index side reads co-located buckets with NO exchange (the only
+    hash exchange on the join key is the batch side shuffling into the
+    bucket layout), and the generation mask is a broadcast join."""
+
+    def test_fp_and_band_probes_keep_bucketed_index_side(self, spark, sf_dir):
+        from anglerfish_spark.operators.takedown import (
+            _corpus_assets,
+            corpus_dedup_probe,
+        )
+        from anglerfish_spark.operators.text import invidx_tombstone_table
+        from anglerfish_spark.sources.registry import load_table
+
+        name, _cells, _cents = _corpus_assets(spark, sf_dir)
+        ts = spark.table(invidx_tombstone_table(name)).select("doc_id", "gen")
+        probe = (
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 11 == 0)
+            .select("doc_id", "text")
+        )
+        exact, near = corpus_dedup_probe(spark, name, probe, ts)
+        for df, key in ((exact, "fp"), (near, "band_id")):
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "simple"
+                )
+            )
+            assert "Bucketed: true" in plan, plan
+            key_exch = [
+                ln
+                for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln and f"{key}#" in ln
+            ]
+            # exactly the batch side shuffles into the bucket layout
+            assert len(key_exch) == 1, plan
+            assert "BroadcastHashJoin" in plan, plan  # the gen mask
