@@ -247,6 +247,16 @@ def py_carrier_to_value(logical: LogicalType, v, path: str = "$"):
             if logical.precision > 38:
                 return v  # carrier bytes pass through (no Catalyst shape)
             unscaled = int.from_bytes(v, "big", signed=True) if len(v) else 0
+            # spec: the unscaled value must fit in `precision` digits —
+            # the expression decoder rejects via the decimal(p,s) cast
+            # nulling out; mirror it here or the differential diverges
+            # (r13 fuzz seed 13777: fixed(1) byte 0xf6 = -10 under
+            # decimal(precision=1) decoded here but errored there)
+            if abs(unscaled) > 10**logical.precision - 1:
+                raise UnrepresentableError(
+                    f"{path}: unscaled {unscaled} exceeds decimal precision "
+                    f"{logical.precision}"
+                )
             return _Decimal(unscaled).scaleb(-logical.scale)
     except OverflowError as ex:
         raise UnrepresentableError(f"{path}: {v} out of range for {n}: {ex}") from None

@@ -91,7 +91,12 @@ def gen_field(rng: random.Random, i: int):
     precision = min(18, rng.randint(1, max(1, len(str(2 ** (8 * size - 1) - 1)) - 1)))
     scale = rng.randint(0, precision)
     bound = min(10**precision - 1, 2 ** (8 * size - 1) - 1)
-    unscaled = rng.randint(-bound - 1 if -(bound + 1) >= -(2 ** (8 * size - 1)) else -bound, bound)
+    # include the extra two's-complement value (-2^(8s-1)) only when the
+    # BYTE width is the binding constraint — when precision binds,
+    # -bound-1 needs one more digit and is spec-invalid (caught by the
+    # r13 seed rotation: both decoders now reject it)
+    lo = -bound - 1 if bound == 2 ** (8 * size - 1) - 1 else -bound
+    unscaled = rng.randint(lo, bound)
     raw = unscaled.to_bytes(size, "big", signed=True)
     return (
         {

@@ -478,3 +478,79 @@ class TestLetBinding:
             _let(F.col("x"), lambda v: F.coalesce(v, F.lit(-1))).alias("r")
         ).collect()
         assert sorted(r["r"] for r in out) == [-1, -1, 1]
+
+
+class TestDecimalPrecisionParity:
+    """r13 (found by the fuzz-seed rotation): an unscaled value with more
+    digits than the declared precision is spec-invalid; the expression
+    decoder rejects it via the decimal(p,s) cast nulling out, and the
+    pure-Python lift must reject IDENTICALLY or the differential
+    diverges (pre-fix: fixed(1) byte 0xf6 = -10 under decimal(1,1)
+    decoded to -1.0 in pydecode, UnrepresentableError in the engine)."""
+
+    def test_pydecode_rejects_precision_overflow(self):
+        import base64
+        import json
+
+        import pytest
+
+        from anglerfish_spark.codec.pydecode import decode_datum
+        from anglerfish_spark.errors import UnrepresentableError
+        from anglerfish_spark.schema.parser import parse_schema
+
+        schema = json.dumps(
+            {
+                "type": "record",
+                "name": "R",
+                "fields": [
+                    {
+                        "name": "d",
+                        "type": {
+                            "type": "fixed", "name": "Fx1", "size": 1,
+                            "logicalType": "decimal", "precision": 1, "scale": 1,
+                        },
+                    }
+                ],
+            }
+        )
+        ps = parse_schema(schema)
+        bad = {"d": base64.b64encode((-10).to_bytes(1, "big", signed=True)).decode()}
+        with pytest.raises(UnrepresentableError):
+            decode_datum(ps.root, bad, ps.env)
+        # the boundary value (9 -> 0.9) still decodes
+        ok = {"d": base64.b64encode((9).to_bytes(1, "big", signed=True)).decode()}
+        from decimal import Decimal
+
+        assert decode_datum(ps.root, ok, ps.env)["d"] == Decimal("0.9")
+
+    def test_both_engine_decoders_agree_on_overflow(self, spark):
+        import base64
+        import json
+
+        import pytest
+
+        from anglerfish_spark.codec.decoder import decode_json, decode_json_python
+        from anglerfish_spark.localdata import local_df
+
+        schema = json.dumps(
+            {
+                "type": "record",
+                "name": "R",
+                "fields": [
+                    {
+                        "name": "d",
+                        "type": {
+                            "type": "fixed", "name": "Fx1b", "size": 1,
+                            "logicalType": "decimal", "precision": 1, "scale": 1,
+                        },
+                    }
+                ],
+            }
+        )
+        bad = json.dumps(
+            {"d": base64.b64encode((-10).to_bytes(1, "big", signed=True)).decode()}
+        )
+        df = local_df(spark, [(bad,)], ["txt"])
+        for fn in (decode_json, decode_json_python):
+            with pytest.raises(Exception, match="UnrepresentableError"):
+                fn(df, "txt", schema).select("decoded.*").collect()

@@ -337,11 +337,12 @@ class TestTakedownDifferential:
             return " ".join(r.choice(vocab) for _ in range(r.randrange(4, 16)))
 
         def docs_df(id_vers):
-            return local_df(
-                spark,
-                [(i, text_of(i, v)) for i, v in sorted(id_vers.items())],
-                ["doc_id", "text"],
-            ).select(F.col("doc_id").cast("long"), "text")
+            rows = [(i, text_of(i, v)) for i, v in sorted(id_vers.items())]
+            if not rows:  # a run can take down EVERY live doc
+                return spark.createDataFrame([], "doc_id long, text string")
+            return local_df(spark, rows, ["doc_id", "text"]).select(
+                F.col("doc_id").cast("long"), "text"
+            )
 
         name = f"ang_tdnfuzz_{uuid.uuid4().hex[:8]}"
         live: dict[int, int] = {i: 0 for i in range(10)}  # id -> content version
