@@ -8,11 +8,13 @@ move through Arrow record batches, never row-at-a-time Python.  Partitioning
 guidance: payload tables should be partitioned by size-balanced keys
 (payload bytes dominate task skew, not row counts).
 
-Decode status (r12): WAV/PCM and grayscale PNG are REAL, stdlib-only
-decodes (:func:`decode_wav` — wave/struct; :func:`decode_png` — chunk
-walk + CRC32 verify + zlib IDAT inflate + scanline unfilter), each
-oracle-checked end-to-end on synthesized spec-valid payloads.  Codecs
-that genuinely need third-party libs (JPEG entropy decode, color PNG,
+Decode status (r13): WAV/PCM and PNG of EVERY spec color type
+(grayscale, gray+alpha, truecolor, palette, RGBA) are REAL, stdlib-only
+decodes (:func:`decode_wav` — wave/struct; :func:`decode_png_any` —
+chunk walk + CRC32 verify + zlib IDAT inflate + bpp-aware scanline
+unfilter + PLTE expansion), each oracle-checked end-to-end on
+synthesized spec-valid payloads.  Codecs that genuinely need
+third-party libs (JPEG entropy decode, 16-bit/interlaced PNG,
 compressed audio) stay stubbed behind ``NotImplementedError``, with
 :func:`fake_features`-style deterministic stand-ins keeping the
 Spark-side plumbing (schema, batching, UDF signature) real and tested.
@@ -42,12 +44,14 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes):
-    """Decode an image payload to ``(width, height, pixel rows)``.
-    Grayscale PNG is REAL (stdlib :func:`decode_png` — zlib inflate +
-    scanline unfilter); other codecs (JPEG entropy decode, color PNG)
-    need external libs absent from this environment and stay stubbed."""
+    """Decode an image payload to ``(width, height, color_type, rows)``
+    of per-pixel channel tuples.  PNG of every spec color type is REAL
+    (stdlib :func:`decode_png_any` — zlib inflate + bpp-aware scanline
+    unfilter + PLTE expansion); codecs with non-deflate entropy coding
+    (JPEG) need external libs absent from this environment and stay
+    stubbed."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        out = decode_png(payload)
+        out = decode_png_any(payload)
         if out is not None:
             return out
         raise ValueError("malformed PNG payload")
@@ -690,21 +694,35 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def decode_png(payload: bytes) -> "tuple[int, int, list[list[int]]] | None":
-    """REAL image decode for 8-bit GRAYSCALE PNG — stdlib only (``zlib``):
-    returns ``(width, height, rows)`` of pixel values.  The full format
-    walk is performed, not a header sniff: chunk lengths + CRC32s are
-    verified, IDAT segments concatenated and inflated, and each scanline
-    un-filtered per its filter byte (None/Sub/Up/Average/Paeth — PNG
-    spec 9.2).  Anything malformed — bad signature, CRC mismatch,
-    truncation, non-grayscale, interlace — returns ``None``; decode
-    never raises."""
+# bytes per pixel in the filtered scanline, by IHDR color type (8-bit
+# depth): 0 grayscale, 2 truecolor, 3 palette INDICES, 4 gray+alpha,
+# 6 truecolor+alpha (PNG spec 11.2.2)
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_any(
+    payload: bytes,
+) -> "tuple[int, int, int, list[list[tuple[int, ...]]]] | None":
+    """REAL image decode for 8-bit non-interlaced PNG of ANY spec color
+    type — stdlib only (``zlib``): returns ``(width, height, color_type,
+    rows)`` where each row is a list of per-pixel channel tuples —
+    grayscale ``(g,)``, gray+alpha ``(g, a)``, truecolor ``(r, g, b)``
+    (palette images expanded through their PLTE), RGBA ``(r, g, b, a)``.
+    The full format walk is performed, not a header sniff: chunk lengths
+    + CRC32s verified, IDAT segments concatenated and inflated, each
+    scanline un-filtered per its filter byte (None/Sub/Up/Average/Paeth,
+    PNG spec 9.2) at BYTE granularity with the color type's
+    bytes-per-pixel stride (the ``a``/``c`` neighbors sit ``bpp`` bytes
+    left, spec 9.2's "prior pixel").  Anything malformed — bad
+    signature, CRC mismatch, truncation, 16-bit depth, interlace,
+    palette image without/with-bad PLTE, index beyond the palette —
+    returns ``None``; decode never raises."""
     import zlib
 
     try:
         if payload[:8] != b"\x89PNG\r\n\x1a\n":
             return None
-        i, w, h, idat = 8, None, None, b""
+        i, w, h, ct, idat, plte = 8, None, None, None, b"", None
         while i + 8 <= len(payload):
             ln = int.from_bytes(payload[i : i + 4], "big")
             typ = payload[i + 4 : i + 8]
@@ -717,29 +735,35 @@ def decode_png(payload: bytes) -> "tuple[int, int, list[list[int]]] | None":
             if typ == b"IHDR":
                 w = int.from_bytes(data[0:4], "big")
                 h = int.from_bytes(data[4:8], "big")
-                bit_depth, color_type, interlace = data[8], data[9], data[12]
-                if bit_depth != 8 or color_type != 0 or interlace != 0:
-                    return None  # only 8-bit grayscale, non-interlaced
+                bit_depth, ct, interlace = data[8], data[9], data[12]
+                if bit_depth != 8 or ct not in _PNG_BPP or interlace != 0:
+                    return None  # only 8-bit depth, non-interlaced
+            elif typ == b"PLTE":
+                if ln == 0 or ln % 3 or ln > 256 * 3:
+                    return None  # spec 11.2.3: 1..256 RGB triples
+                plte = [tuple(data[j : j + 3]) for j in range(0, ln, 3)]
             elif typ == b"IDAT":
                 idat += data
             elif typ == b"IEND":
                 break
             i += 12 + ln
-        if w is None or not idat:
+        if w is None or not idat or (ct == 3 and plte is None):
             return None
+        bpp = _PNG_BPP[ct]
+        stride = w * bpp
         raw = zlib.decompress(idat)
-        if len(raw) != h * (w + 1):
+        if len(raw) != h * (stride + 1):
             return None
-        rows: list[list[int]] = []
-        prev = [0] * w
+        rows: list[list[tuple[int, ...]]] = []
+        prev = bytearray(stride)
         for r in range(h):
-            line = raw[r * (w + 1) : (r + 1) * (w + 1)]
-            ft, scan = line[0], list(line[1:])
-            out = [0] * w
-            for c in range(w):
-                a = out[c - 1] if c else 0  # left
+            line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+            ft, scan = line[0], line[1:]
+            out = bytearray(stride)
+            for c in range(stride):
+                a = out[c - bpp] if c >= bpp else 0  # left (prior pixel)
                 b = prev[c]  # up
-                cc = prev[c - 1] if c else 0  # up-left
+                cc = prev[c - bpp] if c >= bpp else 0  # up-left
                 if ft == 0:
                     rec = scan[c]
                 elif ft == 1:
@@ -756,11 +780,32 @@ def decode_png(payload: bytes) -> "tuple[int, int, list[list[int]]] | None":
                 else:
                     return None
                 out[c] = rec & 0xFF
-            rows.append(out)
+            if ct == 3:
+                px = []
+                for c in range(w):
+                    if out[c] >= len(plte):
+                        return None  # index beyond palette
+                    px.append(plte[out[c]])
+                rows.append(px)
+            else:
+                rows.append([tuple(out[c * bpp : (c + 1) * bpp]) for c in range(w)])
             prev = out
-        return w, h, rows
+        return w, h, ct, rows
     except Exception:  # noqa: BLE001 - any parse failure routes to None
         return None
+
+
+def decode_png(payload: bytes) -> "tuple[int, int, list[list[int]]] | None":
+    """REAL image decode for 8-bit GRAYSCALE PNG — the single-channel
+    view over :func:`decode_png_any` (the same full format walk: CRC32
+    verify, IDAT inflate, bpp-aware scanline unfilter); returns
+    ``(width, height, rows)`` of pixel values, ``None`` for anything
+    malformed OR any non-grayscale color type."""
+    dec = decode_png_any(payload)
+    if dec is None or dec[2] != 0:
+        return None
+    w, h, _, rows = dec
+    return w, h, [[p[0] for p in row] for row in rows]
 
 
 def _png_pixel(doc_id: int, r: int, c: int) -> int:
@@ -913,7 +958,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end-to-end with no imaging libs (r12): every
     document becomes a spec-valid 8-bit grayscale PNG — doc_id-derived
     geometry and pixels, scanlines DELIBERATELY filter-encoded
-    (None/Sub/Up by row) — and the engine must walk the chunks, verify
+    (row % 5: all five spec filter types) — and the engine must walk the chunks, verify
     CRC32s, inflate IDAT with zlib, and UNFILTER each scanline to
     recover the pixels.  The oracle recomputes the pixel arithmetic, so
     a decoder that skips unfiltering (or misorders rows) fails the
@@ -932,3 +977,229 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return payloads.mapInPandas(png_pixels, PNG_SCHEMA).orderBy("doc_id")
+
+# ---------------------------------------------------------------------------
+# REAL COLOR PNG decode end-to-end (r13): truecolor RGB, palette, and
+# RGBA payloads through the same stdlib decoder — the "color PNG needs
+# third-party libs" stub is gone; only codecs with non-deflate entropy
+# coding (JPEG) remain env-gated
+# ---------------------------------------------------------------------------
+
+
+def _png_color_type(doc_id: int) -> int:
+    """Synthesis color type by doc: truecolor / palette / RGBA."""
+    return (2, 3, 6)[doc_id % 3]
+
+
+def _png_channel(doc_id: int, r: int, c: int, ch: int) -> int:
+    """The per-channel synthesis arithmetic both engines compute (for
+    palette images this is the INDEX at ch=0; the palette maps index
+    ``i`` to ``(i*5 % 256, i*11 % 256, i*17 % 256)``)."""
+    return (doc_id * 7 + r * 13 + c * 3 + ch * 31) % 256
+
+
+def _mk_color_png(doc_id: int, w: int, h: int) -> bytes:
+    """A spec-valid 8-bit color PNG (type by ``_png_color_type``) whose
+    scanlines are DELIBERATELY filtered (row % 5 → all five spec filter
+    types) at the color type's byte stride, so only a decoder that
+    reverses the filters with the correct bytes-per-pixel neighbor
+    offset recovers the channels.  Palette images carry a full 256-entry
+    PLTE."""
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    ct = _png_color_type(doc_id)
+    bpp = _PNG_BPP[ct]
+    nch = 1 if ct == 3 else bpp
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ct, 0, 0, 0])
+    )
+    raw = bytearray()
+    prev = bytearray(w * bpp)
+    for r in range(h):
+        cur = bytearray(
+            _png_channel(doc_id, r, c, ch) for c in range(w) for ch in range(nch)
+        )
+        ft = r % 5
+        raw.append(ft)
+        for i in range(len(cur)):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            cc = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                raw.append(cur[i])
+            elif ft == 1:
+                raw.append((cur[i] - a) & 0xFF)
+            elif ft == 2:
+                raw.append((cur[i] - b) & 0xFF)
+            elif ft == 3:
+                raw.append((cur[i] - (a + b) // 2) & 0xFF)
+            else:
+                raw.append((cur[i] - paeth(a, b, cc)) & 0xFF)
+        prev = cur
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if ct == 3:
+        plte = bytes(
+            v for i in range(256) for v in (i * 5 % 256, i * 11 % 256, i * 17 % 256)
+        )
+        parts.append(chunk(b"PLTE", plte))
+    parts.append(chunk(b"IDAT", zlib.compress(bytes(raw))))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
+PNG_COLOR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("color_type", T.IntegerType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("sum_a", T.LongType(), True),
+    ]
+)
+
+
+def synth_color_png_payloads(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Deterministic color-PNG corpus: doc_id-derived color type,
+    geometry, channels; every 19th payload gets one byte flipped mid-file
+    (breaking a chunk CRC) and must route to nulls."""
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            p = _mk_color_png(d, d % 10 + 2, d % 7 + 2)
+            if d % 19 == 0:
+                i = len(p) // 2
+                p = p[:i] + bytes([p[i] ^ 0xFF]) + p[i + 1 :]
+            out.append(p)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def png_channel_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL color decode + per-channel statistics over Arrow batches;
+    palette images report their EXPANDED RGB sums, alpha sum only where
+    the color type carries alpha; undecodable payloads yield null rows."""
+    for pdf in batches:
+        cols: dict[str, list] = {
+            "color_type": [], "width": [], "height": [],
+            "sum_r": [], "sum_g": [], "sum_b": [], "sum_a": [],
+        }
+        for b in pdf["payload"]:
+            dec = decode_png_any(bytes(b))
+            if dec is None or dec[2] not in (2, 3, 6):
+                for k in cols:
+                    cols[k].append(None)
+                continue
+            w, h, ct, rows = dec
+            flat = [p for row in rows for p in row]
+            cols["color_type"].append(ct)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["sum_r"].append(sum(p[0] for p in flat))
+            cols["sum_g"].append(sum(p[1] for p in flat))
+            cols["sum_b"].append(sum(p[2] for p in flat))
+            cols["sum_a"].append(sum(p[3] for p in flat) if ct == 6 else None)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "color_type": pd.Series(cols["color_type"], dtype="Int32"),
+                "width": pd.Series(cols["width"], dtype="Int64"),
+                "height": pd.Series(cols["height"], dtype="Int64"),
+                "sum_r": pd.Series(cols["sum_r"], dtype="Int64"),
+                "sum_g": pd.Series(cols["sum_g"], dtype="Int64"),
+                "sum_b": pd.Series(cols["sum_b"], dtype="Int64"),
+                "sum_a": pd.Series(cols["sum_a"], dtype="Int64"),
+            }
+        )
+
+
+@query(
+    "q_multimodal_png_color",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, doc_id % 10 + 2 AS w, doc_id % 7 + 2 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 6 END AS ct
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, ct,
+    CASE WHEN ct = 3
+      THEN list_sum([(((doc_id*7 + (i//w)*13 + (i%w)*3) % 256) * 5) % 256
+                     for i in generate_series(0, w*h - 1)])
+      ELSE list_sum([(doc_id*7 + (i//w)*13 + (i%w)*3) % 256
+                     for i in generate_series(0, w*h - 1)])
+    END AS sr,
+    CASE WHEN ct = 3
+      THEN list_sum([(((doc_id*7 + (i//w)*13 + (i%w)*3) % 256) * 11) % 256
+                     for i in generate_series(0, w*h - 1)])
+      ELSE list_sum([(doc_id*7 + (i//w)*13 + (i%w)*3 + 31) % 256
+                     for i in generate_series(0, w*h - 1)])
+    END AS sg,
+    CASE WHEN ct = 3
+      THEN list_sum([(((doc_id*7 + (i//w)*13 + (i%w)*3) % 256) * 17) % 256
+                     for i in generate_series(0, w*h - 1)])
+      ELSE list_sum([(doc_id*7 + (i//w)*13 + (i%w)*3 + 62) % 256
+                     for i in generate_series(0, w*h - 1)])
+    END AS sb,
+    CASE WHEN ct = 6
+      THEN list_sum([(doc_id*7 + (i//w)*13 + (i%w)*3 + 93) % 256
+                     for i in generate_series(0, w*h - 1)])
+    END AS sa
+  FROM g
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE CAST(ct AS INT) END AS color_type,
+  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE CAST(sr AS BIGINT) END AS sum_r,
+  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE CAST(sg AS BIGINT) END AS sum_g,
+  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE CAST(sb AS BIGINT) END AS sum_b,
+  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE CAST(sa AS BIGINT) END AS sum_a
+FROM px ORDER BY doc_id
+""",
+    group="llm-multimodal",
+)
+def q_multimodal_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COLOR image decode end-to-end with no imaging libs (r13):
+    every document becomes a spec-valid 8-bit PNG whose color type
+    cycles truecolor → palette → RGBA by doc_id, scanlines deliberately
+    filter-encoded (row % 5, all five spec filters) at the type's byte
+    stride — the engine must walk chunks, verify CRC32s, inflate IDAT,
+    unfilter with the correct bytes-per-pixel neighbor offset, and for
+    palette images expand indices through the PLTE.  The oracle
+    recomputes the channel arithmetic, so a decoder that unfilters at
+    the wrong stride (the classic color-PNG bug: treating ``a`` as one
+    byte left instead of one PIXEL left) or mis-maps the palette fails
+    the hash; every 19th payload has a flipped byte whose broken CRC
+    must route the row to nulls, never an error.  Scale shape: two
+    map-only Arrow ``mapInPandas`` stages, no shuffle."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        synth_color_png_payloads,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(png_channel_sums, PNG_COLOR_SCHEMA).orderBy("doc_id")

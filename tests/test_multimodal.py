@@ -145,3 +145,135 @@ class TestPngDecode:
             + chunk(b"IEND", b"")
         )
         assert decode_png(bytes(mangled)) is None
+
+
+class TestColorPngDecode:
+    """r13: color PNG (truecolor/palette/RGBA) through the stdlib core."""
+
+    @staticmethod
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        import zlib
+
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    def test_roundtrip_all_color_types_all_filters(self):
+        from anglerfish_spark.operators.multimodal import (
+            _mk_color_png,
+            _png_channel,
+            _png_color_type,
+            decode_png_any,
+        )
+
+        # h >= 7 exercises all five filter types (row % 5) per color type
+        for d in (3, 7, 26):  # ct 2, 3 (palette), 6 (rgba)
+            w, h = 6, 7
+            got = decode_png_any(_mk_color_png(d, w, h))
+            assert got is not None
+            W, H, ct, rows = got
+            assert (W, H, ct) == (w, h, _png_color_type(d))
+            for r in range(h):
+                for c in range(w):
+                    if ct == 3:
+                        idx = _png_channel(d, r, c, 0)
+                        want = (idx * 5 % 256, idx * 11 % 256, idx * 17 % 256)
+                    else:
+                        nch = 4 if ct == 6 else 3
+                        want = tuple(_png_channel(d, r, c, ch) for ch in range(nch))
+                    assert rows[r][c] == want, (d, r, c)
+
+    def test_grayscale_wrapper_rejects_color(self):
+        from anglerfish_spark.operators.multimodal import _mk_color_png, decode_png
+
+        assert decode_png(_mk_color_png(2, 4, 4)) is None
+
+    def test_unfilter_stride_matters(self):
+        # A truecolor Sub-filtered scanline decoded at the wrong stride
+        # (1 byte instead of bpp=3) yields different pixels: pin that the
+        # decoder uses the PIXEL-left neighbor, not the byte-left one.
+        import zlib
+
+        from anglerfish_spark.operators.multimodal import decode_png_any
+
+        w, h = 2, 1
+        px = [(10, 200, 30), (50, 60, 250)]
+        flat = [v for p in px for v in p]
+        scan = bytearray([1])  # Sub filter
+        for i in range(len(flat)):
+            left = flat[i - 3] if i >= 3 else 0
+            scan.append((flat[i] - left) & 0xFF)
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + self._chunk(b"IEND", b"")
+        )
+        got = decode_png_any(payload)
+        assert got is not None
+        assert got[3][0] == px  # byte-left unfiltering would corrupt pixel 2
+
+    def test_palette_requires_plte_and_bounds(self):
+        import zlib
+
+        from anglerfish_spark.operators.multimodal import decode_png_any
+
+        w, h = 2, 1
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+        idat = self._chunk(b"IDAT", zlib.compress(bytes([0, 0, 3])))  # idx 0, 3
+        sig = b"\x89PNG\r\n\x1a\n"
+        # no PLTE at all
+        assert decode_png_any(sig + self._chunk(b"IHDR", ihdr) + idat
+                              + self._chunk(b"IEND", b"")) is None
+        # PLTE length not a multiple of 3
+        assert decode_png_any(sig + self._chunk(b"IHDR", ihdr)
+                              + self._chunk(b"PLTE", bytes(4)) + idat
+                              + self._chunk(b"IEND", b"")) is None
+        # index 3 beyond a 2-entry palette
+        assert decode_png_any(sig + self._chunk(b"IHDR", ihdr)
+                              + self._chunk(b"PLTE", bytes(6)) + idat
+                              + self._chunk(b"IEND", b"")) is None
+        # in-bounds palette decodes and expands
+        plte = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])
+        got = decode_png_any(sig + self._chunk(b"IHDR", ihdr)
+                             + self._chunk(b"PLTE", plte) + idat
+                             + self._chunk(b"IEND", b""))
+        assert got is not None and got[3][0] == [(1, 2, 3), (10, 11, 12)]
+
+    def test_sixteen_bit_depth_refused(self):
+        import zlib
+
+        from anglerfish_spark.operators.multimodal import decode_png_any
+
+        ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"IDAT", zlib.compress(bytes(7)))
+            + self._chunk(b"IEND", b"")
+        )
+        assert decode_png_any(payload) is None
+
+    def test_gray_alpha_color_type(self):
+        import zlib
+
+        from anglerfish_spark.operators.multimodal import decode_png_any
+
+        w, h = 3, 2
+        raw = bytearray()
+        for r in range(h):
+            raw.append(0)
+            for c in range(w):
+                raw += bytes([(r * 10 + c) % 256, (200 + r + c) % 256])
+        ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 4, 0, 0, 0])
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + self._chunk(b"IEND", b"")
+        )
+        got = decode_png_any(payload)
+        assert got is not None
+        assert got[:3] == (3, 2, 4) and got[3][1][2] == (12, 203)
