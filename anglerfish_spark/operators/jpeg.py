@@ -1,0 +1,280 @@
+"""Baseline JPEG (ITU-T T.81) grayscale decode — stdlib only.
+
+The REAL decode path for the last env-stubbed image codec: marker/segment
+walk (SOI, APPn/COM skip, DQT, DHT, SOF0, DRI, SOS, EOI), canonical
+Huffman table construction per spec Annex C, entropy decode of the scan
+with 0xFF byte-stuffing and restart-marker handling, DC differential +
+AC run-length/EOB/ZRL coefficient decode, dequantization, zigzag
+de-serialization, separable 2-D IDCT, level shift, and edge-block crop.
+Scope is honest: baseline sequential, 8-bit, single-component
+(grayscale) frames — progressive (SOF2), multi-component chroma
+subsampling, and arithmetic coding return ``None`` rather than pretend.
+
+Anything malformed — truncated scan, bad marker, invalid Huffman code,
+coefficient index overflow — returns ``None``; decode never raises.
+"""
+
+from __future__ import annotations
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The spec's zigzag coefficient order (T.81 figure 5) as (row, col)."""
+    order: list[tuple[int, int]] = []
+    for d in range(15):
+        cells = [(r, d - r) for r in range(max(0, d - 7), min(d, 7) + 1)]
+        if d % 2 == 0:
+            cells.reverse()
+        order.extend(cells)
+    return order
+
+
+ZIGZAG = _zigzag()
+# zigzag position of coefficient (u, v): ZZ_POS[u][v]
+ZZ_POS = [[0] * 8 for _ in range(8)]
+for _k, (_r, _c) in enumerate(ZIGZAG):
+    ZZ_POS[_r][_c] = _k
+
+import math
+
+# separable IDCT basis: _COS[u][x] = c(u) * cos((2x+1) u pi / 16)
+_COS = [
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0) * math.cos((2 * x + 1) * u * math.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+
+def build_huffman(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman table per T.81 Annex C: ``bits[i]`` codes of
+    length ``i+1``, values assigned in ``huffval`` order.  Returns
+    ``(code_length, code) -> value``."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            if k >= len(huffval):
+                raise ValueError("DHT count exceeds values")
+            table[(ln, code)] = huffval[k]
+            k += 1
+            code += 1
+        code <<= 1
+        if code > (1 << ln) << 1:
+            raise ValueError("DHT code overflow")
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded scan with 0xFF
+    byte-stuffing removal; raises ``EOFError`` at a marker or end of
+    data (the caller treats both as malformed unless it expected a
+    restart)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def _advance(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise EOFError
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed literal 0xFF
+            else:
+                self.pos -= 1
+                raise EOFError  # a real marker terminates the stream
+
+    def next_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = self.data[self.pos]
+        if b == 0xFF and self.bit == 0:
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+            if nxt != 0x00:
+                raise EOFError  # marker
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self._advance()
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.next_bit()
+        return v
+
+    def align_to_marker(self) -> int:
+        """Byte-align and consume one marker (for restart intervals);
+        returns the marker's second byte."""
+        if self.bit:
+            self.bit = 0
+            self._advance()
+        while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            m = self.data[self.pos + 1]
+            if m == 0xFF:
+                self.pos += 1  # fill byte
+                continue
+            self.pos += 2
+            return m
+        raise EOFError
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a ``t``-bit magnitude to its signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.next_bit()
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, list[list[int]]] | None":
+    """Decode a baseline grayscale JPEG to ``(width, height, rows)`` of
+    pixel values 0..255; ``None`` for anything malformed or any feature
+    outside baseline/8-bit/single-component scope."""
+    try:
+        data = payload
+        if data[:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, list[int]] = {}
+        hf: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        w = h = None
+        tq_sel = td = ta = None
+        restart = 0
+        i = 2
+        while True:
+            if i + 1 >= len(data):
+                return None
+            if data[i] != 0xFF:
+                return None
+            while i < len(data) and data[i] == 0xFF:
+                i += 1  # fill bytes
+            m = data[i]
+            i += 1
+            if m == 0xD9:  # EOI before a complete scan
+                return None
+            if m in (0x01,) or 0xD0 <= m <= 0xD7:  # TEM / RSTn: no segment
+                continue
+            if i + 2 > len(data):
+                return None
+            ln = int.from_bytes(data[i : i + 2], "big")
+            seg = data[i + 2 : i + ln]
+            if ln < 2 or i + ln > len(data):
+                return None
+            if m == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                    if pq != 0:  # 16-bit tables out of scope
+                        return None
+                    if j + 65 > len(seg):
+                        return None
+                    qt[tq] = list(seg[j + 1 : j + 65])
+                    j += 65
+            elif m == 0xC4:  # DHT
+                j = 0
+                while j + 17 <= len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0x0F
+                    bits = list(seg[j + 1 : j + 17])
+                    n = sum(bits)
+                    if j + 17 + n > len(seg):
+                        return None
+                    hf[(tc, th)] = build_huffman(bits, list(seg[j + 17 : j + 17 + n]))
+                    j += 17 + n
+            elif m == 0xC0:  # SOF0 baseline
+                if seg[0] != 8:
+                    return None
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                if seg[5] != 1 or seg[7] != 0x11:  # grayscale, 1x1 sampling
+                    return None
+                tq_sel = seg[8]
+            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                       0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types out of scope
+            elif m == 0xDD:  # DRI
+                restart = int.from_bytes(seg[0:2], "big")
+            elif m == 0xDA:  # SOS
+                if w is None or seg[0] != 1:
+                    return None
+                td, ta = seg[2] >> 4, seg[2] & 0x0F
+                if seg[3] != 0 or seg[4] != 63 or seg[5] != 0:
+                    return None  # baseline spectral selection only
+                i += ln
+                break
+            i += ln
+        if (0, td) not in hf or (1, ta) not in hf or tq_sel not in qt:
+            return None
+        if w == 0 or h == 0:
+            return None
+        dct, act, q = hf[(0, td)], hf[(1, ta)], qt[tq_sel]
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        img = [[0] * w for _ in range(h)]
+        br = _BitReader(data, i)
+        pred = 0
+        for bi in range(bw * bh):
+            if restart and bi and bi % restart == 0:
+                m = br.align_to_marker()
+                if not 0xD0 <= m <= 0xD7:
+                    return None
+                pred = 0
+            coef = [0.0] * 64
+            t = _decode_symbol(br, dct)
+            if t > 11:
+                return None
+            pred += _extend(br.receive(t), t)
+            coef[0] = pred * q[0]
+            k = 1
+            while k < 64:
+                rs = _decode_symbol(br, act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    return None
+                coef[k] = _extend(br.receive(s), s) * q[k]
+                k += 1
+            # de-zigzag into (u, v), then separable IDCT
+            cuv = [[0.0] * 8 for _ in range(8)]
+            for kk in range(64):
+                if coef[kk]:
+                    r, c = ZIGZAG[kk]
+                    cuv[r][c] = coef[kk]
+            tmp = [
+                [sum(cuv[u][v] * _COS[v][y] for v in range(8) if cuv[u][v])
+                 for y in range(8)]
+                for u in range(8)
+            ]
+            by, bx = divmod(bi, bw)
+            for x in range(8):
+                px = bx * 8 + x
+                if px >= w:
+                    continue
+                for y in range(8):
+                    py = by * 8 + y
+                    if py >= h:
+                        continue
+                    s_val = 0.25 * sum(
+                        _COS[u][y] * tmp[u][x] for u in range(8) if tmp[u][x]
+                    )
+                    img[py][px] = min(255, max(0, round(s_val) + 128))
+        return w, h, img
+    except Exception:  # noqa: BLE001 - any parse failure routes to None
+        return None

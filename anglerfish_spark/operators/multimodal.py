@@ -55,7 +55,15 @@ def decode_image(payload: bytes):
         if out is not None:
             return out
         raise ValueError("malformed PNG payload")
-    raise NotImplementedError("non-PNG image decode requires imaging libs")
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_gray
+
+        dec = decode_jpeg_gray(payload)
+        if dec is not None:
+            w, h, rows = dec
+            return w, h, 0, [[(v,) for v in row] for row in rows]
+        raise ValueError("malformed or non-baseline JPEG payload")
+    raise NotImplementedError("non-PNG/JPEG image decode requires imaging libs")
 
 
 def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1203,3 +1211,262 @@ def q_multimodal_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return payloads.mapInPandas(png_channel_sums, PNG_COLOR_SCHEMA).orderBy("doc_id")
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG decode end-to-end (r13): the Huffman entropy decode +
+# IDCT live in operators/jpeg.py (stdlib only).  Synthesis writes each
+# block's DCT coefficients ANALYTICALLY — a constant (DC-only) plus a
+# (4,4)-checkerboard harmonic whose IDCT is exactly integral — so the
+# pipeline stays bit-deterministic despite JPEG being lossy in general,
+# and a SQL oracle can recompute the pixels
+# ---------------------------------------------------------------------------
+
+# the (4,4) basis function's sign pattern: cos((2t+1)*pi/4) ~ sigma(t)*sqrt(2)/2
+_JPEG_SIGN = (1, -1, -1, 1, 1, -1, -1, 1)
+# synthesis Huffman tables (canonical, all 4-bit codes; valid per Annex C)
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 7] + [0] * 12
+_JPEG_AC_VALS = [0x00, 0xF0, 0x61, 0x62, 0x63, 0x64, 0x65]
+
+
+def _jpeg_base(doc_id: int, bx: int, by: int) -> int:
+    """Per-block constant (the DC term) both engines compute."""
+    return 64 + (doc_id * 7 + by * 13 + bx * 3) % 128
+
+
+def _jpeg_amp(doc_id: int, bx: int, by: int) -> int:
+    """Per-block checkerboard amplitude (the (4,4) AC term)."""
+    return (doc_id * 5 + bx * 11 + by * 3) % 25
+
+
+def _jpeg_pixel(doc_id: int, bx: int, by: int, y: int, x: int) -> int:
+    """Decoded pixel at block (bx, by), offset (y, x): base + amp*sign."""
+    return _jpeg_base(doc_id, bx, by) + _jpeg_amp(doc_id, bx, by) * (
+        _JPEG_SIGN[y] * _JPEG_SIGN[x]
+    )
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte-stuffing; final byte 1-padded."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+
+
+def _mk_real_jpeg(doc_id: int, wb: int, hb: int, restart: int = 0) -> bytes:
+    """A spec-valid baseline grayscale JPEG of ``wb`` x ``hb`` 8x8 blocks.
+    Each block's coefficients are written analytically: quantized DC =
+    base - 128 (Q[0] = 8 folds the FDCT's x8), quantized (4,4) = amp
+    (Q[zz(4,4)] = 8 likewise), everything else zero — so the entropy
+    stream exercises DC differential coding, ZRL runs, EOB, and byte
+    stuffing, and the decoder's IDCT reconstructs the pixels EXACTLY.
+    ``restart`` > 0 emits a DRI segment and RSTn markers every that many
+    MCUs (predictor reset), for the decoder's restart path."""
+    from .jpeg import ZZ_POS, build_huffman
+
+    dc_codes = {v: k for k, v in build_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS).items()}
+    ac_codes = {v: k for k, v in build_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS).items()}
+    k44 = ZZ_POS[4][4]
+    q = [16] * 64
+    q[0] = 8
+    q[k44] = 8
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    w, h = wb * 8, hb * 8
+    head = bytearray(b"\xff\xd8")  # SOI
+    head += seg(0xDB, bytes([0x00]) + bytes(q))  # DQT, 8-bit table 0
+    head += seg(
+        0xC0,  # SOF0: precision 8, 1 component, 1x1 sampling, qtable 0
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    head += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    head += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart:
+        head += seg(0xDD, restart.to_bytes(2, "big"))
+    head += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+
+    bw = _JpegBitWriter()
+    pred, nrst = 0, 0
+    for bi in range(wb * hb):
+        if restart and bi and bi % restart == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (nrst % 8)])
+            nrst += 1
+            pred = 0
+        by, bx = divmod(bi, wb)
+        dc = _jpeg_base(doc_id, bx, by) - 128
+        diff, pred = dc - pred, dc
+        t = abs(diff).bit_length()
+        ln, code = dc_codes[t]
+        bw.put(code, ln)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        amp = _jpeg_amp(doc_id, bx, by)
+        if amp:
+            run = k44 - 1
+            while run >= 16:
+                ln, code = ac_codes[0xF0]  # ZRL
+                bw.put(code, ln)
+                run -= 16
+            s = amp.bit_length()
+            ln, code = ac_codes[(run << 4) | s]
+            bw.put(code, ln)
+            bw.put(amp, s)
+        if not amp or k44 < 63:
+            ln, code = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+    bw.flush()
+    return bytes(head) + bytes(bw.out) + b"\xff\xd9"  # EOI
+
+
+JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("pixel_sumsq", T.LongType(), True),
+        T.StructField("first_pixel", T.IntegerType(), True),
+        T.StructField("second_pixel", T.IntegerType(), True),
+    ]
+)
+
+
+def synth_jpeg_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic JPEG corpus: doc_id-derived block grid and
+    coefficients; every 23rd payload is truncated to half its bytes —
+    the entropy stream (or a header) ends mid-decode and must route to
+    nulls, never an error (JPEG has no CRC, so truncation is the
+    deterministic corruption)."""
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            p = _mk_real_jpeg(d, d % 3 + 1, d % 2 + 1)
+            if d % 23 == 0:
+                p = p[: len(p) // 2]
+            out.append(p)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def jpeg_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL baseline JPEG decode + pixel statistics over Arrow batches;
+    undecodable payloads yield null analysis columns."""
+    from .jpeg import decode_jpeg_gray
+
+    for pdf in batches:
+        cols: dict[str, list] = {
+            "width": [], "height": [], "pixel_sum": [], "pixel_sumsq": [],
+            "first_pixel": [], "second_pixel": [],
+        }
+        for b in pdf["payload"]:
+            dec = decode_jpeg_gray(bytes(b))
+            if dec is None:
+                for k in cols:
+                    cols[k].append(None)
+                continue
+            w, h, px = dec
+            flat = [v for row in px for v in row]
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["pixel_sum"].append(sum(flat))
+            cols["pixel_sumsq"].append(sum(v * v for v in flat))
+            cols["first_pixel"].append(px[0][0])
+            cols["second_pixel"].append(px[0][1])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(cols["width"], dtype="Int64"),
+                "height": pd.Series(cols["height"], dtype="Int64"),
+                "pixel_sum": pd.Series(cols["pixel_sum"], dtype="Int64"),
+                "pixel_sumsq": pd.Series(cols["pixel_sumsq"], dtype="Int64"),
+                "first_pixel": pd.Series(cols["first_pixel"], dtype="Int32"),
+                "second_pixel": pd.Series(cols["second_pixel"], dtype="Int32"),
+            }
+        )
+
+
+@query(
+    "q_multimodal_jpeg_decode",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, doc_id % 3 + 1 AS wb, doc_id % 2 + 1 AS hb FROM documents
+),
+blk AS (
+  SELECT doc_id, wb, hb,
+    list_sum([64 + (doc_id*7 + (i//wb)*13 + (i%wb)*3) % 128
+              for i in generate_series(0, wb*hb - 1)]) AS base_sum,
+    list_sum([
+        (64 + (doc_id*7 + (i//wb)*13 + (i%wb)*3) % 128)
+      * (64 + (doc_id*7 + (i//wb)*13 + (i%wb)*3) % 128)
+      + ((doc_id*5 + (i%wb)*11 + (i//wb)*3) % 25)
+      * ((doc_id*5 + (i%wb)*11 + (i//wb)*3) % 25)
+      for i in generate_series(0, wb*hb - 1)]) AS sq_sum
+  FROM g
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE CAST(wb*8 AS BIGINT) END AS width,
+  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE CAST(hb*8 AS BIGINT) END AS height,
+  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE CAST(64*base_sum AS BIGINT) END
+    AS pixel_sum,
+  CASE WHEN doc_id % 23 = 0 THEN NULL ELSE CAST(64*sq_sum AS BIGINT) END
+    AS pixel_sumsq,
+  CASE WHEN doc_id % 23 = 0 THEN NULL
+       ELSE CAST(64 + doc_id*7 % 128 + doc_id*5 % 25 AS INT) END AS first_pixel,
+  CASE WHEN doc_id % 23 = 0 THEN NULL
+       ELSE CAST(64 + doc_id*7 % 128 - doc_id*5 % 25 AS INT) END AS second_pixel
+FROM blk ORDER BY doc_id
+""",
+    group="llm-multimodal",
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end-to-end with no imaging libs (r13):
+    every document becomes a spec-valid baseline grayscale JPEG
+    (doc_id-derived block grid; per-block constant + (4,4)-harmonic
+    coefficients chosen so reconstruction is exactly integral) and the
+    engine must walk the markers, build canonical Huffman tables from
+    DHT, entropy-decode the scan (DC differential, ZRL runs, EOB, byte
+    stuffing), dequantize, de-zigzag, and run the 2-D IDCT
+    (``operators/jpeg.py``).  The oracle recomputes the block arithmetic:
+    pixel_sum pins DC decode, pixel_sumsq pins the AC harmonic (its sum
+    cancels, its square doesn't), first/second pixel pin the sign
+    pattern.  Every 23rd payload is truncated mid-file and must route to
+    nulls.  Scale shape: two map-only Arrow ``mapInPandas`` stages, no
+    shuffle."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        synth_jpeg_payloads,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(jpeg_pixels, JPEG_SCHEMA).orderBy("doc_id")

@@ -277,3 +277,90 @@ class TestColorPngDecode:
         got = decode_png_any(payload)
         assert got is not None
         assert got[:3] == (3, 2, 4) and got[3][1][2] == (12, 203)
+
+
+class TestJpegDecode:
+    """r13: baseline grayscale JPEG through the stdlib entropy decoder."""
+
+    def test_roundtrip_exact_pixels(self):
+        from anglerfish_spark.operators.jpeg import decode_jpeg_gray
+        from anglerfish_spark.operators.multimodal import _jpeg_pixel, _mk_real_jpeg
+
+        for d in (0, 7, 11, 29):  # covers all grid shapes, amp=0 and amp>0
+            wb, hb = d % 3 + 1, d % 2 + 1
+            got = decode_jpeg_gray(_mk_real_jpeg(d, wb, hb))
+            assert got is not None
+            w, h, px = got
+            assert (w, h) == (wb * 8, hb * 8)
+            for y in range(h):
+                for x in range(w):
+                    assert px[y][x] == _jpeg_pixel(d, x // 8, y // 8, y % 8, x % 8)
+
+    def test_restart_interval_resets_predictor(self):
+        from anglerfish_spark.operators.jpeg import decode_jpeg_gray
+        from anglerfish_spark.operators.multimodal import _jpeg_pixel, _mk_real_jpeg
+
+        plain = decode_jpeg_gray(_mk_real_jpeg(9, 3, 2))
+        rst = decode_jpeg_gray(_mk_real_jpeg(9, 3, 2, restart=2))
+        assert plain is not None and rst is not None
+        assert plain == rst
+        assert rst[2][0][0] == _jpeg_pixel(9, 0, 0, 0, 0)
+
+    def test_truncation_routes_to_none(self):
+        from anglerfish_spark.operators.jpeg import decode_jpeg_gray
+        from anglerfish_spark.operators.multimodal import _mk_real_jpeg
+
+        p = _mk_real_jpeg(23, 2, 2)
+        for cut in (len(p) // 4, len(p) // 2, len(p) - 3):
+            assert decode_jpeg_gray(p[:cut]) is None
+
+    def test_out_of_scope_frames_refused(self):
+        from anglerfish_spark.operators.jpeg import decode_jpeg_gray
+        from anglerfish_spark.operators.multimodal import _mk_real_jpeg
+
+        good = _mk_real_jpeg(3, 1, 1)
+        # progressive (SOF2)
+        prog = bytearray(good)
+        prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+        assert decode_jpeg_gray(bytes(prog)) is None
+        # multi-component (claim 3 components in SOF0)
+        multi = bytearray(good)
+        multi[multi.find(b"\xff\xc0") + 9] = 3
+        assert decode_jpeg_gray(bytes(multi)) is None
+        # 12-bit precision
+        deep = bytearray(good)
+        deep[deep.find(b"\xff\xc0") + 4] = 12
+        assert decode_jpeg_gray(bytes(deep)) is None
+
+    def test_byte_stuffing_handled(self):
+        # the writer stuffs 0x00 after a data 0xFF; the reader must strip
+        # it and keep reading bits — and must treat a bare 0xFF-marker as
+        # end-of-stream
+        from anglerfish_spark.operators.jpeg import _BitReader
+        from anglerfish_spark.operators.multimodal import _JpegBitWriter
+
+        bw = _JpegBitWriter()
+        bw.put(0xFF, 8)
+        bw.put(0b1010, 4)
+        bw.flush()
+        assert bytes(bw.out[:2]) == b"\xff\x00"  # stuffed
+        br = _BitReader(bytes(bw.out), 0)
+        assert br.receive(8) == 0xFF
+        assert br.receive(4) == 0b1010
+        # a real marker (no stuffing) terminates the stream
+        br2 = _BitReader(b"\xff\xd9", 0)
+        import pytest
+
+        with pytest.raises(EOFError):
+            br2.receive(1)
+
+    def test_decode_image_routes_jpeg(self):
+        from anglerfish_spark.operators.multimodal import (
+            _jpeg_pixel,
+            _mk_real_jpeg,
+            decode_image,
+        )
+
+        w, h, ct, rows = decode_image(_mk_real_jpeg(5, 1, 1))
+        assert (w, h, ct) == (8, 8, 0)
+        assert rows[0][0] == (_jpeg_pixel(5, 0, 0, 0, 0),)
