@@ -8,14 +8,17 @@ move through Arrow record batches, never row-at-a-time Python.  Partitioning
 guidance: payload tables should be partitioned by size-balanced keys
 (payload bytes dominate task skew, not row counts).
 
-Decode status (r13): WAV/PCM and PNG of EVERY spec color type
-(grayscale, gray+alpha, truecolor, palette, RGBA) are REAL, stdlib-only
-decodes (:func:`decode_wav` — wave/struct; :func:`decode_png_any` —
+Decode status (r13): WAV/PCM, G.711 companded WAV (mu-law/A-law),
+PNG of EVERY spec color type (grayscale, gray+alpha, truecolor,
+palette, RGBA), and baseline grayscale JPEG are REAL, stdlib-only
+decodes (:func:`decode_wav` — wave/struct; :func:`decode_wav_companded`
+— manual RIFF walk + ITU-T G.711 expansion; :func:`decode_png_any` —
 chunk walk + CRC32 verify + zlib IDAT inflate + bpp-aware scanline
-unfilter + PLTE expansion), each oracle-checked end-to-end on
-synthesized spec-valid payloads.  Codecs that genuinely need
-third-party libs (JPEG entropy decode, 16-bit/interlaced PNG,
-compressed audio) stay stubbed behind ``NotImplementedError``, with
+unfilter + PLTE expansion; ``operators/jpeg.py`` — Huffman entropy
+decode + dequant + IDCT), each oracle-checked end-to-end on synthesized
+spec-valid payloads.  Codecs that genuinely need third-party libs
+(progressive/chroma JPEG, 16-bit/interlaced PNG, MP3/AAC/FLAC
+audio) stay stubbed behind ``NotImplementedError``, with
 :func:`fake_features`-style deterministic stand-ins keeping the
 Spark-side plumbing (schema, batching, UDF signature) real and tested.
 """
@@ -153,12 +156,17 @@ def decode_wav(payload: bytes) -> "tuple[int, list[int]] | None":
 
 def decode_audio(payload: bytes):
     """Decode an audio payload to ``(sample_rate, samples)``.  WAV/PCM is
-    REAL (stdlib :func:`decode_wav`); other codecs need external libs
-    absent from this environment and stay stubbed."""
+    REAL (stdlib :func:`decode_wav`), as is G.711 companded WAV
+    (:func:`decode_wav_companded` — mu-law/A-law expansion); codecs with
+    real entropy coding (MP3, AAC, FLAC) need external libs absent from
+    this environment and stay stubbed."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         out = decode_wav(payload)
         if out is not None:
             return out
+        companded = decode_wav_companded(payload)
+        if companded is not None:
+            return companded[1], companded[2]
         raise ValueError("malformed WAV payload")
     raise NotImplementedError("non-WAV audio decode requires audio libs")
 
@@ -1470,3 +1478,223 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return payloads.mapInPandas(jpeg_pixels, JPEG_SCHEMA).orderBy("doc_id")
+
+# ---------------------------------------------------------------------------
+# REAL compressed-audio decode (r13): G.711 mu-law / A-law companded WAV
+# (format tags 7 / 6) — the standard telephony codecs' expansion is
+# closed-form integer arithmetic (ITU-T G.711 tables 1a/2a), so the
+# decode is stdlib-only AND the oracle can recompute the linear samples
+# ---------------------------------------------------------------------------
+
+
+def ulaw_to_linear(v: int) -> int:
+    """G.711 mu-law expansion (the public-domain CCITT g711.c formula):
+    complement, then magnitude = ((mantissa*8 + 132) << exponent) - 132,
+    sign bit set => negative."""
+    u = ~v & 0xFF
+    mag = (((u & 0x0F) << 3) + 0x84 << ((u & 0x70) >> 4)) - 0x84
+    return -mag if u & 0x80 else mag
+
+
+def alaw_to_linear(v: int) -> int:
+    """G.711 A-law expansion: even-bit inversion (XOR 0x55), segment 0 is
+    linear, higher segments shift; sign bit set => POSITIVE (A-law's
+    polarity convention is the inverse of mu-law's)."""
+    a = v ^ 0x55
+    e, m = (a >> 4) & 0x07, a & 0x0F
+    t = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+    return t if a & 0x80 else -t
+
+
+def decode_wav_companded(payload: bytes) -> "tuple[str, int, list[int]] | None":
+    """REAL compressed-audio decode for G.711 companded RIFF/WAVE —
+    manual chunk walk (the stdlib ``wave`` module rejects non-PCM
+    formats): parses fmt (tag 6 = A-law, 7 = mu-law, 8-bit samples),
+    skips unknown chunks with odd-size padding per RIFF, requires the
+    data chunk's declared size to be fully present (truncation =>
+    ``None``), expands channel 0 through the G.711 formulas.  Returns
+    ``(codec, sample_rate, samples)``; decode never raises."""
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        i, fmt, data = 12, None, None
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            sz = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body = payload[i + 8 : i + 8 + sz]
+            if cid == b"fmt ":
+                if sz < 16:
+                    return None
+                fmt = (
+                    int.from_bytes(body[0:2], "little"),  # tag
+                    int.from_bytes(body[2:4], "little"),  # channels
+                    int.from_bytes(body[4:8], "little"),  # sample rate
+                    int.from_bytes(body[14:16], "little"),  # bits/sample
+                )
+            elif cid == b"data":
+                if len(body) != sz:
+                    return None  # truncated data chunk
+                data = body
+            i += 8 + sz + (sz & 1)  # RIFF pads odd chunks
+        if fmt is None or data is None:
+            return None
+        tag, ch, sr, bits = fmt
+        if tag not in (6, 7) or bits != 8 or ch < 1:
+            return None
+        expand = alaw_to_linear if tag == 6 else ulaw_to_linear
+        samples = [expand(b) for b in data[::ch]]
+        return ("alaw" if tag == 6 else "ulaw"), sr, samples
+    except Exception:  # noqa: BLE001 - any parse failure routes to None
+        return None
+
+
+def _mk_g711_wav(doc_id: int, n: int, tag: int, sr: int = 8000) -> bytes:
+    """A spec-valid companded WAV: fmt chunk with cbSize extension (18
+    bytes, as non-PCM formats require), a fact chunk with the sample
+    count, and ``n`` mono 8-bit samples ``(doc_id*13 + i*7) % 256``."""
+    body = bytes((doc_id * 13 + i * 7) % 256 for i in range(n))
+    fmt = (
+        tag.to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + sr.to_bytes(4, "little") + sr.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")
+    )
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + len(data).to_bytes(4, "little") + data + (b"\0" * (len(data) & 1))
+
+    inner = (
+        b"WAVE" + chunk(b"fmt ", fmt)
+        + chunk(b"fact", n.to_bytes(4, "little"))
+        + chunk(b"data", body)
+    )
+    return b"RIFF" + len(inner).to_bytes(4, "little") + inner
+
+
+G711_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sum_samples", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("first_sample", T.IntegerType(), True),
+        T.StructField("last_sample", T.IntegerType(), True),
+    ]
+)
+
+
+def synth_g711_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic G.711 corpus: codec alternates mu-law / A-law by
+    doc, sample bytes doc-derived; every 13th payload loses its tail
+    (data chunk declared longer than present) and must route to nulls."""
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            p = _mk_g711_wav(d, d % 200 + 50, 7 if d % 2 == 0 else 6)
+            if d % 13 == 0:
+                p = p[:-10]
+            out.append(p)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def g711_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL companded decode + linear-sample statistics over Arrow
+    batches; undecodable payloads yield null analysis columns."""
+    for pdf in batches:
+        cols: dict[str, list] = {
+            "codec": [], "sample_rate": [], "n_samples": [],
+            "sum_samples": [], "sum_abs": [], "first_sample": [], "last_sample": [],
+        }
+        for b in pdf["payload"]:
+            dec = decode_wav_companded(bytes(b))
+            if dec is None or not dec[2]:
+                for k in cols:
+                    cols[k].append(None)
+                continue
+            codec, sr, s = dec
+            cols["codec"].append(codec)
+            cols["sample_rate"].append(sr)
+            cols["n_samples"].append(len(s))
+            cols["sum_samples"].append(sum(s))
+            cols["sum_abs"].append(sum(abs(v) for v in s))
+            cols["first_sample"].append(s[0])
+            cols["last_sample"].append(s[-1])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "codec": pd.Series(cols["codec"], dtype="object"),
+                "sample_rate": pd.Series(cols["sample_rate"], dtype="Int64"),
+                "n_samples": pd.Series(cols["n_samples"], dtype="Int64"),
+                "sum_samples": pd.Series(cols["sum_samples"], dtype="Int64"),
+                "sum_abs": pd.Series(cols["sum_abs"], dtype="Int64"),
+                "first_sample": pd.Series(cols["first_sample"], dtype="Int32"),
+                "last_sample": pd.Series(cols["last_sample"], dtype="Int32"),
+            }
+        )
+
+
+@query(
+    "q_multimodal_g711_decode",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, doc_id % 200 + 50 AS n, doc_id % 2 AS even FROM documents
+),
+dec AS (
+  SELECT doc_id, n, even,
+    CASE WHEN even = 0 THEN
+      list_transform([(doc_id*13 + i*7) % 256 for i in generate_series(0, n-1)],
+        v -> (CASE WHEN (255 - v) >= 128 THEN -1 ELSE 1 END)
+             * ((((255 - v) % 16) * 8 + 132) * (1 << (((255 - v) // 16) % 8)) - 132))
+    ELSE
+      list_transform([(doc_id*13 + i*7) % 256 for i in generate_series(0, n-1)],
+        v -> (CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END)
+             * (CASE WHEN ((xor(v, 85) // 16) % 8) = 0
+                     THEN (xor(v, 85) % 16) * 16 + 8
+                     ELSE ((xor(v, 85) % 16) * 16 + 264)
+                          * (1 << (((xor(v, 85) // 16) % 8) - 1)) END))
+    END AS s
+  FROM g
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 13 = 0 THEN NULL
+       WHEN even = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(8000 AS BIGINT) END AS sample_rate,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(n AS BIGINT) END AS n_samples,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(list_sum(s) AS BIGINT) END
+    AS sum_samples,
+  CASE WHEN doc_id % 13 = 0 THEN NULL
+       ELSE CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) END AS sum_abs,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(s[1] AS INT) END AS first_sample,
+  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE CAST(s[n] AS INT) END AS last_sample
+FROM dec ORDER BY doc_id
+""",
+    group="llm-multimodal",
+)
+def q_multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode end-to-end with no audio libs (r13):
+    every document becomes a spec-valid G.711 companded WAV — mu-law and
+    A-law alternating by doc, fmt tag 7/6 with the non-PCM cbSize
+    extension and a fact chunk — and the engine must walk the RIFF
+    chunks manually (stdlib ``wave`` rejects non-PCM) and expand each
+    byte through the ITU-T G.711 formulas (segment + mantissa, mu-law's
+    complement vs A-law's even-bit inversion and INVERTED sign
+    convention).  The oracle recomputes the same closed-form expansion,
+    so a decoder with the wrong bias, shift, or polarity fails the
+    hash; every 13th payload is tail-truncated (data chunk shorter than
+    declared) and must route to nulls.  Scale shape: two map-only Arrow
+    ``mapInPandas`` stages, no shuffle."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        synth_g711_payloads,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(g711_stats, G711_SCHEMA).orderBy("doc_id")

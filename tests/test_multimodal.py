@@ -364,3 +364,58 @@ class TestJpegDecode:
         w, h, ct, rows = decode_image(_mk_real_jpeg(5, 1, 1))
         assert (w, h, ct) == (8, 8, 0)
         assert rows[0][0] == (_jpeg_pixel(5, 0, 0, 0, 0),)
+
+
+class TestG711Decode:
+    """r13: G.711 mu-law/A-law companded WAV through the manual RIFF walk."""
+
+    def test_spec_anchor_points(self):
+        from anglerfish_spark.operators.multimodal import alaw_to_linear, ulaw_to_linear
+
+        assert ulaw_to_linear(0xFF) == 0  # mu-law 0xFF encodes +0
+        assert ulaw_to_linear(0x80) == 32124  # max magnitude, negative half
+        assert ulaw_to_linear(0x00) == -32124
+        assert alaw_to_linear(0xD5) == 8  # A-law smallest positive
+        assert alaw_to_linear(0x55) == -8
+        assert alaw_to_linear(0xAA) == 32256  # A-law max positive
+        assert alaw_to_linear(0x2A) == -32256
+
+    def test_roundtrip_and_chunk_walk(self):
+        from anglerfish_spark.operators.multimodal import (
+            _mk_g711_wav,
+            alaw_to_linear,
+            decode_wav_companded,
+            ulaw_to_linear,
+        )
+
+        for d, tag in ((4, 7), (9, 6)):
+            n = d % 200 + 50
+            codec, sr, s = decode_wav_companded(_mk_g711_wav(d, n, tag))
+            assert (codec, sr, len(s)) == (("ulaw" if tag == 7 else "alaw"), 8000, n)
+            exp = ulaw_to_linear if tag == 7 else alaw_to_linear
+            assert s == [exp((d * 13 + i * 7) % 256) for i in range(n)]
+
+    def test_truncation_and_wrong_format_refused(self):
+        from anglerfish_spark.operators.multimodal import (
+            _mk_g711_wav,
+            decode_wav_companded,
+        )
+
+        p = _mk_g711_wav(3, 60, 6)
+        assert decode_wav_companded(p[:-10]) is None  # data shorter than declared
+        pcm = p.replace(
+            (6).to_bytes(2, "little") + (1).to_bytes(2, "little"),
+            (1).to_bytes(2, "little") + (1).to_bytes(2, "little"),
+            1,
+        )
+        assert decode_wav_companded(pcm) is None  # PCM is decode_wav's job
+
+    def test_decode_audio_routes_companded(self):
+        from anglerfish_spark.operators.multimodal import (
+            _mk_g711_wav,
+            decode_audio,
+            ulaw_to_linear,
+        )
+
+        sr, s = decode_audio(_mk_g711_wav(2, 50, 7))
+        assert sr == 8000 and s[0] == ulaw_to_linear(2 * 13 % 256)
