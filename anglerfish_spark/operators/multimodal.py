@@ -710,35 +710,90 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# bytes per pixel in the filtered scanline, by IHDR color type (8-bit
-# depth): 0 grayscale, 2 truecolor, 3 palette INDICES, 4 gray+alpha,
-# 6 truecolor+alpha (PNG spec 11.2.2)
-_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# channels per pixel in the filtered scanline, by IHDR color type:
+# 0 grayscale, 2 truecolor, 3 palette INDICES, 4 gray+alpha,
+# 6 truecolor+alpha (PNG spec 11.2.2); bytes-per-pixel = channels x
+# (bit_depth / 8)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 interlace pass geometry: (x_start, y_start, x_step, y_step)
+# per PNG spec 8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, off: int, pw: int, ph: int, bpp: int
+) -> "tuple[list[bytearray], int]":
+    """Unfilter ``ph`` scanlines of ``pw * bpp`` bytes starting at
+    ``raw[off]`` (one image pass: the filter's left/up-left neighbors sit
+    ``bpp`` bytes back, the up neighbor is the previous scanline OF THE
+    SAME PASS, zero above the first).  Raises on truncation or an
+    unknown filter byte; returns (rows, new offset)."""
+    stride = pw * bpp
+    rows: list[bytearray] = []
+    prev = bytearray(stride)
+    for _ in range(ph):
+        if off + stride + 1 > len(raw):
+            raise ValueError("short pass data")
+        ft = raw[off]
+        scan = raw[off + 1 : off + 1 + stride]
+        out = bytearray(stride)
+        for c in range(stride):
+            a = out[c - bpp] if c >= bpp else 0  # left (prior pixel)
+            b = prev[c]  # up
+            cc = prev[c - bpp] if c >= bpp else 0  # up-left
+            if ft == 0:
+                rec = scan[c]
+            elif ft == 1:
+                rec = scan[c] + a
+            elif ft == 2:
+                rec = scan[c] + b
+            elif ft == 3:
+                rec = scan[c] + (a + b) // 2
+            elif ft == 4:  # Paeth predictor (PNG spec 9.4)
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                rec = scan[c] + pred
+            else:
+                raise ValueError("unknown filter type")
+            out[c] = rec & 0xFF
+        rows.append(out)
+        prev = out
+        off += stride + 1
+    return rows, off
 
 
 def decode_png_any(
     payload: bytes,
 ) -> "tuple[int, int, int, list[list[tuple[int, ...]]]] | None":
-    """REAL image decode for 8-bit non-interlaced PNG of ANY spec color
-    type — stdlib only (``zlib``): returns ``(width, height, color_type,
-    rows)`` where each row is a list of per-pixel channel tuples —
-    grayscale ``(g,)``, gray+alpha ``(g, a)``, truecolor ``(r, g, b)``
-    (palette images expanded through their PLTE), RGBA ``(r, g, b, a)``.
-    The full format walk is performed, not a header sniff: chunk lengths
-    + CRC32s verified, IDAT segments concatenated and inflated, each
-    scanline un-filtered per its filter byte (None/Sub/Up/Average/Paeth,
-    PNG spec 9.2) at BYTE granularity with the color type's
-    bytes-per-pixel stride (the ``a``/``c`` neighbors sit ``bpp`` bytes
-    left, spec 9.2's "prior pixel").  Anything malformed — bad
-    signature, CRC mismatch, truncation, 16-bit depth, interlace,
-    palette image without/with-bad PLTE, index beyond the palette —
-    returns ``None``; decode never raises."""
+    """REAL image decode for 8/16-bit PNG of ANY spec color type,
+    sequential or Adam7-interlaced — stdlib only (``zlib``): returns
+    ``(width, height, color_type, rows)`` where each row is a list of
+    per-pixel channel tuples — grayscale ``(g,)``, gray+alpha
+    ``(g, a)``, truecolor ``(r, g, b)`` (palette images expanded through
+    their PLTE), RGBA ``(r, g, b, a)``; 16-bit samples are big-endian
+    per spec.  The full format walk is performed, not a header sniff:
+    chunk lengths + CRC32s verified, IDAT segments concatenated and
+    inflated, each scanline un-filtered per its filter byte
+    (None/Sub/Up/Average/Paeth, PNG spec 9.2) at BYTE granularity with
+    the color type's bytes-per-pixel stride (the ``a``/``c`` neighbors
+    sit ``bpp`` bytes left, spec 9.2's "prior pixel"); interlaced images
+    unfilter each of the seven Adam7 passes independently (spec 8.2).
+    Anything malformed — bad signature, CRC mismatch, truncation,
+    sub-byte depths, 16-bit palette, palette image without/with-bad
+    PLTE, index beyond the palette — returns ``None``; decode never
+    raises."""
     import zlib
 
     try:
         if payload[:8] != b"\x89PNG\r\n\x1a\n":
             return None
         i, w, h, ct, idat, plte = 8, None, None, None, b"", None
+        depth, interlace = 8, 0
         while i + 8 <= len(payload):
             ln = int.from_bytes(payload[i : i + 4], "big")
             typ = payload[i + 4 : i + 8]
@@ -751,9 +806,14 @@ def decode_png_any(
             if typ == b"IHDR":
                 w = int.from_bytes(data[0:4], "big")
                 h = int.from_bytes(data[4:8], "big")
-                bit_depth, ct, interlace = data[8], data[9], data[12]
-                if bit_depth != 8 or ct not in _PNG_BPP or interlace != 0:
-                    return None  # only 8-bit depth, non-interlaced
+                depth, ct, interlace = data[8], data[9], data[12]
+                if (
+                    depth not in (8, 16)
+                    or ct not in _PNG_CHANNELS
+                    or interlace not in (0, 1)
+                    or (ct == 3 and depth == 16)  # spec: palette depth <= 8
+                ):
+                    return None
             elif typ == b"PLTE":
                 if ln == 0 or ln % 3 or ln > 256 * 3:
                     return None  # spec 11.2.3: 1..256 RGB triples
@@ -765,47 +825,47 @@ def decode_png_any(
             i += 12 + ln
         if w is None or not idat or (ct == 3 and plte is None):
             return None
-        bpp = _PNG_BPP[ct]
-        stride = w * bpp
+        nch = _PNG_CHANNELS[ct]
+        sb = depth // 8
+        bpp = nch * sb
         raw = zlib.decompress(idat)
-        if len(raw) != h * (stride + 1):
-            return None
-        rows: list[list[tuple[int, ...]]] = []
-        prev = bytearray(stride)
-        for r in range(h):
-            line = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
-            ft, scan = line[0], line[1:]
-            out = bytearray(stride)
-            for c in range(stride):
-                a = out[c - bpp] if c >= bpp else 0  # left (prior pixel)
-                b = prev[c]  # up
-                cc = prev[c - bpp] if c >= bpp else 0  # up-left
-                if ft == 0:
-                    rec = scan[c]
-                elif ft == 1:
-                    rec = scan[c] + a
-                elif ft == 2:
-                    rec = scan[c] + b
-                elif ft == 3:
-                    rec = scan[c] + (a + b) // 2
-                elif ft == 4:  # Paeth predictor (PNG spec 9.4)
-                    p = a + b - cc
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
-                    rec = scan[c] + pred
-                else:
-                    return None
-                out[c] = rec & 0xFF
+
+        def to_px(row: bytearray, c: int) -> tuple[int, ...]:
             if ct == 3:
-                px = []
-                for c in range(w):
-                    if out[c] >= len(plte):
-                        return None  # index beyond palette
-                    px.append(plte[out[c]])
-                rows.append(px)
-            else:
-                rows.append([tuple(out[c * bpp : (c + 1) * bpp]) for c in range(w)])
-            prev = out
+                if row[c] >= len(plte):
+                    raise ValueError("index beyond palette")
+                return plte[row[c]]
+            base = c * bpp
+            if sb == 1:
+                return tuple(row[base : base + nch])
+            return tuple(
+                int.from_bytes(row[base + 2 * k : base + 2 * k + 2], "big")
+                for k in range(nch)
+            )
+
+        if interlace == 1:  # Adam7: seven independently-filtered passes
+            plan, total = [], 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                if pw and ph:
+                    plan.append((x0, y0, dx, dy, pw, ph))
+                    total += ph * (1 + pw * bpp)
+            if len(raw) != total:
+                return None
+            grid: list[list] = [[None] * w for _ in range(h)]
+            off = 0
+            for x0, y0, dx, dy, pw, ph in plan:
+                prows, off = _png_unfilter(raw, off, pw, ph, bpp)
+                for r in range(ph):
+                    for c in range(pw):
+                        grid[y0 + r * dy][x0 + c * dx] = to_px(prows[r], c)
+            rows = grid  # the seven passes tile every pixel exactly once
+        else:
+            if len(raw) != h * (w * bpp + 1):
+                return None
+            prows, _ = _png_unfilter(raw, 0, w, h, bpp)
+            rows = [[to_px(pr, c) for c in range(w)] for pr in prows]
         return w, h, ct, rows
     except Exception:  # noqa: BLE001 - any parse failure routes to None
         return None
@@ -1014,13 +1074,15 @@ def _png_channel(doc_id: int, r: int, c: int, ch: int) -> int:
     return (doc_id * 7 + r * 13 + c * 3 + ch * 31) % 256
 
 
-def _mk_color_png(doc_id: int, w: int, h: int) -> bytes:
+def _mk_color_png(doc_id: int, w: int, h: int, interlace: bool = False) -> bytes:
     """A spec-valid 8-bit color PNG (type by ``_png_color_type``) whose
     scanlines are DELIBERATELY filtered (row % 5 → all five spec filter
     types) at the color type's byte stride, so only a decoder that
     reverses the filters with the correct bytes-per-pixel neighbor
     offset recovers the channels.  Palette images carry a full 256-entry
-    PLTE."""
+    PLTE.  ``interlace=True`` stores the image as seven Adam7 passes
+    (each independently filtered), so the decoder's deinterlacing is
+    exercised on the same pixel plane."""
     import zlib
 
     def chunk(typ: bytes, data: bytes) -> bytes:
@@ -1037,35 +1099,63 @@ def _mk_color_png(doc_id: int, w: int, h: int) -> bytes:
         return b if pb <= pc else c
 
     ct = _png_color_type(doc_id)
-    bpp = _PNG_BPP[ct]
+    bpp = _PNG_CHANNELS[ct]
     nch = 1 if ct == 3 else bpp
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, ct, 0, 0, 0])
+        + bytes([8, ct, 0, 0, 1 if interlace else 0])
     )
+
+    def filter_pass(pixel_rows: "list[bytearray]", raw: bytearray) -> None:
+        prev = bytearray(len(pixel_rows[0]))
+        for r, cur in enumerate(pixel_rows):
+            ft = r % 5
+            raw.append(ft)
+            for i in range(len(cur)):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    raw.append(cur[i])
+                elif ft == 1:
+                    raw.append((cur[i] - a) & 0xFF)
+                elif ft == 2:
+                    raw.append((cur[i] - b) & 0xFF)
+                elif ft == 3:
+                    raw.append((cur[i] - (a + b) // 2) & 0xFF)
+                else:
+                    raw.append((cur[i] - paeth(a, b, cc)) & 0xFF)
+            prev = cur
+
+    def px_bytes(r: int, c: int) -> "list[int]":
+        return [_png_channel(doc_id, r, c, ch) for ch in range(nch)]
+
     raw = bytearray()
-    prev = bytearray(w * bpp)
-    for r in range(h):
-        cur = bytearray(
-            _png_channel(doc_id, r, c, ch) for c in range(w) for ch in range(nch)
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if not pw or not ph:
+                continue
+            filter_pass(
+                [
+                    bytearray(
+                        v
+                        for c in range(pw)
+                        for v in px_bytes(y0 + r * dy, x0 + c * dx)
+                    )
+                    for r in range(ph)
+                ],
+                raw,
+            )
+    else:
+        filter_pass(
+            [
+                bytearray(v for c in range(w) for v in px_bytes(r, c))
+                for r in range(h)
+            ],
+            raw,
         )
-        ft = r % 5
-        raw.append(ft)
-        for i in range(len(cur)):
-            a = cur[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            cc = prev[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                raw.append(cur[i])
-            elif ft == 1:
-                raw.append((cur[i] - a) & 0xFF)
-            elif ft == 2:
-                raw.append((cur[i] - b) & 0xFF)
-            elif ft == 3:
-                raw.append((cur[i] - (a + b) // 2) & 0xFF)
-            else:
-                raw.append((cur[i] - paeth(a, b, cc)) & 0xFF)
-        prev = cur
     parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
     if ct == 3:
         plte = bytes(
@@ -1095,13 +1185,16 @@ def synth_color_png_payloads(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """Deterministic color-PNG corpus: doc_id-derived color type,
-    geometry, channels; every 19th payload gets one byte flipped mid-file
-    (breaking a chunk CRC) and must route to nulls."""
+    geometry, channels; every 7th payload is stored Adam7-INTERLACED
+    (same pixels, so the oracle is unchanged — only a decoder that
+    really deinterlaces recovers them); every 19th payload gets one
+    byte flipped mid-file (breaking a chunk CRC) and must route to
+    nulls."""
     for pdf in batches:
         out = []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            p = _mk_color_png(d, d % 10 + 2, d % 7 + 2)
+            p = _mk_color_png(d, d % 10 + 2, d % 7 + 2, interlace=(d % 7 == 3))
             if d % 19 == 0:
                 i = len(p) // 2
                 p = p[:i] + bytes([p[i] ^ 0xFF]) + p[i + 1 :]
@@ -1204,9 +1297,12 @@ def q_multimodal_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the channel arithmetic, so a decoder that unfilters at
     the wrong stride (the classic color-PNG bug: treating ``a`` as one
     byte left instead of one PIXEL left) or mis-maps the palette fails
-    the hash; every 19th payload has a flipped byte whose broken CRC
-    must route the row to nulls, never an error.  Scale shape: two
-    map-only Arrow ``mapInPandas`` stages, no shuffle."""
+    the hash; every 7th payload is stored Adam7-INTERLACED (seven
+    independently-filtered passes, spec 8.2) so deinterlacing is
+    exercised on the same oracle; every 19th payload has a flipped byte
+    whose broken CRC must route the row to nulls, never an error.
+    Scale shape: two map-only Arrow ``mapInPandas`` stages, no
+    shuffle."""
     prepare(spark)
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     payloads = d.mapInPandas(

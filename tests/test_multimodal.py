@@ -242,19 +242,31 @@ class TestColorPngDecode:
                              + self._chunk(b"IEND", b""))
         assert got is not None and got[3][0] == [(1, 2, 3), (10, 11, 12)]
 
-    def test_sixteen_bit_depth_refused(self):
+    def test_sixteen_bit_now_decodes_and_subbyte_refused(self):
         import zlib
 
         from anglerfish_spark.operators.multimodal import decode_png_any
 
-        ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
-        payload = (
+        # 16-bit truecolor is SUPPORTED (r13): a 1x1 image with one Up-
+        # filtered scanline of 6 bytes decodes to big-endian samples
+        ihdr16 = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+        raw = bytes([2]) + (513).to_bytes(2, "big") + (7).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+        p16 = (
             b"\x89PNG\r\n\x1a\n"
-            + self._chunk(b"IHDR", ihdr)
-            + self._chunk(b"IDAT", zlib.compress(bytes(7)))
+            + self._chunk(b"IHDR", ihdr16)
+            + self._chunk(b"IDAT", zlib.compress(raw))
             + self._chunk(b"IEND", b"")
         )
-        assert decode_png_any(payload) is None
+        assert decode_png_any(p16) == (1, 1, 2, [[(513, 7, 65535)]])
+        # sub-byte depths stay out of scope
+        ihdr4 = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([4, 0, 0, 0, 0])
+        p4 = (
+            b"\x89PNG\r\n\x1a\n"
+            + self._chunk(b"IHDR", ihdr4)
+            + self._chunk(b"IDAT", zlib.compress(bytes(2)))
+            + self._chunk(b"IEND", b"")
+        )
+        assert decode_png_any(p4) is None
 
     def test_gray_alpha_color_type(self):
         import zlib
@@ -419,3 +431,105 @@ class TestG711Decode:
 
         sr, s = decode_audio(_mk_g711_wav(2, 50, 7))
         assert sr == 8000 and s[0] == ulaw_to_linear(2 * 13 % 256)
+
+
+class TestPngInterlaceAnd16Bit:
+    """r13: Adam7 deinterlacing and 16-bit sample depth."""
+
+    def test_adam7_roundtrip_awkward_geometries(self):
+        from anglerfish_spark.operators.multimodal import (
+            _mk_color_png,
+            _png_channel,
+            _png_color_type,
+            decode_png_any,
+        )
+
+        # 1x1 (only pass 1 non-empty), sub-8 dims (several empty passes),
+        # exact-8 and ragged dims — every color type
+        for d in (3, 7, 26):
+            for w, h in [(1, 1), (5, 3), (8, 8), (9, 10), (13, 2)]:
+                seq = decode_png_any(_mk_color_png(d, w, h, interlace=False))
+                il = decode_png_any(_mk_color_png(d, w, h, interlace=True))
+                assert il is not None and seq is not None
+                assert il == seq  # same pixel plane, different storage
+                ct = _png_color_type(d)
+                nch = 4 if ct == 6 else 3
+                if ct != 3:
+                    assert il[3][h - 1][w - 1] == tuple(
+                        _png_channel(d, h - 1, w - 1, ch) for ch in range(nch)
+                    )
+
+    def test_adam7_length_mismatch_refused(self):
+        import zlib
+
+        from anglerfish_spark.operators.multimodal import (
+            _mk_color_png,
+            decode_png_any,
+        )
+
+        good = _mk_color_png(3, 9, 9, interlace=True)
+        # rebuild the IDAT with one byte lopped off the inflated stream:
+        # the per-pass length accounting must refuse it
+        i, out = 8, bytearray(b"\x89PNG\r\n\x1a\n")
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        while i + 8 <= len(good):
+            ln = int.from_bytes(good[i : i + 4], "big")
+            typ = good[i + 4 : i + 8]
+            data = good[i + 8 : i + 8 + ln]
+            if typ == b"IDAT":
+                data = zlib.compress(zlib.decompress(data)[:-1])
+            out += chunk(typ, data)
+            i += 12 + ln
+        assert decode_png_any(bytes(out)) is None
+
+    @staticmethod
+    def _mk16(ct: int, w: int, h: int, pxfn, nch: int) -> bytes:
+        import zlib
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        raw = bytearray()
+        prev = bytes(w * nch * 2)
+        for r in range(h):
+            cur = bytearray()
+            for c in range(w):
+                for ch in range(nch):
+                    cur += pxfn(r, c, ch).to_bytes(2, "big")
+            raw.append(2)  # Up filter, byte-level across the 2-byte samples
+            raw += bytes((cur[i] - prev[i]) & 0xFF for i in range(len(cur)))
+            prev = cur
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR",
+                w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, ct, 0, 0, 0]),
+            )
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_16bit_grayscale_and_truecolor(self):
+        from anglerfish_spark.operators.multimodal import decode_png_any
+
+        f = lambda r, c, ch: (r * 1000 + c * 300 + ch * 77 + 60000) % 65536
+        w, h, ct, rows = decode_png_any(self._mk16(0, 4, 3, f, 1))
+        assert (w, h, ct) == (4, 3, 0)
+        assert all(rows[r][c] == (f(r, c, 0),) for r in range(3) for c in range(4))
+        w, h, ct, rows = decode_png_any(self._mk16(2, 3, 2, f, 3))
+        assert (w, h, ct) == (3, 2, 2)
+        assert rows[1][2] == tuple(f(1, 2, ch) for ch in range(3))
+
+    def test_16bit_palette_refused(self):
+        from anglerfish_spark.operators.multimodal import decode_png_any
+
+        assert decode_png_any(self._mk16(3, 2, 2, lambda r, c, ch: 5, 1)) is None
