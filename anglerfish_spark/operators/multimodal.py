@@ -66,7 +66,17 @@ def decode_image(payload: bytes):
             w, h, rows = dec
             return w, h, 0, [[(v,) for v in row] for row in rows]
         raise ValueError("malformed or non-baseline JPEG payload")
-    raise NotImplementedError("non-PNG/JPEG image decode requires imaging libs")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        g = decode_gif(payload)
+        if g is not None:
+            w, h, _, rows = g
+            return w, h, 2, rows  # palette expanded to truecolor
+        raise ValueError("malformed GIF payload")
+    raise NotImplementedError(
+        "non-PNG/JPEG/GIF image decode requires imaging libs"
+    )
 
 
 def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1794,3 +1804,178 @@ def q_multimodal_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return payloads.mapInPandas(g711_stats, G711_SCHEMA).orderBy("doc_id")
+
+# ---------------------------------------------------------------------------
+# REAL GIF decode end-to-end (r13): LZW entropy decode lives in
+# operators/gif.py — the third distinct entropy coder in the image
+# suite (PNG: deflate, JPEG: Huffman+DCT, GIF: LZW)
+# ---------------------------------------------------------------------------
+
+
+def _gif_ncolors(doc_id: int) -> int:
+    """Synthesis palette size by doc: 4 / 8 / 16 colors."""
+    return 1 << (doc_id % 3 + 2)
+
+
+def _gif_index(doc_id: int, r: int, c: int) -> int:
+    """Palette index both engines compute; the palette maps index ``i``
+    to ``(i*5 % 256, i*11 % 256, i*17 % 256)``."""
+    return (doc_id * 7 + r * 13 + c * 3) % _gif_ncolors(doc_id)
+
+
+def _mk_real_gif(doc_id: int, w: int, h: int, interlace: bool = False) -> bytes:
+    """A spec-valid GIF89a: logical screen + global color table, a
+    graphic-control extension (exercises sub-block skipping), one image
+    frame whose indices are REALLY LZW-compressed (``operators/gif.py``),
+    stored row-major or 4-pass interlaced, data split into <=255-byte
+    sub-blocks."""
+    from .gif import _GIF_PASSES, lzw_encode
+
+    nc = _gif_ncolors(doc_id)
+    mcs = max(2, nc.bit_length() - 1)
+    gct = bytes(v for i in range(nc) for v in (i * 5 % 256, i * 11 % 256, i * 17 % 256))
+    flags = 0x80 | (nc.bit_length() - 2)  # GCT present, size 2^(n+1)
+    head = (
+        b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([flags, 0, 0]) + gct
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+    )
+    if interlace:
+        order = [r for start, step in _GIF_PASSES for r in range(start, h, step)]
+    else:
+        order = list(range(h))
+    idx = [_gif_index(doc_id, r, c) for r in order for c in range(w)]
+    data = lzw_encode(idx, mcs)
+    body = bytearray(
+        b"\x2c" + bytes(4) + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0x00, mcs])
+    )
+    for j in range(0, len(data), 255):
+        blk = data[j : j + 255]
+        body += bytes([len(blk)]) + blk
+    body += b"\x00\x3b"  # block terminator + trailer
+    return head + bytes(body)
+
+
+GIF_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_colors", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def synth_gif_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic GIF corpus: doc_id-derived geometry, palette size,
+    and indices; every 6th payload (offset 1) stored INTERLACED (same
+    pixels — only a real 4-pass deinterlacer matches); every 29th
+    payload truncated mid-stream and must route to nulls (GIF carries
+    no CRC, so truncation is the deterministic corruption)."""
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            p = _mk_real_gif(d, d % 11 + 3, d % 8 + 3, interlace=(d % 6 == 1))
+            if d % 29 == 0:
+                p = p[: len(p) // 2]
+            out.append(p)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def gif_channel_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL GIF decode + channel statistics over Arrow batches;
+    undecodable payloads yield null analysis columns."""
+    from .gif import decode_gif
+
+    for pdf in batches:
+        cols: dict[str, list] = {
+            "width": [], "height": [], "n_colors": [],
+            "sum_r": [], "sum_g": [], "sum_b": [],
+        }
+        for b in pdf["payload"]:
+            dec = decode_gif(bytes(b))
+            if dec is None:
+                for k in cols:
+                    cols[k].append(None)
+                continue
+            w, h, nc, rows = dec
+            flat = [p for row in rows for p in row]
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_colors"].append(nc)
+            cols["sum_r"].append(sum(p[0] for p in flat))
+            cols["sum_g"].append(sum(p[1] for p in flat))
+            cols["sum_b"].append(sum(p[2] for p in flat))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series(cols["width"], dtype="Int64"),
+                "height": pd.Series(cols["height"], dtype="Int64"),
+                "n_colors": pd.Series(cols["n_colors"], dtype="Int64"),
+                "sum_r": pd.Series(cols["sum_r"], dtype="Int64"),
+                "sum_g": pd.Series(cols["sum_g"], dtype="Int64"),
+                "sum_b": pd.Series(cols["sum_b"], dtype="Int64"),
+            }
+        )
+
+
+@query(
+    "q_multimodal_gif_decode",
+    oracle="""
+WITH g AS (
+  SELECT doc_id, doc_id % 11 + 3 AS w, doc_id % 8 + 3 AS h,
+         (1 << (doc_id % 3 + 2)) AS nc
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, nc,
+    list_sum([(((doc_id*7 + (i//w)*13 + (i%w)*3) % nc) * 5) % 256
+              for i in generate_series(0, w*h - 1)]) AS sr,
+    list_sum([(((doc_id*7 + (i//w)*13 + (i%w)*3) % nc) * 11) % 256
+              for i in generate_series(0, w*h - 1)]) AS sg,
+    list_sum([(((doc_id*7 + (i//w)*13 + (i%w)*3) % nc) * 17) % 256
+              for i in generate_series(0, w*h - 1)]) AS sb
+  FROM g
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 29 = 0 THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+  CASE WHEN doc_id % 29 = 0 THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+  CASE WHEN doc_id % 29 = 0 THEN NULL ELSE CAST(nc AS BIGINT) END AS n_colors,
+  CASE WHEN doc_id % 29 = 0 THEN NULL ELSE CAST(sr AS BIGINT) END AS sum_r,
+  CASE WHEN doc_id % 29 = 0 THEN NULL ELSE CAST(sg AS BIGINT) END AS sum_g,
+  CASE WHEN doc_id % 29 = 0 THEN NULL ELSE CAST(sb AS BIGINT) END AS sum_b
+FROM px ORDER BY doc_id
+""",
+    group="llm-multimodal",
+)
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end with no imaging libs (r13): every
+    document becomes a spec-valid GIF89a — doc_id-derived geometry,
+    4/8/16-color global palette, indices REALLY LZW-compressed with
+    variable code widths — and the engine must walk the blocks, skip the
+    extension's sub-block chain, reassemble the image sub-blocks, run
+    the LZW dictionary decode (CLEAR/EOI, KwK case, width growth), and
+    expand indices through the color table (``operators/gif.py``).  The
+    oracle recomputes the palette arithmetic, so a decoder that
+    mis-times the code-width increase or mis-orders interlaced rows
+    fails the hash; every 6th payload is stored 4-pass INTERLACED (same
+    pixels, oracle unchanged) and every 29th is truncated mid-stream and
+    must route to nulls.  Scale shape: two map-only Arrow
+    ``mapInPandas`` stages, no shuffle."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = d.mapInPandas(
+        synth_gif_payloads,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType(), False),
+                T.StructField("payload", T.BinaryType(), False),
+            ]
+        ),
+    )
+    return payloads.mapInPandas(gif_channel_sums, GIF_SCHEMA).orderBy("doc_id")

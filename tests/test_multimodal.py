@@ -533,3 +533,103 @@ class TestPngInterlaceAnd16Bit:
         from anglerfish_spark.operators.multimodal import decode_png_any
 
         assert decode_png_any(self._mk16(3, 2, 2, lambda r, c, ch: 5, 1)) is None
+
+
+class TestGifDecode:
+    """r13: GIF LZW entropy decode through operators/gif.py."""
+
+    def test_lzw_roundtrip_and_width_growth(self):
+        import random
+
+        from anglerfish_spark.operators.gif import lzw_decode, lzw_encode
+
+        rng = random.Random(13777)
+        for mcs in (2, 4, 8):
+            nsym = 1 << mcs
+            for n in (1, 3, 140, 2000):
+                px = [rng.randrange(nsym) for _ in range(n)]
+                assert lzw_decode(lzw_encode(px, mcs), mcs, n) == px
+        # dictionary freeze at 4096 entries (deferred clear)
+        px = [rng.randrange(4) for _ in range(60000)]
+        assert lzw_decode(lzw_encode(px, 2), 2, len(px)) == px
+
+    def test_lzw_hand_packed_kwk_stream(self):
+        # m=2: CLEAR(4), 1, 6, EOI(5) at width 3 decodes [1,1,1] — code 6
+        # IS the next dictionary entry (the KwK case, GIF89a app. F)
+        from anglerfish_spark.operators.gif import lzw_decode
+
+        acc = nb = 0
+        out = bytearray()
+        for code in (4, 1, 6, 5):
+            acc |= code << nb
+            nb += 3
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            out.append(acc & 0xFF)
+        assert lzw_decode(bytes(out), 2, 3) == [1, 1, 1]
+
+    def test_lzw_code_beyond_dictionary_raises(self):
+        import pytest
+
+        from anglerfish_spark.operators.gif import lzw_decode
+
+        acc = nb = 0
+        out = bytearray()
+        for code in (4, 1, 7):  # 7 > next assignable entry (6)
+            acc |= code << nb
+            nb += 3
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            out.append(acc & 0xFF)
+        with pytest.raises(ValueError):
+            lzw_decode(bytes(out), 2, 10)
+
+    def test_container_roundtrip_sequential_and_interlaced(self):
+        from anglerfish_spark.operators.gif import decode_gif
+        from anglerfish_spark.operators.multimodal import (
+            _gif_index,
+            _gif_ncolors,
+            _mk_real_gif,
+        )
+
+        for d in (2, 7, 13):  # palette sizes 4/8/16 across docs
+            for il in (False, True):
+                w, h = d % 11 + 3, d % 8 + 3
+                got = decode_gif(_mk_real_gif(d, w, h, interlace=il))
+                assert got is not None
+                W, H, nc, rows = got
+                assert (W, H, nc) == (w, h, _gif_ncolors(d))
+                for r in range(h):
+                    for c in range(w):
+                        i = _gif_index(d, r, c)
+                        assert rows[r][c] == (i * 5 % 256, i * 11 % 256, i * 17 % 256)
+
+    def test_truncation_and_oversize_frame_refused(self):
+        from anglerfish_spark.operators.gif import decode_gif
+        from anglerfish_spark.operators.multimodal import _mk_real_gif
+
+        p = _mk_real_gif(29, 8, 5)
+        for cut in (8, len(p) // 2, len(p) - 3):
+            assert decode_gif(p[:cut]) is None
+        bad = bytearray(_mk_real_gif(3, 4, 4))
+        j = bad.find(b"\x2c")
+        bad[j + 5 : j + 7] = (9).to_bytes(2, "little")  # frame wider than screen
+        assert decode_gif(bytes(bad)) is None
+
+    def test_decode_image_routes_gif(self):
+        from anglerfish_spark.operators.multimodal import (
+            _gif_index,
+            _mk_real_gif,
+            decode_image,
+        )
+
+        w, h, ct, rows = decode_image(_mk_real_gif(5, 4, 3))
+        i = _gif_index(5, 0, 0)
+        assert (w, h, ct) == (4, 3, 2)
+        assert rows[0][0] == (i * 5 % 256, i * 11 % 256, i * 17 % 256)
