@@ -45,6 +45,18 @@ _COS = [
     for u in range(8)
 ]
 
+# numpy fast path for the IDCT only (the parse/entropy decode is stdlib
+# either way; numpy is a numerics library, not an imaging codec) — the
+# pure-Python IDCT below stays as the always-available reference and the
+# two are pinned equal in tests
+try:  # pragma: no cover - import guard
+    import numpy as _np
+
+    _COS_NP = _np.array(_COS)
+    _ZZ_FLAT = _np.array([r * 8 + c for r, c in ZIGZAG])
+except Exception:  # noqa: BLE001
+    _np = None
+
 
 def build_huffman(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
     """Canonical Huffman table per T.81 Annex C: ``bits[i]`` codes of
@@ -252,6 +264,18 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, list[list[int]]] | None
                 coef[k] = _extend(br.receive(s), s) * q[k]
                 k += 1
             # de-zigzag into (u, v), then separable IDCT
+            by, bx = divmod(bi, bw)
+            if _np is not None:
+                cm = _np.zeros(64)
+                cm[_ZZ_FLAT] = coef
+                sp = 0.25 * (_COS_NP.T @ cm.reshape(8, 8) @ _COS_NP)
+                vals = _np.clip(_np.rint(sp).astype(_np.int64) + 128, 0, 255)
+                for y in range(min(8, h - by * 8)):
+                    row = img[by * 8 + y]
+                    vy = vals[y]
+                    for x in range(min(8, w - bx * 8)):
+                        row[bx * 8 + x] = int(vy[x])
+                continue
             cuv = [[0.0] * 8 for _ in range(8)]
             for kk in range(64):
                 if coef[kk]:
@@ -262,7 +286,6 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, list[list[int]]] | None
                  for y in range(8)]
                 for u in range(8)
             ]
-            by, bx = divmod(bi, bw)
             for x in range(8):
                 px = bx * 8 + x
                 if px >= w:

@@ -86,6 +86,12 @@ HEADLINE = [
     # (sharded persisted postings) and the REAL stdlib WAV decode sweep
     "q_inverted_bm25_terms",
     "q_multimodal_wav_decode",
+    # r13 widening: the two REAL entropy-decode sweeps (baseline JPEG
+    # Huffman+IDCT, GIF LZW) — the heaviest Python map stages in the
+    # multimodal family, tracked so a constant-factor regression in the
+    # Arrow mapInPandas path is visible round-over-round
+    "q_multimodal_jpeg_decode",
+    "q_multimodal_gif_decode",
 ]
 
 

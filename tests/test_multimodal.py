@@ -633,3 +633,15 @@ class TestGifDecode:
         i = _gif_index(5, 0, 0)
         assert (w, h, ct) == (4, 3, 2)
         assert rows[0][0] == (i * 5 % 256, i * 11 % 256, i * 17 % 256)
+
+
+def test_jpeg_idct_numpy_and_pure_python_paths_agree(monkeypatch):
+    import anglerfish_spark.operators.jpeg as J
+    from anglerfish_spark.operators.multimodal import _mk_real_jpeg
+
+    assert J._np is not None  # numpy is baked into this environment
+    payloads = [_mk_real_jpeg(d, d % 3 + 1, d % 2 + 1) for d in (0, 7, 29)]
+    fast = [J.decode_jpeg_gray(p) for p in payloads]
+    monkeypatch.setattr(J, "_np", None)
+    slow = [J.decode_jpeg_gray(p) for p in payloads]
+    assert fast == slow
