@@ -2094,3 +2094,164 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing with checksum validation (r13): the REAL version of the
+# q_text_redact shape — emails, phones, and LUHN-VALIDATED card numbers,
+# detection and masking entirely in JVM codegen (regexp_* + the
+# transform/aggregate/filter higher-order functions; zero Python)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.com"
+PHONE_RE = "\\+1-555-[0-9]{3}-[0-9]{4}"
+
+#: Luhn sum of a 16-digit candidate string `c` (ITU-T E.118 / ISO 7812
+#: check): with 16 digits, string position i (1-based) is doubled exactly
+#: when i is odd; valid iff the sum is 0 mod 10.  Pure Spark SQL so it
+#: runs as a codegen'd higher-order expression, never a UDF.
+LUHN16_SQL = (
+    "aggregate(transform(sequence(1, 16), i -> CASE WHEN i % 2 = 1 THEN "
+    "CASE WHEN 2 * CAST(substring({c}, i, 1) AS INT) > 9 "
+    "THEN 2 * CAST(substring({c}, i, 1) AS INT) - 9 "
+    "ELSE 2 * CAST(substring({c}, i, 1) AS INT) END "
+    "ELSE CAST(substring({c}, i, 1) AS INT) END), 0, (a, x) -> a + x)"
+)
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, text,
+         '4' || lpad(CAST(doc_id * 37 % 100000000000000 AS VARCHAR), 14, '0')
+           AS b15,
+         doc_id % 11 = 0 AS skip
+  FROM documents
+),
+l AS (
+  SELECT *, list_sum([CASE WHEN i % 2 = 1 THEN
+        CASE WHEN 2 * CAST(substring(b15, i, 1) AS INT) > 9
+             THEN 2 * CAST(substring(b15, i, 1) AS INT) - 9
+             ELSE 2 * CAST(substring(b15, i, 1) AS INT) END
+      ELSE CAST(substring(b15, i, 1) AS INT) END
+      for i in generate_series(1, 15)]) AS s15
+  FROM c
+),
+a AS (
+  SELECT doc_id, skip, text,
+         b15 || CAST((10 - s15 % 10) % 10 AS VARCHAR) AS card_ok,
+         b15 || CAST(((10 - s15 % 10) % 10 + 5) % 10 AS VARCHAR) AS card_bad
+  FROM l
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN skip THEN 0 ELSE 1 END AS n_emails,
+         CASE WHEN skip THEN 0 ELSE 1 END AS n_phones,
+         CASE WHEN skip THEN 0 ELSE 2 END AS n_cards_seen,
+         CASE WHEN skip THEN 0 ELSE 1 END AS n_cards_valid,
+         CASE WHEN skip THEN text
+              ELSE text || ' contact <EMAIL> call <PHONE> card <CARD> ref '
+                   || card_bad END AS scrub
+  FROM a
+)
+SELECT doc_id,
+       CAST(n_emails AS INT) AS n_emails,
+       CAST(n_phones AS INT) AS n_phones,
+       CAST(n_cards_seen AS INT) AS n_cards_seen,
+       CAST(n_cards_valid AS INT) AS n_cards_valid,
+       md5(scrub) AS scrubbed_hash,
+       LENGTH(scrub) AS scrubbed_len
+FROM s
+ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PII scrubbing (the production form of ``q_text_redact``):
+    deterministic emails/phones/card numbers are injected into the
+    corpus (every 11th doc left clean, exercising the empty paths), then
+    the engine detects and masks them — emails and phones by regex, card
+    numbers by 16-digit candidate extraction plus a LUHN checksum gate,
+    so the deliberately-injected checksum-INVALID card (same format,
+    wrong check digit) is correctly left in place.  Detection, Luhn
+    arithmetic, and selective replacement run entirely in JVM codegen:
+    ``regexp_count``/``regexp_extract_all`` plus
+    ``transform``/``aggregate``/``filter`` higher-order expressions (the
+    masking fold is ``aggregate(valid_cards, text, replace)``) — zero
+    Python in the hot path.  The oracle reconstructs the scrubbed text
+    from the same synthesis arithmetic (including the Luhn check digit),
+    so a scrubber that masks the invalid card, misses the valid one, or
+    mis-orders the passes fails the hash.  Scale shape: one map stage,
+    no shuffle; at 100 TB this is the same plan at any size."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    luhn15 = LUHN16_SQL.replace("sequence(1, 16)", "sequence(1, 15)")
+    d2 = (
+        d.withColumn(
+            "b15",
+            F.concat(
+                F.lit("4"),
+                F.lpad((F.col("doc_id") * 37 % 100000000000000).cast("string"), 14, "0"),
+            ),
+        )
+        .withColumn("s15", F.expr(luhn15.format(c="b15")))
+        .withColumn("cd", (F.lit(10) - F.col("s15") % 10) % 10)
+        .withColumn("card_ok", F.concat("b15", F.col("cd").cast("string")))
+        .withColumn(
+            "card_bad",
+            F.concat("b15", ((F.col("cd") + 5) % 10).cast("string")),
+        )
+        .withColumn(
+            "aug",
+            F.when(F.col("doc_id") % 11 == 0, F.col("text")).otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".com call +1-555-"),
+                    (F.col("doc_id") % 900 + 100).cast("string"),
+                    F.lit("-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" card "),
+                    F.col("card_ok"),
+                    F.lit(" ref "),
+                    F.col("card_bad"),
+                )
+            ),
+        )
+        .withColumn(
+            "valid_cards",
+            F.expr(
+                "filter(regexp_extract_all(aug, '[0-9]{{16}}', 0), c -> {luhn} % 10 = 0)".format(
+                    luhn=LUHN16_SQL.format(c="c")
+                )
+            ),
+        )
+        .withColumn(
+            "scrub",
+            F.expr(
+                "aggregate(valid_cards, "
+                "regexp_replace(regexp_replace(aug, '{email}', '<EMAIL>'), "
+                "'{phone}', '<PHONE>'), "
+                "(acc, c) -> replace(acc, c, '<CARD>'))".format(
+                    # inside a SQL string literal the backslashes need
+                    # their own escaping; the F.lit() count sites below
+                    # take the pattern as a value and must NOT double it
+                    email=EMAIL_RE.replace("\\", "\\\\"),
+                    phone=PHONE_RE.replace("\\", "\\\\"),
+                )
+            ),
+        )
+    )
+    return d2.select(
+        "doc_id",
+        F.regexp_count(F.col("aug"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("aug"), F.lit(PHONE_RE)).alias("n_phones"),
+        F.size(F.expr("regexp_extract_all(aug, '[0-9]{16}', 0)")).alias("n_cards_seen"),
+        F.size("valid_cards").alias("n_cards_valid"),
+        F.md5(F.col("scrub").cast("binary")).alias("scrubbed_hash"),
+        F.length("scrub").alias("scrubbed_len"),
+    )  # no trailing sort: row-level output
