@@ -2255,3 +2255,100 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("scrub").cast("binary")).alias("scrubbed_hash"),
         F.length("scrub").alias("scrubbed_len"),
     )  # no trailing sort: row-level output
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal (r13): jusText/C4-style page cleaning — classify
+# paragraphs by link-marker density and keep only content, entirely in
+# JVM higher-order expressions
+# ---------------------------------------------------------------------------
+
+#: navigation/boilerplate marker inventory (disjoint from the synthetic
+#: corpus vocabulary, checked at both sf0.1 and the 5x soak dir)
+BP_MARKERS = (
+    "click", "here", "now", "home", "menu", "login",
+    "subscribe", "about", "contact", "us", "|",
+)
+BP_NAV = "home | menu | login | subscribe"
+BP_FOOTER = "click here now | about | contact us"
+
+
+@query(
+    "q_text_boilerplate",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws, doc_id % 9 = 0 AS clean
+  FROM documents
+),
+p AS (
+  SELECT doc_id, clean,
+    array_to_string(list_slice(ws, 1, (len(ws) + 1) // 2), ' ') AS par1,
+    array_to_string(list_slice(ws, (len(ws) + 1) // 2 + 1, len(ws)), ' ') AS par2
+  FROM w
+)
+SELECT doc_id,
+  CAST(CASE WHEN clean THEN 2 ELSE 4 END AS INT) AS n_paragraphs,
+  CAST(2 AS INT) AS n_kept,
+  CAST(CASE WHEN clean THEN 0 ELSE 2 END AS INT) AS n_dropped,
+  md5(par1 || chr(10) || par2) AS cleaned_hash,
+  LENGTH(par1 || chr(10) || par2) AS cleaned_len
+FROM p ORDER BY doc_id
+""",
+    group="llm-text",
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (jusText/C4 shape): each document becomes a
+    page of content paragraphs interleaved with injected navigation/
+    footer boilerplate (every 9th doc left clean), and the engine must
+    CLASSIFY each paragraph — marker-token density > 1/2 means
+    boilerplate — and reassemble only the content.  Classification runs
+    as nested JVM higher-order expressions (split → filter over an
+    IN-list → integer-ratio test; zero Python, no shuffle): a classifier
+    that uses position instead of density, or drops an empty-but-content
+    paragraph, fails the hash because the oracle reconstructs the
+    cleaned page from the same halving arithmetic.  Scale shape: one
+    map stage — at 100 TB this is the same plan at any size."""
+    prepare(spark)
+    d = load_table(spark, sf_dir, "documents", fanout=True)
+    half = "(size(split(text, ' ')) + 1) div 2"
+    d2 = (
+        d.withColumn("par1", F.expr(f"array_join(slice(split(text, ' '), 1, {half}), ' ')"))
+        .withColumn(
+            "par2",
+            F.expr(
+                f"array_join(slice(split(text, ' '), {half} + 1,"
+                " size(split(text, ' '))), ' ')"
+            ),
+        )
+        .withColumn(
+            "page",
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.concat("par1", F.lit("\n"), F.col("par2")),
+            ).otherwise(
+                F.concat(
+                    "par1", F.lit("\n" + BP_NAV + "\n"),
+                    "par2", F.lit("\n" + BP_FOOTER),
+                )
+            ),
+        )
+        .withColumn(
+            "kept",
+            F.expr(
+                "filter(split(page, '\\n'), p -> "
+                "size(filter(split(p, ' '), w -> w IN ({m}))) * 2"
+                " <= size(split(p, ' ')))".format(
+                    m=", ".join("'%s'" % m for m in BP_MARKERS)
+                )
+            ),
+        )
+        .withColumn("cleaned", F.array_join("kept", "\n"))
+    )
+    return d2.select(
+        "doc_id",
+        F.expr("size(split(page, '\\n'))").cast("int").alias("n_paragraphs"),
+        F.size("kept").alias("n_kept"),
+        (F.expr("size(split(page, '\\n'))") - F.size("kept")).cast("int").alias("n_dropped"),
+        F.md5(F.col("cleaned").cast("binary")).alias("cleaned_hash"),
+        F.length("cleaned").alias("cleaned_len"),
+    )  # no trailing sort: row-level output
