@@ -92,6 +92,11 @@ HEADLINE = [
     # Arrow mapInPandas path is visible round-over-round
     "q_multimodal_jpeg_decode",
     "q_multimodal_gif_decode",
+    # r13 widening (cont.): the two JVM-only curation map stages (Luhn-
+    # gated PII scrub, density-classified boilerplate removal) — cheap,
+    # and they pin the higher-order-expression codegen path
+    "q_text_pii_scrub",
+    "q_text_boilerplate",
 ]
 
 
