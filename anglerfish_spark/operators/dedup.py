@@ -1715,20 +1715,38 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         CURATION_STAGE_SECONDS.clear()
 
     def ckpt(df, stage=None):
-        if not (timing and stage):
-            return df.localCheckpoint(eager=False)
+        # EAGER always (r13-opt): with lazy checkpoints the whole
+        # pipeline collapses into one action in which Catalyst/AQE
+        # cannot reuse a checkpoint that materializes mid-job, so every
+        # multiply-referenced stage output re-ran its lineage anyway —
+        # measured 8.2 s lazy vs 6.6 s eager at sf0.1 on this shape.
+        # Eager also makes the instrumented stage breakdown time the
+        # SAME scheduling the headline number sees.
         t0 = _time.perf_counter()
         out = df.localCheckpoint(eager=True)
-        CURATION_STAGE_SECONDS[stage] = round(
-            CURATION_STAGE_SECONDS.get(stage, 0.0) + _time.perf_counter() - t0, 3
-        )
+        if timing and stage:
+            CURATION_STAGE_SECONDS[stage] = round(
+                CURATION_STAGE_SECONDS.get(stage, 0.0) + _time.perf_counter() - t0, 3
+            )
         return out
 
-    s1 = base.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    # ONE tokenize+fingerprint pass and ONE fp-window pass total: base
+    # and the ranked s1 are each materialized once and every consumer —
+    # removed1, surv1, and the final ledger — filters the checkpointed
+    # rows.  The previous shape checkpointed removed1 and surv1 as
+    # SEPARATE lazy checkpoints whose lineages each re-ran
+    # tokenize+md5+window, and the ledger re-ran tokenize a third time
+    # for n_tok (guide §2.4: don't recompute what a cheap materialized
+    # proxy already holds; rows here are (doc_id, n_tok, fp)-narrow).
+    base = ckpt(base, "1_exact")
+    s1 = ckpt(
+        base.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        ).select("doc_id", "rn"),
+        "1_exact",
     )
-    removed1 = ckpt(s1.where(F.col("rn") > 1).select("doc_id"), "1_exact")
-    surv1 = ckpt(s1.where(F.col("rn") == 1).select("doc_id"), "1_exact")
+    removed1 = s1.where(F.col("rn") > 1).select("doc_id")
+    surv1 = s1.where(F.col("rn") == 1).select("doc_id")
 
     d1 = d.join(surv1, "doc_id", "left_semi")
     removed2 = ckpt(
@@ -1773,6 +1791,11 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("crn") == 1)
         .select("vec_id", "emb", "cell_id", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("n"))
     )
+    # barrier before the cell self-join: same canonicalization failure as
+    # the LSH band join (transform lambdas carry unique expr ids), so
+    # without it BOTH join sides re-run the K-centroid broadcast scoring
+    # + assignment window — the semantic stage's dominant cost
+    cells = ckpt(cells, "3_semantic")
     a, b = cells.alias("a"), cells.alias("b")
     removed3 = ckpt(
         a.join(

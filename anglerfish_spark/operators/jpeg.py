@@ -35,6 +35,7 @@ for _k, (_r, _c) in enumerate(ZIGZAG):
     ZZ_POS[_r][_c] = _k
 
 import math
+from functools import lru_cache as _lru_cache
 
 # separable IDCT basis: _COS[u][x] = c(u) * cos((2x+1) u pi / 16)
 _COS = [
@@ -81,53 +82,61 @@ class _BitReader:
     """MSB-first bit reader over the entropy-coded scan with 0xFF
     byte-stuffing removal; raises ``EOFError`` at a marker or end of
     data (the caller treats both as malformed unless it expected a
-    restart)."""
+    restart).
+
+    Bits buffer in an int reservoir one source byte at a time:
+    ``_fill`` consumes a byte (plus its stuffed 0x00) only when a bit
+    is actually needed, so a marker or truncation raises on exactly
+    the read that would touch it — same outcome as the per-bit reader
+    it replaced.  At most 7 unconsumed bits (the tail of the current
+    byte) ever sit in the reservoir, so restart byte-alignment
+    semantics are unchanged."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
-        self.bit = 0
+        self.buf = 0
+        self.nbits = 0
 
-    def _advance(self) -> None:
-        b = self.data[self.pos]
-        self.pos += 1
+    def _fill(self) -> None:
+        data, pos = self.data, self.pos
+        if pos >= len(data):
+            raise EOFError
+        b = data[pos]
         if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise EOFError
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed literal 0xFF
-            else:
-                self.pos -= 1
-                raise EOFError  # a real marker terminates the stream
+            nxt = data[pos + 1] if pos + 1 < len(data) else None
+            if nxt != 0x00:
+                raise EOFError  # a real marker (or truncation) terminates
+            self.pos = pos + 2  # consume the stuffed literal 0xFF
+        else:
+            self.pos = pos + 1
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
 
     def next_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise EOFError
-        b = self.data[self.pos]
-        if b == 0xFF and self.bit == 0:
-            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
-            if nxt != 0x00:
-                raise EOFError  # marker
-        v = (b >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self._advance()
+        if not self.nbits:
+            self._fill()
+        self.nbits -= 1
+        v = (self.buf >> self.nbits) & 1
+        self.buf &= (1 << self.nbits) - 1
         return v
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.next_bit()
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
         return v
 
     def align_to_marker(self) -> int:
-        """Byte-align and consume one marker (for restart intervals);
-        returns the marker's second byte."""
-        if self.bit:
-            self.bit = 0
-            self._advance()
+        """Byte-align (discard the current byte's unread tail) and
+        consume one marker (for restart intervals); returns the
+        marker's second byte."""
+        self.buf = 0
+        self.nbits = 0
         while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
             m = self.data[self.pos + 1]
             if m == 0xFF:
@@ -141,6 +150,38 @@ class _BitReader:
 def _extend(v: int, t: int) -> int:
     """T.81 F.2.2.1 EXTEND: map a ``t``-bit magnitude to its signed value."""
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+@_lru_cache(maxsize=256)
+def _huffman_arrays(
+    bits: bytes, huffval: bytes
+) -> tuple[list[int], list[int], list[bytes]]:
+    """Canonical-decode arrays per T.81 F.16 DECODE, built straight from
+    the DHT payload: per code length ``maxcode`` (-1 when the length has
+    no codes), ``mincode``, and the values indexed by
+    ``code - mincode`` (canonical codes of one length are consecutive).
+    Validation (count overrun, code overflow) raises exactly where
+    ``build_huffman`` does.  Cached per distinct table content — scans
+    of a corpus reuse a handful of tables (most encoders emit the Annex
+    K defaults), so table construction amortizes to a dict hit."""
+    maxcode = [-1] * 17
+    mincode = [0] * 17
+    values: list[bytes] = [b""] * 17
+    code, k = 0, 0
+    for ln in range(1, 17):
+        n = bits[ln - 1]
+        if n:
+            if k + n > len(huffval):
+                raise ValueError("DHT count exceeds values")
+            mincode[ln] = code
+            values[ln] = huffval[k : k + n]
+            code += n
+            k += n
+            maxcode[ln] = code - 1
+        code <<= 1
+        if code > (1 << ln) << 1:
+            raise ValueError("DHT code overflow")
+    return maxcode, mincode, values
 
 
 def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -204,7 +245,9 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, list[list[int]]] | None
                     n = sum(bits)
                     if j + 17 + n > len(seg):
                         return None
-                    hf[(tc, th)] = build_huffman(bits, list(seg[j + 17 : j + 17 + n]))
+                    hf[(tc, th)] = _huffman_arrays(
+                        bytes(bits), bytes(seg[j + 17 : j + 17 + n])
+                    )
                     j += 17 + n
             elif m == 0xC0:  # SOF0 baseline
                 if seg[0] != 8:
@@ -232,10 +275,14 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, list[list[int]]] | None
             return None
         if w == 0 or h == 0:
             return None
-        dct, act, q = hf[(0, td)], hf[(1, ta)], qt[tq_sel]
+        # canonical-decode arrays (T.81 F.16): one comparison per bit on
+        # plain ints instead of a dict probe per bit
+        (dmax, dmin, dvals), (amax, amin, avals) = hf[(0, td)], hf[(1, ta)]
+        q = qt[tq_sel]
         bw, bh = (w + 7) // 8, (h + 7) // 8
         img = [[0] * w for _ in range(h)]
         br = _BitReader(data, i)
+        next_bit, receive = br.next_bit, br.receive
         pred = 0
         for bi in range(bw * bh):
             if restart and bi and bi % restart == 0:
@@ -244,14 +291,26 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, list[list[int]]] | None
                     return None
                 pred = 0
             coef = [0.0] * 64
-            t = _decode_symbol(br, dct)
+            code, ln = next_bit(), 1
+            while code > dmax[ln]:
+                if ln >= 16:
+                    raise ValueError("invalid Huffman code")
+                code = (code << 1) | next_bit()
+                ln += 1
+            t = dvals[ln][code - dmin[ln]]
             if t > 11:
                 return None
-            pred += _extend(br.receive(t), t)
+            pred += _extend(receive(t), t)
             coef[0] = pred * q[0]
             k = 1
             while k < 64:
-                rs = _decode_symbol(br, act)
+                code, ln = next_bit(), 1
+                while code > amax[ln]:
+                    if ln >= 16:
+                        raise ValueError("invalid Huffman code")
+                    code = (code << 1) | next_bit()
+                    ln += 1
+                rs = avals[ln][code - amin[ln]]
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
                     if r == 15:
@@ -261,7 +320,7 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, list[list[int]]] | None
                 k += r
                 if k > 63:
                     return None
-                coef[k] = _extend(br.receive(s), s) * q[k]
+                coef[k] = _extend(receive(s), s) * q[k]
                 k += 1
             # de-zigzag into (u, v), then separable IDCT
             by, bx = divmod(bi, bw)
@@ -269,12 +328,13 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, list[list[int]]] | None
                 cm = _np.zeros(64)
                 cm[_ZZ_FLAT] = coef
                 sp = 0.25 * (_COS_NP.T @ cm.reshape(8, 8) @ _COS_NP)
-                vals = _np.clip(_np.rint(sp).astype(_np.int64) + 128, 0, 255)
-                for y in range(min(8, h - by * 8)):
-                    row = img[by * 8 + y]
-                    vy = vals[y]
-                    for x in range(min(8, w - bx * 8)):
-                        row[bx * 8 + x] = int(vy[x])
+                vals = (_np.rint(sp).astype(_np.int64) + 128).clip(0, 255)
+                ch = min(8, h - by * 8)
+                cw = min(8, w - bx * 8)
+                x0 = bx * 8
+                rows = vals[:ch, :cw].tolist()
+                for y in range(ch):
+                    img[by * 8 + y][x0 : x0 + cw] = rows[y]
                 continue
             cuv = [[0.0] * 8 for _ in range(8)]
             for kk in range(64):

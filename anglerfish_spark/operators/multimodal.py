@@ -26,6 +26,7 @@ Spark-side plumbing (schema, batching, UDF signature) real and tested.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -1314,7 +1315,9 @@ def q_multimodal_png_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two map-only Arrow ``mapInPandas`` stages, no
     shuffle."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense Python sweep (~140 us/doc inflate+unfilter): fanned out
+    # for the same reason as the JPEG sweep above
+    d = load_table(spark, sf_dir, "documents", fanout=True).select("doc_id")
     payloads = d.mapInPandas(
         synth_color_png_payloads,
         T.StructType(
@@ -1362,7 +1365,14 @@ def _jpeg_pixel(doc_id: int, bx: int, by: int, y: int, x: int) -> int:
 
 
 class _JpegBitWriter:
-    """MSB-first bit writer with 0xFF byte-stuffing; final byte 1-padded."""
+    """MSB-first bit writer with 0xFF byte-stuffing; final byte 1-padded.
+
+    Bits accumulate into one arbitrary-precision int per flush segment
+    (restart intervals flush between markers) and materialize in bulk:
+    ``to_bytes`` + a single ``replace`` inserts the stuffed 0x00 after
+    every 0xFF — byte-identical to the per-bit loop it replaced (the
+    stuffed bytes are not part of the bit stream, so stuffing after
+    assembly commutes), measured ~6x faster on the synth sweep."""
 
     def __init__(self) -> None:
         self.out = bytearray()
@@ -1370,23 +1380,29 @@ class _JpegBitWriter:
         self.n = 0
 
     def put(self, val: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((val >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc, self.n = 0, 0
+        if nbits:
+            self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+            self.n += nbits
 
     def flush(self) -> None:
-        if self.n:
-            pad = 8 - self.n
-            self.acc = (self.acc << pad) | ((1 << pad) - 1)
-            self.out.append(self.acc)
-            if self.acc == 0xFF:
-                self.out.append(0x00)
-            self.acc, self.n = 0, 0
+        pad = (-self.n) % 8
+        nbytes = (self.n + pad) // 8
+        if nbytes:
+            raw = ((self.acc << pad) | ((1 << pad) - 1)).to_bytes(nbytes, "big")
+            self.out += raw.replace(b"\xff", b"\xff\x00")
+        self.acc, self.n = 0, 0
+
+
+@lru_cache(maxsize=1)
+def _jpeg_synth_codes() -> "tuple[dict, dict]":
+    """value -> (length, code) encode tables for the synth's FIXED DHT
+    pair — built once per process, not once per payload (the tables are
+    module constants; per-payload reconstruction was ~20% of synth)."""
+    from .jpeg import build_huffman
+
+    dc = {v: k for k, v in build_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS).items()}
+    ac = {v: k for k, v in build_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS).items()}
+    return dc, ac
 
 
 def _mk_real_jpeg(doc_id: int, wb: int, hb: int, restart: int = 0) -> bytes:
@@ -1398,10 +1414,9 @@ def _mk_real_jpeg(doc_id: int, wb: int, hb: int, restart: int = 0) -> bytes:
     stuffing, and the decoder's IDCT reconstructs the pixels EXACTLY.
     ``restart`` > 0 emits a DRI segment and RSTn markers every that many
     MCUs (predictor reset), for the decoder's restart path."""
-    from .jpeg import ZZ_POS, build_huffman
+    from .jpeg import ZZ_POS
 
-    dc_codes = {v: k for k, v in build_huffman(_JPEG_DC_BITS, _JPEG_DC_VALS).items()}
-    ac_codes = {v: k for k, v in build_huffman(_JPEG_AC_BITS, _JPEG_AC_VALS).items()}
+    dc_codes, ac_codes = _jpeg_synth_codes()
     k44 = ZZ_POS[4][4]
     q = [16] * 64
     q[0] = 8
@@ -1490,7 +1505,11 @@ def synth_jpeg_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def jpeg_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """REAL baseline JPEG decode + pixel statistics over Arrow batches;
-    undecodable payloads yield null analysis columns."""
+    undecodable payloads yield null analysis columns.  Pixel moments run
+    through numpy per image (exact: int64 over 0..255 pixels), not a
+    Python reduce over w*h values."""
+    import numpy as np
+
     from .jpeg import decode_jpeg_gray
 
     for pdf in batches:
@@ -1505,11 +1524,11 @@ def jpeg_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     cols[k].append(None)
                 continue
             w, h, px = dec
-            flat = [v for row in px for v in row]
+            arr = np.asarray(px, dtype=np.int64)
             cols["width"].append(w)
             cols["height"].append(h)
-            cols["pixel_sum"].append(sum(flat))
-            cols["pixel_sumsq"].append(sum(v * v for v in flat))
+            cols["pixel_sum"].append(int(arr.sum()))
+            cols["pixel_sumsq"].append(int((arr * arr).sum()))
             cols["first_pixel"].append(px[0][0])
             cols["second_pixel"].append(px[0][1])
         yield pd.DataFrame(
@@ -1573,7 +1592,12 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     nulls.  Scale shape: two map-only Arrow ``mapInPandas`` stages, no
     shuffle."""
     prepare(spark)
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-dense Python sweep (~170 us/doc entropy decode): fan the
+    # doc_id scan out so the two mapInPandas stages use every core —
+    # the 594 KB single-row-group parquet otherwise scans as ONE
+    # partition and the whole sweep runs serial (guide §2.4 / registry
+    # fanout contract; measured 2.8 -> 1.9 s at sf0.1)
+    d = load_table(spark, sf_dir, "documents", fanout=True).select("doc_id")
     payloads = d.mapInPandas(
         synth_jpeg_payloads,
         T.StructType(
