@@ -63,8 +63,16 @@ ORDER BY l_returnflag, l_linestatus
 @query("q1_pricing_summary", oracle=_Q1_SQL, group="relational")
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship aggregate: one pass over the fact table, fully map-side
-    combinable; the shipdate filter is pushed into the parquet scan."""
-    l = _cat(spark, sf_dir).lineitem
+    combinable; the shipdate filter is pushed into the parquet scan.
+
+    Fan-out (r13-opt): the local fact file is a single row group, so the
+    scan — and with it the decimal-accumulate partial aggregation, the
+    query's CPU — runs as ONE task without it (measured 1.33 -> 0.95 s
+    warm at sf0.1, identical rows; the size gate keeps this a no-op at
+    production scale where files carry many row groups)."""
+    from ..sources.registry import load_table
+
+    l = load_table(spark, sf_dir, "lineitem", fanout=True)
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     # dsum_compact: TPC-H money/quantity domains are < 10^8, so the

@@ -645,3 +645,123 @@ def test_jpeg_idct_numpy_and_pure_python_paths_agree(monkeypatch):
     monkeypatch.setattr(J, "_np", None)
     slow = [J.decode_jpeg_gray(p) for p in payloads]
     assert fast == slow
+
+
+class TestJpegDecoderInternalsR13Opt:
+    """r13-opt focused tests: the bit-reservoir reader, bulk bit writer,
+    and canonical-array Huffman decode replaced per-bit loops — pin them
+    against per-bit reference implementations and fuzz."""
+
+    def test_bit_writer_matches_per_bit_reference(self):
+        import random
+
+        from anglerfish_spark.operators.multimodal import _JpegBitWriter
+
+        class RefWriter:  # the per-bit writer the big-int one replaced
+            def __init__(self):
+                self.out, self.acc, self.n = bytearray(), 0, 0
+
+            def put(self, val, nbits):
+                for i in range(nbits - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((val >> i) & 1)
+                    self.n += 1
+                    if self.n == 8:
+                        self.out.append(self.acc)
+                        if self.acc == 0xFF:
+                            self.out.append(0x00)
+                        self.acc, self.n = 0, 0
+
+            def flush(self):
+                if self.n:
+                    pad = 8 - self.n
+                    self.acc = (self.acc << pad) | ((1 << pad) - 1)
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)
+                    self.acc, self.n = 0, 0
+
+        rng = random.Random(1234)
+        for _ in range(500):
+            a, b = _JpegBitWriter(), RefWriter()
+            for seg in range(rng.randint(1, 4)):
+                for _ in range(rng.randint(0, 40)):
+                    nb = rng.randint(0, 16)
+                    v = rng.getrandbits(nb) if nb else 0
+                    a.put(v, nb)
+                    b.put(v, nb)
+                a.flush()
+                b.flush()
+                marker = bytes([0xFF, 0xD0 + seg % 8])
+                a.out += marker
+                b.out += marker
+            assert bytes(a.out) == bytes(b.out)
+
+    def test_huffman_arrays_match_dict_decode(self):
+        import random
+
+        import pytest
+
+        from anglerfish_spark.operators.jpeg import (
+            _BitReader,
+            _decode_symbol,
+            _huffman_arrays,
+            build_huffman,
+        )
+
+        rng = random.Random(99)
+        for _ in range(200):
+            # random VALID canonical table: spread up to 30 values over
+            # lengths 1..16 without exceeding the code space
+            bits = [0] * 16
+            nvals = rng.randint(1, 30)
+            placed, code_budget = 0, 2
+            for ln in range(16):
+                take = rng.randint(0, min(nvals - placed, code_budget - 1))
+                bits[ln] = take
+                placed += take
+                code_budget = (code_budget - take) * 2
+                if placed == nvals:
+                    break
+            if placed < nvals:
+                continue
+            huffval = [rng.randrange(256) for _ in range(nvals)]
+            table = build_huffman(bits, huffval)
+            maxc, minc, vals = _huffman_arrays(bytes(bits), bytes(huffval))
+            # every code decodes to the same value through both forms
+            for (ln, code), v in table.items():
+                payload = code << (8 * ((ln + 7) // 8) - ln)
+                # stuff data 0xFF bytes exactly as a scan stream would
+                raw = payload.to_bytes((ln + 7) // 8, "big").replace(
+                    b"\xff", b"\xff\x00"
+                )
+                assert _decode_symbol(_BitReader(raw, 0), table) == v
+                br = _BitReader(raw, 0)
+                c, length = br.next_bit(), 1
+                while c > maxc[length]:
+                    c = (c << 1) | br.next_bit()
+                    length += 1
+                assert length == ln and vals[length][c - minc[length]] == v
+        # malformed DHTs raise identically to build_huffman
+        with pytest.raises(ValueError):
+            _huffman_arrays(bytes([2] + [0] * 15), bytes([1]))  # count overrun
+        bad = [0] * 16
+        bad[0] = 3  # 3 codes of length 1 overflow the 2-code space
+        with pytest.raises(ValueError):
+            _huffman_arrays(bytes(bad), bytes([1, 2, 3]))
+
+    def test_corrupted_payload_fuzz_never_raises(self):
+        import random
+
+        from anglerfish_spark.operators.jpeg import decode_jpeg_gray
+        from anglerfish_spark.operators.multimodal import _mk_real_jpeg
+
+        rng = random.Random(7)
+        for _ in range(400):
+            d = rng.randrange(60)
+            p = bytearray(_mk_real_jpeg(d, d % 3 + 1, d % 2 + 1, 2 if d % 4 == 0 else 0))
+            for _ in range(rng.randint(1, 4)):
+                p[rng.randrange(len(p))] = rng.randrange(256)
+            r = decode_jpeg_gray(bytes(p))  # None or a valid frame, never a raise
+            if r is not None:
+                w, h, img = r
+                assert len(img) == h and all(len(row) == w for row in img)
