@@ -1791,10 +1791,12 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("crn") == 1)
         .select("vec_id", "emb", "cell_id", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("n"))
     )
-    # barrier before the cell self-join: same canonicalization failure as
-    # the LSH band join (transform lambdas carry unique expr ids), so
-    # without it BOTH join sides re-run the K-centroid broadcast scoring
-    # + assignment window — the semantic stage's dominant cost
+    # eager barrier before the cell self-join: the K-centroid broadcast
+    # scoring + assignment window materializes once and both join sides
+    # read the checkpointed rows.  (Standalone q_dedup_semantic keeps
+    # the plain shape — AQE's runtime exchange reuse covers it there,
+    # measured a wash; inside THIS eager-checkpoint pipeline the
+    # combined restructure measured 3_semantic 1.37 -> 0.77 s warm.)
     cells = ckpt(cells, "3_semantic")
     a, b = cells.alias("a"), cells.alias("b")
     removed3 = ckpt(
