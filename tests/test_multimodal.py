@@ -765,3 +765,131 @@ class TestJpegDecoderInternalsR13Opt:
             if r is not None:
                 w, h, img = r
                 assert len(img) == h and all(len(row) == w for row in img)
+
+
+class TestLzwDecoderR13Opt:
+    """r13-opt: the bytes-table LZW decode (shared single-pixel entries,
+    inlined int-reservoir code reader) replaced the list-based decoder —
+    pin it against a reference port of the old implementation over valid
+    round-trips and malformed streams (truncation, bit flips, wrong
+    pixel counts, trailing garbage)."""
+
+    @staticmethod
+    def _ref_decode(data: bytes, min_code_size: int, npixels: int) -> list[int]:
+        # the pre-r13 list-based decoder, verbatim semantics
+        if not 2 <= min_code_size <= 8:
+            raise ValueError("bad LZW min code size")
+        clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+        pos, acc, nbits = 0, 0, 0
+
+        def read(width: int) -> int:
+            nonlocal pos, acc, nbits
+            while nbits < width:
+                if pos >= len(data):
+                    raise EOFError
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            v = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            return v
+
+        base = [[i] for i in range(clear)]
+        table: list[list[int]] = []
+        width = min_code_size + 1
+        nxt = eoi + 1
+        prev: list[int] | None = None
+        out: list[int] = []
+        while True:
+            code = read(width)
+            if code == clear:
+                table, nxt, width, prev = [], eoi + 1, min_code_size + 1, None
+                continue
+            if code == eoi:
+                break
+            if code < clear:
+                entry = base[code]
+            elif code - eoi - 1 < len(table):
+                entry = table[code - eoi - 1]
+            elif code == nxt and prev is not None:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError("LZW code beyond dictionary")
+            out.extend(entry)
+            if len(out) > npixels:
+                raise ValueError("LZW output overflows frame")
+            if prev is not None and nxt < 4096:
+                table.append(prev + [entry[0]])
+                nxt += 1
+                if nxt == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) == npixels:
+                try:
+                    read(width)
+                except EOFError:
+                    pass
+                break
+        if len(out) != npixels:
+            raise ValueError("LZW output short of frame")
+        return out
+
+    @staticmethod
+    def _outcome(fn, *args):
+        try:
+            return ("ok", fn(*args))
+        except Exception as e:  # noqa: BLE001 - differential capture
+            return (type(e).__name__, str(e))
+
+    def test_valid_roundtrips_match_reference(self):
+        import random
+
+        from anglerfish_spark.operators.gif import lzw_decode, lzw_encode
+
+        rng = random.Random(20260817)
+        for mcs in range(2, 9):
+            for npix in (1, 2, 3, 9, 64, 130, 1000, 5000):
+                for trial in range(3):
+                    if trial == 0:
+                        px = [rng.randrange(1 << mcs) for _ in range(npix)]
+                    elif trial == 1:  # runs stress dictionary growth
+                        px = [(i // 7) % (1 << mcs) for i in range(npix)]
+                    else:  # constant input = maximal KwK chains
+                        px = [1] * npix
+                    data = lzw_encode(px, mcs)
+                    assert lzw_decode(data, mcs, npix) == px
+                    assert self._ref_decode(data, mcs, npix) == px
+
+    def test_malformed_streams_match_reference(self):
+        import random
+
+        from anglerfish_spark.operators.gif import lzw_decode, lzw_encode
+
+        rng = random.Random(42)
+        for trial in range(1500):
+            mcs = rng.randrange(2, 9)
+            npix = rng.randrange(1, 300)
+            px = [rng.randrange(1 << mcs) for _ in range(npix)]
+            data = bytearray(lzw_encode(px, mcs))
+            kind = trial % 4
+            if kind == 0 and len(data) > 1:
+                data = data[: rng.randrange(len(data))]  # truncation
+            elif kind == 1 and data:
+                data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            elif kind == 2:
+                npix = max(1, npix + rng.choice([-3, -1, 1, 3]))
+            else:
+                data += bytes(rng.randrange(256) for _ in range(rng.randrange(5)))
+            a = self._outcome(self._ref_decode, bytes(data), mcs, npix)
+            b = self._outcome(lzw_decode, bytes(data), mcs, npix)
+            assert a == b, (trial, mcs, npix, a, b)
+
+    def test_bad_min_code_size(self):
+        import pytest
+
+        from anglerfish_spark.operators.gif import lzw_decode
+
+        for mcs in (0, 1, 9, 255):
+            with pytest.raises(ValueError):
+                lzw_decode(b"\x00", mcs, 4)
