@@ -32,6 +32,13 @@ _SINGLE_PX = [bytes((i,)) for i in range(256)]
 
 
 def lzw_decode(data: bytes, min_code_size: int, npixels: int) -> list[int]:
+    """GIF-flavor LZW decode to a list of pixel indices — thin wrapper
+    over :func:`lzw_decode_bytes` (the public list contract predates the
+    bytes core; sites that only aggregate take the bytes directly)."""
+    return list(lzw_decode_bytes(data, min_code_size, npixels))
+
+
+def lzw_decode_bytes(data: bytes, min_code_size: int, npixels: int) -> bytes:
     """GIF-flavor LZW: initial width ``min_code_size + 1``, CLEAR resets
     the dictionary, EOI terminates, dictionary grows to 4095 with the
     width increasing when the next entry would not fit.  Raises on any
@@ -100,7 +107,7 @@ def lzw_decode(data: bytes, min_code_size: int, npixels: int) -> list[int]:
             break
     if len(out) != npixels:
         raise ValueError("LZW output short of frame")
-    return list(out)
+    return bytes(out)
 
 
 def lzw_encode(pixels: list[int], min_code_size: int) -> bytes:
@@ -154,11 +161,29 @@ def decode_gif(
     payload: bytes,
 ) -> "tuple[int, int, int, list[list[tuple[int, int, int]]]] | None":
     """Decode the first frame of a GIF to ``(width, height, n_colors,
-    rows)`` of RGB tuples.  Walks the logical screen descriptor, global
-    color table, extension blocks (sub-block chains skipped), and the
-    first image descriptor; concatenates the image's data sub-blocks,
-    LZW-decodes them, de-interlaces if flagged, and expands indices
-    through the active (local-else-global) color table."""
+    rows)`` of RGB tuples — :func:`decode_gif_indexed` plus the palette
+    expansion.  Aggregating consumers (channel statistics) should take
+    the indexed form directly: the per-pixel tuple materialization here
+    is the expensive part for large frames."""
+    g = decode_gif_indexed(payload)
+    if g is None:
+        return None
+    w, h, pal, idx = g
+    rows = [[pal[v] for v in idx[r * w : (r + 1) * w]] for r in range(h)]
+    return w, h, len(pal), rows
+
+
+def decode_gif_indexed(
+    payload: bytes,
+) -> "tuple[int, int, list[tuple[int, int, int]], bytes] | None":
+    """Decode the first frame of a GIF to ``(width, height, palette,
+    indices)`` with ``indices`` the row-major (de-interlaced) pixel
+    index stream as ``bytes``.  Walks the logical screen descriptor,
+    global color table, extension blocks (sub-block chains skipped),
+    and the first image descriptor; concatenates the image's data
+    sub-blocks and LZW-decodes them.  Bytes in, bytes out: a vectorized
+    consumer can ``np.frombuffer`` the indices and fold through the
+    palette without ever expanding pixels in Python (guide §4.2)."""
     try:
         if payload[:6] not in (b"GIF87a", b"GIF89a"):
             return None
@@ -217,22 +242,18 @@ def decode_gif(
                     return None
                 data += payload[i : i + sz]
                 i += sz
-            idx = lzw_decode(bytes(data), mcs, w * h)
+            idx = lzw_decode_bytes(bytes(data), mcs, w * h)
             if max(idx) >= len(pal):
                 return None
-            rows: list[list[tuple[int, int, int]]]
             if iflags & 0x40:  # interlaced: 4-pass row order
-                rows = [None] * h  # type: ignore[list-item]
+                out = bytearray(w * h)
                 src = 0
                 for start, step in _GIF_PASSES:
                     for r in range(start, h, step):
-                        rows[r] = [pal[v] for v in idx[src * w : (src + 1) * w]]
+                        out[r * w : (r + 1) * w] = idx[src * w : (src + 1) * w]
                         src += 1
-            else:
-                rows = [
-                    [pal[v] for v in idx[r * w : (r + 1) * w]] for r in range(h)
-                ]
-            return w, h, len(pal), rows
+                idx = bytes(out)
+            return w, h, pal, idx
         return None
     except Exception:  # noqa: BLE001 - any parse failure routes to None
         return None

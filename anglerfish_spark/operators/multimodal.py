@@ -1913,8 +1913,18 @@ def synth_gif_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def gif_channel_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """REAL GIF decode + channel statistics over Arrow batches;
-    undecodable payloads yield null analysis columns."""
-    from .gif import decode_gif
+    undecodable payloads yield null analysis columns.
+
+    Channel sums fold through the PALETTE instead of expanded pixels
+    (r13-opt, guide §4.2): ``sum_ch = bincount(indices) . palette[ch]``
+    — integer-exact reassociation of the per-pixel sum, O(pixels) in C
+    (``np.bincount`` over the index bytes) + O(palette) in Python,
+    where the tuple expansion was O(pixels) interpreted.  Pinned
+    value-identical to the expanded-pixel sums in
+    tests/test_multimodal.py::TestGifChannelSumsR13Opt."""
+    import numpy as np
+
+    from .gif import decode_gif_indexed
 
     for pdf in batches:
         cols: dict[str, list] = {
@@ -1922,19 +1932,22 @@ def gif_channel_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "sum_r": [], "sum_g": [], "sum_b": [],
         }
         for b in pdf["payload"]:
-            dec = decode_gif(bytes(b))
+            dec = decode_gif_indexed(bytes(b))
             if dec is None:
                 for k in cols:
                     cols[k].append(None)
                 continue
-            w, h, nc, rows = dec
-            flat = [p for row in rows for p in row]
+            w, h, pal, idx = dec
+            counts = np.bincount(
+                np.frombuffer(idx, dtype=np.uint8), minlength=len(pal)
+            )
+            sums = counts @ np.asarray(pal, dtype=np.int64)
             cols["width"].append(w)
             cols["height"].append(h)
-            cols["n_colors"].append(nc)
-            cols["sum_r"].append(sum(p[0] for p in flat))
-            cols["sum_g"].append(sum(p[1] for p in flat))
-            cols["sum_b"].append(sum(p[2] for p in flat))
+            cols["n_colors"].append(len(pal))
+            cols["sum_r"].append(int(sums[0]))
+            cols["sum_g"].append(int(sums[1]))
+            cols["sum_b"].append(int(sums[2]))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

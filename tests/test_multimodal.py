@@ -893,3 +893,64 @@ class TestLzwDecoderR13Opt:
         for mcs in (0, 1, 9, 255):
             with pytest.raises(ValueError):
                 lzw_decode(b"\x00", mcs, 4)
+
+
+class TestGifChannelSumsR13Opt:
+    """r13-opt: gif_channel_sums folds channel sums through the palette
+    (bincount of the index bytes . palette column) instead of expanding
+    every pixel to an RGB tuple — pin the indexed decode + bincount math
+    value-identical to the expanded-pixel reference, and the indexed
+    decode consistent with decode_gif itself."""
+
+    def test_indexed_matches_expanded(self):
+        import numpy as np
+
+        from anglerfish_spark.operators.gif import decode_gif, decode_gif_indexed
+        from anglerfish_spark.operators.multimodal import _mk_real_gif
+
+        for d in range(400):
+            p = _mk_real_gif(d, d % 11 + 3, d % 8 + 3, interlace=(d % 6 == 1))
+            if d % 29 == 0:
+                p = p[: len(p) // 2]
+            g = decode_gif_indexed(p)
+            e = decode_gif(p)
+            assert (g is None) == (e is None), d
+            if g is None:
+                continue
+            w, h, pal, idx = g
+            ew, eh, enc, rows = e
+            assert (w, h, len(pal)) == (ew, eh, enc)
+            # indexed decode agrees pixel-for-pixel with the expansion
+            flat = [px for row in rows for px in row]
+            assert [pal[v] for v in idx] == flat, d
+            # bincount-through-palette sums == per-pixel sums, exactly
+            counts = np.bincount(np.frombuffer(idx, dtype=np.uint8), minlength=len(pal))
+            sums = counts @ np.asarray(pal, dtype=np.int64)
+            assert int(sums[0]) == sum(px[0] for px in flat), d
+            assert int(sums[1]) == sum(px[1] for px in flat), d
+            assert int(sums[2]) == sum(px[2] for px in flat), d
+
+    def test_channel_sums_udf_against_reference(self):
+        import pandas as pd
+
+        from anglerfish_spark.operators.gif import decode_gif
+        from anglerfish_spark.operators.multimodal import (
+            gif_channel_sums,
+            synth_gif_payloads,
+        )
+
+        ids = pd.DataFrame({"doc_id": list(range(300))})
+        (payloads,) = list(synth_gif_payloads(iter([ids])))
+        (got,) = list(gif_channel_sums(iter([payloads])))
+        for i, b in enumerate(payloads["payload"]):
+            dec = decode_gif(bytes(b))
+            if dec is None:
+                assert pd.isna(got["sum_r"][i]), i
+                continue
+            w, h, nc, rows = dec
+            flat = [px for row in rows for px in row]
+            assert int(got["width"][i]) == w and int(got["height"][i]) == h
+            assert int(got["n_colors"][i]) == nc
+            assert int(got["sum_r"][i]) == sum(px[0] for px in flat), i
+            assert int(got["sum_g"][i]) == sum(px[1] for px in flat), i
+            assert int(got["sum_b"][i]) == sum(px[2] for px in flat), i
