@@ -136,15 +136,28 @@ FRAME_STRIDE = 4  # sample every 4th frame
 
 
 def decode_wav(payload: bytes) -> "tuple[int, list[int]] | None":
-    """REAL audio decode for RIFF/WAVE PCM — stdlib only (``wave`` +
-    ``struct``; VERDICT r11 #8): returns ``(sample_rate, samples)`` with
-    16-bit samples unpacked little-endian (8-bit PCM recentered from its
-    unsigned storage) and multi-channel payloads reduced to channel 0.
-    Malformed/truncated/unsupported payloads return ``None`` — decode
-    NEVER raises, because its callers route corrupt files to nulls."""
+    """:func:`decode_wav_np` with the samples as a plain list (the
+    public contract; aggregating consumers take the array form)."""
+    r = decode_wav_np(payload)
+    if r is None:
+        return None
+    sr, arr = r
+    return sr, arr.tolist()
+
+
+def decode_wav_np(payload: bytes):
+    """REAL audio decode for RIFF/WAVE PCM — stdlib only (``wave``;
+    VERDICT r11 #8): returns ``(sample_rate, samples: np.ndarray[int64])``
+    with 16-bit samples read little-endian (8-bit PCM recentered from
+    its unsigned storage) and multi-channel payloads reduced to channel
+    0.  The array keeps the narrow int16 dtype — consumers doing wide
+    arithmetic must widen (``astype(int64)``) themselves.  Malformed/
+    truncated/unsupported payloads return ``None`` — decode NEVER
+    raises, because its callers route corrupt files to nulls."""
     import io
-    import struct
     import wave
+
+    import numpy as np
 
     try:
         with wave.open(io.BytesIO(payload), "rb") as w:
@@ -153,9 +166,9 @@ def decode_wav(payload: bytes) -> "tuple[int, list[int]] | None":
             ch = w.getnchannels()
             raw = w.readframes(w.getnframes())
         if width == 2:
-            samples = list(struct.unpack(f"<{len(raw) // 2}h", raw))
-        elif width == 1:
-            samples = [b - 128 for b in raw]  # 8-bit PCM is stored unsigned
+            samples = np.frombuffer(raw, dtype="<i2")
+        elif width == 1:  # 8-bit PCM is stored unsigned
+            samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
         else:
             return None
         if ch > 1:
@@ -303,6 +316,14 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 AUDIO_WINDOW = 16  # stand-in window length (samples) for the energy sweep
+
+#: below this sample count the per-sample Python energy sweep beats the
+#: numpy one (r13-opt: the vectorized path carries ~25 us of fixed array
+#: setup; measured crossover ~350 samples — 10.9 vs 33.6 us/doc on the
+#: 8-48-sample bench corpus, 5955 vs 494 us/doc at 64k samples).  Both
+#: branches are pinned value-identical by
+#: tests/test_multimodal.py::TestWavEnergyVectorizedR13Opt.
+_WAV_VEC_MIN_SAMPLES = 256
 
 AUDIO_SCHEMA = T.StructType(
     [
@@ -621,30 +642,48 @@ def wav_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """REAL decode + analysis: stdlib-wave-parse each payload, then the
     {AUDIO_WINDOW}-sample windowed sum-of-squares energy sweep over the
     DECODED int16 samples (peak = first argmax); undecodable payloads
-    yield null analysis columns."""
+    yield null analysis columns.  Decode and sweep are numpy end-to-end
+    (r13-opt, guide §4.2): squares, a zero-padded reshape for the
+    window sums, ``argmax`` for the first peak — int64-exact, pinned
+    against the per-sample Python path in
+    tests/test_multimodal.py::TestWavEnergyVectorizedR13Opt."""
+    import numpy as np
+
     for pdf in batches:
         rows: dict[str, list] = {
             "sample_rate": [], "n_samples": [], "n_windows": [],
             "total_energy": [], "peak_window": [],
         }
         for b in pdf["payload"]:
-            dec = decode_wav(bytes(b))
+            dec = decode_wav_np(bytes(b))
             if dec is None:
                 for k in rows:
                     rows[k].append(None)
                 continue
             sr, samples = dec
-            energies = [
-                sum(x * x for x in samples[i : i + AUDIO_WINDOW])
-                for i in range(0, len(samples), AUDIO_WINDOW)
-            ]
+            n = int(samples.size)
+            nw = -(-n // AUDIO_WINDOW)
+            if n > _WAV_VEC_MIN_SAMPLES:
+                wide = samples.astype(np.int64)  # int16 squares overflow
+                sq = wide * wide
+                e = np.pad(sq, (0, nw * AUDIO_WINDOW - n)).reshape(
+                    nw, AUDIO_WINDOW
+                ).sum(axis=1)
+                total = int(e.sum()) if nw else None
+                peak = int(e.argmax()) + 1 if nw else None
+            else:  # tiny frame: numpy's fixed cost exceeds the work
+                s = samples.tolist()
+                es = [
+                    sum(x * x for x in s[i : i + AUDIO_WINDOW])
+                    for i in range(0, n, AUDIO_WINDOW)
+                ]
+                total = sum(es) if es else None
+                peak = es.index(max(es)) + 1 if es else None
             rows["sample_rate"].append(sr)
-            rows["n_samples"].append(len(samples))
-            rows["n_windows"].append(len(energies))
-            rows["total_energy"].append(sum(energies) if energies else None)
-            rows["peak_window"].append(
-                energies.index(max(energies)) + 1 if energies else None
-            )
+            rows["n_samples"].append(n)
+            rows["n_windows"].append(nw)
+            rows["total_energy"].append(total)
+            rows["peak_window"].append(peak)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -1636,14 +1675,42 @@ def alaw_to_linear(v: int) -> int:
     return t if a & 0x80 else -t
 
 
+@lru_cache(maxsize=1)
+def _g711_luts():
+    """The two 256-entry expansion tables as int64 numpy arrays, built
+    once per process from the closed-form formulas (r13-opt, guide
+    §4.2): G.711 is a pure byte→linear table codec, so the whole
+    expansion is one ``lut[np.frombuffer(data)]`` gather instead of a
+    Python call per sample."""
+    import numpy as np
+
+    return (
+        np.array([alaw_to_linear(v) for v in range(256)], dtype=np.int64),
+        np.array([ulaw_to_linear(v) for v in range(256)], dtype=np.int64),
+    )
+
+
 def decode_wav_companded(payload: bytes) -> "tuple[str, int, list[int]] | None":
+    """:func:`decode_wav_companded_np` with the samples as a plain list
+    (the public contract; aggregating consumers take the array form)."""
+    r = decode_wav_companded_np(payload)
+    if r is None:
+        return None
+    codec, sr, arr = r
+    return codec, sr, arr.tolist()
+
+
+def decode_wav_companded_np(payload: bytes):
     """REAL compressed-audio decode for G.711 companded RIFF/WAVE —
     manual chunk walk (the stdlib ``wave`` module rejects non-PCM
     formats): parses fmt (tag 6 = A-law, 7 = mu-law, 8-bit samples),
     skips unknown chunks with odd-size padding per RIFF, requires the
     data chunk's declared size to be fully present (truncation =>
-    ``None``), expands channel 0 through the G.711 formulas.  Returns
-    ``(codec, sample_rate, samples)``; decode never raises."""
+    ``None``), expands channel 0 through the G.711 tables.  Returns
+    ``(codec, sample_rate, samples: np.ndarray[int64])``; never
+    raises."""
+    import numpy as np
+
     try:
         if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
             return None
@@ -1671,8 +1738,8 @@ def decode_wav_companded(payload: bytes) -> "tuple[str, int, list[int]] | None":
         tag, ch, sr, bits = fmt
         if tag not in (6, 7) or bits != 8 or ch < 1:
             return None
-        expand = alaw_to_linear if tag == 6 else ulaw_to_linear
-        samples = [expand(b) for b in data[::ch]]
+        lut = _g711_luts()[0 if tag == 6 else 1]
+        samples = lut[np.frombuffer(data, dtype=np.uint8)[::ch]]
         return ("alaw" if tag == 6 else "ulaw"), sr, samples
     except Exception:  # noqa: BLE001 - any parse failure routes to None
         return None
@@ -1732,26 +1799,31 @@ def synth_g711_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def g711_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """REAL companded decode + linear-sample statistics over Arrow
-    batches; undecodable payloads yield null analysis columns."""
+    batches; undecodable payloads yield null analysis columns.  The
+    decode and the moments are numpy end-to-end (r13-opt, guide §4.2:
+    LUT gather + int64 sums; pinned value-identical to the per-sample
+    Python path in tests/test_multimodal.py::TestG711VectorizedR13Opt)."""
+    import numpy as np
+
     for pdf in batches:
         cols: dict[str, list] = {
             "codec": [], "sample_rate": [], "n_samples": [],
             "sum_samples": [], "sum_abs": [], "first_sample": [], "last_sample": [],
         }
         for b in pdf["payload"]:
-            dec = decode_wav_companded(bytes(b))
-            if dec is None or not dec[2]:
+            dec = decode_wav_companded_np(bytes(b))
+            if dec is None or dec[2].size == 0:
                 for k in cols:
                     cols[k].append(None)
                 continue
             codec, sr, s = dec
             cols["codec"].append(codec)
             cols["sample_rate"].append(sr)
-            cols["n_samples"].append(len(s))
-            cols["sum_samples"].append(sum(s))
-            cols["sum_abs"].append(sum(abs(v) for v in s))
-            cols["first_sample"].append(s[0])
-            cols["last_sample"].append(s[-1])
+            cols["n_samples"].append(int(s.size))
+            cols["sum_samples"].append(int(s.sum()))
+            cols["sum_abs"].append(int(np.abs(s).sum()))
+            cols["first_sample"].append(int(s[0]))
+            cols["last_sample"].append(int(s[-1]))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

@@ -954,3 +954,174 @@ class TestGifChannelSumsR13Opt:
             assert int(got["sum_r"][i]) == sum(px[0] for px in flat), i
             assert int(got["sum_g"][i]) == sum(px[1] for px in flat), i
             assert int(got["sum_b"][i]) == sum(px[2] for px in flat), i
+
+
+class TestG711VectorizedR13Opt:
+    """r13-opt: the G.711 expansion became a 256-entry LUT gather and
+    g711_stats consumes the numpy array form — pin the LUT against the
+    closed-form scalar formulas and the stats UDF against a per-sample
+    Python reference."""
+
+    def test_luts_match_formulas(self):
+        from anglerfish_spark.operators.multimodal import (
+            _g711_luts,
+            alaw_to_linear,
+            ulaw_to_linear,
+        )
+
+        alaw, ulaw = _g711_luts()
+        for v in range(256):
+            assert int(alaw[v]) == alaw_to_linear(v), v
+            assert int(ulaw[v]) == ulaw_to_linear(v), v
+
+    def test_stats_udf_against_reference(self):
+        import pandas as pd
+
+        from anglerfish_spark.operators.multimodal import (
+            alaw_to_linear,
+            g711_stats,
+            synth_g711_payloads,
+            ulaw_to_linear,
+        )
+
+        ids = pd.DataFrame({"doc_id": list(range(300))})
+        (payloads,) = list(synth_g711_payloads(iter([ids])))
+        (got,) = list(g711_stats(iter([payloads])))
+        for i, d in enumerate(ids["doc_id"]):
+            d = int(d)
+            if d % 13 == 0:  # truncated -> nulls
+                assert pd.isna(got["sum_samples"][i]), d
+                continue
+            expand = ulaw_to_linear if d % 2 == 0 else alaw_to_linear
+            n = d % 200 + 50
+            s = [expand((d * 13 + j * 7) % 256) for j in range(n)]
+            assert got["codec"][i] == ("ulaw" if d % 2 == 0 else "alaw")
+            assert int(got["n_samples"][i]) == n
+            assert int(got["sum_samples"][i]) == sum(s), d
+            assert int(got["sum_abs"][i]) == sum(abs(v) for v in s), d
+            assert int(got["first_sample"][i]) == s[0]
+            assert int(got["last_sample"][i]) == s[-1]
+
+
+class TestWavEnergyVectorizedR13Opt:
+    """r13-opt: decode_wav became a numpy core (decode_wav_np) and
+    wav_energy's windowed sum-of-squares sweep is vectorized — pin the
+    np decode against the list contract and the energy UDF against a
+    per-sample Python reference (incl. 8-bit recentering, multi-channel
+    reduction, truncation -> nulls, argmax tie = first)."""
+
+    def test_decode_np_matches_list(self):
+        from anglerfish_spark.operators.multimodal import (
+            _mk_pcm_wav,
+            _wav_samples,
+            decode_wav,
+            decode_wav_np,
+        )
+
+        for d in range(200):
+            p = _mk_pcm_wav(8000 + d % 8000, _wav_samples(d))
+            if d % 17 == 0:
+                p = p[:5]
+            a = decode_wav(p)
+            b = decode_wav_np(p)
+            assert (a is None) == (b is None), d
+            if a is not None:
+                assert a[0] == b[0] and a[1] == b[1].tolist(), d
+
+    def test_decode_np_8bit_and_stereo(self):
+        from anglerfish_spark.operators.multimodal import decode_wav
+
+        # 8-bit mono: stored unsigned, recentered by -128
+        body = bytes(range(10))
+        p8 = (
+            b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+            + b"data" + len(body).to_bytes(4, "little") + body
+        )
+        sr, s = decode_wav(p8)
+        assert s == [v - 128 for v in range(10)]
+        # 16-bit stereo: channel 0 only
+        import struct
+
+        sts = [1, -1, 2, -2, 3, -3]
+        body = struct.pack("<6h", *sts)
+        p16 = (
+            b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+            + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(body).to_bytes(4, "little") + body
+        )
+        sr, s = decode_wav(p16)
+        assert s == [1, 2, 3]
+
+    def test_energy_udf_against_reference(self):
+        import pandas as pd
+
+        from anglerfish_spark.operators.multimodal import (
+            AUDIO_WINDOW,
+            _wav_samples,
+            synth_wav_payloads,
+            wav_energy,
+        )
+
+        ids = pd.DataFrame({"doc_id": list(range(300))})
+        (payloads,) = list(synth_wav_payloads(iter([ids])))
+        (got,) = list(wav_energy(iter([payloads])))
+        for i, d in enumerate(ids["doc_id"]):
+            d = int(d)
+            if d % 17 == 0:
+                assert pd.isna(got["total_energy"][i]), d
+                continue
+            s = _wav_samples(d)
+            energies = [
+                sum(x * x for x in s[j : j + AUDIO_WINDOW])
+                for j in range(0, len(s), AUDIO_WINDOW)
+            ]
+            assert int(got["n_samples"][i]) == len(s)
+            assert int(got["n_windows"][i]) == len(energies)
+            assert int(got["total_energy"][i]) == sum(energies), d
+            assert int(got["peak_window"][i]) == energies.index(max(energies)) + 1, d
+
+    def test_energy_both_branches_of_size_gate(self):
+        import random
+
+        import pandas as pd
+
+        from anglerfish_spark.operators.multimodal import (
+            AUDIO_WINDOW,
+            _WAV_VEC_MIN_SAMPLES,
+            _mk_pcm_wav,
+            wav_energy,
+        )
+
+        rng = random.Random(99)
+        # sizes straddling the vectorization threshold, incl. exact
+        # boundary and non-multiples of the window
+        sizes = [
+            1, AUDIO_WINDOW, AUDIO_WINDOW + 1,
+            _WAV_VEC_MIN_SAMPLES - 1, _WAV_VEC_MIN_SAMPLES,
+            _WAV_VEC_MIN_SAMPLES + 1, 4 * _WAV_VEC_MIN_SAMPLES + 7,
+        ]
+        all_samples = [
+            [rng.randrange(-32768, 32768) for _ in range(n)] for n in sizes
+        ]
+        payloads = pd.DataFrame(
+            {
+                "doc_id": list(range(len(sizes))),
+                "payload": [_mk_pcm_wav(8000, s) for s in all_samples],
+            }
+        )
+        (got,) = list(wav_energy(iter([payloads])))
+        for i, s in enumerate(all_samples):
+            energies = [
+                sum(x * x for x in s[j : j + AUDIO_WINDOW])
+                for j in range(0, len(s), AUDIO_WINDOW)
+            ]
+            assert int(got["n_windows"][i]) == len(energies), sizes[i]
+            assert int(got["total_energy"][i]) == sum(energies), sizes[i]
+            assert int(got["peak_window"][i]) == energies.index(max(energies)) + 1, sizes[i]
