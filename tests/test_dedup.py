@@ -322,3 +322,69 @@ class TestCanonicalizeUrl:
         got = self._canon(spark, urls)
         for u, g in zip(urls, got):
             assert g == self._ref(u), f"{u!r}: {g!r} != {self._ref(u)!r}"
+
+
+class TestGramHashesBatchedR13Opt:
+    """r13-opt: gram_hashes hashes the whole Arrow batch's tokens with
+    ONE hash_array call and a global rolling polynomial — pin it
+    bit-identical to the per-doc reference over real-ish and edge-case
+    token lists (None docs, empty docs, docs shorter than n, docs of
+    exactly n, repeated tokens across doc boundaries)."""
+
+    @staticmethod
+    def _ref(token_lists, n):
+        import numpy as np
+        import pandas as pd
+
+        prime = np.uint64(1099511628211)
+        out = []
+        for t in token_lists:
+            arr = np.asarray(t if t is not None else [], dtype=object)
+            m = arr.size - (n - 1)
+            if m <= 0:
+                out.append([])
+                continue
+            h = pd.util.hash_array(arr).astype(np.uint64)
+            g = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                g = g * prime + h[j : j + m]
+            out.append(g.view(np.int64).tolist())
+        return out
+
+    def test_batched_matches_per_doc(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.operators.dedup import gram_hashes
+
+        rng = random.Random(13)
+        vocab = [f"w{i}" for i in range(50)]
+        docs = []
+        for i in range(120):
+            if i % 37 == 0:
+                docs.append(None)
+            elif i % 11 == 0:
+                docs.append([])
+            else:
+                # lengths straddle n for every n under test; repeated
+                # runs force equal windows in different docs
+                ln = rng.choice([1, 3, 7, 8, 9, 20, 100])
+                docs.append(
+                    [rng.choice(vocab) for _ in range(ln)]
+                    if i % 2
+                    else ["same"] * ln
+                )
+        for n in (2, 3, 8):
+            df = spark.createDataFrame(
+                [(i, d) for i, d in enumerate(docs)], "i long, toks array<string>"
+            )
+            got = {
+                r["i"]: r["g"]
+                for r in df.select(
+                    "i", gram_hashes(F.col("toks"), n).alias("g")
+                ).collect()
+            }
+            ref = self._ref(docs, n)
+            for i in range(len(docs)):
+                assert got[i] == ref[i], (n, i, docs[i])
