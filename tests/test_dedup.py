@@ -388,3 +388,44 @@ class TestGramHashesBatchedR13Opt:
             ref = self._ref(docs, n)
             for i in range(len(docs)):
                 assert got[i] == ref[i], (n, i, docs[i])
+
+
+class TestBloomProbeHexR13Opt:
+    """r13-opt: the broadcast-path Bloom probe parses fingerprints with
+    a vectorized hex decode — pin it against per-row int(f, 16) through
+    the REAL query path by forcing the broadcast path with
+    ANGLERFISH_BLOOM_LITERAL_MAX=0 and comparing to the literal path."""
+
+    def test_broadcast_path_matches_literal_path(self, spark, monkeypatch):
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from anglerfish_spark.operators.dedup import IDX_BLOOM_K, bloom_probe
+
+        fps = [hashlib.md5(str(i).encode()).hexdigest() for i in range(500)]
+        m = 1 << 14
+        # build a filter over a subset so probes see both outcomes
+        bits = bytearray(b"0" * m)
+        member = fps[::3]
+        for f in member:
+            for i in range(IDX_BLOOM_K):
+                bits[int(f[8 * i : 8 * i + 8], 16) % m] = 0x31
+        filt = bytes(bits)
+        df = spark.createDataFrame([(f,) for f in fps], "fp string")
+        lit_rows = {
+            r["fp"]: r["hit"]
+            for r in df.select(
+                "fp", bloom_probe(spark, F.col("fp"), filt).alias("hit")
+            ).collect()
+        }
+        monkeypatch.setenv("ANGLERFISH_BLOOM_LITERAL_MAX", "0")
+        bc_rows = {
+            r["fp"]: r["hit"]
+            for r in df.select(
+                "fp", bloom_probe(spark, F.col("fp"), filt).alias("hit")
+            ).collect()
+        }
+        assert lit_rows == bc_rows
+        for f in member:  # no false negatives by construction
+            assert bc_rows[f] is True
