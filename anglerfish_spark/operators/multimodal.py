@@ -774,70 +774,88 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter(
-    raw: bytes, off: int, pw: int, ph: int, bpp: int
-) -> "tuple[list[bytearray], int]":
+def _png_unfilter(raw: bytes, off: int, pw: int, ph: int, bpp: int):
     """Unfilter ``ph`` scanlines of ``pw * bpp`` bytes starting at
     ``raw[off]`` (one image pass: the filter's left/up-left neighbors sit
     ``bpp`` bytes back, the up neighbor is the previous scanline OF THE
     SAME PASS, zero above the first).  Raises on truncation or an
-    unknown filter byte; returns (rows, new offset)."""
+    unknown filter byte; returns ((ph, pw*bpp) uint8 array, new offset).
+
+    r13-opt: filters vectorize per scanline where the recurrence allows
+    — None copies, Up is one wrapping uint8 add, Sub is a per-residue
+    running sum (``cumsum`` regroups the same mod-256 addends); Average
+    and Paeth carry an intra-row data dependence through the
+    reconstructed LEFT neighbor and keep the per-byte loop.  Error
+    behavior is unchanged: the per-byte form only validated the filter
+    byte inside the byte loop, so zero-width scanlines accept ANY
+    filter byte — preserved (and pinned by test)."""
+    import numpy as np
+
     stride = pw * bpp
-    rows: list[bytearray] = []
-    prev = bytearray(stride)
-    for _ in range(ph):
-        if off + stride + 1 > len(raw):
+    out = np.empty((ph, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    n = len(raw)
+    for r in range(ph):
+        if off + stride + 1 > n:
             raise ValueError("short pass data")
         ft = raw[off]
-        scan = raw[off + 1 : off + 1 + stride]
-        out = bytearray(stride)
-        for c in range(stride):
-            a = out[c - bpp] if c >= bpp else 0  # left (prior pixel)
-            b = prev[c]  # up
-            cc = prev[c - bpp] if c >= bpp else 0  # up-left
-            if ft == 0:
-                rec = scan[c]
-            elif ft == 1:
-                rec = scan[c] + a
-            elif ft == 2:
-                rec = scan[c] + b
-            elif ft == 3:
-                rec = scan[c] + (a + b) // 2
-            elif ft == 4:  # Paeth predictor (PNG spec 9.4)
+        if ft > 4 and stride:
+            raise ValueError("unknown filter type")
+        scan = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+        row = out[r]
+        if ft == 0 or not stride:
+            row[:] = scan
+        elif ft == 1:  # Sub: per-residue prefix sum (mod-256 addition)
+            for k in range(bpp):
+                row[k::bpp] = np.cumsum(scan[k::bpp], dtype=np.int64) & 0xFF
+        elif ft == 2:  # Up: uint8 add wraps mod 256
+            np.add(scan, prev, out=row)
+        elif ft == 3:  # Average: loop-carried via the left neighbor
+            sl = scan.tolist()
+            pv = prev.tolist()
+            ob = bytearray(stride)
+            for c in range(stride):
+                a = ob[c - bpp] if c >= bpp else 0
+                ob[c] = (sl[c] + (a + pv[c]) // 2) & 0xFF
+            row[:] = np.frombuffer(bytes(ob), dtype=np.uint8)
+        else:  # Paeth predictor (PNG spec 9.4): loop-carried likewise
+            sl = scan.tolist()
+            pv = prev.tolist()
+            ob = bytearray(stride)
+            for c in range(stride):
+                a = ob[c - bpp] if c >= bpp else 0
+                b = pv[c]
+                cc = pv[c - bpp] if c >= bpp else 0
                 p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - cc if p >= cc else cc - p
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
-                rec = scan[c] + pred
-            else:
-                raise ValueError("unknown filter type")
-            out[c] = rec & 0xFF
-        rows.append(out)
-        prev = out
+                ob[c] = (sl[c] + pred) & 0xFF
+            row[:] = np.frombuffer(bytes(ob), dtype=np.uint8)
+        prev = row
         off += stride + 1
-    return rows, off
+    return out, off
 
 
-def decode_png_any(
-    payload: bytes,
-) -> "tuple[int, int, int, list[list[tuple[int, ...]]]] | None":
-    """REAL image decode for 8/16-bit PNG of ANY spec color type,
-    sequential or Adam7-interlaced — stdlib only (``zlib``): returns
-    ``(width, height, color_type, rows)`` where each row is a list of
-    per-pixel channel tuples — grayscale ``(g,)``, gray+alpha
-    ``(g, a)``, truecolor ``(r, g, b)`` (palette images expanded through
-    their PLTE), RGBA ``(r, g, b, a)``; 16-bit samples are big-endian
-    per spec.  The full format walk is performed, not a header sniff:
-    chunk lengths + CRC32s verified, IDAT segments concatenated and
-    inflated, each scanline un-filtered per its filter byte
-    (None/Sub/Up/Average/Paeth, PNG spec 9.2) at BYTE granularity with
-    the color type's bytes-per-pixel stride (the ``a``/``c`` neighbors
-    sit ``bpp`` bytes left, spec 9.2's "prior pixel"); interlaced images
-    unfilter each of the seven Adam7 passes independently (spec 8.2).
-    Anything malformed — bad signature, CRC mismatch, truncation,
-    sub-byte depths, 16-bit palette, palette image without/with-bad
-    PLTE, index beyond the palette — returns ``None``; decode never
-    raises."""
+def decode_png_planes(payload: bytes):
+    """ARRAY CORE of the PNG decode (r13-opt): the same full format walk
+    as :func:`decode_png_any` — chunk lengths + CRC32s verified, IDAT
+    segments concatenated and inflated, each scanline un-filtered per
+    its filter byte (None/Sub/Up/Average/Paeth, PNG spec 9.2) at BYTE
+    granularity with the color type's bytes-per-pixel stride, Adam7
+    passes unfiltered independently and deinterlaced (spec 8.2), palette
+    indices expanded through the PLTE — but returning the pixels as ONE
+    numpy array of shape ``(height, width, channels)``: dtype uint8, or
+    uint16 for 16-bit samples (big-endian per spec); palette images come
+    back EXPANDED with ``color_type`` still 3.  Returns
+    ``(width, height, color_type, arr)``; anything malformed — bad
+    signature, CRC mismatch, truncation, sub-byte depths, 16-bit
+    palette, palette image without/with-bad PLTE, index beyond the
+    palette — returns ``None``; decode never raises."""
     import zlib
+
+    import numpy as np
 
     try:
         if payload[:8] != b"\x89PNG\r\n\x1a\n":
@@ -867,7 +885,7 @@ def decode_png_any(
             elif typ == b"PLTE":
                 if ln == 0 or ln % 3 or ln > 256 * 3:
                     return None  # spec 11.2.3: 1..256 RGB triples
-                plte = [tuple(data[j : j + 3]) for j in range(0, ln, 3)]
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
             elif typ == b"IDAT":
                 idat += data
             elif typ == b"IEND":
@@ -880,18 +898,16 @@ def decode_png_any(
         bpp = nch * sb
         raw = zlib.decompress(idat)
 
-        def to_px(row: bytearray, c: int) -> tuple[int, ...]:
+        def pass_pixels(flat, pw, ph):
+            # (ph, pw*bpp) unfiltered bytes -> (ph, pw, channels) samples
             if ct == 3:
-                if row[c] >= len(plte):
+                if flat.size and int(flat.max()) >= len(plte):
                     raise ValueError("index beyond palette")
-                return plte[row[c]]
-            base = c * bpp
+                return plte[flat.reshape(-1)].reshape(ph, pw, 3)
             if sb == 1:
-                return tuple(row[base : base + nch])
-            return tuple(
-                int.from_bytes(row[base + 2 * k : base + 2 * k + 2], "big")
-                for k in range(nch)
-            )
+                return flat.reshape(ph, pw, nch)
+            a = flat.reshape(ph, pw, nch, 2).astype(np.uint16)
+            return (a[..., 0] << 8) | a[..., 1]
 
         if interlace == 1:  # Adam7: seven independently-filtered passes
             plan, total = [], 0
@@ -903,35 +919,55 @@ def decode_png_any(
                     total += ph * (1 + pw * bpp)
             if len(raw) != total:
                 return None
-            grid: list[list] = [[None] * w for _ in range(h)]
+            out_nch = 3 if ct == 3 else nch
+            dt = np.uint8 if (sb == 1 or ct == 3) else np.uint16
+            arr = np.zeros((h, w, out_nch), dtype=dt)
             off = 0
             for x0, y0, dx, dy, pw, ph in plan:
                 prows, off = _png_unfilter(raw, off, pw, ph, bpp)
-                for r in range(ph):
-                    for c in range(pw):
-                        grid[y0 + r * dy][x0 + c * dx] = to_px(prows[r], c)
-            rows = grid  # the seven passes tile every pixel exactly once
+                # the seven passes tile every pixel exactly once
+                arr[y0::dy, x0::dx] = pass_pixels(prows, pw, ph)
         else:
             if len(raw) != h * (w * bpp + 1):
                 return None
             prows, _ = _png_unfilter(raw, 0, w, h, bpp)
-            rows = [[to_px(pr, c) for c in range(w)] for pr in prows]
-        return w, h, ct, rows
+            arr = pass_pixels(prows, w, h)
+        return w, h, ct, arr
     except Exception:  # noqa: BLE001 - any parse failure routes to None
         return None
 
 
+def decode_png_any(
+    payload: bytes,
+) -> "tuple[int, int, int, list[list[tuple[int, ...]]]] | None":
+    """REAL image decode for 8/16-bit PNG of ANY spec color type,
+    sequential or Adam7-interlaced — stdlib only (``zlib``): returns
+    ``(width, height, color_type, rows)`` where each row is a list of
+    per-pixel channel tuples — grayscale ``(g,)``, gray+alpha
+    ``(g, a)``, truecolor ``(r, g, b)`` (palette images expanded through
+    their PLTE), RGBA ``(r, g, b, a)``; 16-bit samples are big-endian
+    per spec.  Since r13-opt this is the tuple VIEW over
+    :func:`decode_png_planes` (which performs the full format walk);
+    aggregating consumers should take the array form directly.
+    Anything malformed returns ``None``; decode never raises."""
+    dec = decode_png_planes(payload)
+    if dec is None:
+        return None
+    w, h, ct, arr = dec
+    return w, h, ct, [list(map(tuple, r)) for r in arr.tolist()]
+
+
 def decode_png(payload: bytes) -> "tuple[int, int, list[list[int]]] | None":
     """REAL image decode for 8-bit GRAYSCALE PNG — the single-channel
-    view over :func:`decode_png_any` (the same full format walk: CRC32
-    verify, IDAT inflate, bpp-aware scanline unfilter); returns
+    view over :func:`decode_png_planes` (the same full format walk:
+    CRC32 verify, IDAT inflate, bpp-aware scanline unfilter); returns
     ``(width, height, rows)`` of pixel values, ``None`` for anything
     malformed OR any non-grayscale color type."""
-    dec = decode_png_any(payload)
+    dec = decode_png_planes(payload)
     if dec is None or dec[2] != 0:
         return None
-    w, h, _, rows = dec
-    return w, h, [[p[0] for p in row] for row in rows]
+    w, h, _, arr = dec
+    return w, h, arr[:, :, 0].tolist()
 
 
 def _png_pixel(doc_id: int, r: int, c: int) -> int:
@@ -1025,24 +1061,29 @@ def synth_png_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def png_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """REAL decode + pixel statistics over Arrow batches; undecodable
-    payloads yield null analysis columns."""
+    payloads yield null analysis columns.  r13-opt: consumes the
+    :func:`decode_png_planes` array core — the moments are numpy int64
+    sums over the plane (exact), not a Python reduce over tuples."""
+    import numpy as np
+
     for pdf in batches:
         rows: dict[str, list] = {
             "width": [], "height": [], "pixel_sum": [],
             "first_pixel": [], "last_pixel": [],
         }
         for b in pdf["payload"]:
-            dec = decode_png(bytes(b))
-            if dec is None:
+            dec = decode_png_planes(bytes(b))
+            if dec is None or dec[2] != 0:  # grayscale sweep only
                 for k in rows:
                     rows[k].append(None)
                 continue
-            w, h, px = dec
+            w, h, _, arr = dec
+            plane = arr[:, :, 0]
             rows["width"].append(w)
             rows["height"].append(h)
-            rows["pixel_sum"].append(sum(map(sum, px)))
-            rows["first_pixel"].append(px[0][0])
-            rows["last_pixel"].append(px[-1][-1])
+            rows["pixel_sum"].append(int(plane.sum(dtype=np.int64)))
+            rows["first_pixel"].append(int(plane[0, 0]))
+            rows["last_pixel"].append(int(plane[-1, -1]))
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -1262,20 +1303,22 @@ def png_channel_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "sum_r": [], "sum_g": [], "sum_b": [], "sum_a": [],
         }
         for b in pdf["payload"]:
-            dec = decode_png_any(bytes(b))
+            dec = decode_png_planes(bytes(b))
             if dec is None or dec[2] not in (2, 3, 6):
                 for k in cols:
                     cols[k].append(None)
                 continue
-            w, h, ct, rows = dec
-            flat = [p for row in rows for p in row]
+            w, h, ct, arr = dec
+            # r13-opt: channel sums fold over the plane array in C
+            # (int64-exact), not a Python reduce over pixel tuples
+            s = arr.sum(axis=(0, 1), dtype="int64")
             cols["color_type"].append(ct)
             cols["width"].append(w)
             cols["height"].append(h)
-            cols["sum_r"].append(sum(p[0] for p in flat))
-            cols["sum_g"].append(sum(p[1] for p in flat))
-            cols["sum_b"].append(sum(p[2] for p in flat))
-            cols["sum_a"].append(sum(p[3] for p in flat) if ct == 6 else None)
+            cols["sum_r"].append(int(s[0]))
+            cols["sum_g"].append(int(s[1]))
+            cols["sum_b"].append(int(s[2]))
+            cols["sum_a"].append(int(s[3]) if ct == 6 else None)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],

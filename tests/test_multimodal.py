@@ -1125,3 +1125,349 @@ class TestWavEnergyVectorizedR13Opt:
             assert int(got["n_windows"][i]) == len(energies), sizes[i]
             assert int(got["total_energy"][i]) == sum(energies), sizes[i]
             assert int(got["peak_window"][i]) == energies.index(max(energies)) + 1, sizes[i]
+
+
+class TestPngPlanesR13Opt:
+    """r13-opt: the PNG decode got an ARRAY CORE (``decode_png_planes``:
+    vectorized per-filter unfilter + numpy plane assembly + PLTE gather)
+    with ``decode_png_any``/``decode_png`` as thin tuple/list views and
+    the stats UDFs consuming the planes — pin everything against a
+    verbatim port of the per-pixel implementation it replaced."""
+
+    # ---- reference: the pre-r13-opt per-byte unfilter + per-pixel decode
+    @staticmethod
+    def _ref_unfilter(raw, off, pw, ph, bpp):
+        stride = pw * bpp
+        rows = []
+        prev = bytearray(stride)
+        for _ in range(ph):
+            if off + stride + 1 > len(raw):
+                raise ValueError("short pass data")
+            ft = raw[off]
+            scan = raw[off + 1 : off + 1 + stride]
+            out = bytearray(stride)
+            for c in range(stride):
+                a = out[c - bpp] if c >= bpp else 0
+                b = prev[c]
+                cc = prev[c - bpp] if c >= bpp else 0
+                if ft == 0:
+                    rec = scan[c]
+                elif ft == 1:
+                    rec = scan[c] + a
+                elif ft == 2:
+                    rec = scan[c] + b
+                elif ft == 3:
+                    rec = scan[c] + (a + b) // 2
+                elif ft == 4:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                    rec = scan[c] + pred
+                else:
+                    raise ValueError("unknown filter type")
+                out[c] = rec & 0xFF
+            rows.append(out)
+            prev = out
+            off += stride + 1
+        return rows, off
+
+    @classmethod
+    def _ref_decode_png_any(cls, payload):
+        import zlib
+
+        from anglerfish_spark.operators.multimodal import _ADAM7, _PNG_CHANNELS
+
+        try:
+            if payload[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            i, w, h, ct, idat, plte = 8, None, None, None, b"", None
+            depth, interlace = 8, 0
+            while i + 8 <= len(payload):
+                ln = int.from_bytes(payload[i : i + 4], "big")
+                typ = payload[i + 4 : i + 8]
+                data = payload[i + 8 : i + 8 + ln]
+                if len(data) != ln or i + 12 + ln > len(payload):
+                    return None
+                crc = int.from_bytes(payload[i + 8 + ln : i + 12 + ln], "big")
+                if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                    return None
+                if typ == b"IHDR":
+                    w = int.from_bytes(data[0:4], "big")
+                    h = int.from_bytes(data[4:8], "big")
+                    depth, ct, interlace = data[8], data[9], data[12]
+                    if (
+                        depth not in (8, 16)
+                        or ct not in _PNG_CHANNELS
+                        or interlace not in (0, 1)
+                        or (ct == 3 and depth == 16)
+                    ):
+                        return None
+                elif typ == b"PLTE":
+                    if ln == 0 or ln % 3 or ln > 256 * 3:
+                        return None
+                    plte = [tuple(data[j : j + 3]) for j in range(0, ln, 3)]
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+                i += 12 + ln
+            if w is None or not idat or (ct == 3 and plte is None):
+                return None
+            nch = _PNG_CHANNELS[ct]
+            sb = depth // 8
+            bpp = nch * sb
+            raw = zlib.decompress(idat)
+
+            def to_px(row, c):
+                if ct == 3:
+                    if row[c] >= len(plte):
+                        raise ValueError("index beyond palette")
+                    return plte[row[c]]
+                base = c * bpp
+                if sb == 1:
+                    return tuple(row[base : base + nch])
+                return tuple(
+                    int.from_bytes(row[base + 2 * k : base + 2 * k + 2], "big")
+                    for k in range(nch)
+                )
+
+            if interlace == 1:
+                plan, total = [], 0
+                for x0, y0, dx, dy in _ADAM7:
+                    pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                    ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                    if pw and ph:
+                        plan.append((x0, y0, dx, dy, pw, ph))
+                        total += ph * (1 + pw * bpp)
+                if len(raw) != total:
+                    return None
+                grid = [[None] * w for _ in range(h)]
+                off = 0
+                for x0, y0, dx, dy, pw, ph in plan:
+                    prows, off = cls._ref_unfilter(raw, off, pw, ph, bpp)
+                    for r in range(ph):
+                        for c in range(pw):
+                            grid[y0 + r * dy][x0 + c * dx] = to_px(prows[r], c)
+                rows = grid
+            else:
+                if len(raw) != h * (w * bpp + 1):
+                    return None
+                prows, _ = cls._ref_unfilter(raw, 0, w, h, bpp)
+                rows = [[to_px(pr, c) for c in range(w)] for pr in prows]
+            return w, h, ct, rows
+        except Exception:  # noqa: BLE001
+            return None
+
+    def test_synth_corpora_match_reference(self):
+        from anglerfish_spark.operators.multimodal import (
+            _mk_color_png,
+            _mk_real_png,
+            decode_png_any,
+        )
+
+        for d in range(200):
+            for p in (
+                _mk_real_png(d, d % 12 + 2, d % 9 + 2),
+                _mk_color_png(d, d % 10 + 2, d % 7 + 2, interlace=(d % 7 == 3)),
+            ):
+                assert decode_png_any(p) == self._ref_decode_png_any(p)
+                # corrupt + truncated variants
+                i = len(p) // 2
+                pb = p[:i] + bytes([p[i] ^ 0xFF]) + p[i + 1 :]
+                assert decode_png_any(pb) == self._ref_decode_png_any(pb)
+                pt = p[: len(p) - 1 - d % 29]
+                assert decode_png_any(pt) == self._ref_decode_png_any(pt)
+
+    def test_property_fuzz_matches_reference(self):
+        """Hand-built PNGs: random filter bytes (incl. invalid), all
+        color types, 8/16-bit, zero-size dims, short palettes, split
+        IDAT, interlace, bit flips and truncations."""
+        import random
+        import struct
+        import zlib
+
+        from anglerfish_spark.operators.multimodal import _ADAM7, decode_png_any
+
+        rng = random.Random(20260817)
+        ch_of = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+        def chunk(typ, data):
+            return (
+                len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        def rand_png():
+            ct = rng.choice([0, 2, 3, 4, 6])
+            depth = rng.choice([8, 16]) if ct != 3 else 8
+            if rng.random() < 0.05:
+                depth = rng.choice([1, 2, 4, 12])
+            w, h = rng.randrange(0, 9), rng.randrange(0, 8)
+            interlace = rng.choice([0, 1]) if rng.random() < 0.4 else 0
+            bpp = ch_of.get(ct, 1) * max(1, depth // 8)
+            raw = bytearray()
+            passes = [(w, h)]
+            if interlace == 1:
+                passes = []
+                for x0, y0, dx, dy in _ADAM7:
+                    pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                    ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                    if pw and ph:
+                        passes.append((pw, ph))
+            for pw, ph in passes:
+                for _ in range(ph):
+                    ft = (
+                        rng.randrange(0, 5)
+                        if rng.random() < 0.93
+                        else rng.randrange(0, 256)
+                    )
+                    raw.append(ft)
+                    raw += bytes(rng.randrange(256) for _ in range(pw * bpp))
+            if rng.random() < 0.1 and len(raw):
+                raw = raw[: rng.randrange(len(raw))]
+            ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+            out = bytearray(b"\x89PNG\r\n\x1a\n") + chunk(b"IHDR", ihdr)
+            if ct == 3 or rng.random() < 0.1:
+                n = rng.choice([0, 1, 2, 4, 16, 100, 256, 257])
+                out += chunk(b"PLTE", bytes(rng.randrange(256) for _ in range(3 * n)))
+            comp = zlib.compress(bytes(raw))
+            if len(comp) > 4 and rng.random() < 0.3:
+                cut = rng.randrange(1, len(comp))
+                out += chunk(b"IDAT", comp[:cut]) + chunk(b"IDAT", comp[cut:])
+            else:
+                out += chunk(b"IDAT", comp)
+            out += chunk(b"IEND", b"")
+            p = bytes(out)
+            roll = rng.random()
+            if roll < 0.15:
+                i = rng.randrange(len(p))
+                p = p[:i] + bytes([p[i] ^ (1 << rng.randrange(8))]) + p[i + 1 :]
+            elif roll < 0.25:
+                p = p[: rng.randrange(8, len(p))]
+            return p
+
+        decoded = 0
+        for n in range(2500):
+            p = rand_png()
+            a = self._ref_decode_png_any(p)
+            b = decode_png_any(p)
+            assert a == b, n
+            decoded += a is not None
+        assert decoded > 400  # the fuzz must exercise real decodes
+
+    def test_zero_width_rows_accept_any_filter_byte(self):
+        """Quirk preserved from the per-byte reference: the filter byte
+        was only validated inside the byte loop, so zero-width scanlines
+        decode with ANY filter byte."""
+        import struct
+        import zlib
+
+        from anglerfish_spark.operators.multimodal import decode_png_any
+
+        def chunk(typ, data):
+            return (
+                len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        raw = bytes([200, 7, 255])  # three zero-width rows, junk filters
+        ihdr = struct.pack(">IIBBBBB", 0, 3, 8, 0, 0, 0, 0)
+        p = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+        assert decode_png_any(p) == self._ref_decode_png_any(p) == (0, 3, 0, [[], [], []])
+
+    def test_planes_equal_tuple_view(self):
+        import numpy as np
+
+        from anglerfish_spark.operators.multimodal import (
+            _mk_color_png,
+            _mk_real_png,
+            decode_png_any,
+            decode_png_planes,
+        )
+
+        for d in (0, 3, 7, 11, 23):
+            for p in (
+                _mk_real_png(d, d % 12 + 2, d % 9 + 2),
+                _mk_color_png(d, d % 10 + 2, d % 7 + 2, interlace=(d % 7 == 3)),
+            ):
+                w, h, ct, arr = decode_png_planes(p)
+                w2, h2, ct2, rows = decode_png_any(p)
+                assert (w, h, ct) == (w2, h2, ct2)
+                assert arr.shape[:2] == (h, w)
+                assert [list(map(tuple, r)) for r in arr.tolist()] == rows
+                assert arr.dtype == np.uint8
+
+    def test_stats_udfs_match_per_pixel_reference(self):
+        import pandas as pd
+
+        from anglerfish_spark.operators.multimodal import (
+            png_channel_sums,
+            png_pixels,
+            synth_color_png_payloads,
+            synth_png_payloads,
+        )
+
+        ids = pd.DataFrame({"doc_id": pd.Series(range(120), dtype="int64")})
+        # gray sweep
+        (pay,) = list(synth_png_payloads(iter([ids])))
+        (got,) = list(png_pixels(iter([pay])))
+        for i, b in enumerate(pay["payload"]):
+            dec = self._ref_decode_png_any(bytes(b))
+            if dec is None or dec[2] != 0:
+                assert pd.isna(got["pixel_sum"][i])
+                continue
+            w, h, _, rows = dec
+            flat = [p[0] for r in rows for p in r]
+            assert got["width"][i] == w and got["height"][i] == h
+            assert got["pixel_sum"][i] == sum(flat)
+            assert got["first_pixel"][i] == rows[0][0][0]
+            assert got["last_pixel"][i] == rows[-1][-1][0]
+        # color sweep
+        (pay,) = list(synth_color_png_payloads(iter([ids])))
+        (got,) = list(png_channel_sums(iter([pay])))
+        for i, b in enumerate(pay["payload"]):
+            dec = self._ref_decode_png_any(bytes(b))
+            if dec is None or dec[2] not in (2, 3, 6):
+                assert pd.isna(got["sum_r"][i])
+                continue
+            w, h, ct, rows = dec
+            flat = [p for r in rows for p in r]
+            assert got["color_type"][i] == ct
+            assert got["sum_r"][i] == sum(p[0] for p in flat)
+            assert got["sum_g"][i] == sum(p[1] for p in flat)
+            assert got["sum_b"][i] == sum(p[2] for p in flat)
+            if ct == 6:
+                assert got["sum_a"][i] == sum(p[3] for p in flat)
+            else:
+                assert pd.isna(got["sum_a"][i])
+
+    def test_16bit_planes(self):
+        import numpy as np
+        import struct
+        import zlib
+
+        from anglerfish_spark.operators.multimodal import (
+            decode_png_any,
+            decode_png_planes,
+        )
+
+        def chunk(typ, data):
+            return (
+                len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        raw = b"\x00" + (513).to_bytes(2, "big") + (7).to_bytes(2, "big") + (65535).to_bytes(2, "big")
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+        p16 = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+        w, h, ct, arr = decode_png_planes(p16)
+        assert (w, h, ct) == (1, 1, 2)
+        assert arr.dtype == np.uint16
+        assert arr.tolist() == [[[513, 7, 65535]]]
+        assert decode_png_any(p16) == (1, 1, 2, [[(513, 7, 65535)]])
