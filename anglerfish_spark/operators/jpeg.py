@@ -88,17 +88,26 @@ class _BitReader:
     ``_fill`` consumes a byte (plus its stuffed 0x00) only when a bit
     is actually needed, so a marker or truncation raises on exactly
     the read that would touch it — same outcome as the per-bit reader
-    it replaced.  At most 7 unconsumed bits (the tail of the current
-    byte) ever sit in the reservoir, so restart byte-alignment
-    semantics are unchanged."""
+    it replaced.
 
-    __slots__ = ("data", "pos", "buf", "nbits")
+    r13-opt adds :meth:`try_fill8`, a NON-raising opportunistic fill for
+    the 8-bit Huffman lookahead (it stops silently at a marker or at end
+    of data, leaving the slow path to raise on exactly the bit-consume
+    that would touch it — same outcome as before).  Lookahead means the
+    reservoir can now hold ONE whole unconsumed byte when a consume
+    takes fewer bits than were prefetched (never more: every fill stops
+    at <8 missing bits, and every consume ends ≤15 bits buffered), so
+    ``align_to_marker`` un-reads it via ``lastpos`` before scanning —
+    restart byte-alignment semantics are unchanged."""
+
+    __slots__ = ("data", "pos", "buf", "nbits", "lastpos")
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.buf = 0
         self.nbits = 0
+        self.lastpos = pos
 
     def _fill(self) -> None:
         data, pos = self.data, self.pos
@@ -109,11 +118,39 @@ class _BitReader:
             nxt = data[pos + 1] if pos + 1 < len(data) else None
             if nxt != 0x00:
                 raise EOFError  # a real marker (or truncation) terminates
+            self.lastpos = pos
             self.pos = pos + 2  # consume the stuffed literal 0xFF
         else:
+            self.lastpos = pos
             self.pos = pos + 1
         self.buf = (self.buf << 8) | b
         self.nbits += 8
+
+    def try_fill8(self) -> int:
+        """Fill the reservoir to >= 8 bits if the stream allows; NEVER
+        raises (a marker or truncation just stops the fill).  Returns
+        the resulting bit count so callers can fall back to the
+        bit-serial path — which raises on exactly the consume that
+        would touch the marker, as always — when fewer than 8 bits are
+        legally available."""
+        data = self.data
+        n = len(data)
+        while self.nbits < 8:
+            pos = self.pos
+            if pos >= n:
+                break
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 >= n or data[pos + 1] != 0x00:
+                    break  # marker or truncation: stop, do not raise
+                self.lastpos = pos
+                self.pos = pos + 2
+            else:
+                self.lastpos = pos
+                self.pos = pos + 1
+            self.buf = (self.buf << 8) | b
+            self.nbits += 8
+        return self.nbits
 
     def next_bit(self) -> int:
         if not self.nbits:
@@ -134,7 +171,15 @@ class _BitReader:
     def align_to_marker(self) -> int:
         """Byte-align (discard the current byte's unread tail) and
         consume one marker (for restart intervals); returns the
-        marker's second byte."""
+        marker's second byte.  A whole byte the lookahead prefetched
+        but never consumed is UN-read first (bits consume oldest-first,
+        so >= 8 buffered bits mean the newest filled byte is untouched
+        — its source position is ``lastpos``); the marker scan then
+        starts exactly where the bit-serial reader's would."""
+        if self.nbits >= 8:
+            if self.nbits >= 16:  # unreachable: consumes end <= 15 bits
+                raise EOFError
+            self.pos = self.lastpos
         self.buf = 0
         self.nbits = 0
         while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
@@ -182,6 +227,27 @@ def _huffman_arrays(
         if code > (1 << ln) << 1:
             raise ValueError("DHT code overflow")
     return maxcode, mincode, values
+
+
+@_lru_cache(maxsize=256)
+def _lookahead_table(bits: bytes, huffval: bytes) -> "list[tuple[int, int] | None]":
+    """8-bit Huffman lookahead (the T.81 F.2.2.3 FAST-path idea): entry
+    ``idx`` holds ``(code_length, value)`` when the canonical code
+    spelled by the top bits of ``idx`` completes within 8 bits, else
+    ``None`` (longer codes fall back to the bit-serial walk).  Built by
+    the same mincode/maxcode walk the decoder uses, so the table is
+    definitionally consistent with it; cached per distinct DHT content
+    alongside :func:`_huffman_arrays`."""
+    maxcode, mincode, values = _huffman_arrays(bits, huffval)
+    look: "list[tuple[int, int] | None]" = [None] * 256
+    for idx in range(256):
+        code = 0
+        for ln in range(1, 9):
+            code = (code << 1) | ((idx >> (8 - ln)) & 1)
+            if code <= maxcode[ln]:
+                look[idx] = (ln, values[ln][code - mincode[ln]])
+                break
+    return look
 
 
 def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -245,8 +311,10 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, list[list[int]]] | None
                     n = sum(bits)
                     if j + 17 + n > len(seg):
                         return None
-                    hf[(tc, th)] = _huffman_arrays(
-                        bytes(bits), bytes(seg[j + 17 : j + 17 + n])
+                    hv = bytes(seg[j + 17 : j + 17 + n])
+                    hf[(tc, th)] = (
+                        _huffman_arrays(bytes(bits), hv),
+                        _lookahead_table(bytes(bits), hv),
                     )
                     j += 17 + n
             elif m == 0xC0:  # SOF0 baseline
@@ -275,14 +343,19 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, list[list[int]]] | None
             return None
         if w == 0 or h == 0:
             return None
-        # canonical-decode arrays (T.81 F.16): one comparison per bit on
-        # plain ints instead of a dict probe per bit
-        (dmax, dmin, dvals), (amax, amin, avals) = hf[(0, td)], hf[(1, ta)]
+        # canonical-decode arrays (T.81 F.16) + the r13-opt 8-bit
+        # lookahead: most symbols resolve with ONE table index on the
+        # prefetched reservoir; codes longer than 8 bits (or a reservoir
+        # the stream cannot legally fill to 8) fall back to the
+        # bit-serial walk, which raises on exactly the read that would
+        # touch a marker or truncation — unchanged error semantics
+        ((dmax, dmin, dvals), dlook) = hf[(0, td)]
+        ((amax, amin, avals), alook) = hf[(1, ta)]
         q = qt[tq_sel]
         bw, bh = (w + 7) // 8, (h + 7) // 8
         img = [[0] * w for _ in range(h)]
         br = _BitReader(data, i)
-        next_bit, receive = br.next_bit, br.receive
+        next_bit, receive, try_fill8 = br.next_bit, br.receive, br.try_fill8
         pred = 0
         for bi in range(bw * bh):
             if restart and bi and bi % restart == 0:
@@ -291,26 +364,42 @@ def decode_jpeg_gray(payload: bytes) -> "tuple[int, int, list[list[int]]] | None
                     return None
                 pred = 0
             coef = [0.0] * 64
-            code, ln = next_bit(), 1
-            while code > dmax[ln]:
-                if ln >= 16:
-                    raise ValueError("invalid Huffman code")
-                code = (code << 1) | next_bit()
-                ln += 1
-            t = dvals[ln][code - dmin[ln]]
+            t = None
+            if br.nbits >= 8 or try_fill8() >= 8:
+                e = dlook[(br.buf >> (br.nbits - 8)) & 0xFF]
+                if e is not None:
+                    ln, t = e
+                    br.nbits -= ln
+                    br.buf &= (1 << br.nbits) - 1
+            if t is None:
+                code, ln = next_bit(), 1
+                while code > dmax[ln]:
+                    if ln >= 16:
+                        raise ValueError("invalid Huffman code")
+                    code = (code << 1) | next_bit()
+                    ln += 1
+                t = dvals[ln][code - dmin[ln]]
             if t > 11:
                 return None
             pred += _extend(receive(t), t)
             coef[0] = pred * q[0]
             k = 1
             while k < 64:
-                code, ln = next_bit(), 1
-                while code > amax[ln]:
-                    if ln >= 16:
-                        raise ValueError("invalid Huffman code")
-                    code = (code << 1) | next_bit()
-                    ln += 1
-                rs = avals[ln][code - amin[ln]]
+                rs = None
+                if br.nbits >= 8 or try_fill8() >= 8:
+                    e = alook[(br.buf >> (br.nbits - 8)) & 0xFF]
+                    if e is not None:
+                        ln, rs = e
+                        br.nbits -= ln
+                        br.buf &= (1 << br.nbits) - 1
+                if rs is None:
+                    code, ln = next_bit(), 1
+                    while code > amax[ln]:
+                        if ln >= 16:
+                            raise ValueError("invalid Huffman code")
+                        code = (code << 1) | next_bit()
+                        ln += 1
+                    rs = avals[ln][code - amin[ln]]
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
                     if r == 15:

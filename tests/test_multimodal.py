@@ -1471,3 +1471,239 @@ class TestPngPlanesR13Opt:
         assert arr.dtype == np.uint16
         assert arr.tolist() == [[[513, 7, 65535]]]
         assert decode_png_any(p16) == (1, 1, 2, [[(513, 7, 65535)]])
+
+
+class TestJpegLookaheadR13Opt:
+    """r13-opt: the per-bit Huffman walk in decode_jpeg_gray gained an
+    8-bit lookahead table (T.81 F.2.2.3-style) with a non-raising
+    opportunistic fill and an un-read step at restart alignment — pin
+    the whole decoder against a verbatim port of the bit-serial decode
+    it replaced, over valid, restart-interval, and corrupted streams."""
+
+    @staticmethod
+    def _ref_decode(payload):
+        # the pre-lookahead decode loop, verbatim (shares the parse
+        # helpers, which are unchanged)
+        from anglerfish_spark.operators.jpeg import (
+            _COS_NP,
+            _ZZ_FLAT,
+            _BitReader,
+            _extend,
+            _huffman_arrays,
+            _np,
+        )
+
+        try:
+            data = payload
+            if data[:2] != b"\xff\xd8":
+                return None
+            qt, hf = {}, {}
+            w = h = None
+            tq_sel = td = ta = None
+            restart = 0
+            i = 2
+            while True:
+                if i + 1 >= len(data):
+                    return None
+                if data[i] != 0xFF:
+                    return None
+                while i < len(data) and data[i] == 0xFF:
+                    i += 1
+                m = data[i]
+                i += 1
+                if m == 0xD9:
+                    return None
+                if m in (0x01,) or 0xD0 <= m <= 0xD7:
+                    continue
+                if i + 2 > len(data):
+                    return None
+                ln = int.from_bytes(data[i : i + 2], "big")
+                seg = data[i + 2 : i + ln]
+                if ln < 2 or i + ln > len(data):
+                    return None
+                if m == 0xDB:
+                    j = 0
+                    while j < len(seg):
+                        pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                        if pq != 0:
+                            return None
+                        if j + 65 > len(seg):
+                            return None
+                        qt[tq] = list(seg[j + 1 : j + 65])
+                        j += 65
+                elif m == 0xC4:
+                    j = 0
+                    while j + 17 <= len(seg):
+                        tc, th = seg[j] >> 4, seg[j] & 0x0F
+                        bits = list(seg[j + 1 : j + 17])
+                        n = sum(bits)
+                        if j + 17 + n > len(seg):
+                            return None
+                        hf[(tc, th)] = _huffman_arrays(
+                            bytes(bits), bytes(seg[j + 17 : j + 17 + n])
+                        )
+                        j += 17 + n
+                elif m == 0xC0:
+                    if seg[0] != 8:
+                        return None
+                    h = int.from_bytes(seg[1:3], "big")
+                    w = int.from_bytes(seg[3:5], "big")
+                    if seg[5] != 1 or seg[7] != 0x11:
+                        return None
+                    tq_sel = seg[8]
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                           0xCB, 0xCD, 0xCE, 0xCF):
+                    return None
+                elif m == 0xDD:
+                    restart = int.from_bytes(seg[0:2], "big")
+                elif m == 0xDA:
+                    if w is None or seg[0] != 1:
+                        return None
+                    td, ta = seg[2] >> 4, seg[2] & 0x0F
+                    if seg[3] != 0 or seg[4] != 63 or seg[5] != 0:
+                        return None
+                    i += ln
+                    break
+                i += ln
+            if (0, td) not in hf or (1, ta) not in hf or tq_sel not in qt:
+                return None
+            if w == 0 or h == 0:
+                return None
+            (dmax, dmin, dvals), (amax, amin, avals) = hf[(0, td)], hf[(1, ta)]
+            q = qt[tq_sel]
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            img = [[0] * w for _ in range(h)]
+            br = _BitReader(data, i)
+            next_bit, receive = br.next_bit, br.receive
+            pred = 0
+            for bi in range(bw * bh):
+                if restart and bi and bi % restart == 0:
+                    m = br.align_to_marker()
+                    if not 0xD0 <= m <= 0xD7:
+                        return None
+                    pred = 0
+                coef = [0.0] * 64
+                code, ln = next_bit(), 1
+                while code > dmax[ln]:
+                    if ln >= 16:
+                        raise ValueError("invalid Huffman code")
+                    code = (code << 1) | next_bit()
+                    ln += 1
+                t = dvals[ln][code - dmin[ln]]
+                if t > 11:
+                    return None
+                pred += _extend(receive(t), t)
+                coef[0] = pred * q[0]
+                k = 1
+                while k < 64:
+                    code, ln = next_bit(), 1
+                    while code > amax[ln]:
+                        if ln >= 16:
+                            raise ValueError("invalid Huffman code")
+                        code = (code << 1) | next_bit()
+                        ln += 1
+                    rs = avals[ln][code - amin[ln]]
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break
+                    k += r
+                    if k > 63:
+                        return None
+                    coef[k] = _extend(receive(s), s) * q[k]
+                    k += 1
+                by, bx = divmod(bi, bw)
+                cm = _np.zeros(64)
+                cm[_ZZ_FLAT] = coef
+                sp = 0.25 * (_COS_NP.T @ cm.reshape(8, 8) @ _COS_NP)
+                vals = (_np.rint(sp).astype(_np.int64) + 128).clip(0, 255)
+                ch = min(8, h - by * 8)
+                cw = min(8, w - bx * 8)
+                x0 = bx * 8
+                rows = vals[:ch, :cw].tolist()
+                for y in range(ch):
+                    img[by * 8 + y][x0 : x0 + cw] = rows[y]
+            return w, h, img
+        except Exception:  # noqa: BLE001
+            return None
+
+    def test_valid_streams_match_reference(self):
+        from anglerfish_spark.operators.jpeg import decode_jpeg_gray
+        from anglerfish_spark.operators.multimodal import _mk_real_jpeg
+
+        for d in range(150):
+            p = _mk_real_jpeg(d, d % 3 + 1, d % 2 + 1)
+            assert decode_jpeg_gray(p) == self._ref_decode(p)
+            # restart intervals exercise the lookahead un-read at
+            # align_to_marker (the reservoir can hold one whole
+            # unconsumed byte when the marker interrupts it)
+            for rst in (1, 2, 5):
+                pr = _mk_real_jpeg(d, d % 4 + 1, d % 3 + 1, restart=rst)
+                assert decode_jpeg_gray(pr) == self._ref_decode(pr)
+
+    def test_corrupted_streams_match_reference(self):
+        import random
+
+        from anglerfish_spark.operators.jpeg import decode_jpeg_gray
+        from anglerfish_spark.operators.multimodal import _mk_real_jpeg
+
+        rng = random.Random(42)
+        payloads = [
+            _mk_real_jpeg(d, d % 3 + 1, d % 2 + 1, restart=(d % 4))
+            for d in range(40)
+        ]
+        for n in range(1500):
+            p = bytearray(payloads[n % len(payloads)])
+            mode = n % 3
+            if mode == 0:
+                i = rng.randrange(len(p))
+                p[i] ^= 1 << rng.randrange(8)
+            elif mode == 1:
+                p = p[: rng.randrange(2, len(p))]
+            else:
+                p[rng.randrange(len(p))] = rng.randrange(256)
+            assert decode_jpeg_gray(bytes(p)) == self._ref_decode(bytes(p)), n
+
+    def test_lookahead_table_matches_bit_serial_walk(self):
+        import random
+
+        from anglerfish_spark.operators.jpeg import (
+            _huffman_arrays,
+            _lookahead_table,
+        )
+
+        rng = random.Random(7)
+        for _ in range(40):
+            # random valid canonical DHT: lengths 1..16, plausible counts
+            bits = [0] * 16
+            total = 0
+            code_space = 1.0
+            for ln in range(16):
+                cap = int(code_space * (1 << (ln + 1))) - 0
+                n = rng.randint(0, min(3, max(0, cap)))
+                bits[ln] = n
+                code_space = (code_space - n / (1 << (ln + 1)))
+                if code_space <= 0:
+                    bits[ln] = 0
+                    code_space += n / (1 << (ln + 1))
+                total += bits[ln]
+            if total == 0:
+                bits[3] = 2
+                total = 2
+            huffval = bytes(rng.randrange(256) for _ in range(total))
+            try:
+                maxc, minc, vals = _huffman_arrays(bytes(bits), huffval)
+            except ValueError:
+                continue
+            look = _lookahead_table(bytes(bits), huffval)
+            for idx in range(256):
+                # bit-serial walk over the 8 prefix bits
+                code, hit = 0, None
+                for ln in range(1, 9):
+                    code = (code << 1) | ((idx >> (8 - ln)) & 1)
+                    if code <= maxc[ln]:
+                        hit = (ln, vals[ln][code - minc[ln]])
+                        break
+                assert look[idx] == hit
