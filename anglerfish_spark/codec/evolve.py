@@ -39,6 +39,7 @@ from ..schema.model import (
     AvroMap,
     AvroPrimitive,
     AvroRecord,
+    AvroRecursionRef,
     AvroType,
     AvroUnion,
     Primitive,
@@ -64,6 +65,7 @@ def _check_enum_resolution(w: AvroEnum, r: AvroEnum, path: str) -> None:
 from ..schema.parser import ParsedSchema, parse_schema
 from ..schema.spark_convert import to_struct_type, union_field_names
 from .decoder import _lit_value, decode_json
+from .logical import py_value_to_carrier
 from .pydecode import Decoder as _PyDecoder
 
 #: spec-permitted primitive promotions (writer kind → reader kind)
@@ -192,7 +194,6 @@ def _best_branch_order(w: AvroType, rn, renv, wenv) -> list[int]:
     resolving into ``["double", R, "long"]`` must select the exact ``long``
     branch; the previous first-readable scan promoted it into ``double``.
     """
-    from ..schema.model import AvroRecursionRef
 
     wt = w
     while isinstance(wt, AvroRecursionRef):
@@ -370,7 +371,6 @@ def resolve_datum(
     resolves against its own writer before the rows unify."""
     renv = renv or {}
     wenv = wenv or {}
-    from ..schema.model import AvroRecursionRef
 
     if isinstance(writer, AvroRecursionRef):
         return resolve_datum(value, wenv[writer.fqn], reader, renv, wenv, max_depth, path)
@@ -437,7 +437,6 @@ def resolve_datum(
             branch_t, branch_v = wn[0], value
         else:
             # tagged-dict repr: exactly one member_* key non-null
-            from ..schema.spark_convert import union_field_names
 
             names = union_field_names(writer)
             key = next(k for k in names if value.get(k) is not None)
@@ -467,9 +466,6 @@ def _carrierize(t: AvroType, v, env: dict[str, AvroType]):
     """Semantic Python values → carrier representation (the inverse of
     pydecode's logical lift) so value-space resolution output stays
     Avro-JSON-dumpable carrier data throughout."""
-    from ..schema.model import AvroRecursionRef
-    from ..schema.spark_convert import union_field_names
-    from .logical import py_value_to_carrier
 
     if v is None:
         return None
@@ -506,8 +502,6 @@ def semanticize(t: AvroType, v, env: dict[str, AvroType]):
     fallback uses the pair as a bridge: parquet hands workers SEMANTIC
     values, ``resolve_datum`` runs in CARRIER space, and the rebuilt
     Arrow batch needs semantic values again (VERDICT r9 #3)."""
-    from ..schema.model import AvroRecursionRef
-    from ..schema.spark_convert import union_field_names
     from .logical import py_carrier_to_value
 
     if v is None:
@@ -552,8 +546,7 @@ def _resolve_datum_into(value, w: AvroType, r: AvroType, renv, wenv, max_depth, 
             continue
         if len(rn) <= 1:
             return resolved
-        from ..schema.spark_convert import union_field_names
-
+    
         names = union_field_names(r)
         out = {n: None for n in names}
         out[names[i]] = resolved

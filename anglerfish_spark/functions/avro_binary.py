@@ -20,9 +20,12 @@ spark-avro, ``sources.registry.avro_available`` gates the native
 
 from __future__ import annotations
 
+import base64 as _b64mod
+import datetime as _dt
 import io
 import json
 import struct as _struct
+from functools import lru_cache
 from typing import Any
 
 import pandas as pd
@@ -30,6 +33,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..codec.logical import py_carrier_to_value, py_value_to_carrier
 from ..errors import DatumError, UnionResolutionError
 from ..schema.model import (
     AvroArray,
@@ -43,6 +47,7 @@ from ..schema.model import (
     AvroType,
     AvroUnion,
     Primitive,
+    type_name,
 )
 from ..schema.parser import ParsedSchema, parse_schema
 from ..schema.spark_convert import union_field_names
@@ -70,6 +75,16 @@ def write_long(out: io.BytesIO, n: int) -> None:
         else:
             out.write(bytes([b]))
             return
+
+
+def _append_long(ba: bytearray, n: int) -> None:
+    """``write_long`` against a bytearray (the compiled encoder's sink);
+    byte-identical output to :func:`write_long`."""
+    z = ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF
+    while z > 0x7F:
+        ba.append((z & 0x7F) | 0x80)
+        z >>= 7
+    ba.append(z)
 
 
 def read_long(buf: bytes, pos: int) -> tuple[int, int]:
@@ -111,10 +126,29 @@ class BinaryCodec:
             self.root, self.env = schema.root, schema.env
         else:
             self.root, self.env = schema, {}
+        # schema-compiled fast paths (r13 optimization: resolve the AST
+        # walk ONCE per codec into nested closures instead of re-running
+        # the isinstance dispatch per value — guide §4.2).  Built lazily
+        # on first encode()/decode(); the interpreted `_enc`/`_dec` walks
+        # below stay as the readable reference the compiled closures are
+        # differential-tested against (tests/test_avro_binary.py).
+        self._enc_fn = None
+        self._dec_fn = None
+        self._enc_named: dict[str, Any] = {}
+        self._dec_named: dict[str, Any] = {}
 
     # -- encode --------------------------------------------------------------
 
     def encode(self, value: Any) -> bytes:
+        fn = self._enc_fn
+        if fn is None:
+            fn = self._enc_fn = self._compile_enc(self.root)
+        ba = bytearray()
+        fn(value, ba)
+        return bytes(ba)
+
+    def encode_interpreted(self, value: Any) -> bytes:
+        """The uncompiled walk — reference implementation for tests."""
         out = io.BytesIO()
         self._enc(self.root, value, out)
         return out.getvalue()
@@ -126,8 +160,6 @@ class BinaryCodec:
             if t.logical is not None:
                 # semantic values (datetime/date/time/Decimal) down-convert
                 # to the carrier; carrier-typed inputs pass through unchanged
-                from ..codec.logical import py_value_to_carrier
-
                 v = py_value_to_carrier(t.logical, v)
             k = t.kind
             if k is Primitive.NULL:
@@ -151,8 +183,6 @@ class BinaryCodec:
             write_long(out, t.symbols.index(v))
         elif isinstance(t, AvroFixed):
             if t.logical is not None:
-                from ..codec.logical import py_value_to_carrier
-
                 v = py_value_to_carrier(t.logical, v, fixed_length=t.length)
             out.write(bytes(v))
         elif isinstance(t, AvroArray):
@@ -203,10 +233,29 @@ class BinaryCodec:
     # -- decode --------------------------------------------------------------
 
     def decode(self, data: bytes) -> Any:
+        fn = self._dec_fn
+        if fn is None:
+            fn = self._dec_fn = self._compile_dec(self.root)
+        v, pos = fn(data, 0)
+        if pos != len(data):
+            raise DatumError(f"trailing bytes after decode: {len(data) - pos}")
+        return v
+
+    def decode_interpreted(self, data: bytes) -> Any:
+        """The uncompiled walk — reference implementation for tests."""
         v, pos = self._dec(self.root, data, 0)
         if pos != len(data):
             raise DatumError(f"trailing bytes after decode: {len(data) - pos}")
         return v
+
+    def decode_fn(self):
+        """The compiled ``(buf, pos) -> (value, pos)`` root decoder — for
+        callers that stream multiple datums out of one buffer (OCF blocks)
+        and manage positions themselves."""
+        fn = self._dec_fn
+        if fn is None:
+            fn = self._dec_fn = self._compile_dec(self.root)
+        return fn
 
     def _dec(self, t: AvroType, buf: bytes, pos: int) -> tuple[Any, int]:
         if isinstance(t, AvroRecursionRef):
@@ -284,6 +333,322 @@ class BinaryCodec:
             return rec, pos
         raise DatumError(f"cannot decode against {t!r}")
 
+    # -- schema compilers ------------------------------------------------------
+    # Each mirrors its interpreted twin branch-for-branch (same outputs,
+    # same exception types AND messages — the permissive UDFs surface the
+    # message text as query output, so it is oracle-pinned).  Recursive
+    # named types compile once into `_dec_named`/`_enc_named` behind a
+    # one-cell trampoline so self-reference terminates.
+
+    def _compile_dec(self, t: AvroType):
+        if isinstance(t, AvroRecursionRef):
+            named = self._dec_named
+            fn = named.get(t.fqn)
+            if fn is None:
+                cell = []
+                named[t.fqn] = lambda buf, pos: cell[0](buf, pos)
+                real = self._compile_dec(self.env[t.fqn])
+                cell.append(real)
+                named[t.fqn] = real
+                return real
+            return fn
+        if isinstance(t, AvroPrimitive):
+            k = t.kind
+            if k is Primitive.NULL:
+                return lambda buf, pos: (None, pos)
+            if k is Primitive.BOOLEAN:
+                return lambda buf, pos: (buf[pos] == 1, pos + 1)
+            if k in (Primitive.INT, Primitive.LONG):
+                return read_long
+            if k is Primitive.FLOAT:
+                unpack = _struct.unpack_from
+                return lambda buf, pos: (unpack("<f", buf, pos)[0], pos + 4)
+            if k is Primitive.DOUBLE:
+                unpack = _struct.unpack_from
+                return lambda buf, pos: (unpack("<d", buf, pos)[0], pos + 8)
+            if k is Primitive.BYTES:
+
+                def dec_bytes(buf, pos):
+                    n, pos = read_long(buf, pos)
+                    return _take(buf, pos, n), pos + n
+
+                return dec_bytes
+            if k is Primitive.STRING:
+
+                def dec_string(buf, pos):
+                    n, pos = read_long(buf, pos)
+                    return _take(buf, pos, n).decode("utf-8"), pos + n
+
+                return dec_string
+        if isinstance(t, AvroEnum):
+            symbols = t.symbols
+            n_sym = len(symbols)
+            tname = t.name
+
+            def dec_enum(buf, pos):
+                i, pos = read_long(buf, pos)
+                if not 0 <= i < n_sym:
+                    raise DatumError(f"enum index {i} out of range for {tname}")
+                return symbols[i], pos
+
+            return dec_enum
+        if isinstance(t, AvroFixed):
+            length = t.length
+            return lambda buf, pos: (_take(buf, pos, length), pos + length)
+        if isinstance(t, AvroArray):
+            dec_item = self._compile_dec(t.items)
+
+            def dec_array(buf, pos):
+                out = []
+                append = out.append
+                while True:
+                    n, pos = read_long(buf, pos)
+                    if n == 0:
+                        return out, pos
+                    if n < 0:  # block with byte-size prefix
+                        _, pos = read_long(buf, pos)
+                        n = -n
+                    for _ in range(n):
+                        v, pos = dec_item(buf, pos)
+                        append(v)
+
+            return dec_array
+        if isinstance(t, AvroMap):
+            dec_val = self._compile_dec(t.values)
+
+            def dec_map(buf, pos):
+                out = {}
+                while True:
+                    n, pos = read_long(buf, pos)
+                    if n == 0:
+                        return out, pos
+                    if n < 0:
+                        _, pos = read_long(buf, pos)
+                        n = -n
+                    for _ in range(n):
+                        klen, pos = read_long(buf, pos)
+                        key = _take(buf, pos, klen).decode("utf-8")
+                        pos += klen
+                        out[key], pos = dec_val(buf, pos)
+
+            return dec_map
+        if isinstance(t, AvroUnion):
+            members = t.members
+            n_mem = len(members)
+            member_fns = [self._compile_dec(m) for m in members]
+            is_null = [
+                isinstance(m, AvroPrimitive) and m.kind is Primitive.NULL
+                for m in members
+            ]
+            nn = t.non_null_members
+            single = len(nn) == 1
+            names = None if single else union_field_names(t)
+            # decoded-repr key per member index, computed exactly as the
+            # interpreted walk does (names[nn.index(member)])
+            key_of = (
+                None
+                if single
+                else {
+                    i: names[nn.index(m)]
+                    for i, m in enumerate(members)
+                    if not is_null[i]
+                }
+            )
+
+            def dec_union(buf, pos):
+                idx, pos = read_long(buf, pos)
+                if not 0 <= idx < n_mem:
+                    raise DatumError(f"union branch index {idx} out of range")
+                if is_null[idx]:
+                    return None, pos
+                v, pos = member_fns[idx](buf, pos)
+                if single:
+                    return v, pos
+                out = dict.fromkeys(names)
+                out[key_of[idx]] = v
+                return out, pos
+
+            return dec_union
+        if isinstance(t, AvroRecord):
+            field_fns = [(f.name, self._compile_dec(f.type)) for f in t.fields]
+
+            def dec_record(buf, pos):
+                rec = {}
+                for name, fn in field_fns:
+                    rec[name], pos = fn(buf, pos)
+                return rec, pos
+
+            return dec_record
+
+        def dec_unknown(buf, pos):
+            raise DatumError(f"cannot decode against {t!r}")
+
+        return dec_unknown
+
+    def _compile_enc(self, t: AvroType):
+        if isinstance(t, AvroRecursionRef):
+            named = self._enc_named
+            fn = named.get(t.fqn)
+            if fn is None:
+                cell = []
+                named[t.fqn] = lambda v, ba: cell[0](v, ba)
+                real = self._compile_enc(self.env[t.fqn])
+                cell.append(real)
+                named[t.fqn] = real
+                return real
+            return fn
+        if isinstance(t, AvroPrimitive):
+            k = t.kind
+            logical = t.logical
+            if k is Primitive.NULL:
+                if logical is not None:
+                    return lambda v, ba: py_value_to_carrier(logical, v) and None
+                return lambda v, ba: None
+            if k is Primitive.BOOLEAN:
+                base = lambda v, ba: ba.append(1 if v else 0)  # noqa: E731
+            elif k in (Primitive.INT, Primitive.LONG):
+                base = lambda v, ba: _append_long(ba, int(v))  # noqa: E731
+            elif k is Primitive.FLOAT:
+                pack = _struct.pack
+
+                def base(v, ba):
+                    ba += pack("<f", float(v))
+
+            elif k is Primitive.DOUBLE:
+                pack = _struct.pack
+
+                def base(v, ba):
+                    ba += pack("<d", float(v))
+
+            elif k is Primitive.BYTES:
+
+                def base(v, ba):
+                    _append_long(ba, len(v))
+                    ba += bytes(v)
+
+            elif k is Primitive.STRING:
+
+                def base(v, ba):
+                    raw = v.encode("utf-8")
+                    _append_long(ba, len(raw))
+                    ba += raw
+
+            if logical is None:
+                return base
+
+            def enc_logical(v, ba):
+                base(py_value_to_carrier(logical, v), ba)
+
+            return enc_logical
+        if isinstance(t, AvroEnum):
+            symbols = t.symbols
+            return lambda v, ba: _append_long(ba, symbols.index(v))
+        if isinstance(t, AvroFixed):
+            logical = t.logical
+            length = t.length
+            if logical is None:
+
+                def enc_fixed(v, ba):
+                    ba += bytes(v)
+
+                return enc_fixed
+
+            def enc_fixed_logical(v, ba):
+                ba += bytes(py_value_to_carrier(logical, v, fixed_length=length))
+
+            return enc_fixed_logical
+        if isinstance(t, AvroArray):
+            enc_item = self._compile_enc(t.items)
+
+            def enc_array(v, ba):
+                if v:
+                    _append_long(ba, len(v))
+                    for item in v:
+                        enc_item(item, ba)
+                _append_long(ba, 0)
+
+            return enc_array
+        if isinstance(t, AvroMap):
+            enc_val = self._compile_enc(t.values)
+
+            def enc_map(v, ba):
+                if v:
+                    _append_long(ba, len(v))
+                    for mk, mv in v.items():
+                        raw = mk.encode("utf-8")
+                        _append_long(ba, len(raw))
+                        ba += raw
+                        enc_val(mv, ba)
+                _append_long(ba, 0)
+
+            return enc_map
+        if isinstance(t, AvroUnion):
+            members = list(t.members)
+            null_idx = next(
+                (
+                    i
+                    for i, m in enumerate(members)
+                    if isinstance(m, AvroPrimitive) and m.kind is Primitive.NULL
+                ),
+                None,
+            )
+            nn = t.non_null_members
+            if len(nn) == 1:
+                m = nn[0]
+                m_idx = members.index(m)
+                enc_m = self._compile_enc(m)
+
+                def enc_union_single(v, ba):
+                    if v is None:
+                        if null_idx is None:
+                            raise UnionResolutionError(
+                                "null value but union has no null member"
+                            )
+                        _append_long(ba, null_idx)
+                        return
+                    _append_long(ba, m_idx)
+                    enc_m(v, ba)
+
+                return enc_union_single
+            branches = [
+                (name, members.index(m), self._compile_enc(m))
+                for name, m in zip(union_field_names(t), nn)
+            ]
+
+            def enc_union_multi(v, ba):
+                if v is None:
+                    if null_idx is None:
+                        raise UnionResolutionError(
+                            "null value but union has no null member"
+                        )
+                    _append_long(ba, null_idx)
+                    return
+                if not isinstance(v, dict):
+                    raise UnionResolutionError(
+                        f"multi-union value must be a member dict, got {v!r}"
+                    )
+                for name, idx, fn in branches:
+                    if v.get(name) is not None:
+                        _append_long(ba, idx)
+                        fn(v[name], ba)
+                        return
+                raise UnionResolutionError(f"no non-null member in {sorted(v)}")
+
+            return enc_union_multi
+        if isinstance(t, AvroRecord):
+            field_fns = [(f.name, self._compile_enc(f.type)) for f in t.fields]
+
+            def enc_record(v, ba):
+                for name, fn in field_fns:
+                    fn(v[name], ba)
+
+            return enc_record
+
+        def enc_unknown(v, ba):
+            raise DatumError(f"cannot encode against {t!r}")
+
+        return enc_unknown
+
 
 def dumps_avro_json(v: Any) -> str:
     """``json.dumps`` of a decoded representation.  bytes/fixed values decode
@@ -305,42 +670,26 @@ def as_avro_json(t, v: Any, env: dict | None = None):
     AvroJsonFAlgebras.scala:536-565), bytes/fixed as base64 text (engine
     convention, D4), logical-typed semantic values down-converted to their
     carriers.  The exact inverse of ``pydecode.Decoder.decode``."""
-    import base64 as _b64mod
-
-    from ..codec.logical import py_value_to_carrier
-    from ..schema.model import (
-        AvroArray as _Arr,
-        AvroEnum as _Enum,
-        AvroFixed as _Fixed,
-        AvroMap as _Map,
-        AvroPrimitive as _Prim,
-        AvroRecord as _Rec,
-        AvroRecursionRef as _Ref,
-        AvroUnion as _Union,
-        Primitive as _P,
-    )
-    from ..schema.spark_convert import union_field_names as _ufn
-
     env = env or {}
-    if isinstance(t, _Ref):
+    if isinstance(t, AvroRecursionRef):
         return as_avro_json(env[t.fqn], v, env)
-    if isinstance(t, _Prim):
+    if isinstance(t, AvroPrimitive):
         if t.logical is not None:
             v = py_value_to_carrier(t.logical, v)
-        if t.kind is _P.BYTES and v is not None:
+        if t.kind is Primitive.BYTES and v is not None:
             return _b64mod.b64encode(bytes(v)).decode("ascii")
         return v
-    if isinstance(t, _Fixed):
+    if isinstance(t, AvroFixed):
         if t.logical is not None:
             v = py_value_to_carrier(t.logical, v, fixed_length=t.length)
         return None if v is None else _b64mod.b64encode(bytes(v)).decode("ascii")
-    if isinstance(t, _Enum):
+    if isinstance(t, AvroEnum):
         return v
-    if isinstance(t, _Arr):
+    if isinstance(t, AvroArray):
         return [as_avro_json(t.items, x, env) for x in v]
-    if isinstance(t, _Map):
+    if isinstance(t, AvroMap):
         return {k: as_avro_json(t.values, x, env) for k, x in v.items()}
-    if isinstance(t, _Union):
+    if isinstance(t, AvroUnion):
         if v is None:
             return None
         nn = t.non_null_members
@@ -350,14 +699,14 @@ def as_avro_json(t, v: Any, env: dict | None = None):
         # decoded repr: dict keyed by union_field_names — the SAME
         # collision-qualified names _carrierize/to_struct_type emit
         # (member_0_X when short names collide), not the bare branch name.
-        for key, m in zip(_ufn(t), nn):
+        for key, m in zip(union_field_names(t), nn):
             inner = v.get(key)
             if inner is not None:
                 return {_branch_json_key(m): as_avro_json(m, inner, env)}
         raise DatumError(
             f"non-null union value {v!r} matches no branch of {[_branch_json_key(m) for m in nn]}"
         )
-    if isinstance(t, _Rec):
+    if isinstance(t, AvroRecord):
         return {f.name: as_avro_json(f.type, v.get(f.name), env) for f in t.fields}
     raise DatumError(f"cannot serialize against {t!r}")
 
@@ -365,22 +714,216 @@ def as_avro_json(t, v: Any, env: dict | None = None):
 def _branch_json_key(m) -> str:
     """Avro-JSON union branch key (S3): named types by FQN, array/map by
     their literal kind, primitives by type name."""
-    from ..schema.model import type_name
-
     return type_name(m)
+
+
+def _compile_json_view(root: AvroType, env: dict):
+    """Schema-compiled :func:`as_avro_json`: one closure per schema node,
+    built once, mirroring the interpreted walk branch-for-branch (same
+    values, same exception types and messages).  r13 optimization — the
+    decode UDFs call this walk once per row, so the per-call dispatch is
+    a corpus-scale constant (guide §4.2)."""
+    named: dict[str, Any] = {}
+
+    def comp(t: AvroType):
+        if isinstance(t, AvroRecursionRef):
+            fn = named.get(t.fqn)
+            if fn is None:
+                cell = []
+                named[t.fqn] = lambda v: cell[0](v)
+                real = comp(env[t.fqn])
+                cell.append(real)
+                named[t.fqn] = real
+                return real
+            return fn
+        if isinstance(t, AvroPrimitive):
+            logical = t.logical
+            if t.kind is Primitive.BYTES:
+                if logical is None:
+                    return lambda v: (
+                        None if v is None else _b64mod.b64encode(bytes(v)).decode("ascii")
+                    )
+
+                def jv_bytes_logical(v):
+                    v = py_value_to_carrier(logical, v)
+                    return None if v is None else _b64mod.b64encode(bytes(v)).decode("ascii")
+
+                return jv_bytes_logical
+            if logical is None:
+                return lambda v: v
+            return lambda v: py_value_to_carrier(logical, v)
+        if isinstance(t, AvroFixed):
+            logical = t.logical
+            if logical is None:
+                return lambda v: (
+                    None if v is None else _b64mod.b64encode(bytes(v)).decode("ascii")
+                )
+            length = t.length
+
+            def jv_fixed_logical(v):
+                v = py_value_to_carrier(logical, v, fixed_length=length)
+                return None if v is None else _b64mod.b64encode(bytes(v)).decode("ascii")
+
+            return jv_fixed_logical
+        if isinstance(t, AvroEnum):
+            return lambda v: v
+        if isinstance(t, AvroArray):
+            item_fn = comp(t.items)
+            return lambda v: [item_fn(x) for x in v]
+        if isinstance(t, AvroMap):
+            val_fn = comp(t.values)
+            return lambda v: {k: val_fn(x) for k, x in v.items()}
+        if isinstance(t, AvroUnion):
+            nn = t.non_null_members
+            if len(nn) == 1:
+                key = _branch_json_key(nn[0])
+                m_fn = comp(nn[0])
+                return lambda v: None if v is None else {key: m_fn(v)}
+            branches = [
+                (name, _branch_json_key(m), comp(m))
+                for name, m in zip(union_field_names(t), nn)
+            ]
+            branch_keys = [_branch_json_key(m) for m in nn]
+
+            def jv_union(v):
+                if v is None:
+                    return None
+                for name, key, fn in branches:
+                    inner = v.get(name)
+                    if inner is not None:
+                        return {key: fn(inner)}
+                raise DatumError(
+                    f"non-null union value {v!r} matches no branch of {branch_keys}"
+                )
+
+            return jv_union
+        if isinstance(t, AvroRecord):
+            field_fns = [(f.name, comp(f.type)) for f in t.fields]
+            return lambda v: {name: fn(v.get(name)) for name, fn in field_fns}
+
+        def jv_unknown(v):
+            raise DatumError(f"cannot serialize against {t!r}")
+
+        return jv_unknown
+
+    return comp(root)
+
+
+def _compile_semantic_view(root: AvroType, env: dict):
+    """Schema-compiled :func:`_semantic_value` (same contract as
+    :func:`_compile_json_view`: branch-for-branch mirror of the
+    interpreted walk, built once per schema)."""
+    named: dict[str, Any] = {}
+
+    def comp(t: AvroType):
+        while isinstance(t, AvroRecursionRef):
+            fn = named.get(t.fqn)
+            if fn is None:
+                cell = []
+                named[t.fqn] = lambda v: cell[0](v)
+                real = comp(env[t.fqn])
+                cell.append(real)
+                named[t.fqn] = real
+                return real
+            return fn
+        if isinstance(t, (AvroPrimitive, AvroFixed)):
+            logical = t.logical
+            if logical is None:
+                return lambda v: v
+            return lambda v: None if v is None else _lift_semantic(logical, v)
+        if isinstance(t, AvroEnum):
+            return lambda v: v
+        if isinstance(t, AvroArray):
+            item_fn = comp(t.items)
+            return lambda v: None if v is None else [item_fn(x) for x in v]
+        if isinstance(t, AvroMap):
+            val_fn = comp(t.values)
+            return lambda v: (
+                None if v is None else {k: val_fn(x) for k, x in v.items()}
+            )
+        if isinstance(t, AvroUnion):
+            nn = t.non_null_members
+            if len(nn) == 1:
+                m_fn = comp(nn[0])
+                return m_fn if _is_none_preserving(nn[0]) else (
+                    lambda v: None if v is None else m_fn(v)
+                )
+            pairs = [(k, comp(m)) for k, m in zip(union_field_names(t), nn)]
+
+            def sem_union(v):
+                if v is None:
+                    return None
+                return {
+                    k: (fn(v[k]) if v.get(k) is not None else None)
+                    for k, fn in pairs
+                }
+
+            return sem_union
+        if isinstance(t, AvroRecord):
+            field_fns = [(f.name, comp(f.type)) for f in t.fields]
+
+            def sem_record(v):
+                if v is None:
+                    return None
+                return {name: fn(v[name]) for name, fn in field_fns}
+
+            return sem_record
+        tname = type(t).__name__
+
+        def sem_unknown(v):
+            if v is None:  # the interpreted walk's top None check comes first
+                return None
+            raise DatumError(f"cannot lift {tname}")
+
+        return sem_unknown
+
+    return comp(root)
+
+
+def _is_none_preserving(t: AvroType) -> bool:
+    """True when the compiled semantic view for ``t`` already maps
+    None → None (saves a wrapper closure for the common nullable case)."""
+    return isinstance(
+        t, (AvroArray, AvroMap, AvroRecord, AvroUnion)
+    ) or (isinstance(t, (AvroPrimitive, AvroFixed)) and t.logical is not None)
 
 
 def _bytes_to_b64(o: Any) -> str:
     if isinstance(o, (bytes, bytearray, memoryview)):
-        import base64
-
-        return base64.b64encode(bytes(o)).decode("ascii")
+        return _b64mod.b64encode(bytes(o)).decode("ascii")
     raise TypeError(f"not JSON serializable: {type(o).__name__}")
 
 
 # ---------------------------------------------------------------------------
 # pandas UDFs: Avro-JSON text ⇄ Avro binary
 # ---------------------------------------------------------------------------
+
+# Per-process schema caches (r13 optimization): a pandas UDF body runs once
+# per Arrow batch, so parse_schema + BinaryCodec-compile + fingerprint were
+# paid per batch; these memoize them per (worker process, schema text).
+# Bounded: a process sees the handful of schemas its queries register.
+
+
+@lru_cache(maxsize=256)
+def _cached_schema(schema_json: str) -> ParsedSchema:
+    return parse_schema(schema_json)
+
+
+@lru_cache(maxsize=256)
+def _cached_codec(schema_json: str) -> BinaryCodec:
+    return BinaryCodec(_cached_schema(schema_json))
+
+
+@lru_cache(maxsize=256)
+def _cached_json_view(schema_json: str):
+    ps = _cached_schema(schema_json)
+    return _compile_json_view(ps.root, ps.env)
+
+
+@lru_cache(maxsize=256)
+def _cached_semantic_view(schema_json: str):
+    ps = _cached_schema(schema_json)
+    return _compile_semantic_view(ps.root, ps.env)
 
 
 def avro_encode_udf(schema_json: str):
@@ -392,8 +935,8 @@ def avro_encode_udf(schema_json: str):
     def _encode(s: pd.Series) -> pd.Series:
         from ..codec.pydecode import decode_datum
 
-        ps = parse_schema(schema_json)
-        codec = BinaryCodec(ps)
+        ps = _cached_schema(schema_json)
+        codec = _cached_codec(schema_json)
         return s.map(
             lambda txt: codec.encode(decode_datum(ps.root, json.loads(txt), ps.env))
         )
@@ -408,10 +951,10 @@ def avro_decode_udf(schema_json: str):
 
     @pandas_udf(T.StringType())
     def _decode(s: pd.Series) -> pd.Series:
-        ps = parse_schema(schema_json)
-        codec = BinaryCodec(ps)
+        codec = _cached_codec(schema_json)
+        json_view = _cached_json_view(schema_json)
         return s.map(
-            lambda b: dumps_avro_json(as_avro_json(ps.root, codec.decode(bytes(b)), ps.env))
+            lambda b: dumps_avro_json(json_view(codec.decode(bytes(b))))
         )
 
     return _decode
@@ -436,6 +979,7 @@ def avro_decode(col: Column | str, schema_json: str) -> Column:
 SINGLE_OBJECT_MAGIC = b"\xc3\x01"
 
 
+@lru_cache(maxsize=256)
 def _single_object_header(schema_json: str) -> bytes:
     from ..schema.fingerprint import schema_fingerprint
 
@@ -451,8 +995,8 @@ def single_object_encode_udf(schema_json: str):
     def _encode(s: pd.Series) -> pd.Series:
         from ..codec.pydecode import decode_datum
 
-        ps = parse_schema(schema_json)
-        codec = BinaryCodec(ps)
+        ps = _cached_schema(schema_json)
+        codec = _cached_codec(schema_json)
         header = _single_object_header(schema_json)
         return s.map(
             lambda txt: header + codec.encode(decode_datum(ps.root, json.loads(txt), ps.env))
@@ -473,8 +1017,8 @@ def single_object_decode_udf(schema_json: str):
 
     @pandas_udf(T.StringType())
     def _decode(s: pd.Series) -> pd.Series:
-        ps = parse_schema(schema_json)
-        codec = BinaryCodec(ps)
+        codec = _cached_codec(schema_json)
+        json_view = _cached_json_view(schema_json)
         header = _single_object_header(schema_json)
 
         def one(b) -> str:
@@ -486,7 +1030,7 @@ def single_object_decode_udf(schema_json: str):
                     f"schema fingerprint mismatch: message {buf[2:10].hex()}, "
                     f"reader {header[2:].hex()}"
                 )
-            return dumps_avro_json(as_avro_json(ps.root, codec.decode(buf[10:]), ps.env))
+            return dumps_avro_json(json_view(codec.decode(buf[10:])))
 
         return s.map(one)
 
@@ -512,14 +1056,12 @@ def avro_decode_permissive_udf(schema_json: str):
 
     @pandas_udf(out_t)
     def _decode(s: pd.Series) -> pd.DataFrame:
-        ps = parse_schema(schema_json)
-        codec = BinaryCodec(ps)
+        codec = _cached_codec(schema_json)
+        json_view = _cached_json_view(schema_json)
         values, errors = [], []
         for b in s:
             try:
-                values.append(
-                    dumps_avro_json(as_avro_json(ps.root, codec.decode(bytes(b)), ps.env))
-                )
+                values.append(dumps_avro_json(json_view(codec.decode(bytes(b)))))
                 errors.append(None)
             except DatumError as ex:
                 values.append(None)
@@ -544,6 +1086,17 @@ def single_object_decode(col: Column | str, schema_json: str) -> Column:
     return single_object_decode_udf(schema_json)(c)
 
 
+def _lift_semantic(logical, x):
+    out = py_carrier_to_value(logical, x)
+    # instant-semantics timestamps land as TimestampType (LTZ):
+    # Arrow struct conversion requires tz-aware values there (naive
+    # ones only pass for the *-local NTZ variants).  Sessions are
+    # pinned UTC, so the wall clock IS the instant.
+    if logical.name in ("timestamp-millis", "timestamp-micros"):
+        return out.replace(tzinfo=_dt.timezone.utc)
+    return out
+
+
 def _semantic_value(t, v, env):
     """Carrier-space decoded value (BinaryCodec output) → semantic Python
     value in the shape ``to_struct_type`` declares (logical carriers
@@ -551,19 +1104,7 @@ def _semantic_value(t, v, env):
     representation).  The Python mirror of the expression decoder's
     ``_lift_logical`` — what lets a pandas UDF emit the typed struct
     directly instead of round-tripping through JSON text."""
-    import datetime as _dt
-
-    from ..codec.logical import py_carrier_to_value
-
-    def lift(logical, x):
-        out = py_carrier_to_value(logical, x)
-        # instant-semantics timestamps land as TimestampType (LTZ):
-        # Arrow struct conversion requires tz-aware values there (naive
-        # ones only pass for the *-local NTZ variants).  Sessions are
-        # pinned UTC, so the wall clock IS the instant.
-        if logical.name in ("timestamp-millis", "timestamp-micros"):
-            return out.replace(tzinfo=_dt.timezone.utc)
-        return out
+    lift = _lift_semantic
 
     while isinstance(t, AvroRecursionRef):
         t = env[t.fqn]
@@ -651,8 +1192,8 @@ def single_object_decode_typed_udf(schema_json: str):
 
     @pandas_udf(out_t)
     def _decode(s: pd.Series) -> pd.DataFrame:
-        ps = parse_schema(schema_json)
-        codec = BinaryCodec(ps)
+        codec = _cached_codec(schema_json)
+        semantic = _cached_semantic_view(schema_json)
         header = _single_object_header(schema_json)
         rows = []
         for b in s:
@@ -664,7 +1205,7 @@ def single_object_decode_typed_udf(schema_json: str):
                     f"schema fingerprint mismatch: message {buf[2:10].hex()}, "
                     f"reader {header[2:].hex()}"
                 )
-            rows.append(_semantic_value(ps.root, codec.decode(buf[10:]), ps.env))
+            rows.append(semantic(codec.decode(buf[10:])))
         return _typed_frame(rows, field_names, out_t)
 
     return _decode
@@ -695,13 +1236,15 @@ def single_object_decode_registry_typed_udf(writer_schemas: list[str], reader_sc
     @pandas_udf(out_t)
     def _decode(s: pd.Series) -> pd.DataFrame:
         from ..codec.evolve import resolve_datum
-        from ..schema.fingerprint import schema_fingerprint
 
-        rps = parse_schema(reader_schema)
+        rps = _cached_schema(reader_schema)
+        semantic = _cached_semantic_view(reader_schema)
         by_fp = {}
         for wjson in writer_schemas:
-            wps = parse_schema(wjson)
-            by_fp[schema_fingerprint(wjson, "CRC-64-AVRO")] = (wps, BinaryCodec(wps))
+            by_fp[_single_object_header(wjson)[2:]] = (
+                _cached_schema(wjson),
+                _cached_codec(wjson),
+            )
         rows = []
         for b in s:
             buf = bytes(b)
@@ -712,7 +1255,7 @@ def single_object_decode_registry_typed_udf(writer_schemas: list[str], reader_sc
                 raise DatumError(f"unknown schema fingerprint {buf[2:10].hex()}")
             wps, codec = entry
             out = resolve_datum(codec.decode(buf[10:]), wps.root, rps.root, rps.env, wps.env)
-            rows.append(_semantic_value(rps.root, out, rps.env))
+            rows.append(semantic(out))
         return _typed_frame(rows, field_names, out_t)
 
     return _decode
@@ -750,11 +1293,11 @@ def confluent_decode_registry_typed_udf(schemas_by_id: dict[int, str], reader_sc
     def _decode(s: pd.Series) -> pd.DataFrame:
         from ..codec.evolve import resolve_datum
 
-        rps = parse_schema(reader_schema)
+        rps = _cached_schema(reader_schema)
+        semantic = _cached_semantic_view(reader_schema)
         by_id = {}
         for sid, wjson in schemas_by_id.items():
-            wps = parse_schema(wjson)
-            by_id[int(sid)] = (wps, BinaryCodec(wps))
+            by_id[int(sid)] = (_cached_schema(wjson), _cached_codec(wjson))
         ids, values = [], []
         for b in s:
             buf = bytes(b)
@@ -767,7 +1310,7 @@ def confluent_decode_registry_typed_udf(schemas_by_id: dict[int, str], reader_sc
             wps, codec = entry
             out = resolve_datum(codec.decode(buf[5:]), wps.root, rps.root, rps.env, wps.env)
             ids.append(sid)
-            values.append(_semantic_value(rps.root, out, rps.env))
+            values.append(semantic(out))
         return pd.DataFrame(
             {"schema_id": pd.array(ids, dtype="Int32"), "value": values}
         )
@@ -793,13 +1336,15 @@ def single_object_decode_registry_udf(writer_schemas: list[str], reader_schema: 
     @pandas_udf(T.StringType())
     def _decode(s: pd.Series) -> pd.Series:
         from ..codec.evolve import resolve_datum
-        from ..schema.fingerprint import schema_fingerprint
 
-        rps = parse_schema(reader_schema)
+        rps = _cached_schema(reader_schema)
+        json_view = _cached_json_view(reader_schema)
         by_fp = {}
         for wjson in writer_schemas:
-            ps = parse_schema(wjson)
-            by_fp[schema_fingerprint(wjson, "CRC-64-AVRO")] = (ps, BinaryCodec(ps))
+            by_fp[_single_object_header(wjson)[2:]] = (
+                _cached_schema(wjson),
+                _cached_codec(wjson),
+            )
 
         def one(b) -> str:
             buf = bytes(b)
@@ -811,7 +1356,7 @@ def single_object_decode_registry_udf(writer_schemas: list[str], reader_schema: 
             wps, codec = entry
             v = codec.decode(buf[10:])
             out = resolve_datum(v, wps.root, rps.root, rps.env, wps.env)
-            return dumps_avro_json(as_avro_json(rps.root, out, rps.env))
+            return dumps_avro_json(json_view(out))
 
         return s.map(one)
 
@@ -844,8 +1389,8 @@ def single_object_decode_permissive_udf(schema_json: str):
 
     @pandas_udf(out_t)
     def _decode(s: pd.Series) -> pd.DataFrame:
-        ps = parse_schema(schema_json)
-        codec = BinaryCodec(ps)
+        codec = _cached_codec(schema_json)
+        json_view = _cached_json_view(schema_json)
         header = _single_object_header(schema_json)
         values, errors = [], []
         for b in s:
@@ -858,9 +1403,7 @@ def single_object_decode_permissive_udf(schema_json: str):
                         f"schema fingerprint mismatch: message {buf[2:10].hex()}, "
                         f"reader {header[2:].hex()}"
                     )
-                values.append(
-                    dumps_avro_json(as_avro_json(ps.root, codec.decode(buf[10:]), ps.env))
-                )
+                values.append(dumps_avro_json(json_view(codec.decode(buf[10:]))))
                 errors.append(None)
             except DatumError as ex:
                 values.append(None)
@@ -907,8 +1450,8 @@ def confluent_encode_udf(schema_json: str, schema_id: int):
     def _encode(s: pd.Series) -> pd.Series:
         from ..codec.pydecode import decode_datum
 
-        ps = parse_schema(schema_json)
-        codec = BinaryCodec(ps)
+        ps = _cached_schema(schema_json)
+        codec = _cached_codec(schema_json)
         header = confluent_header(schema_id)
         return s.map(
             lambda txt: header + codec.encode(decode_datum(ps.root, json.loads(txt), ps.env))
@@ -943,15 +1486,15 @@ def confluent_decode_registry_udf(schemas_by_id: dict[int, str], reader_schema: 
     def _decode(s: pd.Series) -> pd.DataFrame:
         from ..codec.evolve import resolve_datum
 
-        rps = parse_schema(reader_schema)
+        rps = _cached_schema(reader_schema)
+        json_view = _cached_json_view(reader_schema)
         by_id = {}
         for sid, wjson in schemas_by_id.items():
-            ps = parse_schema(wjson)
-            by_id[int(sid)] = (ps, BinaryCodec(ps))
+            by_id[int(sid)] = (_cached_schema(wjson), _cached_codec(wjson))
 
         ids, jsons = [], []
         for b in s:
-            sid, txt = _confluent_one(bytes(b), by_id, rps, resolve_datum)
+            sid, txt = _confluent_one(bytes(b), by_id, rps, resolve_datum, json_view)
             ids.append(sid)
             jsons.append(txt)
         return pd.DataFrame({"schema_id": pd.array(ids, dtype="Int32"), "json": jsons})
@@ -959,7 +1502,7 @@ def confluent_decode_registry_udf(schemas_by_id: dict[int, str], reader_schema: 
     return _decode
 
 
-def _confluent_one(buf: bytes, by_id, rps, resolve_datum) -> tuple[int, str]:
+def _confluent_one(buf: bytes, by_id, rps, resolve_datum, json_view=None) -> tuple[int, str]:
     """Decode one Confluent-framed message; shared by strict + permissive.
     ``by_id`` is a dict (static id map) or any object with a dict-shaped
     ``get`` whose miss may raise DatumError itself (the registry-client
@@ -974,7 +1517,9 @@ def _confluent_one(buf: bytes, by_id, rps, resolve_datum) -> tuple[int, str]:
     wps, codec = entry
     v = codec.decode(buf[5:])
     out = resolve_datum(v, wps.root, rps.root, rps.env, wps.env)
-    return sid, dumps_avro_json(as_avro_json(rps.root, out, rps.env))
+    if json_view is None:
+        return sid, dumps_avro_json(as_avro_json(rps.root, out, rps.env))
+    return sid, dumps_avro_json(json_view(out))
 
 
 class _ClientIdResolver:
@@ -998,8 +1543,7 @@ class _ClientIdResolver:
                 wjson = self._client.schema_by_id(sid)
             except SchemaNotFoundError as ex:
                 raise DatumError(f"schema id {sid} not in registry") from ex
-            ps = parse_schema(wjson)
-            entry = self._cache[sid] = (ps, BinaryCodec(ps))
+            entry = self._cache[sid] = (_cached_schema(wjson), _cached_codec(wjson))
         return entry
 
 
@@ -1027,7 +1571,8 @@ def confluent_decode_client_udf(base_url: str, reader_schema: str, permissive: b
         from ..codec.evolve import resolve_datum
         from ..sources.schema_registry import process_client
 
-        rps = parse_schema(reader_schema)
+        rps = _cached_schema(reader_schema)
+        json_view = _cached_json_view(reader_schema)
         resolver = _ClientIdResolver(process_client(base_url))
         ids, jsons, errors = [], [], []
         for b in s:
@@ -1036,7 +1581,7 @@ def confluent_decode_client_udf(base_url: str, reader_schema: str, permissive: b
             try:
                 if len(buf) >= 5 and buf[:1] == CONFLUENT_MAGIC:
                     sid = _struct.unpack(">I", buf[1:5])[0]
-                sid, txt = _confluent_one(buf, resolver, rps, resolve_datum)
+                sid, txt = _confluent_one(buf, resolver, rps, resolve_datum, json_view)
                 ids.append(sid)
                 jsons.append(txt)
                 errors.append(None)
@@ -1082,11 +1627,11 @@ def confluent_decode_registry_permissive_udf(
     def _decode(s: pd.Series) -> pd.DataFrame:
         from ..codec.evolve import resolve_datum
 
-        rps = parse_schema(reader_schema)
+        rps = _cached_schema(reader_schema)
+        json_view = _cached_json_view(reader_schema)
         by_id = {}
         for sid, wjson in schemas_by_id.items():
-            ps = parse_schema(wjson)
-            by_id[int(sid)] = (ps, BinaryCodec(ps))
+            by_id[int(sid)] = (_cached_schema(wjson), _cached_codec(wjson))
 
         ids, jsons, errors = [], [], []
         for b in s:
@@ -1095,7 +1640,7 @@ def confluent_decode_registry_permissive_udf(
             try:
                 if len(buf) >= 5 and buf[:1] == CONFLUENT_MAGIC:
                     sid = _struct.unpack(">I", buf[1:5])[0]
-                _, txt = _confluent_one(buf, by_id, rps, resolve_datum)
+                _, txt = _confluent_one(buf, by_id, rps, resolve_datum, json_view)
                 ids.append(sid)
                 jsons.append(txt)
                 errors.append(None)

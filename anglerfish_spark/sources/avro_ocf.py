@@ -34,7 +34,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..functions.avro_binary import BinaryCodec, dumps_avro_json, read_long, write_long
+from ..functions.avro_binary import (
+    BinaryCodec,
+    _cached_codec,
+    _cached_json_view,
+    _cached_schema,
+    dumps_avro_json,
+    read_long,
+    write_long,
+)
 
 MAGIC = b"Obj\x01"
 SYNC = bytes(range(16))  # fixed marker: deterministic output files
@@ -56,7 +64,7 @@ def _write_header(out: io.BytesIO, schema_json: str) -> None:
 
 def encode_ocf(values: list, schema_json: str) -> bytes:
     """Encode a list of decoded-representation values as one OCF blob."""
-    codec = BinaryCodec(schema_json)
+    codec = _cached_codec(schema_json)
     out = io.BytesIO()
     _write_header(out, schema_json)
     if values:
@@ -97,7 +105,8 @@ def decode_ocf_with_schema(blob: bytes) -> tuple[list, str]:
             pos += vlen
     codec_name = meta.get("avro.codec", b"null")
     decompress = _block_decompressor(codec_name)
-    codec = BinaryCodec(meta["avro.schema"].decode())
+    codec = _cached_codec(meta["avro.schema"].decode())
+    dec = codec.decode_fn()
     sync = blob[pos : pos + 16]
     pos += 16
     values = []
@@ -108,7 +117,7 @@ def decode_ocf_with_schema(blob: bytes) -> tuple[list, str]:
         pos += size
         ppos = 0
         for _ in range(count):
-            v, ppos = codec._dec(codec.root, payload, ppos)
+            v, ppos = dec(payload, ppos)
             values.append(v)
         if ppos != len(payload):
             raise ValueError(f"block decoded {ppos} of {len(payload)} payload bytes")
@@ -161,9 +170,8 @@ def write_avro_ocf(df_json: DataFrame, json_col: str, schema_json: str, out_dir:
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codec.pydecode import decode_datum
-        from ..schema.parser import parse_schema
 
-        ps = parse_schema(schema_json)
+        ps = _cached_schema(schema_json)
         values = []
         for pdf in batches:
             for txt in pdf[json_col]:
@@ -196,31 +204,24 @@ def read_avro_ocf(
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..codec.evolve import resolve_datum
-        from ..functions.avro_binary import as_avro_json
-        from ..schema.parser import parse_schema
 
-        rps = parse_schema(reader_schema) if reader_schema else None
-        writer_cache: dict[str, object] = {}
+        rps = _cached_schema(reader_schema) if reader_schema else None
+        reader_view = _cached_json_view(reader_schema) if reader_schema else None
         for pdf in batches:
             rows = []
             for blob in pdf["content"]:
                 values, wjson = decode_ocf_with_schema(bytes(blob))
-                wps = writer_cache.get(wjson)
-                if wps is None:
-                    wps = writer_cache[wjson] = parse_schema(wjson)
+                wps = _cached_schema(wjson)
                 if rps is None:
                     # faithful Avro-JSON (tagged unions) against the file's
                     # own writer schema — decode_json-ready text
-                    rows.extend(
-                        json.dumps(as_avro_json(wps.root, v, wps.env)) for v in values
-                    )
+                    writer_view = _cached_json_view(wjson)
+                    rows.extend(json.dumps(writer_view(v)) for v in values)
                     continue
                 rows.extend(
                     json.dumps(
-                        as_avro_json(
-                            rps.root,
-                            resolve_datum(v, wps.root, rps.root, rps.env, wps.env),
-                            rps.env,
+                        reader_view(
+                            resolve_datum(v, wps.root, rps.root, rps.env, wps.env)
                         )
                     )
                     for v in values

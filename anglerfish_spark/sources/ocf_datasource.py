@@ -50,6 +50,7 @@ from ..schema.model import (
     AvroRecursionRef,
     AvroUnion,
 )
+from ..codec.logical import py_carrier_to_value
 from ..schema.parser import parse_schema
 from ..schema.spark_convert import to_struct_type, union_field_names
 
@@ -87,8 +88,6 @@ def _repr_to_row(t, v, env):
     if isinstance(t, (AvroPrimitive, AvroFixed)) and getattr(t, "logical", None) is not None:
         # BinaryCodec.decode returns carrier values (long micros, two's-
         # complement bytes, …); lift to the semantic Catalyst value here
-        from ..codec.logical import py_carrier_to_value
-
         return py_carrier_to_value(t.logical, v)
     if isinstance(t, (AvroPrimitive, AvroEnum, AvroFixed)):
         return bytes(v) if isinstance(v, (bytearray, memoryview)) else v
@@ -108,12 +107,13 @@ class _OcfReader(DataSourceReader):
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         from ..codec.evolve import resolve_datum
+        from ..functions.avro_binary import _cached_schema
         from .avro_ocf import decode_ocf_with_schema
 
-        rps = parse_schema(self.reader_schema_json)
+        rps = _cached_schema(self.reader_schema_json)
         with open(partition.value, "rb") as f:
             values, wjson = decode_ocf_with_schema(f.read())
-        wps = parse_schema(wjson)
+        wps = _cached_schema(wjson)
         same = wjson == self.reader_schema_json
         for v in values:
             if not same:  # per-file writer schema → reader resolution

@@ -786,3 +786,208 @@ class TestNativeAvroDispatch:
         for r in rows:
             j = json.loads(r["j"])
             assert j == {"k": r["v"]["k"], "s": r["v"]["s"]}
+
+
+class TestCompiledCodecR13Opt:
+    """r13 optimization: the schema-compiled closures (BinaryCodec
+    encode/decode fast paths, `_compile_json_view`, `_compile_semantic_view`)
+    must be indistinguishable from the retained interpreted walks — same
+    values, same exception type AND message (the permissive UDFs surface the
+    message text as oracle-checked query output)."""
+
+    LOGICAL = """
+    {"type":"record","name":"lg","fields":[
+      {"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},
+      {"name":"d","type":{"type":"int","logicalType":"date"}},
+      {"name":"dec","type":{"type":"bytes","logicalType":"decimal","precision":9,"scale":2}},
+      {"name":"tm","type":{"type":"long","logicalType":"time-micros"}},
+      {"name":"maybe_ts","type":["null",{"type":"long","logicalType":"timestamp-micros"}]}
+    ]}
+    """
+    MULTI = """
+    {"type":"record","name":"m","fields":[
+      {"name":"u","type":["null","string","long",{"type":"enum","name":"E","symbols":["A","B"]}]},
+      {"name":"fx","type":{"type":"fixed","name":"FX","size":4}},
+      {"name":"by","type":"bytes"},
+      {"name":"fl","type":"float"},
+      {"name":"arr","type":{"type":"array","items":"int"}},
+      {"name":"mp","type":{"type":"map","values":"string"}}
+    ]}
+    """
+
+    def _carrier_values(self):
+        """(schema_json, carrier value) pairs spanning every node kind:
+        recursion, logical types, multi-union (all branches incl. null),
+        fixed/bytes/float, empty and multi-block containers."""
+        from anglerfish_spark.schema.spark_convert import union_field_names
+
+        out = []
+        ps = parse_schema(F2_PRIMS)
+        out.append((F2_PRIMS, decode_datum(ps.root, F2_OK, ps.env)))
+        ps = parse_schema(F3_KITCHEN_SINK)
+        datum = {
+            "color": "GREEN",
+            "digest": "AAECAwQFBgcICQoLDA0ODw==",
+            "tags": ["a", "b", "c"],
+            "props": {"x": 1, "y": -2},
+            "choice": {"ch.test.Color": "RED"},
+            "renamed": -100,
+        }
+        out.append((F3_KITCHEN_SINK, decode_datum(ps.root, datum, ps.env)))
+        out.append((F3_KITCHEN_SINK, decode_datum(ps.root, dict(datum, choice=None), ps.env)))
+        ps = parse_schema(F1_LINKED_LIST)
+        out.append(
+            (
+                F1_LINKED_LIST,
+                decode_datum(
+                    ps.root, {"value": 1, "tail": {"foo": {"value": 2, "tail": None}}}, ps.env
+                ),
+            )
+        )
+        ps = parse_schema(self.MULTI)
+        names = union_field_names(ps.root.fields[0].type)
+
+        def ud(**kw):
+            d = dict.fromkeys(names)
+            d.update(kw)
+            return d
+
+        base = {"fx": b"abcd", "by": b"\x00\xff", "fl": 1.5, "arr": [1, -2, 3], "mp": {"k": "v"}}
+        out.append((self.MULTI, dict(base, u=None)))
+        out.append((self.MULTI, dict(base, u=ud(member_string="x"), arr=[], mp={})))
+        out.append((self.MULTI, dict(base, u=ud(member_long=-(2**40)))))
+        out.append((self.MULTI, dict(base, u=ud(member_E="B"), by=b"")))
+        out.append(
+            (
+                self.LOGICAL,
+                {
+                    "ts": 1723939200000000,
+                    "d": 19000,
+                    "dec": b"\x03\xe8",
+                    "tm": 12345678,
+                    "maybe_ts": None,
+                },
+            )
+        )
+        out.append(
+            (
+                self.LOGICAL,
+                {"ts": 0, "d": 0, "dec": b"\x80", "tm": 0, "maybe_ts": 1650000000000000},
+            )
+        )
+        return out
+
+    def test_append_long_matches_write_long(self):
+        from anglerfish_spark.functions.avro_binary import _append_long
+
+        for n in [0, -1, 1, 63, 64, -64, -65, 2**31 - 1, -(2**31), 2**62, -(2**63), 2**63 - 1]:
+            out = io.BytesIO()
+            write_long(out, n)
+            ba = bytearray()
+            _append_long(ba, n)
+            assert bytes(ba) == out.getvalue(), n
+
+    def test_encode_decode_compiled_equals_interpreted(self):
+        for sch, v in self._carrier_values():
+            codec = BinaryCodec(sch)
+            enc_new, enc_old = codec.encode(v), codec.encode_interpreted(v)
+            assert enc_new == enc_old, (sch, v)
+            dec_new, dec_old = codec.decode(enc_new), codec.decode_interpreted(enc_new)
+            assert repr(dec_new) == repr(dec_old), (sch, v)
+
+    def test_views_compiled_equals_interpreted(self):
+        from anglerfish_spark.functions.avro_binary import (
+            _compile_json_view,
+            _compile_semantic_view,
+            _semantic_value,
+            as_avro_json,
+        )
+
+        for sch, v in self._carrier_values():
+            ps = parse_schema(sch)
+            jv = _compile_json_view(ps.root, ps.env)
+            sv = _compile_semantic_view(ps.root, ps.env)
+            assert repr(jv(v)) == repr(as_avro_json(ps.root, v, ps.env)), (sch, v)
+            assert repr(sv(v)) == repr(_semantic_value(ps.root, v, ps.env)), (sch, v)
+
+    def test_view_error_paths_identical(self):
+        from anglerfish_spark.functions.avro_binary import (
+            _compile_json_view,
+            as_avro_json,
+        )
+        from anglerfish_spark.schema.spark_convert import union_field_names
+
+        ps = parse_schema(self.MULTI)
+        names = union_field_names(ps.root.fields[0].type)
+        bad = {
+            "u": dict.fromkeys(names),  # all-None member dict: no branch
+            "fx": b"abcd",
+            "by": b"",
+            "fl": 1.0,
+            "arr": [],
+            "mp": {},
+        }
+        jv = _compile_json_view(ps.root, ps.env)
+
+        def run(f):
+            try:
+                return ("ok", repr(f()))
+            except Exception as ex:  # noqa: BLE001 — comparing exact outcome
+                return (type(ex).__name__, str(ex))
+
+        assert run(lambda: jv(bad)) == run(lambda: as_avro_json(ps.root, bad, ps.env))
+
+    def test_corruption_differential(self):
+        """Truncations, bit flips, and trailing garbage must produce the
+        SAME outcome (decoded value or exception type+message) from the
+        compiled and interpreted decoders."""
+        import random
+
+        rng = random.Random(1307)
+        cases = 0
+        for sch, v in self._carrier_values():
+            codec = BinaryCodec(sch)
+            good = codec.encode(v)
+            for _ in range(400):
+                b = bytearray(good)
+                op = rng.randrange(3)
+                if op == 0 and len(b) > 1:
+                    b = b[: rng.randrange(len(b))]
+                elif op == 1 and len(b) > 0:
+                    b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                else:
+                    b = b + bytes([rng.randrange(256)])
+                buf = bytes(b)
+
+                def run(f):
+                    try:
+                        return ("ok", repr(f(buf)))
+                    except Exception as ex:  # noqa: BLE001
+                        return (type(ex).__name__, str(ex))
+
+                assert run(codec.decode) == run(codec.decode_interpreted), buf.hex()
+                cases += 1
+        assert cases >= 4000
+
+    def test_encode_error_paths_identical(self):
+        """Union misuse must raise the same UnionResolutionError text from
+        the compiled encoder as from the interpreted one."""
+        from anglerfish_spark.schema.spark_convert import union_field_names
+
+        ps = parse_schema(self.MULTI)
+        codec = BinaryCodec(self.MULTI)
+        names = union_field_names(ps.root.fields[0].type)
+        base = {"fx": b"abcd", "by": b"", "fl": 1.0, "arr": [], "mp": {}}
+        bad_values = [
+            dict(base, u=dict.fromkeys(names)),  # no non-null member
+            dict(base, u="bare-string"),  # multi-union needs a member dict
+        ]
+
+        def run(f, v):
+            try:
+                return ("ok", f(v).hex())
+            except Exception as ex:  # noqa: BLE001
+                return (type(ex).__name__, str(ex))
+
+        for v in bad_values:
+            assert run(codec.encode, v) == run(codec.encode_interpreted, v), v
