@@ -54,6 +54,7 @@ from ..schema.model import (
     type_name,
 )
 from ..schema.spark_convert import union_field_names
+from .logical import py_carrier_to_value
 
 INT32_MIN, INT32_MAX = -(2**31), 2**31 - 1
 INT64_MIN, INT64_MAX = -(2**63), 2**63 - 1
@@ -100,8 +101,6 @@ class Decoder:
         if isinstance(t, AvroPrimitive):
             out = self._prim(t.kind, value, path)
             if t.logical is not None:
-                from .logical import py_carrier_to_value
-
                 return py_carrier_to_value(t.logical, out, path)
             return out
         if isinstance(t, AvroEnum):
@@ -115,8 +114,6 @@ class Decoder:
             if len(raw) != t.length:
                 raise FixedError(f"{path}: fixed {t.fqn} expects {t.length} bytes, got {len(raw)}")
             if t.logical is not None:  # decimal-annotated fixed
-                from .logical import py_carrier_to_value
-
                 return py_carrier_to_value(t.logical, raw, path)
             return raw
         if isinstance(t, AvroArray):

@@ -31,6 +31,7 @@ import uuid
 from collections.abc import Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -243,8 +244,6 @@ def _from_arrow(dt, v):
     conflated the two and silently nulled NaN).  Only structural fixups are
     needed: Arrow map cells are ``[(k, v), …]`` tuple lists → dict; list
     and struct cells recurse on their element types."""
-    import pyarrow as pa
-
     if v is None:
         return None
     if pa.types.is_map(dt):
