@@ -1532,3 +1532,87 @@ class TestCompositeKeyMirror:
         # MoR: the original files are still referenced byte-for-byte
         mf = read_manifest(mirror)
         assert set(m1["files"]) <= set(mf["files"])
+
+
+class TestFeedPartialFoldR14Opt:
+    """r14-opt: q_stream_table_feed consumes the feed as per-micro-batch
+    PARTIAL aggregates (count + exact DECIMAL(38,10) sum) re-aggregated
+    at the end, instead of draining full rows into a memory sink.  The
+    availableNow drain the query runs is a single micro-batch, so this
+    pins the property the reshape relies on across MULTIPLE batches:
+    folding each batch separately and re-aggregating the partials is
+    row-identical to the one-shot aggregate over the whole feed."""
+
+    def test_multibatch_partials_equal_oneshot(self, spark, tmp_path):
+        from anglerfish_spark.localdata import local_df
+        from anglerfish_spark.operators.common import dsum
+        from anglerfish_spark.sources.manifest_table import delete_keys, upsert
+        from anglerfish_spark.sources.read_path import table_changes
+        from anglerfish_spark.streaming.stateful import await_or_fail
+        from anglerfish_spark.streaming.table_feed import read_table_feed
+
+        t = str(tmp_path / "t")
+        # values with a fractional part that is inexact in binary double:
+        # partial-vs-oneshot FLOAT summation would differ, decimal must not
+        df = spark.range(200).select(
+            F.col("id").alias("k"), (F.col("id") * 0.1 + 0.01).alias("v")
+        )
+        upsert(spark, t, df, ["k"])                                          # v1
+        partials: list = []
+
+        def fold(batch, epoch):
+            partials.extend(
+                batch.groupBy("_change_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("v").cast("decimal(38,10)")).alias("s"),
+                )
+                .collect()
+            )
+
+        cp = str(tmp_path / "cp")
+
+        def drain():
+            q = (
+                read_table_feed(spark, t)
+                .select("_change_type", "v")
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+            )
+            await_or_fail(q)
+
+        drain()                                                              # batch 1: v1
+        upsert(spark, t, spark.createDataFrame(
+            [(3, 33.3), (500, 5.55)], "k long, v double"), ["k"])            # v2
+        delete_keys(spark, t, "k", spark.createDataFrame([(7,)], "k long"))  # v3
+        drain()                                                              # batch 2: v2+v3
+        assert len(partials) >= 3  # both drains contributed partial rows
+
+        got = sorted(
+            tuple(r)
+            for r in local_df(
+                spark,
+                [(r["_change_type"], r["n"], r["s"]) for r in partials],
+                "change_type string, n bigint, s decimal(38,10)",
+            )
+            .groupBy("change_type")
+            .agg(
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.sum("s").cast("double").alias("total"),
+            )
+            .collect()
+        )
+        feed, mode = table_changes(spark, t, 0, 3)
+        assert mode == "logged"
+        want = sorted(
+            tuple(r)
+            for r in feed.groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                dsum(F.col("v")).alias("total"),
+            )
+            .collect()
+        )
+        assert got == want
