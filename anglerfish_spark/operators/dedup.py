@@ -1790,9 +1790,12 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar subquery (at sf ≤ 0.1 it equals the old fixed SEMDEDUP_K)
     import math
 
+    from ..sources.registry import table_row_count
+
+    # footer num_rows == count() exactly; zero Spark jobs (r14-opt)
     sem_k = max(
         SEMDEDUP_K,
-        math.ceil(load_table(spark, sf_dir, "embeddings").count() / CURATION_CELL_TARGET),
+        math.ceil(table_row_count(spark, sf_dir, "embeddings") / CURATION_CELL_TARGET),
     )
     cents = e.where(F.col("vec_id") < sem_k).select(
         F.col("vec_id").alias("cell_id"), as_double.alias("ce")
@@ -1837,7 +1840,12 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
         "3_semantic",
     )
-    surv3 = ckpt(surv2.join(removed3, "doc_id", "left_anti"), "3_semantic")
+    # surv3 has exactly ONE consumer (the substr stage's semi-join), so a
+    # checkpoint here bought nothing: the anti-join reads two already-
+    # checkpointed doc_id lists and runs once either way (r14-opt — the
+    # other surv/removed sets keep their barriers because >=2 branches
+    # read them)
+    surv3 = surv2.join(removed3, "doc_id", "left_anti")
 
     d3 = d.join(surv3, "doc_id", "left_semi")
     grams = (

@@ -54,6 +54,23 @@ def _scan_parallelism(path: str) -> int | None:
         return None
 
 
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of a catalog table from the parquet FOOTER —
+    metadata-scale driver work (the footer's num_rows is exact, the same
+    number a full ``count()`` job returns), so sizing decisions (e.g.
+    the curation pipeline's corpus-scaled centroid count) cost zero
+    Spark jobs.  Falls back to ``count()`` if the footer is unreadable."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return load_table(spark, sf_dir, name).count()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, fanout: bool = False) -> DataFrame:
     """Read one catalog table from a scale-factor directory.
 
