@@ -1093,7 +1093,12 @@ def decode_json_python(
     def run(batches):
         import pandas as pd
 
-        dec = _PyDecoder(env, max_depth)
+        from .pydecode import compile_decoder
+
+        # schema-compiled once per task (r14-opt, guide §4.2) — exception
+        # type+message identical to the _PyDecoder reference twin by the
+        # differential suite, so the permissive error column is unchanged
+        dec_fn = compile_decoder(root, env, max_depth)
         for pdf in batches:
             decoded, errs = [], []
             for txt in pdf[col]:
@@ -1110,7 +1115,7 @@ def decode_json_python(
                     errs.append(["UnexpectedJsonTypeError@$"])
                     continue
                 try:
-                    decoded.append(dec.decode(root, datum))
+                    decoded.append(dec_fn(datum))
                     errs.append([])
                 except DatumError as ex:
                     if strict:

@@ -255,3 +255,253 @@ def decode_datum(
 ) -> Any:
     """Decode one already-parsed JSON value against a schema, strictly."""
     return Decoder(env or {}, max_depth).decode(t, value)
+
+
+# ---------------------------------------------------------------------------
+# schema-compiled decoder (r14-opt, guide §4.2 — the change-#14 pattern)
+# ---------------------------------------------------------------------------
+
+
+def compile_decoder(t: AvroType, env: dict[str, AvroType] | None = None, max_depth: int = 10):
+    """Compile a schema into a ``f(value, path="$") -> decoded`` closure
+    tree — the bulk twin of :class:`Decoder` for per-row hot loops
+    (``decode_json_python``'s mapInPandas stage, the OCF writer's strict
+    pre-encode): the per-value isinstance dispatch over schema nodes and
+    the per-call attribute walks happen ONCE per schema instead of once
+    per value.  :class:`Decoder` stays as the readable REFERENCE
+    implementation; the differential suite
+    (tests/test_codec_pydecode_compiled.py) pins compiled-vs-interpreted
+    output AND exception type + message over every node kind and a
+    corruption battery, because the permissive UDFs surface the error
+    identity as oracle-checked output.
+
+    Recursion-depth semantics match the reference exactly: one shared
+    per-compiled-decoder depth map, record entry/exit bracketed, the
+    bound checked at every recursion-ref expansion — so a closure is
+    reusable across calls (depth always unwinds) but, like a reused
+    :class:`Decoder`, not thread-safe."""
+    env = env or {}
+    depth: dict[str, int] = {}
+    named_cells: dict[str, list] = {}
+
+    def c_prim(kind: Primitive, logical):
+        if kind is Primitive.NULL:
+            def f(value, path):
+                if value is not None:
+                    raise UnexpectedTypeError(f"{path}: expected null, got {type(value).__name__}")
+                return None
+        elif kind is Primitive.BOOLEAN:
+            def f(value, path):
+                if not isinstance(value, bool):
+                    raise UnexpectedTypeError(f"{path}: expected boolean, got {type(value).__name__}")
+                return value
+        elif kind is Primitive.INT:
+            def f(value, path):
+                if isinstance(value, bool) or not isinstance(value, int):
+                    raise UnexpectedTypeError(f"{path}: expected JSON integer, got {value!r}")
+                if not INT32_MIN <= value <= INT32_MAX:
+                    if INT64_MIN <= value <= INT64_MAX:
+                        raise UnexpectedTypeError(f"{path}: {value} overflows int32")
+                    raise UnrepresentableError(f"{path}: {value} not representable as int")
+                return value
+        elif kind is Primitive.LONG:
+            def f(value, path):
+                if isinstance(value, bool) or not isinstance(value, int):
+                    raise UnexpectedTypeError(f"{path}: expected JSON integer, got {value!r}")
+                if not INT64_MIN <= value <= INT64_MAX:
+                    raise UnrepresentableError(f"{path}: {value} not representable as long")
+                return value
+        elif kind is Primitive.FLOAT:
+            def f(value, path):
+                if isinstance(value, bool) or not isinstance(value, float):
+                    raise UnexpectedTypeError(f"{path}: expected JSON double for float, got {value!r}")
+                if not _float_exact(value):
+                    raise UnrepresentableError(
+                        f"{path}: {value!r} is not exactly representable as float32"
+                    )
+                return value
+        elif kind is Primitive.DOUBLE:
+            def f(value, path):
+                if isinstance(value, bool) or not isinstance(value, float):
+                    raise UnexpectedTypeError(f"{path}: expected JSON double, got {value!r}")
+                return value
+        elif kind is Primitive.BYTES:
+            f = _b64
+        elif kind is Primitive.STRING:
+            def f(value, path):
+                if not isinstance(value, str):
+                    raise UnexpectedTypeError(f"{path}: expected string, got {type(value).__name__}")
+                return value
+        else:  # pragma: no cover - parser emits no other kinds
+            def f(value, path):
+                raise DatumError(f"{path}: unhandled primitive {kind}")
+        if logical is None:
+            return f
+        base = f
+
+        def lifted(value, path):
+            return py_carrier_to_value(logical, base(value, path), path)
+
+        return lifted
+
+    def c_node(t):
+        if isinstance(t, AvroRecursionRef):
+            fqn = t.fqn
+            target = env.get(fqn)
+            if target is None:
+                def dangling(value, path):
+                    raise DatumError(f"{path}: dangling recursion ref {fqn!r}")
+                return dangling
+            cell = named_cells.get(fqn)
+            if cell is None:
+                cell = named_cells[fqn] = []
+                cell.append(c_node(target))
+
+            def ref(value, path):
+                if depth.get(fqn, 0) >= max_depth:
+                    raise UnrepresentableError(
+                        f"{path}: datum exceeds recursion depth bound {max_depth} for {fqn!r}"
+                    )
+                return cell[0](value, path)
+
+            return ref
+        if isinstance(t, AvroPrimitive):
+            return c_prim(t.kind, t.logical)
+        if isinstance(t, AvroEnum):
+            sym_set = frozenset(t.symbols)
+            sym_list = list(t.symbols)
+
+            def enum(value, path):
+                if not isinstance(value, str):
+                    raise UnexpectedTypeError(f"{path}: enum expects string, got {type(value).__name__}")
+                if value not in sym_set:
+                    raise EnumError(f"{path}: {value!r} not in symbols {sym_list}")
+                return value
+
+            return enum
+        if isinstance(t, AvroFixed):
+            fqn, length, logical = t.fqn, t.length, t.logical
+
+            def fixed(value, path):
+                raw = _b64(value, path)
+                if len(raw) != length:
+                    raise FixedError(f"{path}: fixed {fqn} expects {length} bytes, got {len(raw)}")
+                if logical is not None:
+                    return py_carrier_to_value(logical, raw, path)
+                return raw
+
+            return fixed
+        if isinstance(t, AvroArray):
+            item = c_node(t.items)
+
+            def arr(value, path):
+                if not isinstance(value, list):
+                    raise ArrayError(f"{path}: expected JSON array, got {type(value).__name__}")
+                return [item(v, f"{path}[{i}]") for i, v in enumerate(value)]
+
+            return arr
+        if isinstance(t, AvroMap):
+            val = c_node(t.values)
+
+            def mp(value, path):
+                if not isinstance(value, dict):
+                    raise UnexpectedTypeError(
+                        f"{path}: expected JSON object (map), got {type(value).__name__}"
+                    )
+                return {k: val(v, f"{path}.{k}") for k, v in value.items()}
+
+            return mp
+        if isinstance(t, AvroUnion):
+            return c_union(t)
+        if isinstance(t, AvroRecord):
+            return c_record(t)
+
+        def unknown(value, path):
+            raise DatumError(f"{path}: unexpected schema node {t!r}")
+
+        return unknown
+
+    def c_union(u: AvroUnion):
+        non_null = u.non_null_members
+        multi = len(non_null) > 1
+        nullable = u.is_nullable
+        branch_keys = [type_name(m) for m in non_null]
+        names = union_field_names(u) if multi else None
+        # key -> (output name | None, member closure); duplicates keep the
+        # reference's decode-time ambiguity error
+        branch_map: dict[str, Any] = {}
+        for i, (key, m) in enumerate(zip(branch_keys, non_null)):
+            if key in branch_map:
+                branch_map[key] = "ambiguous"
+            else:
+                branch_map[key] = (names[i] if multi else None, c_node(m))
+
+        def union(value, path):
+            if value is None:
+                if not nullable:
+                    raise UnionError(f"{path}: null not permitted by union")
+                return None
+            if not isinstance(value, dict):
+                raise UnionError(
+                    f"{path}: union datum must be null or a single-key object, got {value!r}"
+                )
+            if len(value) != 1:
+                raise UnionError(
+                    f"{path}: union object must have exactly one key, got {sorted(value)}"
+                )
+            (key, inner), = value.items()
+            ent = branch_map.get(key)
+            if ent is None:
+                raise UnionResolutionError(
+                    f"{path}: no union branch named {key!r}; branches: {branch_keys}"
+                )
+            if ent == "ambiguous":
+                raise UnionResolutionError(f"{path}: ambiguous union branch {key!r}")
+            out_name, member = ent
+            decoded = member(inner, f"{path}.{key}")
+            if out_name is None:
+                return decoded
+            out = dict.fromkeys(names)
+            out[out_name] = decoded
+            return out
+
+        return union
+
+    def c_record(r: AvroRecord):
+        fqn = r.fqn
+        field_names = frozenset(f.name for f in r.fields)
+        # (name, closure, has_default, default) in schema field order
+        fields_c = [(f.name, c_node(f.type), f.has_default, f.default) for f in r.fields]
+
+        def rec(value, path):
+            if not isinstance(value, dict):
+                raise UnexpectedTypeError(f"{path}: expected JSON object, got {type(value).__name__}")
+            if not value.keys() <= field_names:
+                extra = set(value) - field_names
+                raise RecordError(f"{path}: unexpected fields {sorted(extra)} for record {fqn}")
+            n = depth.get(fqn, 0)
+            depth[fqn] = n + 1
+            try:
+                out: dict[str, Any] = {}
+                for name, dec, has_default, default in fields_c:
+                    if name in value:
+                        out[name] = dec(value[name], f"{path}.{name}")
+                    elif has_default:
+                        # decoded per use, never cached: the reference
+                        # decodes the default against the CURRENT depth
+                        # state and returns a fresh object each time
+                        out[name] = dec(default, f"{path}.{name}")
+                    else:
+                        raise RecordError(f"{path}: missing required field {name!r} of {fqn}")
+                return out
+            finally:
+                depth[fqn] = n
+
+        return rec
+
+    root = c_node(t)
+
+    def decode(value, path="$"):
+        return root(value, path)
+
+    return decode

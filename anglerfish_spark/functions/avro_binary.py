@@ -926,6 +926,16 @@ def _cached_semantic_view(schema_json: str):
     return _compile_semantic_view(ps.root, ps.env)
 
 
+@lru_cache(maxsize=256)
+def _cached_pydecoder(schema_json: str):
+    """Schema-compiled strict Avro-JSON datum decoder (r14-opt): the
+    pydecode reference semantics, compiled once per (process, schema)."""
+    from ..codec.pydecode import compile_decoder
+
+    ps = _cached_schema(schema_json)
+    return compile_decoder(ps.root, ps.env)
+
+
 def avro_encode_udf(schema_json: str):
     """Series→Series pandas UDF: strict-decode Avro-JSON text and emit Avro
     binary.  Schema is closed over (parsed once per executor)."""
@@ -933,13 +943,9 @@ def avro_encode_udf(schema_json: str):
 
     @pandas_udf(T.BinaryType())
     def _encode(s: pd.Series) -> pd.Series:
-        from ..codec.pydecode import decode_datum
-
-        ps = _cached_schema(schema_json)
         codec = _cached_codec(schema_json)
-        return s.map(
-            lambda txt: codec.encode(decode_datum(ps.root, json.loads(txt), ps.env))
-        )
+        dec_fn = _cached_pydecoder(schema_json)  # r14-opt: compiled, per-process
+        return s.map(lambda txt: codec.encode(dec_fn(json.loads(txt))))
 
     return _encode
 
@@ -993,14 +999,10 @@ def single_object_encode_udf(schema_json: str):
 
     @pandas_udf(T.BinaryType())
     def _encode(s: pd.Series) -> pd.Series:
-        from ..codec.pydecode import decode_datum
-
-        ps = _cached_schema(schema_json)
         codec = _cached_codec(schema_json)
         header = _single_object_header(schema_json)
-        return s.map(
-            lambda txt: header + codec.encode(decode_datum(ps.root, json.loads(txt), ps.env))
-        )
+        dec_fn = _cached_pydecoder(schema_json)  # r14-opt: compiled, per-process
+        return s.map(lambda txt: header + codec.encode(dec_fn(json.loads(txt))))
 
     return _encode
 
@@ -1448,14 +1450,10 @@ def confluent_encode_udf(schema_json: str, schema_id: int):
 
     @pandas_udf(T.BinaryType())
     def _encode(s: pd.Series) -> pd.Series:
-        from ..codec.pydecode import decode_datum
-
-        ps = _cached_schema(schema_json)
         codec = _cached_codec(schema_json)
         header = confluent_header(schema_id)
-        return s.map(
-            lambda txt: header + codec.encode(decode_datum(ps.root, json.loads(txt), ps.env))
-        )
+        dec_fn = _cached_pydecoder(schema_json)  # r14-opt: compiled, per-process
+        return s.map(lambda txt: header + codec.encode(dec_fn(json.loads(txt))))
 
     return _encode
 

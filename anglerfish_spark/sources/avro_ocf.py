@@ -170,13 +170,15 @@ def write_avro_ocf(df_json: DataFrame, json_col: str, schema_json: str, out_dir:
     os.makedirs(out_dir, exist_ok=True)
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..codec.pydecode import decode_datum
+        from ..functions.avro_binary import _cached_pydecoder
 
-        ps = _cached_schema(schema_json)
+        # schema-compiled + per-process cached (r14-opt): the pre-r14 loop
+        # built a fresh interpreted Decoder PER ROW
+        dec_fn = _cached_pydecoder(schema_json)
         values = []
         for pdf in batches:
             for txt in pdf[json_col]:
-                values.append(decode_datum(ps.root, json.loads(txt), ps.env))
+                values.append(dec_fn(json.loads(txt)))
         path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.avro")
         with open(path, "wb") as f:
             f.write(encode_ocf(values, schema_json))
