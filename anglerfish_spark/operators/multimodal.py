@@ -811,28 +811,45 @@ def _png_unfilter(raw: bytes, off: int, pw: int, ph: int, bpp: int):
         elif ft == 2:  # Up: uint8 add wraps mod 256
             np.add(scan, prev, out=row)
         elif ft == 3:  # Average: loop-carried via the left neighbor
+            # r14-opt: head/tail split (the first bpp bytes have a = 0,
+            # so they reduce to s + p//2) + a trailing iterator over the
+            # output list that stays exactly bpp elements behind the
+            # append — no per-byte index arithmetic or conditionals.
+            # Exact by construction (same mod-256 floor recurrence); an
+            # iterate-to-fixpoint numpy formulation was measured and
+            # REJECTED: the floor recurrence admits parity 2-cycles
+            # (persistent +/-1 error), so it neither converges reliably
+            # nor beats this loop.
             sl = scan.tolist()
             pv = prev.tolist()
-            ob = bytearray(stride)
-            for c in range(stride):
-                a = ob[c - bpp] if c >= bpp else 0
-                ob[c] = (sl[c] + (a + pv[c]) // 2) & 0xFF
-            row[:] = np.frombuffer(bytes(ob), dtype=np.uint8)
+            o: list[int] = []
+            ap = o.append
+            for sc, pc in zip(sl[:bpp], pv[:bpp]):
+                ap((sc + (pc >> 1)) & 0xFF)
+            a_it = iter(o)
+            for sc, pc in zip(sl[bpp:], pv[bpp:]):
+                ap((sc + ((next(a_it) + pc) >> 1)) & 0xFF)
+            row[:] = o
         else:  # Paeth predictor (PNG spec 9.4): loop-carried likewise
+            # r14-opt, same shape.  Head proof (c < bpp, a = cc = 0):
+            # p = b, pa = |b|, pb = 0, pc = |b|; b > 0 picks pb's branch
+            # -> pred = b, b == 0 picks a = 0 == b -> pred == b always.
             sl = scan.tolist()
             pv = prev.tolist()
-            ob = bytearray(stride)
-            for c in range(stride):
-                a = ob[c - bpp] if c >= bpp else 0
-                b = pv[c]
-                cc = pv[c - bpp] if c >= bpp else 0
+            o = []
+            ap = o.append
+            for sc, b in zip(sl[:bpp], pv[:bpp]):
+                ap((sc + b) & 0xFF)
+            a_it = iter(o)
+            for sc, b, cc in zip(sl[bpp:], pv[bpp:], pv):
+                a = next(a_it)
                 p = a + b - cc
                 pa = p - a if p >= a else a - p
                 pb = p - b if p >= b else b - p
                 pc = p - cc if p >= cc else cc - p
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
-                ob[c] = (sl[c] + pred) & 0xFF
-            row[:] = np.frombuffer(bytes(ob), dtype=np.uint8)
+                ap((sc + pred) & 0xFF)
+            row[:] = o
         prev = row
         off += stride + 1
     return out, off
