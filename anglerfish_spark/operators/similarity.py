@@ -189,6 +189,7 @@ def ann_lsh_topk(
     queries: DataFrame,
     k: int = TOP_K,
     n_probes: int = N_PROBES_LSH,
+    rerank_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via MULTI-PROBE banded LSH (OR-construction):
     a candidate is any vector sharing at least one of the query's
@@ -207,7 +208,17 @@ def ann_lsh_topk(
     payload is attached (band rows carry ids only, so the explode ships
     16×ids, not 16×vectors), and full-dim cosine runs once per distinct
     candidate pair (candidate-fraction · N · |Q| scores; measured
-    fractions per probe width in SCALE.md r8)."""
+    fractions per probe width in SCALE.md r8).
+
+    ``rerank_corpus`` (r14-opt): the relation the candidate ids join
+    back to for exact scoring.  Defaults to ``corpus``; pass a plain
+    (un-fanned) load when ``corpus`` carries a small-input fan-out
+    repartition — the rerank side is either broadcast (locally) or
+    re-shuffled by the join key (at scale), so a round-robin exchange
+    below it is pure cost (guide §2.4; the plan showed
+    ``Exchange RoundRobin → BroadcastExchange``)."""
+    if rerank_corpus is None:
+        rerank_corpus = corpus
     csig = corpus.select(
         "vec_id", lsh_signature_batch(F.col("embedding"), _BAND_PLANES).alias("sig")
     )
@@ -229,7 +240,7 @@ def ann_lsh_topk(
         .distinct()
     )
     cand = (
-        pairs.join(corpus, "vec_id")
+        pairs.join(rerank_corpus, "vec_id")
         .join(F.broadcast(queries.select("query_id", "qe")), "query_id")
         .select(
             "query_id",
@@ -306,9 +317,12 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale paths."""
     prepare(spark)
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
+    # the |Q|-row query side is BROADCAST — deriving it from the fanned
+    # corpus put a round-robin exchange under the BroadcastExchange,
+    # pure cost (r14-opt, guide §2.4)
+    q = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     return exact_topk(e, q, TOP_K)
 
 
@@ -538,11 +552,16 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits, so the candidate SETS must match exactly, not just the final
     ranking.  Scale shape in :func:`ann_lsh_topk`."""
     prepare(spark)
+    # fan out ONLY the corpus signature side (CPU-dense Arrow UDF over
+    # every vector); the |Q|-row query side and the rerank join side are
+    # broadcast-or-reshuffled, where the round-robin exchange was pure
+    # cost (r14-opt, guide §2.4)
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
+    eq = load_table(spark, sf_dir, "embeddings")
+    q = eq.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    return ann_lsh_topk(e, q, TOP_K)
+    return ann_lsh_topk(e, q, TOP_K, rerank_corpus=eq)
 
 
 # ---------------------------------------------------------------------------
@@ -653,7 +672,10 @@ def ivf_probe_persisted(
     re-trained one) instead of the cached vec_id-seeded set — both
     default to the standing demo index."""
     prepare(spark)
-    e = load_table(spark, sf_dir, "embeddings", fanout=True)
+    # no fanout (r14-opt): e feeds only metadata-scale work here (cached
+    # centroids, the |Q|-row probe relation, the probe-cell collect); the
+    # heavy side is the pruned read of the persisted cell partitions
+    e = load_table(spark, sf_dir, "embeddings")
     ranking = (
         _cell_ranking(F.col("embedding"), centroids)
         if centroids is not None
@@ -856,8 +878,12 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_cells = F.array(
         *[(F.element_at(ranking, -1 - i)["nc"] * -1) for i in range(N_PROBE)]
     )
+    # the |Q|-row broadcast probe side comes from a plain load: deriving
+    # it from the fanned corpus put a round-robin exchange under the
+    # BroadcastExchange (r14-opt, guide §2.4)
     probes = (
-        e.where(F.col("vec_id") < N_QUERIES)
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
@@ -1240,7 +1266,9 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), "vec_id")
     return (
-        _pq_adc_scores(spark, e, sf_dir)
+        _pq_adc_scores(
+            spark, e, sf_dir, queries_src=load_table(spark, sf_dir, "embeddings")
+        )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "rank", "vec_id", "adc_dist")
@@ -1248,16 +1276,29 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_adc_scores(spark: SparkSession, e: DataFrame, sf_dir: str) -> DataFrame:
+def _pq_adc_scores(
+    spark: SparkSession,
+    e: DataFrame,
+    sf_dir: str,
+    queries_src: DataFrame | None = None,
+) -> DataFrame:
     """(query_id, vec_id, adc_dist) for every query x candidate: the ADC
     scan shared by q_pq_topk (ranks ADC directly) and q_pq_rerank
-    (shortlists on ADC, reranks exactly)."""
+    (shortlists on ADC, reranks exactly).  ``queries_src`` (r14-opt) is
+    the relation the |Q| query vectors are COLLECTED from — pass a plain
+    (un-fanned) load when ``e`` carries a small-input fan-out
+    repartition, so the metadata-scale collect skips the round-robin
+    exchange; defaults to ``e``."""
     cb = _pq_codebook(e, cache_key=sf_dir)
+    if queries_src is None:
+        queries_src = e
 
     # driver-side LUTs from the collected query vectors (metadata-scale)
     q_rows = sorted(
         (r.vec_id, [float(x) for x in r.embedding])
-        for r in e.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect()
+        for r in queries_src.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
     )
     lut_rows = []
     for qid, qe in q_rows:
@@ -1394,14 +1435,16 @@ def q_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, not corpus scale — and the final sort is per-query top-k."""
     prepare(spark)
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
-    adc = _pq_adc_scores(spark, e, sf_dir)
+    eq = load_table(spark, sf_dir, "embeddings")
+    adc = _pq_adc_scores(spark, e, sf_dir, queries_src=eq)
     w_short = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), "vec_id")
     short = (
         adc.withColumn("srn", F.row_number().over(w_short))
         .where(F.col("srn") <= TOP_K * RERANK_MULT)
         .select("query_id", "vec_id")
     )
-    qdf = e.where(F.col("vec_id") < N_QUERIES).select(
+    # broadcast |Q|-row side from the plain load (r14-opt, guide §2.4)
+    qdf = eq.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     diffs = F.zip_with(
