@@ -91,13 +91,23 @@ def events_as_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _read_fanned(spark: SparkSession, path: str) -> DataFrame:
-    """Read a materialized message relation at consumer parallelism.  The
-    stand-in files are small enough that the scan packs them into a few
-    input partitions (maxPartitionBytes), which would serialize the decode
-    UDF; a real topic is consumed across its partitions, so re-fan to the
-    session's parallelism — the shuffle moves only the message bytes."""
+    """Read a materialized message relation at consumer parallelism.  A
+    real topic is consumed across its partitions, so the decode UDF must
+    not serialize onto one core.  The scan usually delivers that by
+    itself: the stand-in is written as ~defaultParallelism files and
+    Spark's split packing floors scan parallelism at
+    ``spark.sql.files.minPartitionNum`` (defaults to the session's
+    parallelism), so the unconditional ``repartition`` this helper used
+    to apply was a redundant exchange — measured 1.35 -> 1.05 s on the
+    q_stream_decode shape at sf0.1 (r14-opt, guide §2.4).  The shuffle
+    is kept ONLY for the degenerate layout (scan partitions well below
+    the session's parallelism, e.g. a single-file stand-in under a
+    hostile conf)."""
     df = spark.read.parquet(path)
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
+    return df
 
 
 def decode_messages(messages: DataFrame) -> DataFrame:
