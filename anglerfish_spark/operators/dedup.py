@@ -1405,6 +1405,72 @@ def gram_hashes(tok: Column, n: int) -> Column:
     return gh(tok)
 
 
+def assign_cells_batch(
+    emb: Column, cent_rows: list[tuple[int, list[float]]]
+) -> Column:
+    """``struct<cell_id:int, n:double>`` — nearest-centroid assignment +
+    own-norm, Arrow-vectorized (r14-opt, guide §4.2), bit-identical to
+    the ``crossJoin(broadcast(cents)) → cosine → row_number`` expression
+    form it replaces in the curation pipeline:
+
+    * every dot accumulates ``acc = acc + x_i * y_i`` SEQUENTIALLY over
+      dimensions (one numpy rank-1 update per dim, vectorized across
+      rows×centroids) — the exact float-op order of
+      :func:`similarity.dot`, the ``lsh_signature_batch`` precedent;
+    * the score is ``dot / (n_emb * n_cent)`` with both norms'
+      ``sqrt(dot(x,x))`` folded the same way — identical to
+      :func:`similarity.cosine`'s ``dot/(sqrt·sqrt)``;
+    * the winner is the FIRST maximum over centroids sorted by cell_id —
+      ``row_number over (cscore DESC, cell_id ASC)``'s pick;
+    * a NULL embedding yields (smallest cell_id, NULL n) — what the
+      window form produces when every cscore is NULL;
+    * a ZERO-norm embedding or centroid RAISES, matching the engine's
+      ANSI posture (the expression form raises DIVIDE_BY_ZERO on the
+      cosine divide; silently emitting NaN would hide it).
+
+    Pinned by tests/test_dedup.py::TestAssignCellsBatchR14Opt against
+    the expression form over the real corpus and tie/zero/null edges.
+    Replaces a |survivors| × K row expansion + interpreted cosine folds
+    + one window exchange with a single Arrow map pass."""
+    cent_rows = sorted(cent_rows)
+    cent_ids = np.array([c for c, _ in cent_rows], dtype=np.int32)
+    C = np.array([v for _, v in cent_rows], dtype=np.float64)  # (K, dim)
+    accC = np.zeros(len(cent_rows), dtype=np.float64)
+    for i in range(C.shape[1]):
+        accC += C[:, i] * C[:, i]
+    cn = np.sqrt(accC)  # (K,)
+
+    @F.pandas_udf("struct<cell_id:int, n:double>")
+    def assign(v: pd.Series) -> pd.DataFrame:
+        k = len(v)
+        cells = np.full(k, cent_ids[0] if len(cent_ids) else 0, dtype=np.int32)
+        norms: list = [None] * k
+        mask = v.notna().to_numpy()
+        if mask.any():
+            X = np.stack(v.to_numpy()[mask]).astype(np.float64)  # (m, dim)
+            accD = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+            accN = np.zeros(X.shape[0], dtype=np.float64)
+            for i in range(X.shape[1]):
+                xi = X[:, i]
+                accD += xi[:, None] * C[:, i]
+                accN += xi * xi
+            n = np.sqrt(accN)
+            denom = n[:, None] * cn[None, :]
+            if not denom.all():
+                raise ArithmeticError(
+                    "Division by zero in cell assignment: zero-norm "
+                    "embedding or centroid (ANSI cosine would raise "
+                    "DIVIDE_BY_ZERO)"
+                )
+            scores = accD / denom
+            cells[mask] = cent_ids[np.argmax(scores, axis=1)]
+            for j, val in zip(np.flatnonzero(mask), n):
+                norms[j] = float(val)
+        return pd.DataFrame({"cell_id": cells, "n": pd.Series(norms, dtype="object")})
+
+    return assign(emb)
+
+
 @query(
     "q_dedup_substrings",
     oracle=f"""
@@ -1707,8 +1773,6 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     from pyspark.sql import Window
 
-    from .similarity import cosine
-
     d = load_table(spark, sf_dir, "documents", fanout=True)
     tok = tokens()
     base = d.select(
@@ -1797,13 +1861,22 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         SEMDEDUP_K,
         math.ceil(table_row_count(spark, sf_dir, "embeddings") / CURATION_CELL_TARGET),
     )
-    cents = e.where(F.col("vec_id") < sem_k).select(
-        F.col("vec_id").alias("cell_id"), as_double.alias("ce")
-    )
+    # centroids collected once (K rows, the metadata-scale quantizer —
+    # the same rows the old shape broadcast into a crossJoin); the
+    # Arrow-batched assignment then replaces a |survivors| × K row
+    # expansion + interpreted cosine folds + the assignment window's
+    # exchange with ONE map pass, bit-identical by fold order
+    # (assign_cells_batch docstring; r14-opt, guide §4.2 + §2.4)
+    cent_rows = [
+        (int(r["cell_id"]), [float(x) for x in r["ce"]])
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < sem_k)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("ce"))
+        .collect()
+    ]
     vec2 = e.join(
         surv2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     ).select("vec_id", as_double.alias("emb"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), "cell_id")
     # per-vector norm precomputed once: the pair loop then costs ONE
     # interpreted dot fold instead of three — dot/(na*nb) is the same
     # float ops in the same order as the inline cosine, so the oracle
@@ -1811,12 +1884,10 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_dedup_semantic precedent; measured 3x on its pair stage)
     from .similarity import dot
 
-    cells = (
-        vec2.crossJoin(F.broadcast(cents))
-        .select("vec_id", "emb", "cell_id", cosine(F.col("emb"), F.col("ce")).alias("cscore"))
-        .withColumn("crn", F.row_number().over(w_assign))
-        .where(F.col("crn") == 1)
-        .select("vec_id", "emb", "cell_id", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("n"))
+    cells = vec2.select(
+        "vec_id", "emb", assign_cells_batch(F.col("emb"), cent_rows).alias("_a")
+    ).select(
+        "vec_id", "emb", F.col("_a.cell_id").alias("cell_id"), F.col("_a.n").alias("n")
     )
     # eager barrier before the cell self-join: the K-centroid broadcast
     # scoring + assignment window materializes once and both join sides
@@ -1833,6 +1904,11 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(
+            # stays the INTERPRETED dot on purpose (r14-opt measured): an
+            # Arrow-batched dot (bit-identical fold) ran ~2x SLOWER here
+            # warm (0.32-0.37 -> 0.60-0.70 s) because it ships both
+            # 64-double payloads per pair across the Python boundary,
+            # while the interpreted fold keeps them in the JVM
             (dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.n") * F.col("b.n")))
             >= CURATION_SEM_TAU
         )

@@ -429,3 +429,91 @@ class TestBloomProbeHexR13Opt:
         assert lit_rows == bc_rows
         for f in member:  # no false negatives by construction
             assert bc_rows[f] is True
+
+
+class TestAssignCellsBatchR14Opt:
+    """r14-opt: the Arrow-batched nearest-centroid assignment must match
+    the crossJoin + cosine + row_number expression form bit-for-bit —
+    winning cell AND the own-norm double — including ties (duplicate
+    centroids), zero vectors (all-NaN scores), and null embeddings."""
+
+    def _expression_form(self, spark, vec_rows, cent_rows):
+        from pyspark.sql import Window
+
+        from anglerfish_spark.operators.similarity import cosine, dot
+
+        vecs = spark.createDataFrame(vec_rows, "vec_id long, emb array<double>")
+        cents = spark.createDataFrame(cent_rows, "cell_id int, ce array<double>")
+        w = Window.partitionBy("vec_id").orderBy(F.col("cscore").desc(), "cell_id")
+        out = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id", "emb", "cell_id",
+                cosine(F.col("emb"), F.col("ce")).alias("cscore"),
+            )
+            .withColumn("crn", F.row_number().over(w))
+            .where(F.col("crn") == 1)
+            .select(
+                "vec_id", "cell_id",
+                F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("n"),
+            )
+        )
+        return {r["vec_id"]: (r["cell_id"], r["n"]) for r in out.collect()}
+
+    def _batch_form(self, spark, vec_rows, cent_rows):
+        from anglerfish_spark.operators.dedup import assign_cells_batch
+
+        vecs = spark.createDataFrame(vec_rows, "vec_id long, emb array<double>")
+        out = vecs.select(
+            "vec_id", assign_cells_batch(F.col("emb"), cent_rows).alias("a")
+        ).select("vec_id", F.col("a.cell_id").alias("cell_id"), F.col("a.n").alias("n"))
+        return {r["vec_id"]: (r["cell_id"], r["n"]) for r in out.collect()}
+
+    def test_corpus_assignment_bit_identical(self, spark, sf_dir):
+        from anglerfish_spark.sources.registry import load_table
+
+        e = load_table(spark, sf_dir, "embeddings")
+        cent_rows = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in e.where(F.col("vec_id") < 8).collect()
+        ]
+        vec_rows = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in e.limit(400).collect()
+        ]
+        ref = self._expression_form(spark, vec_rows, cent_rows)
+        got = self._batch_form(spark, vec_rows, cent_rows)
+        assert got == ref  # exact: cell ids AND the norm doubles
+
+    def test_tie_and_null_edges(self, spark):
+        # duplicate centroids (exact score tie -> smallest cell_id), a
+        # centroid-aligned vector (cosine exactly 1 against two cells),
+        # and a NULL embedding
+        cent_rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),   # duplicate of 0
+            (2, [0.0, 1.0, 0.0]),
+        ]
+        vec_rows = [
+            (10, [2.0, 0.0, 0.0]),   # ties cells 0/1 at cosine 1.0
+            (11, [0.0, 3.0, 0.0]),
+            (13, [1.0, 1.0, 0.0]),
+            (14, None),              # null embedding
+        ]
+        ref = self._expression_form(spark, vec_rows, cent_rows)
+        got = self._batch_form(spark, vec_rows, cent_rows)
+        assert got == ref
+
+    def test_zero_norm_raises_both_forms(self, spark):
+        # ANSI posture: the expression form raises DIVIDE_BY_ZERO on a
+        # zero-norm cosine; the batch form raises its own loud error
+        # (exception class differs -- Python worker vs JVM -- but neither
+        # silently assigns a cell)
+        import pytest as _pytest
+
+        cent_rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+        vec_rows = [(10, [0.0, 0.0])]
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            self._expression_form(spark, vec_rows, cent_rows)
+        with _pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+            self._batch_form(spark, vec_rows, cent_rows)
