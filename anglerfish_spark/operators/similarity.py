@@ -33,7 +33,7 @@ from pyspark.sql import Window
 from ..localdata import local_df
 from ..registry import query
 from ..session import prepare
-from ..sources.registry import load_table
+from ..sources.registry import load_table, read_parquet
 
 DIM = 64
 N_QUERIES = 5  # vec_id < 5 serve as query vectors
@@ -692,8 +692,8 @@ def ivf_probe_persisted(
     # the probed cell set is N_QUERIES*N_PROBE ids — driver-side by design,
     # exactly how an ANN service turns a query into a partition predicate
     cells = sorted({r["probe_cell"] for r in probes.select("probe_cell").distinct().collect()})
-    assigned_p = spark.read.parquet(
-        cells_path or ivf_persisted_cells(spark, sf_dir)
+    assigned_p = read_parquet(
+        spark, cells_path or ivf_persisted_cells(spark, sf_dir)
     ).where(F.col("cell").isin(cells))
     if tombstones is not None:
         assigned_p = assigned_p.join(
@@ -790,7 +790,7 @@ def ivf_index_maintain(
     prepare(spark)
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
     src = cells_path or ivf_persisted_cells(spark, sf_dir)
-    live = spark.read.parquet(src).join(
+    live = read_parquet(spark, src).join(
         F.broadcast(tombstones.select("vec_id")), "vec_id", "left_anti"
     )
     cents = _centroids(e)

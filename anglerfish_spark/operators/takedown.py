@@ -58,7 +58,7 @@ from ..registry import query
 from ..session import prepare
 from ..sources.manifest_table import _MANIFEST_DIR, delete_keys, snapshot, upsert
 from ..sources.read_path import table_changes
-from ..sources.registry import load_table
+from ..sources.registry import load_table, read_parquet
 from .dedup import _FP_SQL, _PAIRS_CTE, dedup_index_tables, lsh_bands
 from .text import (
     TOKENS_SQL,
@@ -1106,7 +1106,7 @@ def corpus_ann_probe(
         {r["probe_cell"] for r in probes.select("probe_cell").distinct().collect()}
     )
     cand_src = (
-        spark.read.parquet(cells_path)
+        read_parquet(spark, cells_path)
         .where(F.col("cell").isin(cells))
         .select("vec_id", "embedding", "gen", "cell")
     )

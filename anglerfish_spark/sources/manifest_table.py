@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 from ..errors import AnglerfishError
 from ..registry import query
 from ..session import prepare
+from .registry import read_parquet
 
 
 class ConcurrentCommitError(AnglerfishError):
@@ -1059,8 +1060,8 @@ def commit_rebased(
             # exact images against the CURRENT snapshot (any images the
             # caller derived at base_version may be stale over the
             # concurrent commit): one broadcast semi-join, O(matched)
-            keys = spark.read.parquet(
-                *[os.path.join(table, f) for f in delete_group["files"]]
+            keys = read_parquet(
+                spark, *[os.path.join(table, f) for f in delete_group["files"]]
             ).dropDuplicates()
             key = delete_group["key"]
             target_col = key
@@ -1121,8 +1122,8 @@ def commit_rebased(
         from .read_path import read_table
 
         cur, _ = read_table(spark, table, v, with_positions=True)
-        pd_df = spark.read.parquet(
-            *[os.path.join(table, f) for f in pos_delete_files]
+        pd_df = read_parquet(
+            spark, *[os.path.join(table, f) for f in pos_delete_files]
         ).selectExpr("file AS _fp", "pos AS _ri")
         images = cur.join(
             F.broadcast(pd_df.dropDuplicates()), ["_fp", "_ri"], "left_semi"
@@ -1693,13 +1694,13 @@ def compact_deletes(spark: SparkSession, table: str) -> tuple[int, dict]:
 
     touched: set[str] = set()
     if pos:
-        pd_df = spark.read.parquet(*[os.path.join(table, f) for f in pos])
+        pd_df = read_parquet(spark, *[os.path.join(table, f) for f in pos])
         touched |= {
             r.f for r in pd_df.select(F.col("file").alias("f")).distinct().collect()
         }
     for g in groups:
-        keys = spark.read.parquet(
-            *[os.path.join(table, f) for f in g["files"]]
+        keys = read_parquet(
+            spark, *[os.path.join(table, f) for f in g["files"]]
         ).dropDuplicates()
         target = colmap.get(g["key"], g["key"])
         if target != g["key"]:

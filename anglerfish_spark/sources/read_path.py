@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..session import prepare
+from .registry import read_parquet
 from .manifest_table import (
     delete_groups,
     manifest_filesets_view,
@@ -111,7 +112,7 @@ def _apply_delete_groups(
     delete-time key names to the reader's current names (rename
     evolution after a delete)."""
     for g in groups:
-        dels = spark.read.parquet(*[os.path.join(table, f) for f in g["files"]])
+        dels = read_parquet(spark, *[os.path.join(table, f) for f in g["files"]])
         key = g["key"]
         target = (colmap or {}).get(key, key)
         if target not in df.columns:
@@ -268,7 +269,7 @@ def read_table(
         total_n += fs_total
 
         def build_part(fs=fs, writer=writer, scan=None, limit0=False):
-            df = spark.read.parquet(*[os.path.join(table, f) for f in scan])
+            df = read_parquet(spark, *[os.path.join(table, f) for f in scan])
             if need_pos:
                 df = df.withColumns(
                     {
@@ -347,8 +348,8 @@ def read_table(
         out = out.unionByName(p)
 
     if apply_deletes and m.get("pos_deletes"):
-        pd_df = spark.read.parquet(
-            *[os.path.join(table, f) for f in m["pos_deletes"]]
+        pd_df = read_parquet(
+            spark, *[os.path.join(table, f) for f in m["pos_deletes"]]
         ).selectExpr("file AS _fp", "pos AS _ri")
         out = out.join(F.broadcast(pd_df.dropDuplicates()), ["_fp", "_ri"], "left_anti")
     if need_pos and not with_positions:
@@ -374,7 +375,7 @@ def _resolve_files(
     incremental feed paths."""
     from ..codec.evolve import evolve_struct
 
-    df = spark.read.parquet(*[os.path.join(table, f) for f in files])
+    df = read_parquet(spark, *[os.path.join(table, f) for f in files])
     if reader and writer:
         wnames = [f.name for f in _reader_fields(writer)]
         packed = F.struct(*[F.col(c) for c in wnames])

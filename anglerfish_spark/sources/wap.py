@@ -40,6 +40,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .registry import read_parquet
+
 from ..errors import AnglerfishError
 from ..registry import query
 from ..session import prepare
@@ -169,7 +171,7 @@ def audit_staged(spark: SparkSession, table: str, name: str) -> DataFrame:
     (the staged fileset's publish-time seq exempts it from existing
     delete groups, so a plain union is the correct candidate)."""
     ref = _read_ref(table, name)
-    staged = spark.read.parquet(*[os.path.join(table, f) for f in ref["files"]])
+    staged = read_parquet(spark, *[os.path.join(table, f) for f in ref["files"]])
     return snapshot(spark, table).unionByName(staged)
 
 

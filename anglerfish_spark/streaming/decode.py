@@ -32,7 +32,7 @@ from ..functions.avro_binary import single_object_decode, single_object_encode
 from ..operators.common import dsum, dsum_sql
 from ..registry import query
 from ..session import prepare
-from ..sources.registry import load_table
+from ..sources.registry import load_table, read_parquet
 from .windows import tumbling_agg
 
 #: message schema — what a producer would register; ts travels as
@@ -103,7 +103,7 @@ def _read_fanned(spark: SparkSession, path: str) -> DataFrame:
     is kept ONLY for the degenerate layout (scan partitions well below
     the session's parallelism, e.g. a single-file stand-in under a
     hostile conf)."""
-    df = spark.read.parquet(path)
+    df = read_parquet(spark, path)
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         df = df.repartition(target)

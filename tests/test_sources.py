@@ -226,3 +226,69 @@ class TestDriverMemDefault:
 
         total_mb = _os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES") // (1 << 20)
         assert 1024 <= mb <= min(8192, total_mb // 2)
+
+
+class TestReadParquetSchemaCacheR14Opt:
+    """read_parquet's per-file-state schema cache (r14-opt): identical
+    frames to plain spark.read.parquet, keyed on file METADATA so a
+    rewrite re-infers — never a result/data cache (the scan re-reads the
+    parquet at every action)."""
+
+    def test_identical_schema_and_rows(self, spark, tmp_path):
+        from anglerfish_spark.sources.registry import read_parquet
+
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(
+            pa.table({"a": pa.array([1, 2], pa.int64()), "b": ["x", "y"]}), p
+        )
+        plain = spark.read.parquet(p)
+        cached_first = read_parquet(spark, p)   # infers + records
+        cached_hit = read_parquet(spark, p)     # explicit-schema path
+        assert cached_first.schema == plain.schema == cached_hit.schema
+        assert sorted(map(tuple, cached_hit.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_rewrite_invalidates(self, spark, tmp_path):
+        import time as _t
+
+        from anglerfish_spark.sources.registry import read_parquet
+
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({"a": pa.array([1], pa.int64())}), p)
+        assert read_parquet(spark, p).schema["a"].dataType == T.LongType()
+        _t.sleep(0.01)  # ensure a distinct mtime_ns on coarse filesystems
+        pq.write_table(pa.table({"a": pa.array(["s"], pa.string())}), p)
+        assert read_parquet(spark, p).schema["a"].dataType == T.StringType()
+
+    def test_multi_file_key_orders_and_dirs(self, spark, tmp_path):
+        import time as _t
+
+        from anglerfish_spark.sources.registry import read_parquet
+
+        d = tmp_path / "dir"
+        d.mkdir()
+        pq.write_table(pa.table({"a": pa.array([1], pa.int64())}), str(d / "1.parquet"))
+        assert read_parquet(spark, str(d)).count() == 1
+        _t.sleep(0.01)
+        # adding a file to the directory changes the entry key -> re-read
+        pq.write_table(pa.table({"a": pa.array([2], pa.int64())}), str(d / "2.parquet"))
+        assert read_parquet(spark, str(d)).count() == 2
+
+    def test_data_never_cached(self, spark, tmp_path):
+        """Same file state, different CONTENT bytes is impossible without a
+        stat change on a real write path; what matters is that the action
+        re-reads the file — prove it by swapping content with identical
+        schema (stat changes, but the point is row values flow from disk)."""
+        import time as _t
+
+        from anglerfish_spark.sources.registry import read_parquet
+
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({"a": pa.array([1], pa.int64())}), p)
+        df = read_parquet(spark, p)
+        assert df.collect()[0][0] == 1
+        _t.sleep(0.01)
+        pq.write_table(pa.table({"a": pa.array([7], pa.int64())}), p)
+        # the PREVIOUSLY constructed frame re-scans at action time
+        assert read_parquet(spark, p).collect()[0][0] == 7
