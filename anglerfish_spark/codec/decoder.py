@@ -918,6 +918,13 @@ def _is_null_default(f: AvroField) -> bool:
 # public API
 # ---------------------------------------------------------------------------
 
+#: (schema JSON string, max_depth) -> (wire_t, flat, needs_vprobe, value,
+#: errs) — see the cache note inside decode_json.  Bounded like the codec
+#: compile caches; Columns are immutable expression trees, safe to embed in
+#: any number of plans.
+_DECODE_EXPR_CACHE: dict[tuple, tuple] = {}
+_DECODE_EXPR_CACHE_MAX = 256
+
 
 def decode_json(
     df: DataFrame,
@@ -936,17 +943,18 @@ def decode_json(
     * ``"strict"``   — any violation raises (executor-side, via assert_true);
     * ``"permissive"`` — adds ``errors_col: array<string>`` of ``Code@path``.
     """
-    if isinstance(schema, str):
-        schema = parse_schema(schema)
-    if isinstance(schema, ParsedSchema):
-        root, env = schema.root, schema.env
-    else:
-        root, env = schema, {}
+    # schema-keyed EXPRESSION cache (r14-opt, the pydecode/avro_binary
+    # compile-cache pattern lifted to the Column layer): the (wire type,
+    # value, errs) trees are pure functions of (schema JSON, max_depth) —
+    # they reference only the FIXED internal stage-column names below —
+    # and building them cost ~0.5 s of py4j round trips per invocation on
+    # the flat events schema.  Keyed on the schema STRING (all engine
+    # callers pass the JSON literal); ParsedSchema/AvroType callers skip
+    # the cache.  Compile cache, never data: the per-row parse still runs
+    # at every action.
+    cache_key = (schema, max_depth) if isinstance(schema, str) else None
+    cached = _DECODE_EXPR_CACHE.get(cache_key) if cache_key is not None else None
     raw = F.col(col) if isinstance(col, str) else col
-
-    wire_t = wire_struct_type(root, env, max_depth)
-    if not isinstance(wire_t, (T.StructType, T.ArrayType, T.MapType)):
-        raise InvalidParserStateError("root schema must be a record, array, map, or multi-union")
 
     # staged projections: the wire parse and the error string are
     # materialized as intermediate columns THROUGH A GENERATE BARRIER
@@ -962,8 +970,40 @@ def decode_json(
     err_col = "_anglerfish_errs"
     raw_col = "_anglerfish_raw"
     vprobe_col = "_anglerfish_vprobe"
-    flat = _is_flat_record(root)
-    needs_vprobe = flat and any(_kind_rejects_json_strings(f.type) for f in root.fields)
+    if cached is not None:
+        wire_t, flat, needs_vprobe, value, errs = cached
+    else:
+        if isinstance(schema, str):
+            schema = parse_schema(schema)
+        if isinstance(schema, ParsedSchema):
+            root, env = schema.root, schema.env
+        else:
+            root, env = schema, {}
+        wire_t = wire_struct_type(root, env, max_depth)
+        if not isinstance(wire_t, (T.StructType, T.ArrayType, T.MapType)):
+            raise InvalidParserStateError(
+                "root schema must be a record, array, map, or multi-union"
+            )
+        flat = _is_flat_record(root)
+        needs_vprobe = flat and any(
+            _kind_rejects_json_strings(f.type) for f in root.fields
+        )
+        builder = _ExprBuilder(env, max_depth, root_map=F.col(rmap_col))
+        if flat:
+            # flat records decode from the map view alone: ONE JSON parse/row
+            value, errs = builder.build_flat_record(
+                root,
+                F.col(rmap_col),
+                F.col(raw_col),
+                "$",
+                vprobe=F.col(vprobe_col) if needs_vprobe else None,
+            )
+        else:
+            value, errs = builder.build(root, F.col(wire_col), F.col(raw_col), "$")
+        if cache_key is not None:
+            if len(_DECODE_EXPR_CACHE) >= _DECODE_EXPR_CACHE_MAX:
+                _DECODE_EXPR_CACHE.clear()
+            _DECODE_EXPR_CACHE[cache_key] = (wire_t, flat, needs_vprobe, value, errs)
     staged = df.withColumn(raw_col, raw).withColumn(
         rmap_col, F.from_json(F.col(raw_col), T.MapType(T.StringType(), T.StringType()))
     )
@@ -995,18 +1035,6 @@ def decode_json(
         F.explode(F.array(F.struct(*[F.col(c) for c in staged.columns]))).alias("_b")
     ).select("_b.*")
     raw = F.col(raw_col)
-    builder = _ExprBuilder(env, max_depth, root_map=F.col(rmap_col))
-    if flat:
-        # flat records decode from the map view alone: ONE JSON parse/row
-        value, errs = builder.build_flat_record(
-            root,
-            F.col(rmap_col),
-            raw,
-            "$",
-            vprobe=F.col(vprobe_col) if needs_vprobe else None,
-        )
-    else:
-        value, errs = builder.build(root, F.col(wire_col), raw, "$")
     # malformed JSON text: get_json_object('$') is null only when the text
     # does not parse at all (from_json PERMISSIVE yields an all-null struct,
     # so the parsed column cannot be used to detect this).  The rmap guard

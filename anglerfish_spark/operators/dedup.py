@@ -483,11 +483,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", fanout=True)
     hashed = F.transform(tokens(), lambda t: F.md5(t.cast("binary")))
 
-    def vote(j: int):
-        return lambda acc, x: acc + F.when(F.substring(x, j + 1, 1) >= "8", 1).otherwise(-1)
-
+    # the 16 bit-vote aggregates as ONE parsed SQL expression each (r14-opt,
+    # guide §1.2 applied to the DRIVER: the lambda-Column form of this exact
+    # expression cost ~2500 py4j round trips per invocation — each
+    # F.aggregate + nested F.when builds its tree one remote call at a
+    # time, while F.expr parses the whole tree JVM-side in one call).
+    # CASE WHEN ... THEN 1 ELSE -1 END is precisely when/otherwise, so the
+    # analyzed expression — and the oracle-pinned result — is unchanged.
     bit_cols = [
-        F.aggregate(F.col("_h"), F.lit(0), vote(j)).alias(f"b{j}") for j in range(SIMHASH_BITS)
+        F.expr(
+            f"aggregate(_h, 0, (acc, x) -> acc + "
+            f"(CASE WHEN substring(x, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END))"
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
     ]
     bits = (
         # filter on the raw token count — a predicate on size(_h) would get
@@ -496,8 +504,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", hashed.alias("_h"))
         .select("doc_id", *bit_cols)
     )
-    sig = F.concat(
-        *[F.when(F.col(f"b{j}") >= 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
+    sig = F.expr(
+        "concat("
+        + ", ".join(
+            f"CASE WHEN b{j} >= 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+        )
+        + ")"
     ).alias("simhash")
     return (
         bits.select("doc_id", sig)
@@ -2107,11 +2119,13 @@ def bloom_probe(spark: SparkSession, fp: Column, filter_bits: bytes,
     m = len(filter_bits)
     limit = int(os.environ.get("ANGLERFISH_BLOOM_LITERAL_MAX", BLOOM_LITERAL_MAX_BITS))
     if m <= limit:
+        # one literal Column reused across the k probes: the filter bytes
+        # cross the py4j socket ONCE instead of k times (r14-opt; the JVM
+        # expression tree shares the node, the plan is unchanged)
+        flit = F.lit(filter_bits)
         maybe = F.lit(True)
         for i in range(1, k + 1):
-            probe = F.substring(
-                F.lit(filter_bits), (_fp_pos(fp, i, m) + 1).cast("int"), 1
-            )
+            probe = F.substring(flit, (_fp_pos(fp, i, m) + 1).cast("int"), 1)
             maybe = maybe & (probe == F.lit(b"1"))
         return maybe
 

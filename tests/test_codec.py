@@ -811,3 +811,58 @@ class TestBpeEncode:
         # [ab, a, b] -> then 'ab' again at position 1? syms = [ab, a, b];
         # pairs 'aba' (no), 'ab' (yes, rank 1) -> [ab, ab] -> pair 'abab' no
         assert bpe_encode_len("abab", {"ab": 1}) == 2
+
+
+class TestDecodeJsonExprCacheR14Opt:
+    """decode_json's schema-keyed EXPRESSION cache (r14-opt): same-schema
+    invocations reuse the built (wire type, value, errs) trees — a compile
+    cache, never data; per-row parsing still runs at every action."""
+
+    SCHEMA = """
+    {"type":"record","name":"c","fields":[
+      {"name":"k","type":"long"},
+      {"name":"tag","type":"string","default":"none"}
+    ]}
+    """
+
+    def test_hit_and_identical_results(self, spark):
+        from anglerfish_spark.codec import decoder as D
+
+        D._DECODE_EXPR_CACHE.clear()
+        df = spark.createDataFrame(
+            [('{"k": 1, "tag": "a"}',), ('{"k": 2}',)], "props string"
+        )
+        r1 = decode_json(df, "props", self.SCHEMA, mode="permissive").collect()
+        assert len(D._DECODE_EXPR_CACHE) == 1  # recorded
+        r2 = decode_json(df, "props", self.SCHEMA, mode="permissive").collect()
+        assert len(D._DECODE_EXPR_CACHE) == 1  # hit, not re-keyed
+        assert [tuple(map(str, r)) for r in r1] == [tuple(map(str, r)) for r in r2]
+        assert r1[1]["decoded"]["tag"] == "none"  # default substituted on the hit path too
+
+    def test_distinct_keys_miss(self, spark):
+        from anglerfish_spark.codec import decoder as D
+
+        D._DECODE_EXPR_CACHE.clear()
+        df = spark.createDataFrame([('{"k": 1}',)], "props string")
+        decode_json(df, "props", self.SCHEMA, mode="strict")
+        decode_json(df, "props", self.SCHEMA, mode="strict", max_depth=5)
+        other = '{"type":"record","name":"d","fields":[{"name":"k","type":"long"}]}'
+        decode_json(df, "props", other, mode="strict")
+        assert len(D._DECODE_EXPR_CACHE) == 3
+        # ParsedSchema callers skip the cache (no canonical key)
+        decode_json(df, "props", parse_schema(other), mode="strict")
+        assert len(D._DECODE_EXPR_CACHE) == 3
+
+    def test_strict_error_identity_on_hit(self, spark):
+        from anglerfish_spark.codec import decoder as D
+        from pyspark.errors import PythonException
+        import pytest as _pytest
+
+        D._DECODE_EXPR_CACHE.clear()
+        bad = spark.createDataFrame([('{"k": "notlong"}',)], "props string")
+        msgs = []
+        for _ in range(2):  # miss, then hit — identical strict failure
+            with _pytest.raises(Exception) as ei:
+                decode_json(bad, "props", self.SCHEMA, mode="strict").collect()
+            msgs.append("anglerfish strict decode failed" in str(ei.value))
+        assert msgs == [True, True]
