@@ -1830,32 +1830,49 @@ def q_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return out
 
-    # ONE tokenize+fingerprint pass and ONE fp-window pass total: base
-    # and the ranked s1 are each materialized once and every consumer —
-    # removed1, surv1, and the final ledger — filters the checkpointed
-    # rows.  The previous shape checkpointed removed1 and surv1 as
-    # SEPARATE lazy checkpoints whose lineages each re-ran
-    # tokenize+md5+window, and the ledger re-ran tokenize a third time
-    # for n_tok (guide §2.4: don't recompute what a cheap materialized
-    # proxy already holds; rows here are (doc_id, n_tok, fp)-narrow).
-    base = ckpt(base, "1_exact")
-    s1 = ckpt(
+    # ONE tokenize+fingerprint pass, ONE fp-window pass, and ONE eager
+    # checkpoint for the whole exact stage (r14-opt merge): the ranked
+    # base materializes (doc_id, n_tok, rn) in a single job and every
+    # consumer — removed1, surv1, and the final ledger — filters the
+    # checkpointed rows.  The previous shape checkpointed base and s1
+    # SEPARATELY (two sequential eager jobs, plus the fat 32-char fp
+    # column materialized in base for nothing downstream); before that,
+    # removed1/surv1 were separate lazy checkpoints whose lineages each
+    # re-ran tokenize+md5+window (guide §2.4 / §1.2: don't recompute —
+    # or re-schedule — what a cheap materialized proxy already holds).
+    # Merged A/B (8 alternating in-session pairs at sf0.1, with the
+    # 2_near merge below): 4.34 -> 4.07 s median, identical output at
+    # sf0.01 AND sf0.1.
+    base = ckpt(
         base.withColumn(
             "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
-        ).select("doc_id", "rn"),
+        ).select("doc_id", "n_tok", "rn"),
         "1_exact",
     )
+    s1 = base
     removed1 = s1.where(F.col("rn") > 1).select("doc_id")
     surv1 = s1.where(F.col("rn") == 1).select("doc_id")
 
     d1 = d.join(surv1, "doc_id", "left_semi")
-    removed2 = ckpt(
-        lsh_candidate_pairs(d1)  # skew cap active (LSH_MAX_BUCKET)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct(),
+    # one flagged checkpoint instead of two sequential ones (r14-opt
+    # merge): every LSH candidate doc_b comes from d1, which is already
+    # surv1-filtered, so removed2 ⊆ surv1 — a left join flags exactly
+    # the removed set and the where-splits replace the separate
+    # removed2 checkpoint + surv2 anti-join checkpoint (same rows
+    # materialized once, one fewer eager job + one fewer join).
+    s2 = ckpt(
+        surv1.join(
+            lsh_candidate_pairs(d1)  # skew cap active (LSH_MAX_BUCKET)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("_r2", F.lit(True)),
+            "doc_id",
+            "left",
+        ),
         "2_near",
     )
-    surv2 = ckpt(surv1.join(removed2, "doc_id", "left_anti"), "2_near")
+    removed2 = s2.where(F.col("_r2")).select("doc_id")
+    surv2 = s2.where(F.col("_r2").isNull()).select("doc_id")
 
     e = load_table(spark, sf_dir, "embeddings", fanout=True)
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
